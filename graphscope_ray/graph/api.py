@@ -1,0 +1,428 @@
+"""User-facing graph API — the analogue of ``graphscope.analytical.app``
+(``/root/reference/python/graphscope/analytical/app/*.py``): build a
+graph from an edge Dataset, run apps, get result Datasets keyed by oid.
+
+Every app below has a reference twin cited in its docstring; semantics
+documented in SURVEY.md §2.
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from graphscope_ray.graph.build import GraphStore, build_graph
+from graphscope_ray.graph.engine import BSPEngine
+from graphscope_ray.graph.ids import assign_dense_ids, attach_vids
+from graphscope_ray.graph.joins import attach_values
+from graphscope_ray.util import rename
+
+
+def _default_parts() -> int:
+    n = int(ray.cluster_resources().get("CPU", 8))
+    return max(2, min(n, 32))
+
+
+class Graph:
+    """A loaded, partitioned graph (edge store + optional oid map) with
+    a resident actor pool — the analogue of the reference's fragments
+    held in vineyard across app invocations."""
+
+    def __init__(self, store: GraphStore, oid_array: Optional[np.ndarray] = None):
+        self.store = store
+        self.oid_array = oid_array  # oid of vid i at index i (sorted order)
+        self._engine: Optional[BSPEngine] = None
+
+    # -- construction --------------------------------------------------
+
+    @classmethod
+    def from_edges(
+        cls,
+        edges: ray.data.Dataset,
+        *,
+        workdir: Optional[str] = None,
+        num_parts: Optional[int] = None,
+        weight_col: Optional[str] = None,
+        symmetrize: bool = False,
+        oid_space: bool = True,
+        num_vertices: Optional[int] = None,
+        hub_threshold: Optional[int] = None,
+    ) -> "Graph":
+        """Build from an edge Dataset with columns ``src``/``dst`` (+
+        optional weight). ``oid_space=True`` runs dense-id assignment
+        (vid = rank of oid in sorted order — partition-independent,
+        monotonic; SURVEY.md §5); ``False`` means src/dst are already
+        dense int64 vids."""
+        num_parts = num_parts or _default_parts()
+        workdir = workdir or tempfile.mkdtemp(prefix="gsr-graph-")
+        oid_array = None
+        if oid_space:
+            cols = ["src", "dst"]
+            oids = rename(edges.select_columns(["src"]), {"src": "oid"}).union(
+                rename(edges.select_columns(["dst"]), {"dst": "oid"})
+            )
+            idmap = assign_dense_ids(oids, "oid").materialize()
+            n_ids = idmap.count()
+            edges = attach_vids(edges, idmap, cols, idmap_count=n_ids)
+            pdf = idmap.to_pandas().sort_values("vid")
+            oid_array = pdf["oid"].to_numpy()
+            num_vertices = n_ids
+        store = build_graph(
+            edges,
+            os.path.join(workdir, "store"),
+            num_parts=num_parts,
+            num_vertices=num_vertices,
+            symmetrize=symmetrize,
+            weight_col=weight_col,
+            hub_threshold=hub_threshold,
+        )
+        return cls(store, oid_array)
+
+    @property
+    def engine(self) -> BSPEngine:
+        if self._engine is None:
+            self._engine = BSPEngine(self.store)
+        return self._engine
+
+    def close(self):
+        if self._engine is not None:
+            self._engine.shutdown()
+            self._engine = None
+
+    # -- result translation -------------------------------------------
+
+    def to_oid(self, ds: ray.data.Dataset, vid_cols=("vid",)) -> ray.data.Dataset:
+        """Translate vid columns back to oids (dense vid = index into the
+        sorted oid array; broadcast once via ``ray.put``)."""
+        if self.oid_array is None:
+            return ds
+        ref = ray.put(self.oid_array)
+
+        def translate(t: pa.Table) -> pa.Table:
+            oids = ray.get(ref)
+            for c in vid_cols:
+                v = t[c].to_numpy()
+                t = t.set_column(
+                    t.schema.get_field_index(c), c, pa.array(oids[v])
+                )
+            return t
+
+        return ds.map_batches(translate, batch_format="pyarrow")
+
+    def vid_of_oid(self, oid) -> int:
+        if self.oid_array is None:
+            return int(oid)
+        i = int(np.searchsorted(self.oid_array, oid))
+        if i >= len(self.oid_array) or self.oid_array[i] != oid:
+            raise KeyError(oid)
+        return i
+
+    # -- BSP apps ------------------------------------------------------
+
+    def pagerank(self, delta: float = 0.85, max_round: int = 10,
+                 tol: Optional[float] = None, **kw) -> ray.data.Dataset:
+        """Reference-exact PageRank — `benchmarks/apps/pagerank/pagerank.h:82-196`
+        (defaults per `python/graphscope/analytical/app/pagerank.py:29`)."""
+        return self.engine.pagerank(delta=delta, max_round=max_round, tol=tol, **kw)
+
+    def wcc(self, **kw) -> ray.data.Dataset:
+        """WCC, min-oid component labels — `benchmarks/apps/wcc/wcc.h:58-169`
+        with the SURVEY §5 min-oid labeling convention."""
+        return self.engine.wcc(**kw)
+
+    def cdlp(self, max_round: int = 10, **kw) -> ray.data.Dataset:
+        """LDBC community detection by label propagation —
+        `.gs_conf.yaml:36-41` (grape::CDLP)."""
+        return self.engine.cdlp(max_round=max_round, **kw)
+
+    def lpa(self, max_round: int = 10, **kw) -> ray.data.Dataset:
+        """Weighted label propagation (edge-weight-summed label votes) —
+        the engine's take on `apps/lpa/lpa_u2i.h` generalized off the
+        bipartite special case."""
+        return self.engine.cdlp(max_round=max_round, weighted=True, **kw)
+
+    def sssp(self, source, **kw) -> ray.data.Dataset:
+        """Weighted SSSP — `apps/projected/sssp_projected.h:70-178`
+        (unreachable = +inf)."""
+        return self.engine.sssp(self.vid_of_oid(source), **kw)
+
+    def bfs(self, source, **kw) -> ray.data.Dataset:
+        """BFS depth — `benchmarks/apps/bfs/bfs.h` (unreachable = -1)."""
+        return self.engine.bfs(self.vid_of_oid(source), **kw)
+
+    def kcore(self, k: int) -> ray.data.Dataset:
+        """k-core membership — `apps/kcore/kcore.h:31-129`."""
+        return self.engine.kcore(k)
+
+    def kshell(self, k: int) -> ray.data.Dataset:
+        """k-shell membership — `apps/kshell/kshell.h`."""
+        return self.engine.kshell(k)
+
+
+# ----------------------------------------------------------------------
+# Dataset-side algorithms (no resident state needed)
+# ----------------------------------------------------------------------
+
+
+def degrees(edges: ray.data.Dataset, *, mode: str = "both") -> ray.data.Dataset:
+    """Per-vertex degree over a directed edge table: mode in/out/both.
+    Per-batch partial counts → small groupby (combiner pattern)."""
+    from ray.data.aggregate import Sum
+
+    def partial(t: pa.Table) -> pa.Table:
+        parts = []
+        if mode in ("out", "both"):
+            parts.append(t["src"].to_numpy())
+        if mode in ("in", "both"):
+            parts.append(t["dst"].to_numpy())
+        v = np.concatenate(parts) if parts else np.array([], dtype=np.int64)
+        vid, cnt = np.unique(v, return_counts=True)
+        return pa.table({"vid": vid, "_d": cnt.astype(np.int64)})
+
+    return (
+        edges.map_batches(partial, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("_d", alias_name="degree"))
+    )
+
+
+def degree_centrality(
+    edges: ray.data.Dataset, num_vertices: int, *, mode: str = "both"
+) -> ray.data.Dataset:
+    """degree / (n-1) — `apps/centrality/degree/degree_centrality.h`."""
+    deg = degrees(edges, mode=mode)
+    denom = float(max(1, num_vertices - 1))
+
+    def div(t: pa.Table) -> pa.Table:
+        c = t["degree"].to_numpy() / denom
+        return pa.table({"vid": t["vid"], "centrality": pa.array(c)})
+
+    return deg.map_batches(div, batch_format="pyarrow")
+
+
+def canonical_undirected(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """Undirected simple edge set: (min, max) per pair, deduped, no
+    self-loops — the input form for triangle counting."""
+    from ray.data.aggregate import Count
+
+    def canon(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        keep = s != d
+        s, d = s[keep], d[keep]
+        lo = np.minimum(s, d)
+        hi = np.maximum(s, d)
+        return pa.table({"src": lo, "dst": hi})
+
+    return (
+        edges.map_batches(canon, batch_format="pyarrow")
+        .groupby(["src", "dst"])
+        .aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+
+def triangles(
+    edges_undirected: ray.data.Dataset,
+    *,
+    num_partitions: int = 16,
+) -> ray.data.Dataset:
+    """Per-vertex triangle counts via degree-ordered orientation +
+    two hash joins (wedge close) — the Ray Data re-expression of
+    `apps/clustering/triangles.h:43-157` (stage1 orientation by
+    (degree, id) ordering; stage2 adjacency intersection). Returns
+    (vid, tri_cnt) for every vertex that appears in an edge.
+
+    Orientation bounds the join fan-out: each vertex's oriented
+    out-degree is O(sqrt(E)), so wedges ≈ Σ C(outdeg⁺, 2) stays
+    subquadratic — this is the documented skew/scale guard.
+    """
+    from ray.data.aggregate import Sum
+
+    e = edges_undirected.select_columns(["src", "dst"])
+    deg = degrees(e, mode="both")
+    deg_n = deg.count()
+
+    e2 = attach_values(e, deg, on="src", table_key="vid",
+                       value_names=["degree"], table_count=deg_n)
+    e2 = rename(e2, {"degree": "deg_src"})
+    e2 = attach_values(e2, deg, on="dst", table_key="vid",
+                       value_names=["degree"], table_count=deg_n)
+    e2 = rename(e2, {"degree": "deg_dst"})
+
+    def orient(t: pa.Table) -> pa.Table:
+        s, d = t["src"].to_numpy(), t["dst"].to_numpy()
+        ds_, dd = t["deg_src"].to_numpy(), t["deg_dst"].to_numpy()
+        fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
+        a = np.where(fwd, s, d)
+        b = np.where(fwd, d, s)
+        return pa.table({"a": a, "b": b})
+
+    oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
+
+    def _as(t: pa.Table, names) -> pa.Table:
+        return pa.table({n: t.column(i) for i, n in enumerate(names)})
+
+    right1 = oriented.map_batches(lambda t: _as(t, ["b", "c"]),
+                                  batch_format="pyarrow")
+    wedges = oriented.join(
+        right1,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+    )
+    # close the wedge: (a, c) must be an oriented edge a→c
+    right2 = oriented.map_batches(lambda t: _as(t, ["a", "c"]),
+                                  batch_format="pyarrow")
+    closed = wedges.join(
+        right2,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a", "c"),
+    )
+
+    def corners(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [t["a"].to_numpy(), t["b"].to_numpy(), t["c"].to_numpy()]
+        )
+        vid, cnt = np.unique(v, return_counts=True)
+        return pa.table({"vid": vid, "_t": cnt.astype(np.int64)})
+
+    per_vertex = (
+        closed.map_batches(corners, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("_t", alias_name="tri_cnt"))
+    )
+    # vertices in no triangle → 0
+    allv = deg.select_columns(["vid"])
+    out = attach_values(
+        allv, per_vertex, on="vid", table_key="vid",
+        value_names=["tri_cnt"], defaults={"tri_cnt": 0},
+        table_count=deg_n,
+    )
+
+    def cast_int(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        i = t.schema.get_field_index("tri_cnt")
+        return t.set_column(i, "tri_cnt", pc.cast(t["tri_cnt"], pa.int64()))
+
+    return out.map_batches(cast_int, batch_format="pyarrow")
+
+
+def triangle_total(edges_undirected: ray.data.Dataset, **kw) -> int:
+    tv = triangles(edges_undirected, **kw)
+    s = tv.sum("tri_cnt")
+    return int(s) // 3
+
+
+def clustering(edges_undirected: ray.data.Dataset, **kw) -> ray.data.Dataset:
+    """Local clustering coefficient 2·tri / (deg·(deg−1)) on the
+    undirected simple graph — `apps/clustering/clustering.h` (NetworkX
+    undirected semantics; 0 for deg < 2)."""
+    tv = triangles(edges_undirected, **kw)
+    deg = degrees(edges_undirected, mode="both")
+    out = attach_values(tv, deg, on="vid", table_key="vid",
+                        value_names=["degree"], defaults={"degree": 0})
+
+    def lcc(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy().astype(np.float64)
+        tr = t["tri_cnt"].to_numpy().astype(np.float64)
+        denom = d * (d - 1.0)
+        c = np.where(denom > 0, 2.0 * tr / np.where(denom > 0, denom, 1.0), 0.0)
+        return pa.table({"vid": t["vid"], "clustering": pa.array(c)})
+
+    return out.map_batches(lcc, batch_format="pyarrow")
+
+
+def transitivity(edges_undirected: ray.data.Dataset, **kw) -> float:
+    """Global clustering: 3·triangles / open+closed wedges —
+    `apps/clustering/transitivity.h`."""
+    tri3 = triangle_total(edges_undirected, **kw) * 3
+    deg = degrees(edges_undirected, mode="both")
+
+    def wedge(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy().astype(np.float64)
+        return pa.table({"w": pa.array(d * (d - 1.0) / 2.0)})
+
+    wedges = deg.map_batches(wedge, batch_format="pyarrow").sum("w")
+    return float(tri3 / wedges) if wedges else 0.0
+
+
+def avg_clustering(edges_undirected: ray.data.Dataset, **kw) -> float:
+    """Mean local clustering coefficient — `apps/clustering/avg_clustering.h`."""
+    c = clustering(edges_undirected, **kw)
+    return float(c.mean("clustering"))
+
+
+# ----------------------------------------------------------------------
+# graph-management ops (SURVEY.md §2.3)
+# ----------------------------------------------------------------------
+
+
+def to_undirected(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """TO_UNDIRECTED (`grape_instance.cc:619-658`): union with swapped
+    endpoints, dedup."""
+    from ray.data.aggregate import Count
+
+    def swap(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["dst"], "dst": t["src"]})
+
+    e = edges.select_columns(["src", "dst"])
+    both = e.union(e.map_batches(swap, batch_format="pyarrow"))
+    return (
+        both.groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+        .drop_columns(["_c"])
+    )
+
+
+def reverse_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
+    """COPY_GRAPH(reverse) (`grape_instance.cc:604`)."""
+    cols = edges.columns()
+
+    def swap(t: pa.Table) -> pa.Table:
+        d = {c: t[c] for c in cols}
+        d["src"], d["dst"] = t["dst"], t["src"]
+        return pa.table(d)
+
+    return edges.map_batches(swap, batch_format="pyarrow")
+
+
+def induce_subgraph(edges: ray.data.Dataset, vertices) -> ray.data.Dataset:
+    """INDUCE_SUBGRAPH (`grape_instance.cc:659-703`): keep edges whose
+    both endpoints are in the vertex set (broadcast semi-join)."""
+    vs = np.sort(np.asarray(list(vertices), dtype=np.int64))
+    ref = ray.put(vs)
+
+    def keep(t: pa.Table) -> pa.Table:
+        v = ray.get(ref)
+        s, d = t["src"].to_numpy(), t["dst"].to_numpy()
+        si = np.clip(np.searchsorted(v, s), 0, len(v) - 1)
+        di = np.clip(np.searchsorted(v, d), 0, len(v) - 1)
+        ok = (v[si] == s) & (v[di] == d) if len(v) else np.zeros(len(s), bool)
+        return t.filter(pa.array(ok))
+
+    return edges.map_batches(keep, batch_format="pyarrow")
+
+
+def report_graph(edges: ray.data.Dataset) -> dict:
+    """REPORT_GRAPH stats (`core/fragment/dynamic_fragment_reporter.h:41-120`):
+    node/edge/self-loop counts."""
+    def stats(t: pa.Table) -> pa.Table:
+        s, d = t["src"].to_numpy(), t["dst"].to_numpy()
+        return pa.table({
+            "edges": pa.array([len(s)], pa.int64()),
+            "selfloops": pa.array([int((s == d).sum())], pa.int64()),
+        })
+
+    agg = edges.map_batches(stats, batch_format="pyarrow")
+    n_edges = int(agg.sum("edges") or 0)
+    n_loops = int(agg.sum("selfloops") or 0)
+    n_nodes = degrees(edges, mode="both").count()
+    return {"node_num": n_nodes, "edge_num": n_edges, "selfloops_num": n_loops}

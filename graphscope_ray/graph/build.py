@@ -1,0 +1,197 @@
+"""Graph build: edge partitioning, degrees, hub splitting, edge store.
+
+Replaces the reference's load path (hash partition by oid inside
+vineyard's ``BasicEVFragmentLoader``, CSR build, seal —
+``/root/reference/analytical_engine/core/loader/arrow_fragment_loader.h:40,64-68``)
+with Ray Data stages writing a resumable on-disk store:
+
+    store/
+      meta.json                      # V, P, directed, hubs, digests
+      edges/part=<p>/*.parquet       # (src, dst[, weight]) int64
+      degrees/part=<p>/*.parquet     # (vid, out_deg) — global out-degrees
+
+Partition rule: ``part = src % P``; **hub splitting** (explicit skew
+mitigation, SURVEY.md §4): vertices with out-degree above
+``hub_threshold`` get their out-edges spread as ``part = (src + dst) %
+P`` — the hub's state stays with its owner, and per-round the driver
+broadcasts the (small) hub value vector to all partitions via one
+``ray.put``. This is the "high-degree vertex splitting" the north rule
+demands: scatter work for a 10M-degree hub lands on every partition
+instead of one straggler.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+
+import numpy as np
+import pyarrow as pa
+
+import ray.data
+
+
+class GraphStore:
+    """Handle to an on-disk partitioned graph."""
+
+    def __init__(self, path: str):
+        self.path = path
+        with open(os.path.join(path, "meta.json")) as f:
+            self.meta = json.load(f)
+
+    @property
+    def num_vertices(self) -> int:
+        return self.meta["num_vertices"]
+
+    @property
+    def num_parts(self) -> int:
+        return self.meta["num_parts"]
+
+    @property
+    def hubs(self) -> np.ndarray:
+        return np.asarray(self.meta["hubs"], dtype=np.int64)
+
+    def edges_dir(self, p: int) -> str:
+        return os.path.join(self.path, "edges", f"part={p}")
+
+    def degrees_dir(self, p: int) -> str:
+        return os.path.join(self.path, "degrees", f"part={p}")
+
+
+def build_graph(
+    edges: ray.data.Dataset,
+    path: str,
+    *,
+    num_parts: int,
+    num_vertices: int | None = None,
+    symmetrize: bool = False,
+    weight_col: str | None = None,
+    hub_threshold: int | None = None,
+    max_hubs: int = 1_000_000,
+) -> GraphStore:
+    """Partition an int64-vid edge table into an on-disk GraphStore.
+
+    ``edges`` must have columns ``src``/``dst`` (int64 vids from
+    :func:`assign_dense_ids`) and optionally ``weight_col``.
+    ``symmetrize=True`` unions the reversed edges first (the
+    reference's apps treat the test graphs as undirected; WCC always
+    walks both directions — ``benchmarks/apps/wcc/wcc.h:58``).
+    """
+    P = int(num_parts)
+    cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+    e = edges.select_columns(cols)
+    if weight_col and weight_col != "weight":
+        from graphscope_ray.util import rename
+        e = rename(e, {weight_col: "weight"})
+    has_weight = weight_col is not None
+
+    if symmetrize:
+        def swap(t: pa.Table) -> pa.Table:
+            arrs = {"src": t["dst"], "dst": t["src"]}
+            if has_weight:
+                arrs["weight"] = t["weight"]
+            return pa.table(arrs).select(t.column_names)
+        e = e.union(e.map_batches(swap, batch_format="pyarrow"))
+
+    def cast_ids(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        t = t.set_column(t.schema.get_field_index("src"), "src",
+                         pc.cast(t["src"], pa.int64()))
+        t = t.set_column(t.schema.get_field_index("dst"), "dst",
+                         pc.cast(t["dst"], pa.int64()))
+        if has_weight:
+            t = t.set_column(t.schema.get_field_index("weight"), "weight",
+                             pc.cast(t["weight"], pa.float64()))
+        return t
+
+    e = e.map_batches(cast_ids, batch_format="pyarrow")
+    # One pipeline feeds both the degree aggregate and the partitioned
+    # write; materialize once so the symmetrize/cast work isn't re-run.
+    e = e.materialize()
+
+    # Global out-degrees (per-batch partial counts → small groupby).
+    def partial_deg(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        vid, cnt = np.unique(src, return_counts=True)
+        return pa.table({"vid": vid, "_d": cnt.astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+    degrees = (
+        e.map_batches(partial_deg, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("_d", alias_name="out_deg"))
+    ).materialize()
+
+    if num_vertices is None:
+        # max over src/dst + 1 (vids are dense ranks)
+        def minmax(t: pa.Table) -> pa.Table:
+            m = max(
+                int(t["src"].to_numpy().max(initial=-1)),
+                int(t["dst"].to_numpy().max(initial=-1)),
+            )
+            return pa.table({"m": pa.array([m], pa.int64())})
+        mx = e.map_batches(minmax, batch_format="pyarrow").max("m")
+        num_vertices = int(mx) + 1
+
+    # Hub detection (driver-side small list; bounded by max_hubs).
+    hubs: np.ndarray = np.array([], dtype=np.int64)
+    if hub_threshold is not None:
+        hub_rows = degrees.filter(
+            expr=f"out_deg > {int(hub_threshold)}"
+        ).to_pandas()
+        hubs = np.sort(hub_rows["vid"].to_numpy(dtype=np.int64))
+        if len(hubs) > max_hubs:
+            raise ValueError(
+                f"{len(hubs)} hubs above threshold {hub_threshold} exceeds "
+                f"max_hubs={max_hubs}; raise the threshold"
+            )
+
+    hubs_list = hubs.tolist()
+    hub_arr_ref = None
+    if len(hubs_list):
+        import ray as _ray
+        hub_arr_ref = _ray.put(hubs)
+
+    def add_part(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        part = src % P
+        if hub_arr_ref is not None:
+            import ray as _ray
+            h = _ray.get(hub_arr_ref)
+            idx = np.searchsorted(h, src)
+            idx = np.clip(idx, 0, len(h) - 1)
+            is_hub = h[idx] == src
+            if is_hub.any():
+                dst = t["dst"].to_numpy()
+                part = np.where(is_hub, (src + dst) % P, part)
+        return t.append_column("part", pa.array(part.astype(np.int64)))
+
+    if os.path.exists(path):
+        shutil.rmtree(path)
+    os.makedirs(path, exist_ok=True)
+
+    e_parted = e.map_batches(add_part, batch_format="pyarrow")
+    e_parted.write_parquet(os.path.join(path, "edges"), partition_cols=["part"])
+
+    def add_deg_part(t: pa.Table) -> pa.Table:
+        vid = t["vid"].to_numpy()
+        return t.append_column("part", pa.array((vid % P).astype(np.int64)))
+
+    degrees.map_batches(add_deg_part, batch_format="pyarrow").write_parquet(
+        os.path.join(path, "degrees"), partition_cols=["part"]
+    )
+
+    num_edges = e.count()
+    meta = {
+        "num_vertices": int(num_vertices),
+        "num_parts": P,
+        "num_edges": int(num_edges),
+        "has_weight": has_weight,
+        "symmetrized": bool(symmetrize),
+        "hub_threshold": hub_threshold,
+        "hubs": hubs_list,
+    }
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump(meta, f)
+    return GraphStore(path)

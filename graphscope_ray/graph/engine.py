@@ -1,0 +1,376 @@
+"""BSP superstep driver over a pool of GraphPartition actors.
+
+Replicates the reference's worker loop (PEval / IncEval supersteps with
+MPI messaging until quiescence — ``/root/reference/analytical_engine/
+core/grape_instance.cc:200-222`` + grape's BSP worker) with Ray actors:
+
+- one ``GraphPartition`` actor per partition (resident CSR-style state,
+  like the reference's fragment held in vineyard across app runs);
+- per superstep the driver launches ``scatter`` on every actor with
+  ``num_returns=P`` → a P×P matrix of ObjectRefs of *pre-combined*
+  message blocks; it then routes column ``p`` of the matrix into actor
+  ``p``'s ``apply``. Message payloads move actor→actor through the
+  object store; the driver only touches refs and tiny metric scalars;
+- global scalars (dangling sum, convergence deltas, changed counts)
+  are reduced driver-side — the analogue of ``grape::Communicator::Sum``
+  (``benchmarks/apps/pagerank/pagerank.h:125,192``);
+- split-hub source values are gathered from their owners and broadcast
+  once per round via a single ``ray.put`` (skew mitigation, SURVEY §4);
+- optional per-superstep checkpointing: per-partition Parquet +
+  atomically written ``lineage.json`` (round, metrics, scalars, files)
+  so a killed run resumes from the last complete superstep.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from graphscope_ray.graph.build import GraphStore
+from graphscope_ray.graph.partition import GraphPartition
+
+
+@ray.remote
+def _pair_to_table(pair, name: str, dtype=None) -> pa.Table:
+    vids, vals = pair
+    if dtype is not None:
+        vals = vals.astype(dtype)
+    return pa.table({"vid": pa.array(vids), name: pa.array(vals)})
+
+
+@ray.remote
+def _nth(lst, i):
+    return lst[i]
+
+
+@ray.remote
+def _shell_table(core_k, core_k1) -> pa.Table:
+    vids, a = core_k
+    _, b = core_k1
+    return pa.table({"vid": pa.array(vids), "in_shell": pa.array(a & ~b)})
+
+
+class Lineage:
+    """Atomic per-run lineage file: which supersteps completed, their
+    metrics and driver-side scalars. Resume scans for the max complete
+    round."""
+
+    def __init__(self, ckpt_dir: str):
+        self.ckpt_dir = ckpt_dir
+        self.path = os.path.join(ckpt_dir, "lineage.json")
+        self.doc = {"rounds": {}}
+        if os.path.exists(self.path):
+            with open(self.path) as f:
+                self.doc = json.load(f)
+
+    def record(self, rnd: int, files, metrics: dict, scalars: dict):
+        self.doc["rounds"][str(rnd)] = {
+            "files": list(files),
+            "metrics": metrics,
+            "scalars": scalars,
+            "ts": time.time(),
+        }
+        tmp = self.path + ".tmp"
+        os.makedirs(self.ckpt_dir, exist_ok=True)
+        with open(tmp, "w") as f:
+            json.dump(self.doc, f)
+        os.replace(tmp, self.path)
+
+    def set_header(self, **kw):
+        self.doc.update(kw)
+
+    def last_round(self) -> Optional[int]:
+        rounds = [int(r) for r in self.doc["rounds"]]
+        return max(rounds) if rounds else None
+
+    def scalars(self, rnd: int) -> dict:
+        return self.doc["rounds"][str(rnd)]["scalars"]
+
+
+class BSPEngine:
+    def __init__(self, store: "GraphStore | str",
+                 *, num_cpus_per_actor: Optional[float] = None):
+        if isinstance(store, str):
+            store = GraphStore(store)
+        self.store = store
+        self.P = store.num_parts
+        self.V = store.num_vertices
+        if num_cpus_per_actor is None:
+            # Reserve deliberately little: the pool must be fully
+            # schedulable (or the BSP barrier blocks forever) and CPUs
+            # must stay free for Ray Data stages and other engines.
+            # Reservation ≠ usage — during a superstep all P actor
+            # processes compute regardless of the fractional claim.
+            avail = ray.cluster_resources().get("CPU", self.P)
+            num_cpus_per_actor = min(0.25, max(0.05, avail / (4.0 * self.P)))
+        self.has_hubs = len(store.meta["hubs"]) > 0
+        self.n_hubs = len(store.meta["hubs"])
+        actor_cls = ray.remote(num_cpus=num_cpus_per_actor)(GraphPartition)
+        self.actors = [
+            actor_cls.remote(store.path, p) for p in range(self.P)
+        ]
+        # force construction errors to surface now
+        ray.get([a.local_vids.remote() for a in self.actors])
+        self.superstep_seconds = 0.0
+        self.supersteps = 0
+
+    def shutdown(self):
+        for a in self.actors:
+            ray.kill(a)
+        self.actors = []
+
+    # -- plumbing ------------------------------------------------------
+
+    def _hub_ref(self, method: str):
+        """Gather split-hub owners' values → one broadcast array ref."""
+        if not self.has_hubs:
+            return None
+        parts = ray.get([getattr(a, method).remote() for a in self.actors])
+        arr = np.zeros(self.n_hubs)
+        for pos, vals in parts:
+            if len(pos):
+                arr[pos] = vals
+        return ray.put(arr)
+
+    def _exchange(self, scatter: str, apply_: str, scatter_args=(),
+                  apply_args=(), hub_method: Optional[str] = None):
+        """One superstep: scatter on all actors, route, apply. Returns
+        the list of apply results (one per partition)."""
+        hub_ref = self._hub_ref(hub_method) if hub_method else None
+        sargs = ((hub_ref,) if hub_method else ()) + tuple(scatter_args)
+        if self.P == 1:
+            # num_returns=1 would wrap the whole list; unwrap explicitly
+            matrix = [
+                [_nth.remote(getattr(a, scatter).remote(*sargs), 0)]
+                for a in self.actors
+            ]
+        else:
+            matrix = [
+                getattr(a, scatter).options(num_returns=self.P).remote(*sargs)
+                for a in self.actors
+            ]
+        results = [
+            getattr(self.actors[p], apply_).remote(
+                *apply_args, *[matrix[q][p] for q in range(self.P)]
+            )
+            for p in range(self.P)
+        ]
+        return ray.get(results)
+
+    def _result_ds(self, method: str, name: str, args=(), dtype=None) -> ray.data.Dataset:
+        pairs = [getattr(a, method).remote(*args) for a in self.actors]
+        tables = [_pair_to_table.remote(pr, name, dtype) for pr in pairs]
+        return ray.data.from_arrow_refs(tables)
+
+    def _maybe_checkpoint(self, algo, lineage, ckpt_dir, every, rnd, metrics, scalars):
+        if lineage is None or every is None or rnd % every != 0:
+            return
+        files = ray.get(
+            [a.save_state.remote(algo, ckpt_dir, rnd) for a in self.actors]
+        )
+        lineage.record(rnd, files, metrics, scalars)
+
+    # -- PageRank ------------------------------------------------------
+
+    def pagerank(
+        self,
+        delta: float = 0.85,
+        max_round: int = 10,
+        tol: Optional[float] = None,
+        max_iter: int = 1000,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: Optional[int] = None,
+        resume: bool = False,
+    ) -> ray.data.Dataset:
+        """Reference-exact PageRank (SURVEY.md §2.2); ``tol=None`` runs
+        exactly ``max_round`` rounds (golden-match mode), ``tol`` set
+        runs to ``max|Δr| < tol`` (the benchmark's convergence mode)."""
+        lineage = Lineage(checkpoint_dir) if checkpoint_dir else None
+        start_round = 0
+        if resume and lineage is not None and lineage.last_round() is not None:
+            start_round = lineage.last_round()
+            ray.get(
+                [a.load_state.remote("pr", checkpoint_dir, start_round)
+                 for a in self.actors]
+            )
+            sc = lineage.scalars(start_round)
+            dangling_vnum = sc["dangling_vnum"]
+            dangling_sum = sc["dangling_sum"]
+        else:
+            counts = ray.get([a.pr_init.remote() for a in self.actors])
+            dangling_vnum = int(sum(counts))
+            dangling_sum = dangling_vnum / self.V
+            if lineage is not None:
+                lineage.set_header(algo="pagerank", delta=delta, V=self.V,
+                                   P=self.P, tol=tol, max_round=max_round)
+
+        limit = max_iter if tol is not None else max_round
+        rnd = start_round
+        t0 = time.perf_counter()
+        while rnd < limit:
+            rnd += 1
+            base = (1.0 - delta) / self.V + delta * dangling_sum / self.V
+            deltas = self._exchange(
+                "pr_scatter", "pr_apply", apply_args=(base, delta),
+                hub_method="pr_get_hub_vals" if self.has_hubs else None,
+            )
+            dangling_sum = base * dangling_vnum
+            max_delta = max(deltas)
+            self._maybe_checkpoint(
+                "pr", lineage, checkpoint_dir, checkpoint_every, rnd,
+                {"max_delta": max_delta},
+                {"dangling_sum": dangling_sum, "dangling_vnum": dangling_vnum,
+                 "delta": delta},
+            )
+            if tol is not None and max_delta < tol:
+                break
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rnd - start_round
+        return self._result_ds("pr_result", "rank")
+
+    # -- WCC -----------------------------------------------------------
+
+    def wcc(
+        self,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: Optional[int] = None,
+        resume: bool = False,
+        max_iter: int = 10_000,
+    ) -> ray.data.Dataset:
+        lineage = Lineage(checkpoint_dir) if checkpoint_dir else None
+        start_round = 0
+        if resume and lineage is not None and lineage.last_round() is not None:
+            start_round = lineage.last_round()
+            ray.get([a.load_state.remote("wcc", checkpoint_dir, start_round)
+                     for a in self.actors])
+        else:
+            ray.get([a.wcc_init.remote() for a in self.actors])
+            if lineage is not None:
+                lineage.set_header(algo="wcc", V=self.V, P=self.P)
+        rnd = start_round
+        t0 = time.perf_counter()
+        while rnd < max_iter:
+            rnd += 1
+            changed = self._exchange(
+                "wcc_scatter", "wcc_apply",
+                hub_method="wcc_get_hub_vals" if self.has_hubs else None,
+            )
+            total = int(sum(changed))
+            self._maybe_checkpoint("wcc", lineage, checkpoint_dir,
+                                   checkpoint_every, rnd,
+                                   {"changed": total}, {})
+            if total == 0:
+                break
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rnd - start_round
+        return self._result_ds("wcc_result", "comp")
+
+    # -- CDLP / weighted LPA -------------------------------------------
+
+    def cdlp(
+        self,
+        max_round: int = 10,
+        weighted: bool = False,
+        checkpoint_dir: Optional[str] = None,
+        checkpoint_every: Optional[int] = None,
+        resume: bool = False,
+    ) -> ray.data.Dataset:
+        lineage = Lineage(checkpoint_dir) if checkpoint_dir else None
+        start_round = 0
+        if resume and lineage is not None and lineage.last_round() is not None:
+            start_round = lineage.last_round()
+            ray.get([a.load_state.remote("cdlp", checkpoint_dir, start_round)
+                     for a in self.actors])
+            ray.get([a.cdlp_set_weighted.remote(weighted) for a in self.actors])
+        else:
+            ray.get([a.cdlp_init.remote(weighted) for a in self.actors])
+            if lineage is not None:
+                lineage.set_header(algo="cdlp", V=self.V, P=self.P,
+                                   weighted=weighted, max_round=max_round)
+        t0 = time.perf_counter()
+        for rnd in range(start_round + 1, max_round + 1):
+            changed = self._exchange(
+                "cdlp_scatter", "cdlp_apply",
+                hub_method="cdlp_get_hub_vals" if self.has_hubs else None,
+            )
+            self._maybe_checkpoint("cdlp", lineage, checkpoint_dir,
+                                   checkpoint_every, rnd,
+                                   {"changed": int(sum(changed))}, {})
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += max_round - start_round
+        return self._result_ds("cdlp_result", "label")
+
+    # -- SSSP / BFS ----------------------------------------------------
+
+    def sssp(self, source: int, *, unit: bool = False,
+             max_iter: int = 100_000) -> ray.data.Dataset:
+        ray.get([a.sssp_init.remote(int(source), unit) for a in self.actors])
+        rnd = 0
+        t0 = time.perf_counter()
+        while rnd < max_iter:
+            rnd += 1
+            changed = self._exchange(
+                "sssp_scatter", "sssp_apply",
+                hub_method="sssp_get_hub_vals" if self.has_hubs else None,
+            )
+            if int(sum(changed)) == 0:
+                break
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rnd
+        return self._result_ds("sssp_result", "dist")
+
+    def bfs(self, source: int, **kw) -> ray.data.Dataset:
+        ds = self.sssp(source, unit=True, **kw)
+
+        def to_depth(t: pa.Table) -> pa.Table:
+            d = t["dist"].to_numpy()
+            depth = np.where(np.isfinite(d), d, -1.0).astype(np.int64)
+            return pa.table({"vid": t["vid"], "depth": pa.array(depth)})
+
+        return ds.map_batches(to_depth, batch_format="pyarrow")
+
+    # -- k-core / k-shell ---------------------------------------------
+
+    def _peel_to(self, k: int, max_iter: int = 100_000):
+        rnd = 0
+        while rnd < max_iter:
+            rnd += 1
+            doomed = ray.get(
+                [a.kcore_peel_start.remote(k) for a in self.actors]
+            )
+            if int(sum(doomed)) == 0:
+                break
+            self._exchange(
+                "kcore_scatter", "kcore_apply",
+                hub_method="kcore_get_hub_vals" if self.has_hubs else None,
+            )
+        self.supersteps += rnd
+
+    def kcore(self, k: int) -> ray.data.Dataset:
+        ray.get([a.kcore_init.remote() for a in self.actors])
+        t0 = time.perf_counter()
+        self._peel_to(k)
+        self.superstep_seconds += time.perf_counter() - t0
+        return self._result_ds("kcore_result", "in_core")
+
+    def kshell(self, k: int) -> ray.data.Dataset:
+        """Shell k = k-core minus (k+1)-core (peel continues in place)."""
+        ray.get([a.kcore_init.remote() for a in self.actors])
+        t0 = time.perf_counter()
+        self._peel_to(k)
+        core_k = [a.kcore_result.remote() for a in self.actors]
+        self._peel_to(k + 1)
+        core_k1 = [a.kcore_result.remote() for a in self.actors]
+        self.superstep_seconds += time.perf_counter() - t0
+        tables = [
+            _shell_table.remote(a, b) for a, b in zip(core_k, core_k1)
+        ]
+        return ray.data.from_arrow_refs(tables)

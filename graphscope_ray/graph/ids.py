@@ -1,0 +1,128 @@
+"""Deterministic dense vertex-id assignment and oid→vid joins.
+
+The reference's vertex map assigns gids with the fragment id in the
+high bits (`/root/reference/analytical_engine/core/vertex_map/
+arrow_projected_vertex_map.h:89-101`) — partition-dependent. Here vids
+are the *rank in global sorted oid order*: independent of parallelism
+(replicating the worker-count invariance the reference tests in
+`python/tests/test_scalability.py:40-59`) and monotonic in oid, so
+min-vid component labels translate to min-oid labels (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+@ray.remote
+def _stamp_block(tbl: pa.Table, col: str, start: int) -> pa.Table:
+    vids = pa.array(np.arange(start, start + tbl.num_rows, dtype=np.int64))
+    return pa.table({"oid": tbl.column(col), "vid": vids})
+
+
+def assign_dense_ids(ds: ray.data.Dataset, col: str = "oid") -> ray.data.Dataset:
+    """Distinct values of ``ds[col]`` → Dataset ``(oid, vid:int64)`` with
+    vid = dense rank in sorted order.
+
+    Scale path: distinct via groupby shuffle, global sort (range
+    partitioned), then a per-block stamping task using driver-side
+    prefix sums of block row counts — only O(#blocks) metadata touches
+    the driver, never the rows.
+    """
+    from ray.data.aggregate import Count
+
+    distinct = ds.select_columns([col]).groupby(col).aggregate(Count(alias_name="_c"))
+    distinct = distinct.drop_columns(["_c"]).sort(col)
+    mat = distinct.materialize()
+
+    blocks = []  # [(block_ref, num_rows)] in global sorted order
+    for bundle in mat.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            blocks.append((block_ref, meta.num_rows))
+
+    out_refs, offset = [], 0
+    for block_ref, n in blocks:
+        if n == 0:
+            continue
+        out_refs.append(_stamp_block.remote(block_ref, col, offset))
+        offset += n
+    if not out_refs:
+        return ray.data.from_arrow(
+            pa.table({"oid": pa.array([], pa.string()), "vid": pa.array([], pa.int64())})
+        )
+    return ray.data.from_arrow_refs(out_refs)
+
+
+class _BroadcastLookup:
+    """Actor-pool batch mapper translating oid columns to vids via a
+    broadcast dictionary (``ray.put`` once, fetched per actor in
+    ``__init__`` — never re-shipped per batch)."""
+
+    def __init__(self, idmap_ref, cols):
+        oids, vids = ray.get(idmap_ref)
+        self.oids = oids  # sorted numpy array (object or int64)
+        self.vids = vids
+        self.cols = cols
+
+    def __call__(self, batch: pa.Table) -> pa.Table:
+        for c in self.cols:
+            vals = batch.column(c).to_numpy(zero_copy_only=False)
+            idx = np.searchsorted(self.oids, vals)
+            idx = np.clip(idx, 0, len(self.oids) - 1)
+            ok = self.oids[idx] == vals
+            if not ok.all():
+                raise KeyError(f"{(~ok).sum()} oids in column {c} missing from id map")
+            batch = batch.set_column(
+                batch.schema.get_field_index(c), c, pa.array(self.vids[idx])
+            )
+        return batch
+
+
+def attach_vids(
+    edges: ray.data.Dataset,
+    idmap: ray.data.Dataset,
+    cols=("src", "dst"),
+    *,
+    broadcast_threshold: int = 20_000_000,
+    num_partitions: int = 32,
+    idmap_count: Optional[int] = None,
+) -> ray.data.Dataset:
+    """Replace oid columns of ``edges`` by int64 vids.
+
+    Small id maps (≤ ``broadcast_threshold`` rows) are broadcast once
+    via ``ray.put`` and looked up with a vectorized ``searchsorted``
+    inside ``map_batches``; larger maps fall back to Ray Data's
+    hash-partitioned ``Dataset.join`` per column (the multi-node scale
+    path — two shuffles, no driver materialization)."""
+    n = idmap_count if idmap_count is not None else idmap.count()
+    if n <= broadcast_threshold:
+        pdf = idmap.to_pandas()
+        pdf = pdf.sort_values("oid")
+        ref = ray.put(
+            (pdf["oid"].to_numpy(), pdf["vid"].to_numpy(dtype=np.int64))
+        )
+        return edges.map_batches(
+            _BroadcastLookup,
+            fn_constructor_args=(ref, list(cols)),
+            batch_format="pyarrow",
+            concurrency=(1, 8),
+        )
+    out = edges
+    for c in cols:
+        out = out.join(
+            idmap,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=(c,),
+            right_on=("oid",),
+            right_suffix="_r",
+        )
+        from graphscope_ray.util import rename
+        out = rename(out.drop_columns([c]), {"vid": c})
+    return out

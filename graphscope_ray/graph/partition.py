@@ -1,0 +1,563 @@
+"""Per-partition graph state + vectorized BSP kernels (runs as a Ray actor).
+
+This is the Ray-native analogue of the reference's resident *fragment*
+(CSR both ways + vertex arrays, loaded once and reused across apps —
+``/root/reference/analytical_engine/core/fragment/arrow_projected_fragment.h:431-485``,
+``core/grape_instance.cc:200-214``) plus the per-app contexts
+(``benchmarks/apps/pagerank/pagerank.h:29-79``).
+
+Layout built once in ``__init__`` (state amortized across all rounds):
+
+- edges of this partition sorted by ``(dst % P, dst)``;
+- ``grp_start`` boundaries of equal-dst runs → per-destination combine
+  is a single ``np.add.reduceat`` / ``np.minimum.reduceat`` (the
+  combiner that makes the per-round shuffle O(distinct dst) instead of
+  O(E) — message pre-aggregation, SURVEY.md §4);
+- per-destination-partition slices so a scatter returns exactly P
+  pre-combined message blocks (shipped actor→actor through the object
+  store; the driver only routes ObjectRefs);
+- foreign-source (split hub) edges resolve their source value from a
+  per-round broadcast hub vector (``ray.put`` once per round).
+
+All kernels are numpy-vectorized; no Python loop touches edges.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+import numpy as np
+import pyarrow.parquet as pq
+
+INT_SENTINEL = np.iinfo(np.int64).max
+FLT_SENTINEL = np.float64(np.inf)
+
+
+class GraphPartition:
+    def __init__(self, store_path: str, part_id: int):
+        import json
+
+        with open(os.path.join(store_path, "meta.json")) as f:
+            self.meta = json.load(f)
+        self.p = int(part_id)
+        self.P = int(self.meta["num_parts"])
+        self.V = int(self.meta["num_vertices"])
+        self.nlocal = len(range(self.p, self.V, self.P))
+        self.hubs = np.asarray(self.meta["hubs"], dtype=np.int64)  # sorted
+        self.has_weight = bool(self.meta["has_weight"])
+
+        edir = os.path.join(store_path, "edges", f"part={self.p}")
+        if os.path.isdir(edir):
+            cols = ["src", "dst"] + (["weight"] if self.has_weight else [])
+            if self.meta.get("has_dir"):
+                cols.append("dir")
+            t = pq.read_table(edir, columns=cols)
+            src = t["src"].to_numpy().astype(np.int64, copy=False)
+            dst = t["dst"].to_numpy().astype(np.int64, copy=False)
+            w = (
+                t["weight"].to_numpy().astype(np.float64, copy=False)
+                if self.has_weight
+                else None
+            )
+            dirs = (
+                t["dir"].to_numpy().astype(np.int8, copy=False)
+                if self.meta.get("has_dir")
+                else None
+            )
+        else:
+            src = np.array([], dtype=np.int64)
+            dst = np.array([], dtype=np.int64)
+            w = np.array([], dtype=np.float64) if self.has_weight else None
+            dirs = None
+
+        order = np.lexsort((dst, dst % self.P))
+        self.src = src[order]
+        self.dst = dst[order]
+        self.w = w[order] if w is not None else None
+        self.dirs = dirs[order] if dirs is not None else None
+        self.E = len(self.src)
+
+        # group boundaries = runs of equal dst in (dst % P, dst) layout
+        # order (np.unique would re-sort by value and break the layout)
+        if self.E:
+            change = np.empty(self.E, dtype=bool)
+            change[0] = True
+            np.not_equal(self.dst[1:], self.dst[:-1], out=change[1:])
+            self.grp_start = np.flatnonzero(change)
+            self.uniq_dst = self.dst[self.grp_start]
+        else:
+            self.grp_start = np.array([], dtype=np.int64)
+            self.uniq_dst = np.array([], dtype=np.int64)
+        self.G = len(self.uniq_dst)
+        grp_sizes = np.diff(np.append(self.grp_start, self.E))
+        self.edge_grp = np.repeat(np.arange(self.G, dtype=np.int64), grp_sizes)
+        part_of_grp = self.uniq_dst % self.P
+        # nondecreasing by construction of the (dst % P, dst) sort
+        self.part_slices = np.searchsorted(part_of_grp, np.arange(self.P + 1))
+        self.part_of_grp = part_of_grp
+
+        owned = (self.src % self.P) == self.p
+        self.owned = owned
+        self.src_local = np.where(owned, self.src // self.P, 0)
+        self.foreign_idx = np.flatnonzero(~owned)
+        if len(self.foreign_idx):
+            fsrc = self.src[self.foreign_idx]
+            pos = np.searchsorted(self.hubs, fsrc)
+            if not np.array_equal(self.hubs[pos], fsrc):
+                raise RuntimeError("foreign-source edge whose src is not a hub")
+            self.foreign_hub_pos = pos
+        else:
+            self.foreign_hub_pos = np.array([], dtype=np.int64)
+
+        # hubs owned by this partition (their values get published per round)
+        hub_owned_mask = (self.hubs % self.P) == self.p
+        self.hub_own_pos = np.flatnonzero(hub_owned_mask)
+        self.hub_own_local = self.hubs[hub_owned_mask] // self.P
+
+        # global out-degrees of owned vertices
+        ddir = os.path.join(store_path, "degrees", f"part={self.p}")
+        self.out_deg = np.zeros(self.nlocal, dtype=np.int64)
+        if os.path.isdir(ddir):
+            dt = pq.read_table(ddir, columns=["vid", "out_deg"])
+            vid = dt["vid"].to_numpy().astype(np.int64, copy=False)
+            deg = dt["out_deg"].to_numpy().astype(np.int64, copy=False)
+            self.out_deg[vid // self.P] = deg
+
+        self.state: dict = {}
+
+    # ------------------------------------------------------------------
+    # shared kernels
+    # ------------------------------------------------------------------
+
+    def local_vids(self) -> np.ndarray:
+        return np.arange(self.p, self.V, self.P, dtype=np.int64)
+
+    def _edge_src_vals(
+        self, local_vals: np.ndarray, hub_vals: Optional[np.ndarray]
+    ) -> np.ndarray:
+        out = local_vals[self.src_local]
+        if len(self.foreign_idx):
+            if hub_vals is None:
+                raise RuntimeError("hub values required but not provided")
+            out = out.copy() if not out.flags.writeable else out
+            out[self.foreign_idx] = hub_vals[self.foreign_hub_pos]
+        return out
+
+    def _split_groups(self, combined: np.ndarray):
+        """Split per-group combined values into P (dst_ids, vals) blocks."""
+        msgs = []
+        for q in range(self.P):
+            a, b = self.part_slices[q], self.part_slices[q + 1]
+            if a == b:
+                msgs.append(None)
+            else:
+                msgs.append((self.uniq_dst[a:b], combined[a:b]))
+        return msgs
+
+    def _scatter_sum(self, edge_vals: np.ndarray):
+        if self.E == 0:
+            return [None] * self.P
+        sums = np.add.reduceat(edge_vals, self.grp_start)
+        return self._split_groups(sums)
+
+    def _scatter_min(self, edge_vals: np.ndarray, sentinel):
+        """Min-combine; groups whose min is the sentinel are dropped."""
+        if self.E == 0:
+            return [None] * self.P
+        mins = np.minimum.reduceat(edge_vals, self.grp_start)
+        live = mins != sentinel
+        msgs = []
+        for q in range(self.P):
+            a, b = self.part_slices[q], self.part_slices[q + 1]
+            lv = live[a:b]
+            if a == b or not lv.any():
+                msgs.append(None)
+            else:
+                msgs.append((self.uniq_dst[a:b][lv], mins[a:b][lv]))
+        return msgs
+
+    @staticmethod
+    def _concat_msgs(msgs):
+        parts = [m for m in msgs if m is not None and len(m[0])]
+        if not parts:
+            return None, None
+        dst = np.concatenate([m[0] for m in parts])
+        vals = np.concatenate([m[1] for m in parts])
+        return dst, vals
+
+    def _apply_sum(self, msgs) -> np.ndarray:
+        acc = np.zeros(self.nlocal, dtype=np.float64)
+        dst, vals = self._concat_msgs(msgs)
+        if dst is not None:
+            np.add.at(acc, dst // self.P, vals)  # ≤ P entries per dst
+        return acc
+
+    def _apply_min(self, current: np.ndarray, msgs) -> np.ndarray:
+        dst, vals = self._concat_msgs(msgs)
+        if dst is None:
+            return current
+        out = current.copy()
+        np.minimum.at(out, dst // self.P, vals)
+        return out
+
+    # ------------------------------------------------------------------
+    # PageRank — exact reference semantics (reported space):
+    #   base_t = (1-δ)/N + δ·dangling_sum_t/N
+    #   rank'(u) = δ·Σ_{v→u} rank(v)/outdeg(v) + base   (outdeg(u) > 0)
+    #   rank'(u) = base                                  (dangling — the
+    #     reference drops incoming mass to dangling vertices:
+    #     benchmarks/apps/pagerank/pagerank.h:160-166)
+    #   dangling_sum_{t+1} = base_t · dangling_vnum
+    # ------------------------------------------------------------------
+
+    def pr_init(self):
+        r = np.full(self.nlocal, 1.0 / self.V)
+        dangling = self.out_deg == 0
+        inv_deg = np.zeros(self.nlocal)
+        nz = ~dangling
+        inv_deg[nz] = 1.0 / self.out_deg[nz]
+        self.state["pr"] = {
+            "rank": r,
+            "dangling": dangling,
+            "inv_deg": inv_deg,
+        }
+        return int(dangling.sum())
+
+    def pr_scatter(self, hub_vals=None):
+        s = self.state["pr"]
+        v = s["rank"] * s["inv_deg"]  # rank/outdeg; 0 for dangling (no out-edges anyway)
+        return self._scatter_sum(self._edge_src_vals(v, hub_vals))
+
+    def pr_get_hub_vals(self):
+        s = self.state["pr"]
+        v = s["rank"] * s["inv_deg"]
+        return self.hub_own_pos, v[self.hub_own_local]
+
+    def pr_apply(self, base: float, delta: float, *msgs):
+        s = self.state["pr"]
+        inc = self._apply_sum(msgs)
+        new = delta * inc + base
+        new[s["dangling"]] = base
+        delta_max = float(np.max(np.abs(new - s["rank"]))) if self.nlocal else 0.0
+        s["rank"] = new
+        return delta_max
+
+    def pr_result(self):
+        return self.local_vids(), self.state["pr"]["rank"]
+
+    # ------------------------------------------------------------------
+    # WCC — min-label propagation over both edge directions (store must
+    # be symmetrized); frontier-based like the reference
+    # (benchmarks/apps/wcc/wcc.h:58-169) but labels are min-vid ≡
+    # min-oid (SURVEY.md §5 partition-independence caveat).
+    # ------------------------------------------------------------------
+
+    def wcc_init(self):
+        self.state["wcc"] = {
+            "label": self.local_vids().copy(),
+            "frontier": np.ones(self.nlocal, dtype=bool),
+        }
+
+    def wcc_scatter(self, hub_vals=None):
+        s = self.state["wcc"]
+        if self.E == 0:
+            return [None] * self.P
+        vals = self._edge_src_vals(s["label"], hub_vals)
+        # non-frontier sources are masked to the sentinel (dropped groups)
+        active = s["frontier"][self.src_local]
+        if len(self.foreign_idx):
+            active = active.copy()
+            active[self.foreign_idx] = True  # hubs always ship (cheap, few)
+        vals = np.where(active, vals, INT_SENTINEL)
+        return self._scatter_min(vals, INT_SENTINEL)
+
+    def wcc_get_hub_vals(self):
+        s = self.state["wcc"]
+        return self.hub_own_pos, s["label"][self.hub_own_local]
+
+    def wcc_apply(self, *msgs):
+        s = self.state["wcc"]
+        new = self._apply_min(s["label"], msgs)
+        changed = new < s["label"]
+        s["label"] = new
+        s["frontier"] = changed
+        return int(changed.sum())
+
+    def wcc_result(self):
+        return self.local_vids(), self.state["wcc"]["label"]
+
+    # ------------------------------------------------------------------
+    # CDLP (LDBC community detection by label propagation): label init =
+    # own id; each synchronous round adopt the most frequent neighbor
+    # label, ties → smallest label; fixed number of rounds.
+    # LPA-weighted variant: frequency = sum of edge weights.
+    # ------------------------------------------------------------------
+
+    def cdlp_init(self, weighted: bool = False):
+        self.state["cdlp"] = {
+            "label": self.local_vids().copy(),
+            "weighted": bool(weighted) and self.has_weight,
+        }
+
+    def cdlp_set_weighted(self, weighted: bool):
+        self.state.setdefault("cdlp", {})["weighted"] = (
+            bool(weighted) and self.has_weight
+        )
+
+    def cdlp_scatter(self, hub_vals=None):
+        s = self.state["cdlp"]
+        if self.E == 0:
+            return [None] * self.P
+        labels = self._edge_src_vals(s["label"], hub_vals)
+        wts = self.w if s["weighted"] else np.ones(self.E)
+        # partial (group, label) → count/weight-sum, vectorized
+        if self.G and (self.G + 1) < 2**62 // (self.V + 1):
+            key = self.edge_grp * np.int64(self.V + 1) + labels
+            uk, inv = np.unique(key, return_inverse=True)
+            cnt = np.bincount(inv, weights=wts)
+            g = (uk // (self.V + 1)).astype(np.int64)
+            lab = (uk % (self.V + 1)).astype(np.int64)
+        else:  # overflow-safe fallback
+            order = np.lexsort((labels, self.edge_grp))
+            g_s, l_s, w_s = self.edge_grp[order], labels[order], wts[order]
+            newg = np.empty(len(g_s), dtype=bool)
+            newg[0] = True
+            newg[1:] = (g_s[1:] != g_s[:-1]) | (l_s[1:] != l_s[:-1])
+            starts = np.flatnonzero(newg)
+            cnt = np.add.reduceat(w_s, starts)
+            g, lab = g_s[starts], l_s[starts]
+        # g ascending → still in (dst % P, dst) order
+        dsts = self.uniq_dst[g]
+        bounds = np.searchsorted(self.part_of_grp[g], np.arange(self.P + 1))
+        msgs = []
+        for q in range(self.P):
+            a, b = bounds[q], bounds[q + 1]
+            msgs.append(None if a == b else (dsts[a:b], lab[a:b], cnt[a:b]))
+        return msgs
+
+    def cdlp_get_hub_vals(self):
+        s = self.state["cdlp"]
+        return self.hub_own_pos, s["label"][self.hub_own_local]
+
+    def cdlp_apply(self, *msgs):
+        s = self.state["cdlp"]
+        parts = [m for m in msgs if m is not None and len(m[0])]
+        if not parts:
+            return 0
+        dst = np.concatenate([m[0] for m in parts])
+        lab = np.concatenate([m[1] for m in parts])
+        cnt = np.concatenate([m[2] for m in parts])
+        dl = dst // self.P
+        # merge partial counts: sort by (dst, label), reduceat sums
+        order = np.lexsort((lab, dl))
+        dl, lab, cnt = dl[order], lab[order], cnt[order]
+        newg = np.empty(len(dl), dtype=bool)
+        newg[0] = True
+        newg[1:] = (dl[1:] != dl[:-1]) | (lab[1:] != lab[:-1])
+        starts = np.flatnonzero(newg)
+        tot = np.add.reduceat(cnt, starts)
+        dl, lab = dl[starts], lab[starts]
+        # argmax per dst with min-label tiebreak: sort (dst, -count, label)
+        order = np.lexsort((lab, -tot, dl))
+        dl, lab = dl[order], lab[order]
+        first = np.empty(len(dl), dtype=bool)
+        first[0] = True
+        first[1:] = dl[1:] != dl[:-1]
+        sel = np.flatnonzero(first)
+        winners_dst, winners_lab = dl[sel], lab[sel]
+        changed = int(
+            (self.state["cdlp"]["label"][winners_dst] != winners_lab).sum()
+        )
+        s["label"][winners_dst] = winners_lab
+        return changed
+
+    def cdlp_result(self):
+        return self.local_vids(), self.state["cdlp"]["label"]
+
+    # ------------------------------------------------------------------
+    # Min-plus relaxation (SSSP with weights; BFS with unit weight) —
+    # reference: apps/projected/sssp_projected.h, benchmarks/apps/bfs.
+    # ------------------------------------------------------------------
+
+    def sssp_init(self, source: int, unit: bool):
+        dist = np.full(self.nlocal, FLT_SENTINEL)
+        if source % self.P == self.p:
+            dist[source // self.P] = 0.0
+        self.state["sssp"] = {
+            "dist": dist,
+            "frontier": np.isfinite(dist),
+            "unit": bool(unit),
+        }
+
+    def sssp_scatter(self, hub_vals=None):
+        s = self.state["sssp"]
+        if self.E == 0:
+            return [None] * self.P
+        d = self._edge_src_vals(s["dist"], hub_vals)
+        active = s["frontier"][self.src_local]
+        if len(self.foreign_idx):
+            active = active.copy()
+            active[self.foreign_idx] = True
+        step = (
+            np.ones(self.E)
+            if (s["unit"] or self.w is None)
+            else self.w
+        )
+        cand = np.where(active & np.isfinite(d), d + step, FLT_SENTINEL)
+        return self._scatter_min(cand, FLT_SENTINEL)
+
+    def sssp_get_hub_vals(self):
+        s = self.state["sssp"]
+        return self.hub_own_pos, s["dist"][self.hub_own_local]
+
+    def sssp_apply(self, *msgs):
+        s = self.state["sssp"]
+        new = self._apply_min(s["dist"], msgs)
+        changed = new < s["dist"]
+        s["dist"] = new
+        s["frontier"] = changed
+        return int(changed.sum())
+
+    def sssp_result(self):
+        return self.local_vids(), self.state["sssp"]["dist"]
+
+    # ------------------------------------------------------------------
+    # k-core peeling (apps/kcore/kcore.h:31-129): iteratively drop
+    # vertices with degree < k; messages are degree decrements.
+    # ------------------------------------------------------------------
+
+    def kcore_init(self):
+        self.state["kcore"] = {
+            "alive": np.ones(self.nlocal, dtype=bool),
+            "deg": self.out_deg.astype(np.int64).copy(),
+        }
+
+    def kcore_peel_start(self, k: int):
+        s = self.state["kcore"]
+        doomed = s["alive"] & (s["deg"] < k)
+        s["doomed"] = doomed
+        return int(doomed.sum())
+
+    def kcore_scatter(self, hub_vals=None):
+        s = self.state["kcore"]
+        if self.E == 0:
+            s["alive"] &= ~s["doomed"]
+            return [None] * self.P
+        removed = s["doomed"][self.src_local].astype(np.float64)
+        if len(self.foreign_idx):
+            removed[self.foreign_idx] = hub_vals[self.foreign_hub_pos]
+        s["alive"] &= ~s["doomed"]
+        return self._scatter_sum(removed)
+
+    def kcore_get_hub_vals(self):
+        s = self.state["kcore"]
+        return self.hub_own_pos, s["doomed"][self.hub_own_local].astype(np.float64)
+
+    def kcore_apply(self, *msgs):
+        s = self.state["kcore"]
+        dec = self._apply_sum(msgs)
+        s["deg"] = s["deg"] - dec.astype(np.int64)
+        return 0
+
+    def kcore_result(self):
+        return self.local_vids(), self.state["kcore"]["alive"].copy()
+
+    # ------------------------------------------------------------------
+    # Weighted-sum power iterations (eigenvector / Katz / HITS halves).
+    # state name keyed so HITS can hold two vectors.
+    # ------------------------------------------------------------------
+
+    def vec_init(self, name: str, value: float):
+        self.state[name] = {"x": np.full(self.nlocal, float(value))}
+
+    def vec_scatter(self, name: str, hub_vals=None, direction: Optional[int] = None,
+                    use_weight: bool = False):
+        s = self.state[name]
+        if self.E == 0:
+            return [None] * self.P
+        vals = self._edge_src_vals(s["x"], hub_vals)
+        if use_weight and self.w is not None:
+            vals = vals * self.w
+        if direction is not None and self.dirs is not None:
+            vals = np.where(self.dirs == direction, vals, 0.0)
+        return self._scatter_sum(vals)
+
+    def vec_get_hub_vals(self, name: str):
+        s = self.state[name]
+        return self.hub_own_pos, s["x"][self.hub_own_local]
+
+    def vec_apply(self, name: str, *msgs, alpha: float = 1.0, beta: float = 0.0,
+                  scale: float = 1.0):
+        """x' = alpha·(incoming·scale) + beta; returns (Σx', Σx'², max|Δ|)."""
+        s = self.state[name]
+        inc = self._apply_sum(msgs)
+        new = alpha * inc * scale + beta
+        delta = float(np.max(np.abs(new - s["x"]))) if self.nlocal else 0.0
+        s["x"] = new
+        return float(new.sum()), float(np.square(new).sum()), delta
+
+    def vec_rescale(self, name: str, factor: float):
+        s = self.state[name]
+        s["x"] = s["x"] * factor
+        return float(np.max(np.abs(s["x"]))) if self.nlocal else 0.0
+
+    def vec_stats(self, name: str):
+        x = self.state[name]["x"]
+        return float(x.sum()), float(np.square(x).sum()), float(np.abs(x).max(initial=0.0))
+
+    def vec_result(self, name: str):
+        return self.local_vids(), self.state[name]["x"]
+
+    def vec_delta_vs(self, name_a: str, name_b: str):
+        a, b = self.state[name_a]["x"], self.state[name_b]["x"]
+        return float(np.max(np.abs(a - b))) if self.nlocal else 0.0
+
+    def vec_copy(self, src: str, dst: str):
+        self.state[dst] = {"x": self.state[src]["x"].copy()}
+
+    # ------------------------------------------------------------------
+    # checkpoint / restore (north rule: per-superstep, per-partition
+    # vertex state + lineage; the reference has no mid-computation
+    # checkpoint — this is new capability)
+    # ------------------------------------------------------------------
+
+    _STATE_KEYS = {
+        "pr": ["rank"],
+        "wcc": ["label", "frontier"],
+        "cdlp": ["label"],
+        "sssp": ["dist", "frontier"],
+        "kcore": ["alive", "deg"],
+    }
+
+    def save_state(self, algo: str, ckpt_dir: str, rnd: int) -> str:
+        import pyarrow as pa
+
+        keys = self._STATE_KEYS.get(algo) or ["x"]
+        s = self.state[algo]
+        cols = {"vid": self.local_vids()}
+        for k in keys:
+            cols[k] = s[k]
+        out_dir = os.path.join(ckpt_dir, f"round={rnd}")
+        os.makedirs(out_dir, exist_ok=True)
+        fp = os.path.join(out_dir, f"part-{self.p}.parquet")
+        tmp = fp + ".tmp"
+        pq.write_table(pa.table(cols), tmp)
+        os.replace(tmp, fp)
+        return fp
+
+    def load_state(self, algo: str, ckpt_dir: str, rnd: int):
+        keys = self._STATE_KEYS.get(algo) or ["x"]
+        fp = os.path.join(ckpt_dir, f"round={rnd}", f"part-{self.p}.parquet")
+        t = pq.read_table(fp)
+        s = self.state.setdefault(algo, {})
+        for k in keys:
+            arr = t[k].to_numpy(zero_copy_only=False)
+            s[k] = arr.copy()
+        if algo == "pr":
+            dangling = self.out_deg == 0
+            inv_deg = np.zeros(self.nlocal)
+            inv_deg[~dangling] = 1.0 / self.out_deg[~dangling]
+            s.setdefault("dangling", dangling)
+            s.setdefault("inv_deg", inv_deg)
+        return True

@@ -1,0 +1,208 @@
+"""Independent single-process numpy/scipy oracle (FIXTURES.md §4).
+
+Implements the exact reference semantics documented in SURVEY.md §2.2 /
+§2.3, written deliberately differently from the engine (dense arrays,
+no partitioning) so agreement is meaningful. Used by tests in place of
+the reference's golden files (`python/tests/conftest.py:316-405`).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+
+def _csr(edges: np.ndarray, n: int):
+    """edges: (E,2) int array → (indptr, indices) sorted by src."""
+    order = np.lexsort((edges[:, 1], edges[:, 0]))
+    e = edges[order]
+    indptr = np.zeros(n + 1, dtype=np.int64)
+    np.add.at(indptr, e[:, 0] + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    return indptr, e[:, 1], order
+
+
+def pagerank(
+    edges: np.ndarray,
+    n: int,
+    delta: float = 0.85,
+    max_round: int = 10,
+    tol=None,
+    max_iter: int = 1000,
+) -> np.ndarray:
+    """Reference-exact (benchmarks/apps/pagerank/pagerank.h, reported
+    space): dangling vertices get `base` only; dangling_sum_{t+1} =
+    base_t * dangling_vnum."""
+    outdeg = np.zeros(n, dtype=np.int64)
+    np.add.at(outdeg, edges[:, 0], 1)
+    dangling = outdeg == 0
+    n_d = int(dangling.sum())
+    r = np.full(n, 1.0 / n)
+    dangling_sum = n_d / n
+    limit = max_iter if tol is not None else max_round
+    for _ in range(limit):
+        base = (1 - delta) / n + delta * dangling_sum / n
+        contrib = np.zeros(n)
+        vals = r[edges[:, 0]] / outdeg[edges[:, 0]]
+        np.add.at(contrib, edges[:, 1], vals)
+        new = delta * contrib + base
+        new[dangling] = base
+        dangling_sum = base * n_d
+        md = np.abs(new - r).max() if n else 0.0
+        r = new
+        if tol is not None and md < tol:
+            break
+    return r
+
+
+def wcc(edges: np.ndarray, n: int) -> np.ndarray:
+    """Union-find; component label = min vertex id of the component."""
+    parent = np.arange(n)
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for s, d in edges:
+        a, b = find(int(s)), find(int(d))
+        if a != b:
+            if a < b:
+                parent[b] = a
+            else:
+                parent[a] = b
+    labels = np.array([find(i) for i in range(n)])
+    # normalize to min member id
+    out = np.empty(n, dtype=np.int64)
+    for root in np.unique(labels):
+        members = np.flatnonzero(labels == root)
+        out[members] = members.min()
+    return out
+
+
+def cdlp(edges_undirected: np.ndarray, n: int, max_round: int = 10,
+         weights=None) -> np.ndarray:
+    """Synchronous most-frequent-neighbor-label, ties → smallest label,
+    fixed rounds. ``edges_undirected`` must contain both directions.
+    ``weights`` switches votes from counts to weight sums (LPA)."""
+    labels = np.arange(n, dtype=np.int64)
+    src, dst = edges_undirected[:, 0], edges_undirected[:, 1]
+    w = np.ones(len(src)) if weights is None else np.asarray(weights, float)
+    for _ in range(max_round):
+        lab = labels[src]
+        # votes per (dst, label)
+        import collections
+
+        votes: dict = collections.defaultdict(float)
+        for d, l, ww in zip(dst, lab, w):
+            votes[(int(d), int(l))] += ww
+        best: dict = {}
+        for (d, l), c in votes.items():
+            cur = best.get(d)
+            if cur is None or c > cur[0] or (c == cur[0] and l < cur[1]):
+                best[d] = (c, l)
+        new = labels.copy()
+        for d, (_, l) in best.items():
+            new[d] = l
+        labels = new
+    return labels
+
+
+def sssp(edges: np.ndarray, n: int, source: int, weights=None) -> np.ndarray:
+    """Bellman-Ford (vectorized relaxation until fixpoint)."""
+    w = np.ones(len(edges)) if weights is None else np.asarray(weights, float)
+    dist = np.full(n, np.inf)
+    dist[source] = 0.0
+    src, dst = edges[:, 0], edges[:, 1]
+    for _ in range(n + 1):
+        cand = dist[src] + w
+        new = dist.copy()
+        np.minimum.at(new, dst, cand)
+        if np.array_equal(new, dist, equal_nan=True):
+            break
+        dist = new
+    return dist
+
+
+def bfs_depth(edges: np.ndarray, n: int, source: int) -> np.ndarray:
+    d = sssp(edges, n, source, weights=np.ones(len(edges)))
+    out = np.where(np.isfinite(d), d, -1).astype(np.int64)
+    return out
+
+
+def triangles_per_vertex(edges_uv: np.ndarray, n: int) -> np.ndarray:
+    """edges_uv: unique undirected pairs (u < v); neighbor-set
+    intersection per edge (pure python; test-scale only)."""
+    if len(edges_uv) == 0:
+        return np.zeros(n, dtype=np.int64)
+    adj = [set() for _ in range(n)]
+    for u, v in edges_uv:
+        adj[int(u)].add(int(v))
+        adj[int(v)].add(int(u))
+    tri = np.zeros(n, dtype=np.int64)
+    for u, v in edges_uv:
+        for w in adj[int(u)] & adj[int(v)]:
+            tri[int(u)] += 1
+            tri[int(v)] += 1
+            tri[w] += 1
+    # each triangle increments each of its 3 corners once per edge → /3
+    return tri // 3
+
+
+def kcore_members(edges_uv: np.ndarray, n: int, k: int) -> np.ndarray:
+    deg = np.zeros(n, dtype=np.int64)
+    adj = [[] for _ in range(n)]
+    for u, v in edges_uv:
+        adj[int(u)].append(int(v))
+        adj[int(v)].append(int(u))
+        deg[u] += 1
+        deg[v] += 1
+    alive = np.ones(n, dtype=bool)
+    changed = True
+    while changed:
+        changed = False
+        for v in range(n):
+            if alive[v] and deg[v] < k:
+                alive[v] = False
+                changed = True
+                for u in adj[v]:
+                    if alive[u]:
+                        deg[u] -= 1
+    return alive
+
+
+def eigenvector(edges: np.ndarray, n: int, tol: float = 1e-6,
+                max_round: int = 100) -> np.ndarray:
+    """Reference semantics (apps/centrality/eigenvector/...): x' =
+    x + A^T x, L2-normalize, stop when Σ|Δ| < n·tol or max_round."""
+    x_last = np.full(n, 1.0 / n)
+    rounds = 0
+    while True:
+        x = x_last.copy()
+        np.add.at(x, edges[:, 1], x_last[edges[:, 0]])
+        x = x / np.sqrt((x * x).sum())
+        rounds += 1
+        if np.abs(x - x_last).sum() < n * tol or rounds >= max_round:
+            return x
+        x_last = x
+
+
+def katz(edges: np.ndarray, n: int, alpha: float = 0.1, beta: float = 1.0,
+         tol: float = 1e-6, max_round: int = 100,
+         normalized: bool = True) -> np.ndarray:
+    """Reference semantics (apps/centrality/katz/katz_centrality.h):
+    x' = α·A^T x + β from x₀=0; stop when Σ|Δ| < n·tol or max_round;
+    final L2 normalization when ``normalized``."""
+    x_last = np.zeros(n)
+    rounds = 0
+    while True:
+        x = np.zeros(n)
+        np.add.at(x, edges[:, 1], x_last[edges[:, 0]])
+        x = alpha * x + beta
+        rounds += 1
+        if np.abs(x - x_last).sum() < n * tol or rounds >= max_round:
+            break
+        x_last = x
+    if normalized:
+        x = x / np.sqrt((x * x).sum())
+    return x

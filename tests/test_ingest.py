@@ -1,0 +1,101 @@
+"""Corpus synthesis + ingest: sha256 row invariant, edge derivation vs
+an independent DuckDB oracle, id assignment determinism."""
+
+import hashlib
+
+import duckdb
+import numpy as np
+import pyarrow as pa
+import pytest
+
+import ray.data
+
+from graphscope_ray.corpus import synth_corpus_table, write_corpus
+from graphscope_ray.ingest import corpus_vertices, derive_edges, with_sha256
+from graphscope_ray.graph.ids import assign_dense_ids, attach_vids
+
+
+@pytest.fixture(scope="module")
+def corpus_path(tmp_path_factory):
+    p = tmp_path_factory.mktemp("corpus") / "corpus.parquet"
+    return write_corpus(str(p), n_files=400, seed=42)
+
+
+def test_corpus_deterministic():
+    a = synth_corpus_table(200, seed=42)
+    b = synth_corpus_table(200, seed=42)
+    assert a.equals(b)
+    c = synth_corpus_table(200, seed=43)
+    assert not a.equals(c)
+
+
+def test_sha256_row_invariant(corpus_path):
+    ds = ray.data.read_parquet(corpus_path)
+    out = with_sha256(ds).to_pandas()
+    # invariant: multiset of (repo, path, commit, content_sha256) intact
+    expect = duckdb.sql(
+        f"SELECT repo, path, \"commit\", sha256(content) h "
+        f"FROM read_parquet('{corpus_path}')"
+    ).df()
+    got = out[["repo", "path", "commit", "content_sha256"]]
+    key = lambda df: sorted(map(tuple, df.itertuples(index=False)))
+    assert key(got.rename(columns={"content_sha256": "h"})) == key(expect)
+    # spot-check one row against hashlib
+    row = out.iloc[0]
+    assert row["content_sha256"] == hashlib.sha256(
+        row["content"].encode()).hexdigest()
+
+
+def test_edge_derivation_matches_sql_oracle(corpus_path):
+    ds = ray.data.read_parquet(corpus_path)
+    got = derive_edges(ds, max_fanout=10_000).to_pandas()
+    got = got.sort_values(["src", "dst"]).reset_index(drop=True)
+    want = duckdb.sql(
+        f"""
+        WITH occ AS (
+          SELECT DISTINCT repo, path, "commit"
+          FROM read_parquet('{corpus_path}')
+        ),
+        pairs AS (
+          SELECT a.repo || '::' || a.path AS src,
+                 b.repo || '::' || b.path AS dst
+          FROM occ a JOIN occ b
+            ON a.repo = b.repo AND a."commit" = b."commit"
+           AND a.path < b.path
+        )
+        SELECT src, dst, count(*)::BIGINT AS weight
+        FROM pairs GROUP BY src, dst ORDER BY src, dst
+        """
+    ).df()
+    assert len(got) == len(want)
+    assert (got["src"].to_numpy() == want["src"].to_numpy()).all()
+    assert (got["dst"].to_numpy() == want["dst"].to_numpy()).all()
+    assert (got["weight"].to_numpy() == want["weight"].to_numpy()).all()
+
+
+def test_dense_id_assignment(corpus_path):
+    ds = ray.data.read_parquet(corpus_path)
+    verts = corpus_vertices(ds)
+    idmap = assign_dense_ids(verts, "oid").to_pandas().sort_values("vid")
+    oids = idmap["oid"].to_list()
+    assert oids == sorted(oids)  # vid monotonic in oid
+    assert idmap["vid"].to_list() == list(range(len(oids)))  # dense
+
+
+def test_attach_vids_roundtrip(corpus_path):
+    ds = ray.data.read_parquet(corpus_path)
+    edges = derive_edges(ds, max_fanout=10_000)
+    oids = edges.select_columns(["src"]).rename_columns({"src": "oid"}).union(
+        edges.select_columns(["dst"]).rename_columns({"dst": "oid"}))
+    idmap = assign_dense_ids(oids, "oid").materialize()
+    evid = attach_vids(edges, idmap).to_pandas()
+    assert evid["src"].dtype == np.int64 and evid["dst"].dtype == np.int64
+    n = idmap.count()
+    assert evid["src"].between(0, n - 1).all()
+    assert evid["dst"].between(0, n - 1).all()
+    # join path must agree with broadcast path
+    evid2 = attach_vids(edges, idmap, broadcast_threshold=0,
+                        num_partitions=4).to_pandas()
+    a = evid.sort_values(["src", "dst", "weight"]).reset_index(drop=True)
+    b = evid2[a.columns].sort_values(["src", "dst", "weight"]).reset_index(drop=True)
+    assert a.equals(b)
