@@ -69,6 +69,7 @@ def build_graph(
     weight_col: str | None = None,
     hub_threshold: int | None = None,
     max_hubs: int = 1_000_000,
+    directions: str = "forward",
 ) -> GraphStore:
     """Partition an int64-vid edge table into an on-disk GraphStore.
 
@@ -86,6 +87,9 @@ def build_graph(
         e = rename(e, {weight_col: "weight"})
     has_weight = weight_col is not None
 
+    if symmetrize and directions == "both":
+        raise ValueError("symmetrize and directions='both' are exclusive")
+
     if symmetrize:
         def swap(t: pa.Table) -> pa.Table:
             arrs = {"src": t["dst"], "dst": t["src"]}
@@ -93,6 +97,30 @@ def build_graph(
                 arrs["weight"] = t["weight"]
             return pa.table(arrs).select(t.column_names)
         e = e.union(e.map_batches(swap, batch_format="pyarrow"))
+
+    has_dir = directions == "both"
+    if has_dir:
+        # store both orientations tagged with a direction flag — the
+        # analogue of the reference's dual in/out CSR
+        # (arrow_projected_fragment.h:431-485); HITS scatters hub along
+        # dir=0 (out-edges) and auth along dir=1 (reversed in-edges).
+        def tag_fwd(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "dir", pa.array(np.zeros(len(t), dtype=np.int8))
+            )
+
+        def tag_rev(t: pa.Table) -> pa.Table:
+            arrs = {"src": t["dst"], "dst": t["src"]}
+            if has_weight:
+                arrs["weight"] = t["weight"]
+            out = pa.table(arrs).select([c for c in t.column_names])
+            return out.append_column(
+                "dir", pa.array(np.ones(len(t), dtype=np.int8))
+            )
+
+        e = e.map_batches(tag_fwd, batch_format="pyarrow").union(
+            e.map_batches(tag_rev, batch_format="pyarrow")
+        )
 
     def cast_ids(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -189,6 +217,7 @@ def build_graph(
         "num_edges": int(num_edges),
         "has_weight": has_weight,
         "symmetrized": bool(symmetrize),
+        "has_dir": has_dir,
         "hub_threshold": hub_threshold,
         "hubs": hubs_list,
     }

@@ -52,6 +52,14 @@ def _nth(lst, i):
 
 
 @ray.remote
+def _two_col_table(pair_a, pair_b, name_a: str, name_b: str) -> pa.Table:
+    vids, a = pair_a
+    _, b = pair_b
+    return pa.table({"vid": pa.array(vids), name_a: pa.array(a),
+                     name_b: pa.array(b)})
+
+
+@ray.remote
 def _shell_table(core_k, core_k1) -> pa.Table:
     vids, a = core_k
     _, b = core_k1
@@ -129,11 +137,11 @@ class BSPEngine:
 
     # -- plumbing ------------------------------------------------------
 
-    def _hub_ref(self, method: str):
+    def _hub_ref(self, method: str, margs=()):
         """Gather split-hub owners' values → one broadcast array ref."""
         if not self.has_hubs:
             return None
-        parts = ray.get([getattr(a, method).remote() for a in self.actors])
+        parts = ray.get([getattr(a, method).remote(*margs) for a in self.actors])
         arr = np.zeros(self.n_hubs)
         for pos, vals in parts:
             if len(pos):
@@ -141,25 +149,29 @@ class BSPEngine:
         return ray.put(arr)
 
     def _exchange(self, scatter: str, apply_: str, scatter_args=(),
-                  apply_args=(), hub_method: Optional[str] = None):
+                  apply_args=(), hub_method: Optional[str] = None,
+                  hub_args=(), scatter_kwargs=None, apply_kwargs=None):
         """One superstep: scatter on all actors, route, apply. Returns
         the list of apply results (one per partition)."""
-        hub_ref = self._hub_ref(hub_method) if hub_method else None
-        sargs = ((hub_ref,) if hub_method else ()) + tuple(scatter_args)
+        hub_ref = self._hub_ref(hub_method, hub_args) if hub_method else None
+        sargs = tuple(scatter_args) + ((hub_ref,) if hub_method else ())
+        skw = scatter_kwargs or {}
+        akw = apply_kwargs or {}
         if self.P == 1:
             # num_returns=1 would wrap the whole list; unwrap explicitly
             matrix = [
-                [_nth.remote(getattr(a, scatter).remote(*sargs), 0)]
+                [_nth.remote(getattr(a, scatter).remote(*sargs, **skw), 0)]
                 for a in self.actors
             ]
         else:
             matrix = [
-                getattr(a, scatter).options(num_returns=self.P).remote(*sargs)
+                getattr(a, scatter).options(num_returns=self.P).remote(
+                    *sargs, **skw)
                 for a in self.actors
             ]
         results = [
             getattr(self.actors[p], apply_).remote(
-                *apply_args, *[matrix[q][p] for q in range(self.P)]
+                *apply_args, *[matrix[q][p] for q in range(self.P)], **akw
             )
             for p in range(self.P)
         ]
@@ -360,6 +372,146 @@ class BSPEngine:
         self._peel_to(k)
         self.superstep_seconds += time.perf_counter() - t0
         return self._result_ds("kcore_result", "in_core")
+
+    # -- power-iteration centralities ----------------------------------
+
+    def eigenvector_centrality(self, tol: float = 1e-6, max_round: int = 100,
+                               weighted: bool = False) -> ray.data.Dataset:
+        """x' = x + Aᵀx, L2-normalized, stop when Σ|Δ| < N·tol or
+        ``max_round`` pulls — apps/centrality/eigenvector/
+        eigenvector_centrality.h:50-100 (x₀ = 1/N)."""
+        ray.get([a.vec_init.remote("eig", 1.0 / self.V) for a in self.actors])
+        rounds = 0
+        t0 = time.perf_counter()
+        while True:
+            rounds += 1
+            ray.get([a.vec_copy.remote("eig", "eig_last") for a in self.actors])
+            stats = self._exchange(
+                "vec_scatter", "vec_apply",
+                scatter_args=("eig",), apply_args=("eig",),
+                hub_method="vec_get_hub_vals" if self.has_hubs else None,
+                hub_args=("eig",),
+                scatter_kwargs={"use_weight": weighted},
+                apply_kwargs={"add_self": True},
+            )
+            sumsq = sum(s[1] for s in stats)
+            norm = float(np.sqrt(sumsq))
+            if norm <= 0:
+                raise RuntimeError("eigenvector norm collapsed to 0")
+            ray.get([a.vec_rescale.remote("eig", 1.0 / norm)
+                     for a in self.actors])
+            l1 = sum(ray.get([a.vec_l1_vs.remote("eig", "eig_last")
+                              for a in self.actors]))
+            if l1 < self.V * tol or rounds >= max_round:
+                break
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rounds
+        return self._result_ds("vec_result", "centrality", args=("eig",))
+
+    def katz_centrality(self, alpha: float = 0.1, beta: float = 1.0,
+                        tol: float = 1e-6, max_round: int = 100,
+                        normalized: bool = True,
+                        weighted: bool = False) -> ray.data.Dataset:
+        """x' = α·Aᵀx + β from x₀ = 0; stop when Σ|Δ| < N·tol or
+        ``max_round``; optional final L2 normalization —
+        apps/centrality/katz/katz_centrality.h:48-160."""
+        ray.get([a.vec_init.remote("katz", 0.0) for a in self.actors])
+        rounds = 0
+        t0 = time.perf_counter()
+        while True:
+            rounds += 1
+            ray.get([a.vec_copy.remote("katz", "katz_last")
+                     for a in self.actors])
+            self._exchange(
+                "vec_scatter", "vec_apply",
+                scatter_args=("katz",), apply_args=("katz",),
+                hub_method="vec_get_hub_vals" if self.has_hubs else None,
+                hub_args=("katz",),
+                scatter_kwargs={"use_weight": weighted},
+                apply_kwargs={"alpha": alpha, "beta": beta},
+            )
+            l1 = sum(ray.get([a.vec_l1_vs.remote("katz", "katz_last")
+                              for a in self.actors]))
+            if l1 < self.V * tol or rounds >= max_round:
+                break
+        if normalized:
+            sumsq = sum(s[1] for s in ray.get(
+                [a.vec_stats.remote("katz") for a in self.actors]))
+            if sumsq > 0:
+                ray.get([a.vec_rescale.remote("katz", 1.0 / float(np.sqrt(sumsq)))
+                         for a in self.actors])
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rounds
+        return self._result_ds("vec_result", "centrality", args=("katz",))
+
+    def hits(self, tolerance: float = 0.01, max_round: int = 100,
+             normalized: bool = True) -> ray.data.Dataset:
+        """HITS — apps/hits/hits.h:35-204 (defaults per
+        python/graphscope/analytical/app/hits.py:29). Per step:
+        auth = Σ_in hub_last; hub = Σ_out auth; each max-normalized;
+        stop when Σ|hub−hub_last| ≤ tolerance or ``max_round``; final
+        sum-normalization when ``normalized``. Requires a store built
+        with ``directions="both"``."""
+        if not self.store.meta.get("has_dir"):
+            raise ValueError("hits needs build_graph(directions='both')")
+        ray.get([a.vec_init.remote("hub", 1.0 / self.V) for a in self.actors])
+        ray.get([a.vec_init.remote("auth", 0.0) for a in self.actors])
+        step = 0
+        t0 = time.perf_counter()
+        while True:
+            ray.get([a.vec_copy.remote("hub", "hub_last")
+                     for a in self.actors])
+            # auth(u) = Σ_{v→u} hub(v): scatter hub along forward edges
+            self._exchange(
+                "vec_scatter", "vec_apply",
+                scatter_args=("hub",), apply_args=("auth",),
+                hub_method="vec_get_hub_vals" if self.has_hubs else None,
+                hub_args=("hub",),
+                scatter_kwargs={"direction": 0},
+            )
+            # hub(u) = Σ_{u→v} auth(v): scatter auth along reversed edges
+            self._exchange(
+                "vec_scatter", "vec_apply",
+                scatter_args=("auth",), apply_args=("hub",),
+                hub_method="vec_get_hub_vals" if self.has_hubs else None,
+                hub_args=("auth",),
+                scatter_kwargs={"direction": 1},
+            )
+            stats_h = ray.get([a.vec_stats.remote("hub") for a in self.actors])
+            stats_a = ray.get([a.vec_stats.remote("auth") for a in self.actors])
+            max_h = max(s[2] for s in stats_h)
+            max_a = max(s[2] for s in stats_a)
+            if max_h > 0:
+                ray.get([a.vec_rescale.remote("hub", 1.0 / max_h)
+                         for a in self.actors])
+            if max_a > 0:
+                ray.get([a.vec_rescale.remote("auth", 1.0 / max_a)
+                         for a in self.actors])
+            step += 1
+            eps = sum(ray.get([a.vec_l1_vs.remote("hub", "hub_last")
+                               for a in self.actors]))
+            if eps <= tolerance or step >= max_round:
+                break
+        if normalized:
+            sum_h = sum(s[0] for s in ray.get(
+                [a.vec_stats.remote("hub") for a in self.actors]))
+            sum_a = sum(s[0] for s in ray.get(
+                [a.vec_stats.remote("auth") for a in self.actors]))
+            if sum_h:
+                ray.get([a.vec_rescale.remote("hub", 1.0 / sum_h)
+                         for a in self.actors])
+            if sum_a:
+                ray.get([a.vec_rescale.remote("auth", 1.0 / sum_a)
+                         for a in self.actors])
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += 2 * step
+        auth = [a.vec_result.remote("auth") for a in self.actors]
+        hub = [a.vec_result.remote("hub") for a in self.actors]
+        tables = [
+            _two_col_table.remote(x, y, "auth", "hub")
+            for x, y in zip(auth, hub)
+        ]
+        return ray.data.from_arrow_refs(tables)
 
     def kshell(self, k: int) -> ray.data.Dataset:
         """Shell k = k-core minus (k+1)-core (peel continues in place)."""

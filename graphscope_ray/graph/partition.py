@@ -488,13 +488,16 @@ class GraphPartition:
         return self.hub_own_pos, s["x"][self.hub_own_local]
 
     def vec_apply(self, name: str, *msgs, alpha: float = 1.0, beta: float = 0.0,
-                  scale: float = 1.0):
-        """x' = alpha·(incoming·scale) + beta; returns (Σx', Σx'², max|Δ|)."""
+                  scale: float = 1.0, add_self: bool = False, into: Optional[str] = None):
+        """x' = alpha·(incoming·scale) + beta [+ x]; writes into state
+        ``into`` (default ``name``); returns (Σx', Σx'², max|Δ| vs old)."""
         s = self.state[name]
         inc = self._apply_sum(msgs)
         new = alpha * inc * scale + beta
+        if add_self:
+            new = new + s["x"]
         delta = float(np.max(np.abs(new - s["x"]))) if self.nlocal else 0.0
-        s["x"] = new
+        self.state[into or name] = {"x": new}
         return float(new.sum()), float(np.square(new).sum()), delta
 
     def vec_rescale(self, name: str, factor: float):
@@ -512,6 +515,10 @@ class GraphPartition:
     def vec_delta_vs(self, name_a: str, name_b: str):
         a, b = self.state[name_a]["x"], self.state[name_b]["x"]
         return float(np.max(np.abs(a - b))) if self.nlocal else 0.0
+
+    def vec_l1_vs(self, name_a: str, name_b: str):
+        a, b = self.state[name_a]["x"], self.state[name_b]["x"]
+        return float(np.abs(a - b).sum())
 
     def vec_copy(self, src: str, dst: str):
         self.state[dst] = {"x": self.state[src]["x"].copy()}

@@ -187,6 +187,37 @@ def eigenvector(edges: np.ndarray, n: int, tol: float = 1e-6,
         x_last = x
 
 
+def hits(edges: np.ndarray, n: int, tolerance: float = 0.01,
+         max_round: int = 100, normalized: bool = True):
+    """Reference semantics (apps/hits/hits.h): auth = Σ_in hub_last,
+    hub = Σ_out auth, max-normalize each per step, stop when
+    Σ|hub − hub_last| ≤ tolerance or max_round; final sum-normalize."""
+    hub = np.full(n, 1.0 / n)
+    auth = np.zeros(n)
+    src, dst = edges[:, 0], edges[:, 1]
+    step = 0
+    while True:
+        hub_last = hub.copy()
+        auth = np.zeros(n)
+        np.add.at(auth, dst, hub_last[src])
+        hub = np.zeros(n)
+        np.add.at(hub, src, auth[dst])
+        mh, ma = hub.max(initial=0.0), auth.max(initial=0.0)
+        if mh > 0:
+            hub = hub / mh
+        if ma > 0:
+            auth = auth / ma
+        step += 1
+        if np.abs(hub - hub_last).sum() <= tolerance or step >= max_round:
+            break
+    if normalized:
+        if hub.sum():
+            hub = hub / hub.sum()
+        if auth.sum():
+            auth = auth / auth.sum()
+    return auth, hub
+
+
 def katz(edges: np.ndarray, n: int, alpha: float = 0.1, beta: float = 1.0,
          tol: float = 1e-6, max_round: int = 100,
          normalized: bool = True) -> np.ndarray:

@@ -1,0 +1,112 @@
+"""Eigenvector / Katz / HITS / degree centrality + triangles/clustering
+vs the numpy oracle."""
+
+import numpy as np
+import pytest
+
+import ray.data
+
+from graphscope_ray import oracle
+from graphscope_ray.graph import api
+from graphscope_ray.graph.build import build_graph
+from graphscope_ray.graph.engine import BSPEngine
+
+from conftest import TWO_TRIANGLES_BRIDGE, collect, edges_ds, random_graph
+
+
+def make_engine(tmp_path, edges_np, n, P, tag="", **kw):
+    store = build_graph(edges_ds(edges_np), str(tmp_path / f"s{P}{tag}"),
+                        num_parts=P, num_vertices=n, **kw)
+    return BSPEngine(store)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_eigenvector(tmp_path, P):
+    e, n = random_graph(seed=17, ensure_dangling=False), 60
+    eng = make_engine(tmp_path, e, n, P)
+    got = collect(eng.eigenvector_centrality(tol=1e-6, max_round=100),
+                  "centrality", n)
+    want = oracle.eigenvector(e, n, tol=1e-6, max_round=100)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    eng.shutdown()
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_katz(tmp_path, P):
+    e, n = random_graph(seed=19, ensure_dangling=False), 60
+    eng = make_engine(tmp_path, e, n, P)
+    got = collect(eng.katz_centrality(alpha=0.05, beta=1.0, tol=1e-6),
+                  "centrality", n)
+    want = oracle.katz(e, n, alpha=0.05, beta=1.0, tol=1e-6)
+    np.testing.assert_allclose(got, want, atol=1e-9)
+    eng.shutdown()
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_hits(tmp_path, P):
+    e, n = random_graph(seed=23, ensure_dangling=False), 60
+    eng = make_engine(tmp_path, e, n, P, directions="both")
+    pdf = eng.hits(tolerance=1e-8, max_round=50).to_pandas().sort_values("vid")
+    want_auth, want_hub = oracle.hits(e, n, tolerance=1e-8, max_round=50)
+    np.testing.assert_allclose(pdf["auth"].to_numpy(), want_auth, atol=1e-9)
+    np.testing.assert_allclose(pdf["hub"].to_numpy(), want_hub, atol=1e-9)
+    eng.shutdown()
+
+
+def test_degree_centrality():
+    e, n = random_graph(seed=29), 60
+    ds = edges_ds(e)
+    got = api.degree_centrality(ds, n, mode="both").to_pandas()
+    deg = np.zeros(n)
+    np.add.at(deg, e[:, 0], 1)
+    np.add.at(deg, e[:, 1], 1)
+    got_full = np.zeros(n)
+    got_full[got["vid"].to_numpy()] = got["centrality"].to_numpy()
+    present = deg > 0
+    np.testing.assert_allclose(got_full[present], (deg / (n - 1))[present])
+
+
+def test_triangles_and_clustering():
+    e = TWO_TRIANGLES_BRIDGE
+    n = 6
+    ds = api.canonical_undirected(edges_ds(e))
+    tv = api.triangles(ds, num_partitions=2).to_pandas().sort_values("vid")
+    want = oracle.triangles_per_vertex(np.sort(e, axis=1), n)
+    np.testing.assert_array_equal(tv["tri_cnt"].to_numpy(), want)
+    assert api.triangle_total(ds, num_partitions=2) == 2
+
+    cl = api.clustering(ds, num_partitions=2).to_pandas().sort_values("vid")
+    deg = np.zeros(n)
+    np.add.at(deg, e[:, 0], 1)
+    np.add.at(deg, e[:, 1], 1)
+    want_cl = np.where(deg > 1, 2.0 * want / np.maximum(deg * (deg - 1), 1), 0)
+    np.testing.assert_allclose(cl["clustering"].to_numpy(), want_cl)
+
+
+def test_triangles_random():
+    e, n = random_graph(seed=31, ensure_dangling=False), 60
+    uv = np.unique(np.sort(e, axis=1), axis=0)
+    uv = uv[uv[:, 0] != uv[:, 1]]
+    ds = api.canonical_undirected(edges_ds(e))
+    tv = api.triangles(ds, num_partitions=4).to_pandas()
+    want = oracle.triangles_per_vertex(uv, n)
+    got = np.zeros(n, dtype=np.int64)
+    got[tv["vid"].to_numpy()] = tv["tri_cnt"].to_numpy()
+    present = np.zeros(n, dtype=bool)
+    present[np.unique(uv)] = True
+    np.testing.assert_array_equal(got[present], want[present])
+
+
+def test_graph_management_ops():
+    e = np.array([[0, 1], [1, 0], [1, 2], [2, 2]])
+    ds = edges_ds(e)
+    rep = api.report_graph(ds)
+    assert rep == {"node_num": 3, "edge_num": 4, "selfloops_num": 1}
+    und = api.to_undirected(ds).to_pandas().sort_values(["src", "dst"])
+    assert [tuple(r) for r in und.to_numpy()] == [
+        (0, 1), (1, 0), (1, 2), (2, 1), (2, 2)]
+    rev = api.reverse_edges(ds).to_pandas().sort_values(["src", "dst"])
+    assert sorted(map(tuple, rev[["src", "dst"]].to_numpy())) == sorted(
+        map(tuple, e[:, ::-1]))
+    sub = api.induce_subgraph(ds, [0, 1]).to_pandas()
+    assert sorted(map(tuple, sub[["src", "dst"]].to_numpy())) == [(0, 1), (1, 0)]
