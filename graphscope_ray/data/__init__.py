@@ -1,0 +1,23 @@
+"""Training-data pipeline operators (beyond the reference's surface).
+
+Deduplication (exact / MinHash-LSH / SimHash / n-gram Jaccard /
+embedding-cosine), similarity search, text analysis, and multimodal
+column plumbing — the operations a 100 TB training-data pipeline needs,
+expressed as Ray Data batch transforms.
+"""
+
+from graphscope_ray.data.text import (  # noqa: F401
+    text_stats,
+    token_count,
+    quality_score,
+    lang_id,
+    fingerprint,
+)
+from graphscope_ray.data.dedup import (  # noqa: F401
+    exact_dedup,
+    minhash_lsh_dedup,
+    simhash_dedup,
+    ngram_jaccard_pairs,
+    embedding_cosine_dedup,
+)
+from graphscope_ray.data.similarity import ann_topk, lsh_ann_topk  # noqa: F401

@@ -1,0 +1,397 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram
+Jaccard verification, embedding-cosine near-dup.
+
+Shapes follow the sketch-and-shuffle pattern: per-batch vectorized
+signature computation (stateful actor pools for the hashers) → explode
+to (bucket, doc) rows → ``groupby(bucket)`` → candidate pairs →
+verification → grouping. The final connected-components step runs
+through a guarded driver union-find when the candidate set is small
+and documents the hand-off to the BSP WCC engine (graphscope_ray.graph)
+when it is not — duplicate clustering IS a WCC instance.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import re
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+# ----------------------------------------------------------------------
+# exact dedup
+# ----------------------------------------------------------------------
+
+
+def exact_dedup(ds: ray.data.Dataset, col: str = "text",
+                key: str = "doc_id") -> ray.data.Dataset:
+    """Keep the minimum key per identical ``col`` value → (key,
+    dup_count). Hash-partition by content digest (no raw-content
+    shuffle: only the md5 + key move)."""
+
+    def digest(df: pd.DataFrame) -> pd.DataFrame:
+        h = df[col].fillna("").map(
+            lambda s: hashlib.md5(s.encode("utf-8", "surrogatepass")).hexdigest()
+        )
+        return pd.DataFrame({key: df[key], "_h": h})
+
+    hashed = ds.map_batches(digest, batch_format="pandas")
+
+    def keep_min(g: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({key: [g[key].min()],
+                             "dup_count": [np.int64(len(g))]})
+
+    return hashed.groupby("_h").map_groups(keep_min, batch_format="pandas")
+
+
+# ----------------------------------------------------------------------
+# MinHash + LSH
+# ----------------------------------------------------------------------
+
+_MERSENNE = np.uint64((1 << 61) - 1)
+
+
+def _perm_params(num_perm: int, seed: int):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(1, _MERSENNE, size=num_perm, dtype=np.uint64)
+    b = rng.integers(0, _MERSENNE, size=num_perm, dtype=np.uint64)
+    return a, b
+
+
+def _shingle_hashes(text: str, k: int, ws: re.Pattern) -> np.ndarray:
+    toks = [t for t in ws.split(text) if t]
+    if len(toks) < k:
+        toks = toks + [""] * (k - len(toks))
+    out = np.empty(max(1, len(toks) - k + 1), dtype=np.uint64)
+    for i in range(len(out)):
+        sh = " ".join(toks[i: i + k])
+        d = hashlib.blake2b(sh.encode("utf-8", "surrogatepass"),
+                            digest_size=8).digest()
+        out[i] = np.frombuffer(d, dtype=np.uint64)[0]
+    return np.unique(out)
+
+
+class _MinHasher:
+    """Per-actor state: permutation parameters (computed once)."""
+
+    def __init__(self, col, key, num_perm, shingle_k, seed):
+        self.col, self.key = col, key
+        self.a, self.b = _perm_params(num_perm, seed)
+        self.k = shingle_k
+        self.ws = re.compile(r"\s+")
+
+    def signature(self, text: str) -> np.ndarray:
+        sh = _shingle_hashes(text, self.k, self.ws)
+        # (a*x + b) mod p, min over shingles, vectorized (P × S)
+        vals = (sh[None, :] * self.a[:, None] + self.b[:, None]) % _MERSENNE
+        return vals.min(axis=1)
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        sigs = np.stack([
+            self.signature(s) for s in df[self.col].fillna("")
+        ])
+        return pd.DataFrame({
+            self.key: df[self.key],
+            "sig": [s.astype(np.int64).tobytes() for s in sigs],
+        })
+
+
+def minhash_signatures(ds: ray.data.Dataset, *, col="text", key="doc_id",
+                       num_perm=64, shingle_k=3, seed=42,
+                       concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(
+        _MinHasher, fn_constructor_args=(col, key, num_perm, shingle_k, seed),
+        batch_format="pandas", concurrency=concurrency,
+    )
+
+
+def _group_pairs_from_buckets(bucketed: ray.data.Dataset, key: str,
+                              num_perm: int, threshold: float,
+                              max_bucket: int) -> pd.DataFrame:
+    """bucket rows (band_key, key, sig) → verified duplicate pairs
+    (estimated Jaccard = matching-minhash fraction ≥ threshold)."""
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "est_jaccard": pd.Series([], dtype="float64")})
+        g = g.sort_values(key).head(max_bucket)
+        keys = g[key].to_numpy()
+        sigs = np.stack([
+            np.frombuffer(s, dtype=np.int64) for s in g["sig"]
+        ])
+        i, j = np.triu_indices(len(keys), k=1)
+        match = (sigs[i] == sigs[j]).mean(axis=1)
+        keep = match >= threshold
+        return pd.DataFrame({
+            "a": keys[i][keep], "b": keys[j][keep],
+            "est_jaccard": np.round(match[keep], 6),
+        })
+
+    out = bucketed.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    pdf = out.to_pandas()
+    if len(pdf):
+        pdf = pdf.drop_duplicates(subset=["a", "b"])
+    return pdf
+
+
+def _union_find_groups(pairs: pd.DataFrame, key_a="a", key_b="b",
+                       max_pairs: int = 5_000_000) -> pd.DataFrame:
+    """Driver-side union-find over the (bounded) duplicate-pair set.
+    Above ``max_pairs`` the caller should instead feed the pairs into
+    graphscope_ray.graph WCC (duplicate clustering is connected
+    components)."""
+    if len(pairs) > max_pairs:
+        raise ValueError(
+            f"{len(pairs)} candidate pairs exceed max_pairs={max_pairs}; "
+            "route through graphscope_ray.graph.Graph.from_edges(...).wcc()"
+        )
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != x:
+            parent[x], x = r, parent[x]
+        return r
+
+    for a, b in zip(pairs[key_a], pairs[key_b]):
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    members = sorted(set(pairs[key_a]) | set(pairs[key_b]))
+    return pd.DataFrame({
+        "doc_id": np.asarray(members, dtype=np.int64),
+        "dup_group": np.asarray([find(m) for m in members], dtype=np.int64),
+    })
+
+
+def minhash_lsh_dedup(
+    ds: ray.data.Dataset,
+    *,
+    col: str = "text",
+    key: str = "doc_id",
+    num_perm: int = 64,
+    bands: int = 16,
+    shingle_k: int = 3,
+    threshold: float = 0.7,
+    seed: int = 42,
+    max_bucket: int = 200,
+) -> pd.DataFrame:
+    """MinHash-LSH near-dup clustering → (doc_id, dup_group).
+
+    shingle → minhash (num_perm) → band (bands × rows/band) → bucket
+    groupby → pairwise signature Jaccard ≥ threshold → union-find.
+    ``max_bucket`` caps the quadratic blowup of degenerate buckets
+    (documented skew guard)."""
+    assert num_perm % bands == 0
+    rows = num_perm // bands
+    sigs = minhash_signatures(ds, col=col, key=key, num_perm=num_perm,
+                              shingle_k=shingle_k, seed=seed)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        out_keys, out_bands, out_sigs = [], [], []
+        for k_, sig_bytes in zip(df[key], df["sig"]):
+            sig = np.frombuffer(sig_bytes, dtype=np.int64)
+            for b in range(bands):
+                band = sig[b * rows:(b + 1) * rows]
+                h = hashlib.blake2b(band.tobytes(), digest_size=8,
+                                    salt=str(b).encode()).hexdigest()
+                out_keys.append(k_)
+                out_bands.append(h)
+                out_sigs.append(sig_bytes)
+        return pd.DataFrame({key: out_keys, "band_key": out_bands,
+                             "sig": out_sigs})
+
+    bucketed = sigs.map_batches(explode, batch_format="pandas")
+    pairs = _group_pairs_from_buckets(bucketed, key, num_perm, threshold,
+                                      max_bucket)
+    if not len(pairs):
+        return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
+                             "dup_group": pd.Series([], dtype="int64")})
+    return _union_find_groups(pairs)
+
+
+# ----------------------------------------------------------------------
+# SimHash
+# ----------------------------------------------------------------------
+
+
+class _SimHasher:
+    def __init__(self, col, key):
+        self.col, self.key = col, key
+        self.ws = re.compile(r"\s+")
+
+    def simhash(self, text: str) -> np.uint64:
+        toks = [t for t in self.ws.split(text) if t]
+        if not toks:
+            return np.uint64(0)
+        hs = np.empty(len(toks), dtype=np.uint64)
+        for i, t in enumerate(toks):
+            d = hashlib.blake2b(t.encode("utf-8", "surrogatepass"),
+                                digest_size=8).digest()
+            hs[i] = np.frombuffer(d, dtype=np.uint64)[0]
+        bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        votes = (2 * bits - 1).sum(axis=0)
+        out = np.uint64(0)
+        for b in range(64):
+            if votes[b] > 0:
+                out |= np.uint64(1) << np.uint64(b)
+        return out
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            self.key: df[self.key],
+            "simhash": np.array([self.simhash(s)
+                                 for s in df[self.col].fillna("")],
+                                dtype=np.uint64).astype(np.int64),
+        })
+
+
+def simhash_signatures(ds: ray.data.Dataset, *, col="text", key="doc_id",
+                       concurrency=(1, 8)) -> ray.data.Dataset:
+    return ds.map_batches(_SimHasher, fn_constructor_args=(col, key),
+                          batch_format="pandas", concurrency=concurrency)
+
+
+def simhash_dedup(ds: ray.data.Dataset, *, col="text", key="doc_id",
+                  max_hamming: int = 3) -> pd.DataFrame:
+    """SimHash near-dup pairs: 4 × 16-bit block banding (a pair within
+    hamming distance ≤ 3 shares at least one exact 16-bit block), then
+    exact hamming verification → (a, b, hamming)."""
+    sigs = simhash_signatures(ds, col=col, key=key)
+
+    def explode(df: pd.DataFrame) -> pd.DataFrame:
+        sh = df["simhash"].to_numpy().astype(np.uint64)
+        out = []
+        for blk in range(4):
+            block = ((sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64)
+            out.append(pd.DataFrame({
+                key: df[key],
+                "band_key": block * 4 + blk,
+                "simhash": sh.astype(np.int64),
+            }))
+        return pd.concat(out, ignore_index=True)
+
+    bucketed = sigs.map_batches(explode, batch_format="pandas")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "hamming": pd.Series([], dtype="int64")})
+        g = g.sort_values(key).head(500)
+        keys = g[key].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        i, j = np.triu_indices(len(keys), k=1)
+        x = sh[i] ^ sh[j]
+        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        keep = ham <= max_hamming
+        return pd.DataFrame({"a": keys[i][keep], "b": keys[j][keep],
+                             "hamming": ham[keep]})
+
+    out = bucketed.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    pdf = out.to_pandas()
+    return pdf.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# n-gram Jaccard verification
+# ----------------------------------------------------------------------
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, candidate_pairs: pd.DataFrame,
+                        *, col="text", key="doc_id", n: int = 3,
+                        threshold: float = 0.5) -> pd.DataFrame:
+    """Exact character-n-gram Jaccard for a bounded candidate-pair set
+    (the verification stage after an LSH prefilter). Texts of the
+    candidate docs are semi-join-filtered via a broadcast id set."""
+    ids = np.unique(np.r_[candidate_pairs["a"].to_numpy(),
+                          candidate_pairs["b"].to_numpy()])
+    ref = ray.put(ids)
+
+    def keep(t: pa.Table) -> pa.Table:
+        idset = ray.get(ref)
+        v = t[key].to_numpy()
+        pos = np.clip(np.searchsorted(idset, v), 0, len(idset) - 1)
+        return t.filter(pa.array(idset[pos] == v))
+
+    texts = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
+    lut = dict(zip(texts[key], texts[col]))
+
+    def grams(s):
+        return {s[i: i + n] for i in range(max(1, len(s) - n + 1))}
+
+    rows = []
+    for a, b in zip(candidate_pairs["a"], candidate_pairs["b"]):
+        ga, gb = grams(lut.get(a, "")), grams(lut.get(b, ""))
+        jac = len(ga & gb) / max(1, len(ga | gb))
+        if jac >= threshold:
+            rows.append((a, b, round(jac, 6)))
+    return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+
+# ----------------------------------------------------------------------
+# embedding cosine near-dup
+# ----------------------------------------------------------------------
+
+
+def embedding_cosine_dedup(
+    emb: ray.data.Dataset,
+    *,
+    key: str = "vec_id",
+    col: str = "embedding",
+    threshold: float = 0.95,
+    broadcast_limit: int = 200_000,
+    count: Optional[int] = None,
+) -> pd.DataFrame:
+    """Near-dup pairs (a < b, cosine ≥ threshold).
+
+    Small side (≤ broadcast_limit vectors) is broadcast once; each batch
+    computes a (batch × all) cosine block with one matmul — vectorized,
+    no python loop over rows. Scale path above the limit: LSH-bucket by
+    random hyperplane signature first (see similarity.lsh_ann_topk)."""
+    n = count if count is not None else emb.count()
+    if n > broadcast_limit:
+        raise ValueError(
+            f"{n} vectors exceed broadcast_limit; bucket with "
+            "similarity.lsh_ann_topk first")
+    pdf = emb.select_columns([key, col]).to_pandas()
+    ids = pdf[key].to_numpy(dtype=np.int64)
+    mat = np.stack(pdf[col].to_numpy())
+    mat = mat / np.maximum(np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+    ref = ray.put((ids, mat))
+
+    def block(t: pa.Table) -> pa.Table:
+        all_ids, all_mat = ray.get(ref)
+        bids = t[key].to_numpy()
+        bmat = np.stack(t[col].to_numpy(zero_copy_only=False))
+        bmat = bmat / np.maximum(np.linalg.norm(bmat, axis=1, keepdims=True),
+                                 1e-12)
+        sims = bmat @ all_mat.T
+        bi, aj = np.nonzero(sims >= threshold)
+        a = bids[bi]
+        b = all_ids[aj]
+        keep = a < b
+        return pa.table({
+            "a": pa.array(a[keep]), "b": pa.array(b[keep]),
+            "cosine": pa.array(np.round(sims[bi, aj][keep], 6)),
+        })
+
+    out = emb.select_columns([key, col]).map_batches(
+        block, batch_format="pyarrow")
+    pdf = out.to_pandas()
+    if "a" not in pdf.columns:  # zero matches → schemaless empty frame
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return pdf.sort_values(["a", "b"]).reset_index(drop=True)

@@ -1,0 +1,142 @@
+"""Similarity search over an embedding column (list<float>).
+
+Baseline: brute-force cosine top-k — one numpy matmul per batch against
+a broadcast query matrix (``ray.put`` once). Scale path: random-
+hyperplane LSH bucketing, exact rerank within candidate buckets.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+
+def _normalize(m: np.ndarray) -> np.ndarray:
+    return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+
+
+def ann_topk(
+    emb: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    key: str = "vec_id",
+    col: str = "embedding",
+) -> pd.DataFrame:
+    """Exact cosine top-k per query → (query_id, vec_id, cosine, rank).
+
+    Per batch: (B×D)·(D×Q) matmul + per-batch partial top-k per query
+    (the combiner), then a tiny global merge — only k·Q·#batches rows
+    shuffle, never the embeddings."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put(q)
+
+    def block(t: pa.Table) -> pa.Table:
+        qm = ray.get(ref)
+        ids = t[key].to_numpy()
+        m = _normalize(np.stack(t[col].to_numpy(zero_copy_only=False)))
+        sims = m @ qm.T  # B × Q
+        kk = min(k, len(ids))
+        # per-query partial top-k within the batch
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]  # kk × Q
+        qi = np.repeat(np.arange(qm.shape[0]), kk)
+        vi = part.T.ravel()
+        return pa.table({
+            "query_id": pa.array(qi.astype(np.int64)),
+            key: pa.array(ids[vi]),
+            "cosine": pa.array(sims[vi, qi]),
+        })
+
+    partial = emb.select_columns([key, col]).map_batches(
+        block, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cosine", key], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["cosine"] = np.round(g["cosine"], 6)
+        return g
+
+    out = partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return (out.to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def lsh_ann_topk(
+    emb: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    key: str = "vec_id",
+    col: str = "embedding",
+    num_planes: int = 12,
+    num_tables: int = 4,
+    seed: int = 42,
+    dim: Optional[int] = None,
+) -> pd.DataFrame:
+    """Approximate cosine top-k: random-hyperplane signatures bucket the
+    vectors (num_tables independent tables); queries probe their
+    buckets; exact rerank within candidates. Recall < 1 by design —
+    the IVF/LSH scale path when brute force won't fit."""
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    d = dim or q.shape[1]
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, d))
+    pref = ray.put((planes, q))
+
+    powers = (1 << np.arange(num_planes)).astype(np.int64)
+
+    def sig(mat: np.ndarray, table: int, pl) -> np.ndarray:
+        return (((mat @ pl[table].T) > 0).astype(np.int64) @ powers)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        pl, _ = ray.get(pref)
+        ids = t[key].to_numpy()
+        m = _normalize(np.stack(t[col].to_numpy(zero_copy_only=False)))
+        out_id, out_bucket, out_vec = [], [], []
+        for table in range(num_tables):
+            s = sig(m, table, pl) * num_tables + table
+            out_id.append(ids)
+            out_bucket.append(s)
+            out_vec.append(m)
+        return pa.table({
+            key: pa.array(np.concatenate(out_id)),
+            "bucket": pa.array(np.concatenate(out_bucket)),
+            col: pa.array(list(np.concatenate(out_vec))),
+        })
+
+    bucketed = emb.select_columns([key, col]).map_batches(
+        bucketize, batch_format="pyarrow")
+
+    # query buckets (driver-side: Q × num_tables keys)
+    qsigs = set()
+    for table in range(num_tables):
+        for s in sig(q, table, planes):
+            qsigs.add(int(s) * num_tables + table)
+    qset_ref = ray.put(np.array(sorted(qsigs), dtype=np.int64))
+
+    def probe(t: pa.Table) -> pa.Table:
+        qs = ray.get(qset_ref)
+        b = t["bucket"].to_numpy()
+        pos = np.clip(np.searchsorted(qs, b), 0, len(qs) - 1)
+        return t.filter(pa.array(qs[pos] == b))
+
+    cands = bucketed.map_batches(probe, batch_format="pyarrow").to_pandas()
+    if not len(cands):
+        return pd.DataFrame(columns=["query_id", key, "cosine", "rank"])
+    cands = cands.drop_duplicates(subset=[key])
+    ids = cands[key].to_numpy()
+    mat = np.stack(cands[col].to_numpy())
+    sims = mat @ q.T
+    rows = []
+    for qi in range(q.shape[0]):
+        order = np.argsort(-sims[:, qi], kind="stable")[:k]
+        for r, vi in enumerate(order, 1):
+            rows.append((qi, ids[vi], round(float(sims[vi, qi]), 6), r))
+    return pd.DataFrame(rows, columns=["query_id", key, "cosine", "rank"])

@@ -1,0 +1,221 @@
+"""Training-data ops over the driver-provided documents/embeddings
+tables, with DuckDB cross-checks where the op is SQL-expressible."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from graphscope_ray.data import (
+    ann_topk,
+    exact_dedup,
+    lang_id,
+    lsh_ann_topk,
+    minhash_lsh_dedup,
+    quality_score,
+    text_stats,
+    token_count,
+    fingerprint,
+)
+from graphscope_ray.data.dedup import (
+    embedding_cosine_dedup,
+    ngram_jaccard_pairs,
+    simhash_dedup,
+)
+from graphscope_ray.data import multimodal
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def docs():
+    return ray.data.read_parquet(f"{SF}/documents.parquet")
+
+
+@pytest.fixture(scope="module")
+def emb():
+    return ray.data.read_parquet(f"{SF}/embeddings.parquet")
+
+
+def test_token_count_matches_sql(docs):
+    got = token_count(docs).to_pandas().sort_values("doc_id")
+    want = duckdb.sql(
+        rf"""SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'),
+             x -> x <> ''))::BIGINT AS n_tokens
+             FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"""
+    ).df()
+    np.testing.assert_array_equal(got["n_tokens"].to_numpy(),
+                                  want["n_tokens"].to_numpy())
+
+
+def test_quality_score_matches_sql(docs):
+    got = quality_score(docs).to_pandas().sort_values("doc_id")
+    want = duckdb.sql(
+        rf"""
+        SELECT doc_id, round(
+          (length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1))
+          * least(1.0, len(list_filter(string_split_regex(text, '\s+'),
+                                       x -> x <> ''))::DOUBLE / 100.0),
+          6) AS quality
+        FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"""
+    ).df()
+    # round(alpha_ratio,6)*min(...) vs round(product,6): compare loosely
+    np.testing.assert_allclose(got["quality"].to_numpy(),
+                               want["quality"].to_numpy(), atol=2e-6)
+
+
+def test_exact_dedup_matches_sql(docs):
+    got = exact_dedup(docs).to_pandas().sort_values("doc_id").reset_index(drop=True)
+    want = duckdb.sql(
+        f"""SELECT min(doc_id)::BIGINT AS doc_id, count(*)::BIGINT AS dup_count
+            FROM read_parquet('{SF}/documents.parquet')
+            GROUP BY text ORDER BY doc_id"""
+    ).df()
+    np.testing.assert_array_equal(got["doc_id"].to_numpy(), want["doc_id"].to_numpy())
+    np.testing.assert_array_equal(got["dup_count"].to_numpy(),
+                                  want["dup_count"].to_numpy())
+
+
+def test_minhash_lsh_finds_exact_dups(docs):
+    """Exact duplicates have Jaccard 1.0 → every exact-dup pair must land
+    in the same MinHash group."""
+    groups = minhash_lsh_dedup(docs, threshold=0.9)
+    dup_sql = duckdb.sql(
+        f"""SELECT list(doc_id ORDER BY doc_id) ids
+            FROM read_parquet('{SF}/documents.parquet')
+            GROUP BY text HAVING count(*) > 1"""
+    ).df()
+    lut = dict(zip(groups["doc_id"], groups["dup_group"]))
+    for ids in dup_sql["ids"]:
+        gs = {lut.get(i) for i in ids}
+        assert len(gs) == 1 and None not in gs, f"exact dups split: {ids}"
+
+
+def test_simhash_identical_distance_zero(docs):
+    pairs = simhash_dedup(docs, max_hamming=0)
+    want = duckdb.sql(
+        f"""WITH d AS (SELECT * FROM read_parquet('{SF}/documents.parquet'))
+            SELECT a.doc_id a, b.doc_id b FROM d a JOIN d b
+            ON a.text = b.text AND a.doc_id < b.doc_id"""
+    ).df()
+    got_pairs = set(zip(pairs["a"], pairs["b"]))
+    for a, b in zip(want["a"], want["b"]):
+        assert (a, b) in got_pairs
+
+
+def test_ngram_jaccard_verification(docs):
+    cand = pd.DataFrame({"a": [0], "b": [1]})
+    out = ngram_jaccard_pairs(docs, cand, threshold=0.0)
+    assert len(out) == 1 and 0.0 <= out["jaccard"].iloc[0] <= 1.0
+    # identical docs → jaccard 1.0
+    dup = duckdb.sql(
+        f"""WITH d AS (SELECT * FROM read_parquet('{SF}/documents.parquet'))
+            SELECT a.doc_id a, b.doc_id b FROM d a JOIN d b
+            ON a.text = b.text AND a.doc_id < b.doc_id LIMIT 1"""
+    ).df()
+    if len(dup):
+        out = ngram_jaccard_pairs(docs, dup, threshold=0.0)
+        assert out["jaccard"].iloc[0] == 1.0
+
+
+def test_lang_id_schema(docs):
+    out = lang_id(docs).to_pandas()
+    assert set(out.columns) == {"doc_id", "lang_pred"}
+    assert len(out) == docs.count()
+    assert out["lang_pred"].isin(
+        ["en", "de", "fr", "es", "code", "unknown"]).all()
+
+
+def test_fingerprint_deterministic(docs):
+    a = fingerprint(docs).to_pandas().sort_values("doc_id")
+    b = fingerprint(docs).to_pandas().sort_values("doc_id")
+    np.testing.assert_array_equal(a["fingerprint"].to_numpy(),
+                                  b["fingerprint"].to_numpy())
+    # identical texts → identical fingerprints
+    dup = duckdb.sql(
+        f"""WITH d AS (SELECT * FROM read_parquet('{SF}/documents.parquet'))
+            SELECT a.doc_id a, b.doc_id b FROM d a JOIN d b
+            ON a.text = b.text AND a.doc_id < b.doc_id LIMIT 3"""
+    ).df()
+    lut = dict(zip(a["doc_id"], a["fingerprint"]))
+    for x, y in zip(dup["a"], dup["b"]):
+        assert lut[x] == lut[y]
+
+
+def test_ann_topk_matches_sql(emb):
+    qdf = emb.take(3)
+    queries = np.stack([np.asarray(r["embedding"]) for r in qdf])
+    got = ann_topk(emb, queries, k=5)
+    want = duckdb.sql(
+        f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb
+                   FROM read_parquet('{SF}/embeddings.parquet')),
+        q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),
+        s AS (SELECT q.query_id, e.vec_id,
+                     round(list_cosine_similarity(e.emb, q.qv), 6) cosine
+              FROM e CROSS JOIN q),
+        r AS (SELECT *, row_number() OVER
+                (PARTITION BY query_id ORDER BY cosine DESC, vec_id) rank
+              FROM s)
+        SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+        ORDER BY query_id, rank"""
+    ).df()
+    np.testing.assert_array_equal(got["vec_id"].to_numpy(),
+                                  want["vec_id"].to_numpy())
+    np.testing.assert_allclose(got["cosine"].to_numpy(),
+                               want["cosine"].to_numpy(), atol=2e-6)
+
+
+def test_lsh_ann_recall(emb):
+    qdf = emb.take(2)
+    queries = np.stack([np.asarray(r["embedding"]) for r in qdf])
+    exact = ann_topk(emb, queries, k=5)
+    approx = lsh_ann_topk(emb, queries, k=5, num_planes=8, num_tables=8)
+    # each query vector is its own nearest neighbor → must be recalled
+    for qi in range(2):
+        top = approx[approx["query_id"] == qi]
+        assert len(top) > 0
+        assert top.iloc[0]["vec_id"] == exact[exact["query_id"] == qi].iloc[0]["vec_id"]
+
+
+def test_embedding_cosine_dedup(emb):
+    pairs = embedding_cosine_dedup(emb, threshold=0.99)
+    want = duckdb.sql(
+        f"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] emb
+                   FROM read_parquet('{SF}/embeddings.parquet'))
+        SELECT a.vec_id a, b.vec_id b
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        WHERE list_cosine_similarity(a.emb, b.emb) >= 0.99
+        ORDER BY a, b"""
+    ).df()
+    assert len(pairs) == len(want)
+    if len(want):
+        np.testing.assert_array_equal(pairs["a"].to_numpy(), want["a"].to_numpy())
+        np.testing.assert_array_equal(pairs["b"].to_numpy(), want["b"].to_numpy())
+
+
+def test_multimodal_plumbing():
+    tbl = multimodal.synth_media(48)
+    ds = ray.data.from_arrow(tbl)
+    feats = multimodal.media_features(ds, decode="fake").to_pandas()
+    assert len(feats) == 48
+    assert all(len(f) == 16 for f in feats["feature"])
+    # deterministic
+    feats2 = multimodal.media_features(ds, decode="fake").to_pandas()
+    a = feats.sort_values("media_id").reset_index(drop=True)
+    b = feats2.sort_values("media_id").reset_index(drop=True)
+    assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
+    # real decode path raises the documented stub error
+    with pytest.raises(Exception) as ei:
+        multimodal.media_features(ds, decode="real").to_pandas()
+    assert "NotImplementedError" in str(ei.value) or isinstance(
+        ei.value, NotImplementedError)
+    frames = multimodal.frame_sample(ds).to_pandas()
+    vids = (tbl["kind"].to_pandas() == "video").sum()
+    if vids:
+        assert frames["media_id"].nunique() == vids
+        assert (frames["ts_ms"] >= 0).all()
