@@ -1,0 +1,134 @@
+"""Benchmark harness (driver-run; BASELINE.md protocol).
+
+Default mode: builds the canonical co-occurrence graph over
+``$GRAFT_SF_DIR`` (default /root/testdata/sf0.1) and times the headline
+pipelines — PageRank to 1e-6 convergence (superstep loop only, matching
+the reference's harness which times ``worker->Query()`` only:
+/root/reference/analytical_engine/benchmarks/basic_graph_benchmarks.cc:67-71),
+WCC and CDLP to completion, triangle counting — then prints ONE JSON
+line.
+
+``--scaling``: runs the same job in two fresh processes at
+RAY_GRAFT_CPUS=8 and =32 and reports PageRank edge-throughput at both
+plus scaling efficiency = (eps_32 / eps_8) / 4 (the sandbox analogue of
+the N→4N-node rule; see BASELINE.md).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+
+def run_bench() -> dict:
+    import ray
+    import ray.data
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ctx = ray.data.DataContext.get_current()
+    ctx.enable_progress_bars = False
+
+    from graphscope_ray.graph.api import Graph, triangle_total
+    from graphscope_ray.pipelines.partgraph import partgraph_edges
+
+    # warm the page cache so we measure compute+shuffle, not cold reads
+    _ = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet").count()
+
+    queries: dict = {}
+    t0 = time.perf_counter()
+    edges = partgraph_edges(sf_dir).materialize()
+    g = Graph.from_edges(
+        edges,
+        workdir=f"/tmp/gsr-bench-{num_cpus}",
+        weight_col="weight",
+        symmetrize=True,
+        num_parts=min(num_cpus, 32),
+        hub_threshold=8192,
+    )
+    eng = g.engine  # actor pool up
+    queries["build"] = round(time.perf_counter() - t0, 3)
+
+    E = g.store.meta["num_edges"]  # symmetrized edge count
+
+    base_s = eng.superstep_seconds
+    base_n = eng.supersteps
+    pr = g.pagerank(delta=0.85, tol=1e-6)
+    pr_rows = pr.count()
+    pr_sec = eng.superstep_seconds - base_s
+    pr_steps = eng.supersteps - base_n
+    queries["pagerank_tol1e6"] = round(pr_sec, 3)
+    queries["pagerank_supersteps"] = pr_steps
+    eps = E * pr_steps / pr_sec if pr_sec > 0 else 0.0
+    queries["pagerank_edges_per_sec"] = round(eps, 1)
+
+    base_s = eng.superstep_seconds
+    wc = g.wcc()
+    wc_rows = wc.count()
+    queries["wcc"] = round(eng.superstep_seconds - base_s, 3)
+
+    base_s = eng.superstep_seconds
+    cd = g.cdlp(max_round=10)
+    cd_rows = cd.count()
+    queries["cdlp10"] = round(eng.superstep_seconds - base_s, 3)
+
+    t0 = time.perf_counter()
+    tc = triangle_total(edges.select_columns(["src", "dst"]),
+                        num_partitions=min(num_cpus, 32))
+    queries["triangles"] = round(time.perf_counter() - t0, 3)
+    queries["triangle_total"] = tc
+
+    assert pr_rows == wc_rows == cd_rows == g.store.num_vertices
+
+    total = (queries["pagerank_tol1e6"] + queries["wcc"]
+             + queries["cdlp10"] + queries["triangles"])
+    out = {
+        "metric": "partgraph pagerank(1e-6)+wcc+cdlp10+triangles seconds",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf_dir,
+        "num_cpus": num_cpus,
+        "num_vertices": g.store.num_vertices,
+        "num_edges_directed": E,
+    }
+    g.close()
+    ray.shutdown()
+    return out
+
+
+def run_child(ncpu: int) -> dict:
+    env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
+    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
+                          env=env, capture_output=True, text=True, check=True)
+    return json.loads(proc.stdout.strip().splitlines()[-1])
+
+
+def main():
+    if "--scaling" in sys.argv:
+        lo, hi = 8, 32
+        r_lo = run_child(lo)
+        r_hi = run_child(hi)
+        eps_lo = r_lo["queries"]["pagerank_edges_per_sec"]
+        eps_hi = r_hi["queries"]["pagerank_edges_per_sec"]
+        eff = (eps_hi / eps_lo) / (hi / lo) if eps_lo else 0.0
+        print(json.dumps({
+            "metric": "pagerank edges/sec scaling 8→32 CPUs",
+            "cpus_lo": lo, "cpus_hi": hi,
+            "edges_per_sec_lo": eps_lo, "edges_per_sec_hi": eps_hi,
+            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "scaling_efficiency": round(eff, 3),
+            "sf": r_hi["sf"],
+        }))
+        return
+    print(json.dumps(run_bench()))
+
+
+if __name__ == "__main__":
+    main()

@@ -54,6 +54,7 @@ class Graph:
         oid_space: bool = True,
         num_vertices: Optional[int] = None,
         hub_threshold: Optional[int] = None,
+        directions: str = "forward",
     ) -> "Graph":
         """Build from an edge Dataset with columns ``src``/``dst`` (+
         optional weight). ``oid_space=True`` runs dense-id assignment
@@ -82,6 +83,7 @@ class Graph:
             symmetrize=symmetrize,
             weight_col=weight_col,
             hub_threshold=hub_threshold,
+            directions=directions,
         )
         return cls(store, oid_array)
 
@@ -229,10 +231,68 @@ def canonical_undirected(edges: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
+def _triangles_broadcast(oriented: ray.data.Dataset) -> ray.data.Dataset:
+    """Edge-iterator triangle counting with a broadcast oriented-CSR.
+
+    One ``ray.put`` of (sorted vids, indptr, neighbors, sorted edge
+    keys); each batch expands its edges' wedge candidates with pure
+    numpy (repeat/cumsum slicing) and closes them with a searchsorted
+    membership test — no shuffle joins. Used when the oriented edge set
+    fits a broadcast (≤ ~20M edges); above that the partitioned
+    hash-join path takes over.
+    """
+    from ray.data.aggregate import Sum
+
+    pdf = oriented.to_pandas()
+    a = pdf["a"].to_numpy(dtype=np.int64)
+    b = pdf["b"].to_numpy(dtype=np.int64)
+    vids = np.unique(np.r_[a, b])
+    base = np.int64(vids.max() + 1 if len(vids) else 1)
+    if len(vids) and float(base) * float(base) >= float(2**63):
+        raise ValueError("vid range too large for composite keys")
+    order = np.lexsort((b, a))
+    a_s, b_s = a[order], b[order]
+    # CSR over compacted source index
+    src_idx = np.searchsorted(vids, a_s)
+    indptr = np.zeros(len(vids) + 1, dtype=np.int64)
+    np.add.at(indptr, src_idx + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    keys = np.sort(a_s * base + b_s)
+    ref = ray.put((vids, indptr, b_s, keys, base))
+
+    def count(t: pa.Table) -> pa.Table:
+        vv, ip, nbrs, kk, bb = ray.get(ref)
+        u = t["a"].to_numpy().astype(np.int64)
+        v = t["b"].to_numpy().astype(np.int64)
+        vi = np.searchsorted(vv, v)
+        starts, ends = ip[vi], ip[vi + 1]
+        cnt = ends - starts
+        if cnt.sum() == 0:
+            return pa.table({"vid": pa.array([], pa.int64()),
+                             "_t": pa.array([], pa.int64())})
+        # expand: for edge e=(u,v), all w in N+(v)
+        e_rep = np.repeat(np.arange(len(u)), cnt)
+        # positions within each slice: arange trick
+        offs = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+            np.cumsum(cnt) - cnt, cnt)
+        w = nbrs[starts[e_rep] + offs]
+        uu = u[e_rep]
+        closed = kk[np.clip(np.searchsorted(kk, uu * bb + w), 0,
+                            len(kk) - 1)] == uu * bb + w
+        tri_u, tri_v, tri_w = uu[closed], v[e_rep][closed], w[closed]
+        allv = np.concatenate([tri_u, tri_v, tri_w])
+        vidu, c = np.unique(allv, return_counts=True)
+        return pa.table({"vid": vidu, "_t": c.astype(np.int64)})
+
+    partial = oriented.map_batches(count, batch_format="pyarrow")
+    return partial.groupby("vid").aggregate(Sum("_t", alias_name="tri_cnt"))
+
+
 def triangles(
     edges_undirected: ray.data.Dataset,
     *,
     num_partitions: int = 16,
+    broadcast_edge_limit: int = 20_000_000,
 ) -> ray.data.Dataset:
     """Per-vertex triangle counts via degree-ordered orientation +
     two hash joins (wedge close) — the Ray Data re-expression of
@@ -267,39 +327,43 @@ def triangles(
 
     oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
 
-    def _as(t: pa.Table, names) -> pa.Table:
-        return pa.table({n: t.column(i) for i, n in enumerate(names)})
+    n_edges = oriented.count()
+    if n_edges <= broadcast_edge_limit:
+        per_vertex = _triangles_broadcast(oriented)
+    else:
+        def _as(t: pa.Table, names) -> pa.Table:
+            return pa.table({n: t.column(i) for i, n in enumerate(names)})
 
-    right1 = oriented.map_batches(lambda t: _as(t, ["b", "c"]),
-                                  batch_format="pyarrow")
-    wedges = oriented.join(
-        right1,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("b",),
-    )
-    # close the wedge: (a, c) must be an oriented edge a→c
-    right2 = oriented.map_batches(lambda t: _as(t, ["a", "c"]),
-                                  batch_format="pyarrow")
-    closed = wedges.join(
-        right2,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("a", "c"),
-    )
-
-    def corners(t: pa.Table) -> pa.Table:
-        v = np.concatenate(
-            [t["a"].to_numpy(), t["b"].to_numpy(), t["c"].to_numpy()]
+        right1 = oriented.map_batches(lambda t: _as(t, ["b", "c"]),
+                                      batch_format="pyarrow")
+        wedges = oriented.join(
+            right1,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("b",),
         )
-        vid, cnt = np.unique(v, return_counts=True)
-        return pa.table({"vid": vid, "_t": cnt.astype(np.int64)})
+        # close the wedge: (a, c) must be an oriented edge a→c
+        right2 = oriented.map_batches(lambda t: _as(t, ["a", "c"]),
+                                      batch_format="pyarrow")
+        closed = wedges.join(
+            right2,
+            join_type="inner",
+            num_partitions=num_partitions,
+            on=("a", "c"),
+        )
 
-    per_vertex = (
-        closed.map_batches(corners, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("_t", alias_name="tri_cnt"))
-    )
+        def corners(t: pa.Table) -> pa.Table:
+            v = np.concatenate(
+                [t["a"].to_numpy(), t["b"].to_numpy(), t["c"].to_numpy()]
+            )
+            vid, cnt = np.unique(v, return_counts=True)
+            return pa.table({"vid": vid, "_t": cnt.astype(np.int64)})
+
+        per_vertex = (
+            closed.map_batches(corners, batch_format="pyarrow")
+            .groupby("vid")
+            .aggregate(Sum("_t", alias_name="tri_cnt"))
+        )
     # vertices in no triangle → 0
     allv = deg.select_columns(["vid"])
     out = attach_values(
