@@ -316,11 +316,12 @@ def _q_pg_hits(sf_dir):
 
     key = sf_dir + "#hits"
     if key not in _CACHE:
-        # undirected partgraph fed as both explicit orientations, stored
-        # with the direction flag HITS's alternating phases need
-        und = to_undirected(partgraph_edges(sf_dir))
+        # undirected semantics: the digraph contains BOTH orientations of
+        # every co-occurrence edge, and the dual store additionally tags
+        # reversals so HITS's two phases each see the full neighborhood
+        _, edges = _partgraph(sf_dir)  # materialized, shared
         _CACHE[key] = Graph.from_edges(
-            und,
+            to_undirected(edges.select_columns(["src", "dst"])),
             workdir=f"/tmp/gsr-hits-{abs(hash(sf_dir)) % 10**8}",
             directions="both",
         )

@@ -63,6 +63,10 @@ class Graph:
         dense int64 vids."""
         num_parts = num_parts or _default_parts()
         workdir = workdir or tempfile.mkdtemp(prefix="gsr-graph-")
+        # the edge Dataset is consumed several times below (id distinct,
+        # vid attach, degree pass, partitioned write); pin it once so a
+        # lazy upstream pipeline isn't re-executed per consumer
+        edges = edges.materialize()
         oid_array = None
         if oid_space:
             cols = ["src", "dst"]

@@ -477,19 +477,15 @@ class BSPEngine:
                 hub_args=("auth",),
                 scatter_kwargs={"direction": 1},
             )
-            stats_h = ray.get([a.vec_stats.remote("hub") for a in self.actors])
-            stats_a = ray.get([a.vec_stats.remote("auth") for a in self.actors])
-            max_h = max(s[2] for s in stats_h)
-            max_a = max(s[2] for s in stats_a)
-            if max_h > 0:
-                ray.get([a.vec_rescale.remote("hub", 1.0 / max_h)
-                         for a in self.actors])
-            if max_a > 0:
-                ray.get([a.vec_rescale.remote("auth", 1.0 / max_a)
-                         for a in self.actors])
+            maxes = ray.get([a.hits_maxes.remote() for a in self.actors])
+            max_h = max(m[0] for m in maxes)
+            max_a = max(m[1] for m in maxes)
+            eps = sum(ray.get([
+                a.hits_finish_step.remote(
+                    1.0 / max_h if max_h > 0 else 1.0,
+                    1.0 / max_a if max_a > 0 else 1.0)
+                for a in self.actors]))
             step += 1
-            eps = sum(ray.get([a.vec_l1_vs.remote("hub", "hub_last")
-                               for a in self.actors]))
             if eps <= tolerance or step >= max_round:
                 break
         if normalized:

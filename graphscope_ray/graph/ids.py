@@ -59,29 +59,29 @@ def assign_dense_ids(ds: ray.data.Dataset, col: str = "oid") -> ray.data.Dataset
     return ray.data.from_arrow_refs(out_refs)
 
 
-class _BroadcastLookup:
-    """Actor-pool batch mapper translating oid columns to vids via a
-    broadcast dictionary (``ray.put`` once, fetched per actor in
-    ``__init__`` — never re-shipped per batch)."""
+def _broadcast_lookup_fn(idmap_ref, cols):
+    """Stateless batch mapper translating oid columns to vids via a
+    broadcast dictionary (``ray.put`` once; ``ray.get`` per batch is a
+    zero-copy read from the local object store — deliberately NOT an
+    actor pool, which would spawn dedicated worker processes per
+    stage)."""
 
-    def __init__(self, idmap_ref, cols):
+    def f(batch: pa.Table) -> pa.Table:
         oids, vids = ray.get(idmap_ref)
-        self.oids = oids  # sorted numpy array (object or int64)
-        self.vids = vids
-        self.cols = cols
-
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        for c in self.cols:
+        for c in cols:
             vals = batch.column(c).to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(self.oids, vals)
-            idx = np.clip(idx, 0, len(self.oids) - 1)
-            ok = self.oids[idx] == vals
+            idx = np.searchsorted(oids, vals)
+            idx = np.clip(idx, 0, len(oids) - 1)
+            ok = oids[idx] == vals
             if not ok.all():
-                raise KeyError(f"{(~ok).sum()} oids in column {c} missing from id map")
+                raise KeyError(
+                    f"{(~ok).sum()} oids in column {c} missing from id map")
             batch = batch.set_column(
-                batch.schema.get_field_index(c), c, pa.array(self.vids[idx])
+                batch.schema.get_field_index(c), c, pa.array(vids[idx])
             )
         return batch
+
+    return f
 
 
 def attach_vids(
@@ -108,10 +108,8 @@ def attach_vids(
             (pdf["oid"].to_numpy(), pdf["vid"].to_numpy(dtype=np.int64))
         )
         return edges.map_batches(
-            _BroadcastLookup,
-            fn_constructor_args=(ref, list(cols)),
+            _broadcast_lookup_fn(ref, list(cols)),
             batch_format="pyarrow",
-            concurrency=(1, 8),
         )
     out = edges
     for c in cols:

@@ -20,28 +20,26 @@ import ray.data
 BROADCAST_ROWS = 20_000_000
 
 
-class _AttachLookup:
-    def __init__(self, ref, on, value_names, defaults):
-        keys, cols = ray.get(ref)
-        self.keys = keys
-        self.cols = cols  # dict name -> np.ndarray aligned with keys
-        self.on = on
-        self.value_names = value_names
-        self.defaults = defaults
+def _attach_lookup_fn(ref, on, value_names, defaults):
+    """Stateless broadcast-probe batch mapper (ray.get per batch is a
+    zero-copy local-object-store read; avoids per-stage actor pools)."""
 
-    def __call__(self, batch: pa.Table) -> pa.Table:
-        vals = batch.column(self.on).to_numpy(zero_copy_only=False)
-        idx = np.searchsorted(self.keys, vals)
-        idx = np.clip(idx, 0, max(0, len(self.keys) - 1))
+    def f(batch: pa.Table) -> pa.Table:
+        keys, cols = ray.get(ref)
+        vals = batch.column(on).to_numpy(zero_copy_only=False)
+        idx = np.searchsorted(keys, vals)
+        idx = np.clip(idx, 0, max(0, len(keys) - 1))
         hit = (
-            self.keys[idx] == vals
-            if len(self.keys)
+            keys[idx] == vals
+            if len(keys)
             else np.zeros(len(vals), dtype=bool)
         )
-        for name in self.value_names:
-            out = np.where(hit, self.cols[name][idx], self.defaults.get(name, 0))
+        for name in value_names:
+            out = np.where(hit, cols[name][idx], defaults.get(name, 0))
             batch = batch.append_column(name, pa.array(out))
         return batch
+
+    return f
 
 
 def attach_values(
@@ -69,10 +67,8 @@ def attach_values(
             )
         )
         return ds.map_batches(
-            _AttachLookup,
-            fn_constructor_args=(ref, on, list(value_names), defaults),
+            _attach_lookup_fn(ref, on, list(value_names), defaults),
             batch_format="pyarrow",
-            concurrency=(1, 8),
         )
     joined = ds.join(
         table.select_columns([table_key, *value_names]),

@@ -523,6 +523,18 @@ class GraphPartition:
     def vec_copy(self, src: str, dst: str):
         self.state[dst] = {"x": self.state[src]["x"].copy()}
 
+    # combined HITS helpers (fewer driver barriers per step)
+    def hits_maxes(self):
+        h = self.state["hub"]["x"]
+        a = self.state["auth"]["x"]
+        return (float(h.max(initial=0.0)), float(a.max(initial=0.0)))
+
+    def hits_finish_step(self, scale_h: float, scale_a: float):
+        self.state["hub"]["x"] = self.state["hub"]["x"] * scale_h
+        self.state["auth"]["x"] = self.state["auth"]["x"] * scale_a
+        return float(np.abs(self.state["hub"]["x"]
+                            - self.state["hub_last"]["x"]).sum())
+
     # ------------------------------------------------------------------
     # checkpoint / restore (north rule: per-superstep, per-partition
     # vertex state + lineage; the reference has no mid-computation

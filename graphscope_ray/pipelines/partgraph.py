@@ -32,7 +32,7 @@ def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Datase
         li.groupby(["l_orderkey", "l_partkey"])
         .aggregate(Count(alias_name="_c"))
         .drop_columns(["_c"])
-    )
+    ).materialize()  # consumed twice by the self-join: avoid recompute
     left = rename(lp, {"l_partkey": "src"})
     right = rename(lp, {"l_partkey": "dst"})
     joined = left.join(
