@@ -49,7 +49,10 @@ def run_bench() -> dict:
         workdir=f"/tmp/gsr-bench-{num_cpus}",
         weight_col="weight",
         symmetrize=True,
-        num_parts=min(num_cpus, 32),
+        # P=16 beats P=32 at sf0.1 scale: per-round barrier cost grows
+        # with P while per-partition compute is tiny (measured:
+        # 14 ms vs 51 ms per superstep)
+        num_parts=min(num_cpus, 16),
         hub_threshold=8192,
     )
     eng = g.engine  # actor pool up
@@ -103,28 +106,86 @@ def run_bench() -> dict:
     return out
 
 
-def run_child(ncpu: int) -> dict:
+def run_scaling_job() -> dict:
+    """One scaling-run child: big deterministic synthetic graph, fixed
+    P=32 partitioning (identical job at every CPU count), PageRank for
+    a fixed number of rounds; reports edges/sec of the superstep loop.
+
+    The graph is sized so per-round per-partition compute (~tens of ms
+    of numpy over ~8M edges) dominates the BSP barrier (~20 ms at
+    P=32) — the regime a real multi-node deployment operates in."""
+    import ray
+    import ray.data
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
+    V = int(os.environ.get("GRAFT_SCALE_V", 2_000_000))
+    E = int(os.environ.get("GRAFT_SCALE_E", 256_000_000))
+    rounds = int(os.environ.get("GRAFT_SCALE_ROUNDS", 20))
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from graphscope_ray.graph.api import Graph
+    from graphscope_ray.synth import synth_edge_dataset
+
+    t0 = time.perf_counter()
+    edges = synth_edge_dataset(V, E)
+    g = Graph.from_edges(
+        edges,
+        workdir=f"/tmp/gsr-scale-{num_cpus}",
+        oid_space=False,            # already dense vids
+        num_vertices=V,
+        num_parts=32,               # fixed partitioning across CPU counts
+        hub_threshold=1_000_000,
+    )
+    build = time.perf_counter() - t0
+    eng = g.engine
+    g.pagerank(max_round=2)         # warm actors / page cache
+    s0, n0 = eng.superstep_seconds, eng.supersteps
+    g.pagerank(max_round=rounds)
+    sec = eng.superstep_seconds - s0
+    steps = eng.supersteps - n0
+    E_actual = g.store.meta["num_edges"]
+    eps = E_actual * steps / sec if sec > 0 else 0.0
+    out = {
+        "num_cpus": num_cpus, "V": V, "E": E_actual, "rounds": steps,
+        "build_sec": round(build, 1), "superstep_sec": round(sec, 3),
+        "edges_per_sec": round(eps, 1),
+    }
+    g.close()
+    ray.shutdown()
+    return out
+
+
+def run_child(ncpu: int, extra=()) -> dict:
     env = dict(os.environ, RAY_GRAFT_CPUS=str(ncpu))
-    proc = subprocess.run([sys.executable, os.path.abspath(__file__)],
-                          env=env, capture_output=True, text=True, check=True)
+    proc = subprocess.run(
+        [sys.executable, os.path.abspath(__file__), *extra],
+        env=env, capture_output=True, text=True, check=True)
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def main():
+    if "--scaling-child" in sys.argv:
+        print(json.dumps(run_scaling_job()))
+        return
     if "--scaling" in sys.argv:
         lo, hi = 8, 32
-        r_lo = run_child(lo)
-        r_hi = run_child(hi)
-        eps_lo = r_lo["queries"]["pagerank_edges_per_sec"]
-        eps_hi = r_hi["queries"]["pagerank_edges_per_sec"]
+        r_lo = run_child(lo, ["--scaling-child"])
+        r_hi = run_child(hi, ["--scaling-child"])
+        eps_lo = r_lo["edges_per_sec"]
+        eps_hi = r_hi["edges_per_sec"]
         eff = (eps_hi / eps_lo) / (hi / lo) if eps_lo else 0.0
         print(json.dumps({
-            "metric": "pagerank edges/sec scaling 8→32 CPUs",
+            "metric": "pagerank edges/sec scaling 8→32 CPUs "
+                      "(fixed P=32 synthetic graph)",
             "cpus_lo": lo, "cpus_hi": hi,
             "edges_per_sec_lo": eps_lo, "edges_per_sec_hi": eps_hi,
-            "sec_lo": r_lo["value"], "sec_hi": r_hi["value"],
+            "superstep_sec_lo": r_lo["superstep_sec"],
+            "superstep_sec_hi": r_hi["superstep_sec"],
+            "V": r_hi["V"], "E": r_hi["E"], "rounds": r_hi["rounds"],
             "scaling_efficiency": round(eff, 3),
-            "sf": r_hi["sf"],
         }))
         return
     print(json.dumps(run_bench()))

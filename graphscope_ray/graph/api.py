@@ -163,6 +163,23 @@ class Graph:
         """BFS depth — `benchmarks/apps/bfs/bfs.h` (unreachable = -1)."""
         return self.engine.bfs(self.vid_of_oid(source), **kw)
 
+    def sssp_path(self, source, **kw) -> ray.data.Dataset:
+        """SSSP with predecessors — `apps/sssp/sssp_path.h`."""
+        return self.engine.sssp_path(self.vid_of_oid(source), **kw)
+
+    def sssp_has_path(self, source, target, **kw) -> bool:
+        """Reachability — `apps/sssp/sssp_has_path.h`."""
+        return self.engine.sssp_has_path(
+            self.vid_of_oid(source), self.vid_of_oid(target), **kw)
+
+    def sssp_average_length(self, **kw) -> float:
+        """All-pairs mean shortest path — `apps/sssp/sssp_average_length.h`."""
+        return self.engine.sssp_average_length(**kw)
+
+    def bfs_generic(self, source, **kw) -> ray.data.Dataset:
+        """BFS tree edges/predecessors/successors — `apps/bfs/bfs_generic.h`."""
+        return self.engine.bfs_generic(self.vid_of_oid(source), **kw)
+
     def kcore(self, k: int) -> ray.data.Dataset:
         """k-core membership — `apps/kcore/kcore.h:31-129`."""
         return self.engine.kcore(k)

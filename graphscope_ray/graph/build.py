@@ -168,6 +168,8 @@ def build_graph(
         hub_rows = degrees.filter(
             expr=f"out_deg > {int(hub_threshold)}"
         ).to_pandas()
+        if "vid" not in hub_rows.columns:  # no hubs → schemaless empty df
+            hub_rows = hub_rows.assign(vid=np.array([], dtype=np.int64))
         hubs = np.sort(hub_rows["vid"].to_numpy(dtype=np.int64))
         if len(hubs) > max_hubs:
             raise ValueError(

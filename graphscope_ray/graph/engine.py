@@ -52,6 +52,13 @@ def _nth(lst, i):
 
 
 @ray.remote
+def _spath_table(triple) -> pa.Table:
+    vids, dist, pred = triple
+    return pa.table({"vid": pa.array(vids), "dist": pa.array(dist),
+                     "pred": pa.array(pred)})
+
+
+@ray.remote
 def _two_col_table(pair_a, pair_b, name_a: str, name_b: str) -> pa.Table:
     vids, a = pair_a
     _, b = pair_b
@@ -105,7 +112,8 @@ class Lineage:
 
 class BSPEngine:
     def __init__(self, store: "GraphStore | str",
-                 *, num_cpus_per_actor: Optional[float] = None):
+                 *, num_cpus_per_actor: Optional[float] = None,
+                 msg_mode: str = "packed"):
         if isinstance(store, str):
             store = GraphStore(store)
         self.store = store
@@ -121,12 +129,14 @@ class BSPEngine:
             num_cpus_per_actor = min(0.25, max(0.05, avail / (4.0 * self.P)))
         self.has_hubs = len(store.meta["hubs"]) > 0
         self.n_hubs = len(store.meta["hubs"])
+        self.msg_mode = msg_mode
         actor_cls = ray.remote(num_cpus=num_cpus_per_actor)(GraphPartition)
         self.actors = [
             actor_cls.remote(store.path, p) for p in range(self.P)
         ]
-        # force construction errors to surface now
-        ray.get([a.local_vids.remote() for a in self.actors])
+        # force construction errors to surface now + set message mode
+        ray.get([a.set_packed.remote(self.msg_mode == "packed")
+                 for a in self.actors])
         self.superstep_seconds = 0.0
         self.supersteps = 0
 
@@ -157,6 +167,22 @@ class BSPEngine:
         sargs = tuple(scatter_args) + ((hub_ref,) if hub_method else ())
         skw = scatter_kwargs or {}
         akw = apply_kwargs or {}
+        if self.msg_mode == "packed":
+            # One object per source actor holding all P destination
+            # slices; receivers read the shared plasma buffer and take
+            # their slice (partition.GraphPartition._unpack). P objects
+            # per round instead of P² — the right trade locally and on
+            # small clusters; "sliced" ships only each destination's
+            # slice and is the per-node-locality mode for large
+            # clusters.
+            packed = [getattr(a, scatter).remote(*sargs, **skw)
+                      for a in self.actors]
+            results = [
+                getattr(self.actors[p], apply_).remote(
+                    *apply_args, *packed, **akw)
+                for p in range(self.P)
+            ]
+            return ray.get(results)
         if self.P == 1:
             # num_returns=1 would wrap the whole list; unwrap explicitly
             matrix = [
@@ -348,6 +374,98 @@ class BSPEngine:
             return pa.table({"vid": t["vid"], "depth": pa.array(depth)})
 
         return ds.map_batches(to_depth, batch_format="pyarrow")
+
+    def sssp_path(self, source: int, *, unit: bool = False,
+                  max_iter: int = 100_000) -> ray.data.Dataset:
+        """SSSP with predecessors — apps/sssp/sssp_path.h (output rows
+        (vid, dist, pred); pred = -1 when unreachable)."""
+        ray.get([a.spath_init.remote(int(source), unit)
+                 for a in self.actors])
+        rnd = 0
+        t0 = time.perf_counter()
+        while rnd < max_iter:
+            rnd += 1
+            changed = self._exchange(
+                "spath_scatter", "spath_apply",
+                hub_method="spath_get_hub_vals" if self.has_hubs else None,
+            )
+            if int(sum(changed)) == 0:
+                break
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rnd
+        pairs = [a.spath_result.remote() for a in self.actors]
+        tables = [_spath_table.remote(pr) for pr in pairs]
+        return ray.data.from_arrow_refs(tables)
+
+    def sssp_has_path(self, source: int, target: int, **kw) -> bool:
+        """apps/sssp/sssp_has_path.h — reachability via the dist map."""
+        ds = self.sssp(source, unit=True, **kw)
+        import pyarrow.compute as pc
+
+        def pick(t: pa.Table) -> pa.Table:
+            return t.filter(pc.equal(t["vid"], target))
+
+        rows = ds.map_batches(pick, batch_format="pyarrow").take_all()
+        return bool(rows) and np.isfinite(rows[0]["dist"])
+
+    def sssp_average_length(self, *, unit: bool = False, batch_k: int = 64,
+                            max_sources: Optional[int] = None,
+                            max_iter: int = 10_000) -> float:
+        """Average shortest-path length over all (source, target) pairs
+        with finite distance — apps/sssp/sssp_average_length.h ("time
+        consuming" in the reference too). Runs multi-source sweeps of
+        ``batch_k`` sources; ``max_sources`` subsamples deterministically
+        (first k vids) for large graphs."""
+        sources = np.arange(self.V, dtype=np.int64)
+        if max_sources is not None:
+            sources = sources[:max_sources]
+        total, count = 0.0, 0
+        t0 = time.perf_counter()
+        for i in range(0, len(sources), batch_k):
+            batch = sources[i: i + batch_k]
+            ray.get([a.msssp_init.remote(batch, unit) for a in self.actors])
+            rnd = 0
+            while rnd < max_iter:
+                rnd += 1
+                changed = self._exchange("msssp_scatter", "msssp_apply")
+                if int(sum(changed)) == 0:
+                    break
+            self.supersteps += rnd
+            sums = ray.get([a.msssp_sums.remote() for a in self.actors])
+            total += sum(s[0] for s in sums)
+            count += sum(s[1] for s in sums)
+        self.superstep_seconds += time.perf_counter() - t0
+        # finite self-distances (the diagonal zeros) are excluded
+        count -= len(sources)
+        return total / count if count > 0 else 0.0
+
+    def bfs_generic(self, source: int, *, output_format: str = "edges",
+                    depth_limit: Optional[int] = None) -> ray.data.Dataset:
+        """BFS tree outputs — apps/bfs/bfs_generic.h:36-199: formats
+        'edges' (pred → node), 'predecessors' (node, pred),
+        'successors' (node, succ)."""
+        ds = self.sssp_path(source, unit=True,
+                            max_iter=depth_limit or 100_000)
+
+        def fmt(t: pa.Table) -> pa.Table:
+            vid = t["vid"].to_numpy()
+            dist = t["dist"].to_numpy()
+            pred = t["pred"].to_numpy()
+            keep = np.isfinite(dist) & (vid != source)
+            if depth_limit is not None:
+                keep &= dist <= depth_limit
+            vid, pred = vid[keep], pred[keep]
+            if output_format == "edges":
+                return pa.table({"src": pa.array(pred), "dst": pa.array(vid)})
+            if output_format == "predecessors":
+                return pa.table({"node": pa.array(vid),
+                                 "predecessor": pa.array(pred)})
+            if output_format == "successors":
+                return pa.table({"node": pa.array(pred),
+                                 "successor": pa.array(vid)})
+            raise ValueError(output_format)
+
+        return ds.map_batches(fmt, batch_format="pyarrow")
 
     # -- k-core / k-shell ---------------------------------------------
 

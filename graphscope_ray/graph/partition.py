@@ -125,6 +125,14 @@ class GraphPartition:
             self.out_deg[vid // self.P] = deg
 
         self.state: dict = {}
+        # message packing mode: True → scatter returns ONE compact
+        # ("P", bounds, col...) tuple (few big buffers; cheap to
+        # (de)serialize); False → list of per-destination slices for
+        # num_returns=P routing (per-node locality on large clusters)
+        self.packed = True
+
+    def set_packed(self, flag: bool):
+        self.packed = bool(flag)
 
     # ------------------------------------------------------------------
     # shared kernels
@@ -144,6 +152,11 @@ class GraphPartition:
             out[self.foreign_idx] = hub_vals[self.foreign_hub_pos]
         return out
 
+    def _empty_msgs(self):
+        if self.packed:
+            return ("P", np.zeros(self.P + 1, np.int64))
+        return [None] * self.P
+
     def _split_groups(self, combined: np.ndarray):
         """Split per-group combined values into P (dst_ids, vals) blocks."""
         msgs = []
@@ -157,16 +170,24 @@ class GraphPartition:
 
     def _scatter_sum(self, edge_vals: np.ndarray):
         if self.E == 0:
-            return [None] * self.P
+            return self._empty_msgs()
         sums = np.add.reduceat(edge_vals, self.grp_start)
+        if self.packed:
+            return ("P", self.part_slices, self.uniq_dst, sums)
         return self._split_groups(sums)
 
     def _scatter_min(self, edge_vals: np.ndarray, sentinel):
         """Min-combine; groups whose min is the sentinel are dropped."""
         if self.E == 0:
-            return [None] * self.P
+            return self._empty_msgs()
         mins = np.minimum.reduceat(edge_vals, self.grp_start)
         live = mins != sentinel
+        if self.packed:
+            dst = self.uniq_dst[live]
+            vals = mins[live]
+            bounds = np.searchsorted(self.part_of_grp[live],
+                                     np.arange(self.P + 1))
+            return ("P", bounds, dst, vals)
         msgs = []
         for q in range(self.P):
             a, b = self.part_slices[q], self.part_slices[q + 1]
@@ -177,8 +198,27 @@ class GraphPartition:
                 msgs.append((self.uniq_dst[a:b][lv], mins[a:b][lv]))
         return msgs
 
-    @staticmethod
-    def _concat_msgs(msgs):
+    def _unpack(self, msgs):
+        """Packed-mode support: a compact ("P", bounds, col...) message
+        is a full scatter output — slice this partition's rows out of
+        the shared buffers. Plain tuples/None pass through (sliced)."""
+        out = []
+        for m in msgs:
+            if isinstance(m, tuple) and len(m) >= 2 and m[0] == "P":
+                if len(m) == 2:
+                    out.append(None)
+                    continue
+                a, b = int(m[1][self.p]), int(m[1][self.p + 1])
+                out.append(None if a == b
+                           else tuple(arr[a:b] for arr in m[2:]))
+            elif isinstance(m, list):
+                out.append(m[self.p])
+            else:
+                out.append(m)
+        return out
+
+    def _concat_msgs(self, msgs):
+        msgs = self._unpack(msgs)
         parts = [m for m in msgs if m is not None and len(m[0])]
         if not parts:
             return None, None
@@ -262,7 +302,7 @@ class GraphPartition:
     def wcc_scatter(self, hub_vals=None):
         s = self.state["wcc"]
         if self.E == 0:
-            return [None] * self.P
+            return self._empty_msgs()
         vals = self._edge_src_vals(s["label"], hub_vals)
         # non-frontier sources are masked to the sentinel (dropped groups)
         active = s["frontier"][self.src_local]
@@ -308,7 +348,7 @@ class GraphPartition:
     def cdlp_scatter(self, hub_vals=None):
         s = self.state["cdlp"]
         if self.E == 0:
-            return [None] * self.P
+            return self._empty_msgs()
         labels = self._edge_src_vals(s["label"], hub_vals)
         wts = self.w if s["weighted"] else np.ones(self.E)
         # partial (group, label) → count/weight-sum, vectorized
@@ -330,6 +370,8 @@ class GraphPartition:
         # g ascending → still in (dst % P, dst) order
         dsts = self.uniq_dst[g]
         bounds = np.searchsorted(self.part_of_grp[g], np.arange(self.P + 1))
+        if self.packed:
+            return ("P", bounds, dsts, lab, cnt)
         msgs = []
         for q in range(self.P):
             a, b = bounds[q], bounds[q + 1]
@@ -342,6 +384,7 @@ class GraphPartition:
 
     def cdlp_apply(self, *msgs):
         s = self.state["cdlp"]
+        msgs = self._unpack(msgs)
         parts = [m for m in msgs if m is not None and len(m[0])]
         if not parts:
             return 0
@@ -393,7 +436,7 @@ class GraphPartition:
     def sssp_scatter(self, hub_vals=None):
         s = self.state["sssp"]
         if self.E == 0:
-            return [None] * self.P
+            return self._empty_msgs()
         d = self._edge_src_vals(s["dist"], hub_vals)
         active = s["frontier"][self.src_local]
         if len(self.foreign_idx):
@@ -423,6 +466,153 @@ class GraphPartition:
         return self.local_vids(), self.state["sssp"]["dist"]
 
     # ------------------------------------------------------------------
+    # SSSP with predecessor tracking (apps/sssp/sssp_path.h:41-163:
+    # relax keeps the predecessor; ties broken by min predecessor id so
+    # results are partition-count-independent).
+    # ------------------------------------------------------------------
+
+    def spath_init(self, source: int, unit: bool):
+        dist = np.full(self.nlocal, FLT_SENTINEL)
+        pred = np.full(self.nlocal, -1, dtype=np.int64)
+        if source % self.P == self.p:
+            dist[source // self.P] = 0.0
+            pred[source // self.P] = source
+        self.state["spath"] = {
+            "dist": dist, "pred": pred,
+            "frontier": np.isfinite(dist), "unit": bool(unit),
+        }
+
+    def spath_scatter(self, hub_vals=None):
+        s = self.state["spath"]
+        if self.E == 0:
+            return self._empty_msgs()
+        d = self._edge_src_vals(s["dist"], hub_vals)
+        active = s["frontier"][self.src_local]
+        if len(self.foreign_idx):
+            active = active.copy()
+            active[self.foreign_idx] = True
+        step = np.ones(self.E) if (s["unit"] or self.w is None) else self.w
+        cand = np.where(active & np.isfinite(d), d + step, FLT_SENTINEL)
+        # per-group argmin with min-parent tiebreak
+        order = np.lexsort((self.src, cand, self.edge_grp))
+        first = np.empty(self.E, dtype=bool)
+        first[0] = True
+        g_o = self.edge_grp[order]
+        first[1:] = g_o[1:] != g_o[:-1]
+        sel = order[np.flatnonzero(first)]
+        live = cand[sel] != FLT_SENTINEL
+        sel = sel[live]
+        dst = self.dst[sel]
+        bounds = np.searchsorted(dst % self.P, np.arange(self.P + 1))
+        payload = (dst, cand[sel], self.src[sel])
+        if self.packed:
+            return ("P", bounds) + payload
+        return [
+            None if bounds[q] == bounds[q + 1]
+            else tuple(arr[bounds[q]:bounds[q + 1]] for arr in payload)
+            for q in range(self.P)
+        ]
+
+    def spath_get_hub_vals(self):
+        s = self.state["spath"]
+        return self.hub_own_pos, s["dist"][self.hub_own_local]
+
+    def spath_apply(self, *msgs):
+        s = self.state["spath"]
+        msgs = self._unpack(msgs)
+        parts = [m for m in msgs if m is not None and len(m[0])]
+        if not parts:
+            s["frontier"] = np.zeros(self.nlocal, dtype=bool)
+            return 0
+        dst = np.concatenate([m[0] for m in parts])
+        dist = np.concatenate([m[1] for m in parts])
+        pred = np.concatenate([m[2] for m in parts])
+        dl = dst // self.P
+        order = np.lexsort((pred, dist, dl))
+        dl, dist, pred = dl[order], dist[order], pred[order]
+        first = np.empty(len(dl), dtype=bool)
+        first[0] = True
+        first[1:] = dl[1:] != dl[:-1]
+        sel = np.flatnonzero(first)
+        dl, dist, pred = dl[sel], dist[sel], pred[sel]
+        better = dist < s["dist"][dl]
+        # equal-distance min-parent tie (determinism across P)
+        tie = (dist == s["dist"][dl]) & (pred < s["pred"][dl])
+        upd = better | tie
+        s["dist"][dl[upd]] = dist[upd]
+        s["pred"][dl[upd]] = pred[upd]
+        frontier = np.zeros(self.nlocal, dtype=bool)
+        frontier[dl[better]] = True
+        s["frontier"] = frontier
+        return int(better.sum())
+
+    def spath_result(self):
+        s = self.state["spath"]
+        return self.local_vids(), s["dist"], s["pred"]
+
+    # ------------------------------------------------------------------
+    # multi-source SSSP (K sources at once; dist is nlocal × K) — the
+    # building block for sssp_average_length's all-pairs sweep
+    # (apps/sssp/sssp_average_length.h).
+    # ------------------------------------------------------------------
+
+    def msssp_init(self, sources: np.ndarray, unit: bool):
+        K = len(sources)
+        dist = np.full((self.nlocal, K), FLT_SENTINEL)
+        owned = sources % self.P == self.p
+        dist[sources[owned] // self.P, np.flatnonzero(owned)] = 0.0
+        self.state["msssp"] = {
+            "dist": dist, "unit": bool(unit),
+            "frontier": np.isfinite(dist).any(axis=1),
+        }
+
+    def msssp_scatter(self, hub_vals=None):
+        s = self.state["msssp"]
+        if self.E == 0:
+            return self._empty_msgs()
+        dmat = s["dist"][self.src_local]  # E × K (hub split unsupported)
+        if len(self.foreign_idx):
+            raise NotImplementedError("msssp does not support split hubs")
+        step = (np.ones(self.E) if (s["unit"] or self.w is None)
+                else self.w)[:, None]
+        cand = np.where(np.isfinite(dmat), dmat + step, FLT_SENTINEL)
+        mins = np.minimum.reduceat(cand, self.grp_start, axis=0)
+        live = np.isfinite(mins).any(axis=1)
+        if self.packed:
+            bounds = np.searchsorted(self.part_of_grp[live],
+                                     np.arange(self.P + 1))
+            return ("P", bounds, self.uniq_dst[live], mins[live])
+        msgs = []
+        dstl = self.uniq_dst[live]
+        minl = mins[live]
+        bounds = np.searchsorted(dstl % self.P, np.arange(self.P + 1))
+        for q in range(self.P):
+            a, b = bounds[q], bounds[q + 1]
+            msgs.append(None if a == b else (dstl[a:b], minl[a:b]))
+        return msgs
+
+    def msssp_apply(self, *msgs):
+        s = self.state["msssp"]
+        msgs = self._unpack(msgs)
+        parts = [m for m in msgs if m is not None and len(m[0])]
+        if not parts:
+            return 0
+        dst = np.concatenate([m[0] for m in parts])
+        vals = np.concatenate([m[1] for m in parts], axis=0)
+        dl = dst // self.P
+        old = s["dist"][dl].copy()
+        np.minimum.at(s["dist"], dl, vals)
+        changed = (s["dist"][dl] < old).any(axis=1)
+        return int(np.unique(dl[changed]).size)
+
+    def msssp_sums(self):
+        """(Σ finite dists, count finite, per partition) excluding the
+        source-to-self zeros handled driver-side."""
+        d = self.state["msssp"]["dist"]
+        finite = np.isfinite(d)
+        return float(d[finite].sum()), int(finite.sum())
+
+    # ------------------------------------------------------------------
     # k-core peeling (apps/kcore/kcore.h:31-129): iteratively drop
     # vertices with degree < k; messages are degree decrements.
     # ------------------------------------------------------------------
@@ -443,7 +633,7 @@ class GraphPartition:
         s = self.state["kcore"]
         if self.E == 0:
             s["alive"] &= ~s["doomed"]
-            return [None] * self.P
+            return self._empty_msgs()
         removed = s["doomed"][self.src_local].astype(np.float64)
         if len(self.foreign_idx):
             removed[self.foreign_idx] = hub_vals[self.foreign_hub_pos]
@@ -475,7 +665,7 @@ class GraphPartition:
                     use_weight: bool = False):
         s = self.state[name]
         if self.E == 0:
-            return [None] * self.P
+            return self._empty_msgs()
         vals = self._edge_src_vals(s["x"], hub_vals)
         if use_weight and self.w is not None:
             vals = vals * self.w

@@ -1,0 +1,84 @@
+"""sssp_path / has_path / average_length / bfs_generic vs oracle."""
+
+import numpy as np
+import pytest
+
+from graphscope_ray import oracle
+from graphscope_ray.graph.build import build_graph
+from graphscope_ray.graph.engine import BSPEngine
+
+from conftest import CHAIN_10, collect, edges_ds, random_graph
+
+
+def make_engine(tmp_path, edges_np, n, P, tag="", **kw):
+    store = build_graph(edges_ds(edges_np, kw.pop("weights", None)),
+                        str(tmp_path / f"s{P}{tag}"),
+                        num_parts=P, num_vertices=n, **kw)
+    return BSPEngine(store)
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_sssp_path(tmp_path, P):
+    e, n = random_graph(seed=41), 60
+    rng = np.random.default_rng(4)
+    w = rng.uniform(0.5, 2.0, size=len(e))
+    store = build_graph(edges_ds(e, w), str(tmp_path / f"sp{P}"),
+                        num_parts=P, num_vertices=n, weight_col="weight")
+    eng = BSPEngine(store)
+    pdf = eng.sssp_path(0).to_pandas().sort_values("vid")
+    dist = pdf["dist"].to_numpy()
+    pred = pdf["pred"].to_numpy()
+    want = oracle.sssp(e, n, 0, w)
+    np.testing.assert_allclose(dist, want, atol=1e-12)
+    # predecessor validity: dist[v] == dist[pred[v]] + w(pred→v)
+    wmap = {(int(a), int(b)): float(x) for (a, b), x in zip(e, w)}
+    for v in range(n):
+        if np.isfinite(dist[v]) and v != 0:
+            p = int(pred[v])
+            assert p >= 0
+            assert abs(dist[v] - (dist[p] + wmap[(p, v)])) < 1e-9
+    eng.shutdown()
+
+
+def test_sssp_path_partition_invariant(tmp_path):
+    e, n = random_graph(seed=43), 60
+    outs = []
+    for P in (2, 5):
+        eng = make_engine(tmp_path, e, n, P, tag="inv")
+        pdf = eng.sssp_path(0, unit=True).to_pandas().sort_values("vid")
+        outs.append(pdf[["dist", "pred"]].to_numpy())
+        eng.shutdown()
+    np.testing.assert_array_equal(outs[0], outs[1])
+
+
+def test_sssp_has_path(tmp_path):
+    e, n = CHAIN_10, 10
+    eng = make_engine(tmp_path, e, n, 2)
+    assert eng.sssp_has_path(0, 9)
+    assert not eng.sssp_has_path(9, 0)  # directed chain
+    eng.shutdown()
+
+
+def test_sssp_average_length(tmp_path):
+    e, n = CHAIN_10, 10
+    eng = make_engine(tmp_path, e, n, 2)
+    got = eng.sssp_average_length(unit=True, batch_k=4)
+    # directed chain: sum over i<j of (j-i) / count
+    pairs = [(j - i) for i in range(n) for j in range(i + 1, n)]
+    assert abs(got - sum(pairs) / len(pairs)) < 1e-9
+    eng.shutdown()
+
+
+def test_bfs_generic_formats(tmp_path):
+    e, n = CHAIN_10, 10
+    eng = make_engine(tmp_path, e, n, 3)
+    edges = eng.bfs_generic(0, output_format="edges").to_pandas()
+    got = sorted(map(tuple, edges[["src", "dst"]].to_numpy()))
+    assert got == [(i, i + 1) for i in range(9)]
+    preds = eng.bfs_generic(0, output_format="predecessors").to_pandas()
+    assert sorted(map(tuple, preds.to_numpy())) == [
+        (i + 1, i) for i in range(9)]
+    succs = eng.bfs_generic(0, output_format="successors").to_pandas()
+    assert sorted(map(tuple, succs.to_numpy())) == [
+        (i, i + 1) for i in range(9)]
+    eng.shutdown()
