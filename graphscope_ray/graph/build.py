@@ -10,14 +10,20 @@ with Ray Data stages writing a resumable on-disk store:
       edges/part=<p>/*.parquet       # (src, dst[, weight]) int64
       degrees/part=<p>/*.parquet     # (vid, out_deg) — global out-degrees
 
-Partition rule: ``part = src % P``; **hub splitting** (explicit skew
-mitigation, SURVEY.md §4): vertices with out-degree above
-``hub_threshold`` get their out-edges spread as ``part = (src + dst) %
-P`` — the hub's state stays with its owner, and per-round the driver
-broadcasts the (small) hub value vector to all partitions via one
-``ray.put``. This is the "high-degree vertex splitting" the north rule
-demands: scatter work for a 10M-degree hub lands on every partition
-instead of one straggler.
+Build plan (one full pass over the edges + P local tasks):
+
+1. normalize columns (cast, optional symmetrize / dual-direction tag),
+   add ``part = src % P``, ``write_parquet(partition_cols=['part'])``;
+2. P parallel tasks, one per partition directory: out-degrees of the
+   partition's owned sources by ``np.unique`` (every out-edge of an
+   owned source lives in its partition, so NO shuffle — the degree
+   aggregate that would otherwise move O(E) rows is free), plus
+   max-vid / edge-count stats;
+3. optional **hub splitting** (explicit skew mitigation, SURVEY.md §4):
+   sources with out-degree above ``hub_threshold`` get their out-edges
+   re-spread as ``part = (src + dst) % P`` — P rewrite tasks move ONLY
+   hub edges; the hub's vertex state stays with its owner and the
+   engine broadcasts the (small) hub value vector once per round.
 """
 
 from __future__ import annotations
@@ -28,7 +34,9 @@ import shutil
 
 import numpy as np
 import pyarrow as pa
+import pyarrow.parquet as pq
 
+import ray
 import ray.data
 
 
@@ -59,6 +67,90 @@ class GraphStore:
         return os.path.join(self.path, "degrees", f"part={p}")
 
 
+@ray.remote
+def _part_stats(store_path: str, p: int, P: int,
+                hub_threshold) -> dict:
+    """Per-partition pass: write degrees of owned sources, return
+    stats + hub candidates. No shuffle — partitioning by src % P means
+    every out-edge of an owned source is local."""
+    edir = os.path.join(store_path, "edges", f"part={p}")
+    ddir = os.path.join(store_path, "degrees", f"part={p}")
+    os.makedirs(ddir, exist_ok=True)
+    if not os.path.isdir(edir) or not os.listdir(edir):
+        pq.write_table(
+            pa.table({"vid": pa.array([], pa.int64()),
+                      "out_deg": pa.array([], pa.int64())}),
+            os.path.join(ddir, "part.parquet"),
+        )
+        return {"edges": 0, "max_vid": -1, "hubs": []}
+    t = pq.read_table(edir, columns=["src", "dst"])
+    src = t["src"].to_numpy()
+    dst = t["dst"].to_numpy()
+    vid, cnt = np.unique(src, return_counts=True)
+    pq.write_table(
+        pa.table({"vid": vid, "out_deg": cnt.astype(np.int64)}),
+        os.path.join(ddir, "part.parquet"),
+    )
+    hubs = (
+        vid[cnt > hub_threshold].tolist() if hub_threshold is not None else []
+    )
+    return {
+        "edges": len(src),
+        "max_vid": int(max(src.max(initial=-1), dst.max(initial=-1))),
+        "hubs": hubs,
+    }
+
+
+@ray.remote
+def _extract_hub_edges(store_path: str, p: int, hubs: np.ndarray):
+    """Remove hub-source edges from partition p's files; return them."""
+    edir = os.path.join(store_path, "edges", f"part={p}")
+    if not os.path.isdir(edir):
+        return None
+    moved = []
+    for fn in sorted(os.listdir(edir)):
+        fp = os.path.join(edir, fn)
+        t = pq.read_table(fp)
+        src = t["src"].to_numpy()
+        pos = np.clip(np.searchsorted(hubs, src), 0, len(hubs) - 1)
+        is_hub = hubs[pos] == src
+        if not is_hub.any():
+            continue
+        keep = t.filter(pa.array(~is_hub))
+        hub_rows = t.filter(pa.array(is_hub))
+        tmp = fp + ".tmp"
+        pq.write_table(keep, tmp)
+        os.replace(tmp, fp)
+        moved.append(hub_rows)
+    if not moved:
+        return None
+    return pa.concat_tables(moved)
+
+
+@ray.remote
+def _write_hub_edges(store_path: str, q: int, P: int, *tables) -> int:
+    """Append this destination's share of the redistributed hub edges
+    (part = (src + dst) % P == q). Runs per destination partition with
+    the extracted tables passed as object refs — nothing is gathered on
+    the driver."""
+    mine = []
+    for t in tables:
+        if t is None or not t.num_rows:
+            continue
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        m = ((src + dst) % P) == q
+        if m.any():
+            mine.append(t.filter(pa.array(m)))
+    if not mine:
+        return 0
+    out = pa.concat_tables(mine)
+    edir = os.path.join(store_path, "edges", f"part={q}")
+    os.makedirs(edir, exist_ok=True)
+    pq.write_table(out, os.path.join(edir, "hub-edges.parquet"))
+    return out.num_rows
+
+
 def build_graph(
     edges: ray.data.Dataset,
     path: str,
@@ -77,7 +169,9 @@ def build_graph(
     :func:`assign_dense_ids`) and optionally ``weight_col``.
     ``symmetrize=True`` unions the reversed edges first (the
     reference's apps treat the test graphs as undirected; WCC always
-    walks both directions — ``benchmarks/apps/wcc/wcc.h:58``).
+    walks both directions — ``benchmarks/apps/wcc/wcc.h:58``);
+    ``directions='both'`` instead stores both orientations with a
+    direction flag (dual-CSR analogue, for HITS).
     """
     P = int(num_parts)
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
@@ -100,14 +194,9 @@ def build_graph(
 
     has_dir = directions == "both"
     if has_dir:
-        # store both orientations tagged with a direction flag — the
-        # analogue of the reference's dual in/out CSR
-        # (arrow_projected_fragment.h:431-485); HITS scatters hub along
-        # dir=0 (out-edges) and auth along dir=1 (reversed in-edges).
         def tag_fwd(t: pa.Table) -> pa.Table:
             return t.append_column(
-                "dir", pa.array(np.zeros(len(t), dtype=np.int8))
-            )
+                "dir", pa.array(np.zeros(len(t), dtype=np.int8)))
 
         def tag_rev(t: pa.Table) -> pa.Table:
             arrs = {"src": t["dst"], "dst": t["src"]}
@@ -115,14 +204,12 @@ def build_graph(
                 arrs["weight"] = t["weight"]
             out = pa.table(arrs).select([c for c in t.column_names])
             return out.append_column(
-                "dir", pa.array(np.ones(len(t), dtype=np.int8))
-            )
+                "dir", pa.array(np.ones(len(t), dtype=np.int8)))
 
         e = e.map_batches(tag_fwd, batch_format="pyarrow").union(
-            e.map_batches(tag_rev, batch_format="pyarrow")
-        )
+            e.map_batches(tag_rev, batch_format="pyarrow"))
 
-    def cast_ids(t: pa.Table) -> pa.Table:
+    def normalize(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         t = t.set_column(t.schema.get_field_index("src"), "src",
                          pc.cast(t["src"], pa.int64()))
@@ -131,88 +218,44 @@ def build_graph(
         if has_weight:
             t = t.set_column(t.schema.get_field_index("weight"), "weight",
                              pc.cast(t["weight"], pa.float64()))
-        return t
-
-    e = e.map_batches(cast_ids, batch_format="pyarrow")
-    # One pipeline feeds both the degree aggregate and the partitioned
-    # write; materialize once so the symmetrize/cast work isn't re-run.
-    e = e.materialize()
-
-    # Global out-degrees (per-batch partial counts → small groupby).
-    def partial_deg(t: pa.Table) -> pa.Table:
-        src = t["src"].to_numpy()
-        vid, cnt = np.unique(src, return_counts=True)
-        return pa.table({"vid": vid, "_d": cnt.astype(np.int64)})
-
-    from ray.data.aggregate import Sum
-    degrees = (
-        e.map_batches(partial_deg, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("_d", alias_name="out_deg"))
-    ).materialize()
-
-    if num_vertices is None:
-        # max over src/dst + 1 (vids are dense ranks)
-        def minmax(t: pa.Table) -> pa.Table:
-            m = max(
-                int(t["src"].to_numpy().max(initial=-1)),
-                int(t["dst"].to_numpy().max(initial=-1)),
-            )
-            return pa.table({"m": pa.array([m], pa.int64())})
-        mx = e.map_batches(minmax, batch_format="pyarrow").max("m")
-        num_vertices = int(mx) + 1
-
-    # Hub detection (driver-side small list; bounded by max_hubs).
-    hubs: np.ndarray = np.array([], dtype=np.int64)
-    if hub_threshold is not None:
-        hub_rows = degrees.filter(
-            expr=f"out_deg > {int(hub_threshold)}"
-        ).to_pandas()
-        if "vid" not in hub_rows.columns:  # no hubs → schemaless empty df
-            hub_rows = hub_rows.assign(vid=np.array([], dtype=np.int64))
-        hubs = np.sort(hub_rows["vid"].to_numpy(dtype=np.int64))
-        if len(hubs) > max_hubs:
-            raise ValueError(
-                f"{len(hubs)} hubs above threshold {hub_threshold} exceeds "
-                f"max_hubs={max_hubs}; raise the threshold"
-            )
-
-    hubs_list = hubs.tolist()
-    hub_arr_ref = None
-    if len(hubs_list):
-        import ray as _ray
-        hub_arr_ref = _ray.put(hubs)
-
-    def add_part(t: pa.Table) -> pa.Table:
-        src = t["src"].to_numpy()
-        part = src % P
-        if hub_arr_ref is not None:
-            import ray as _ray
-            h = _ray.get(hub_arr_ref)
-            idx = np.searchsorted(h, src)
-            idx = np.clip(idx, 0, len(h) - 1)
-            is_hub = h[idx] == src
-            if is_hub.any():
-                dst = t["dst"].to_numpy()
-                part = np.where(is_hub, (src + dst) % P, part)
+        part = t["src"].to_numpy() % P
         return t.append_column("part", pa.array(part.astype(np.int64)))
 
     if os.path.exists(path):
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
 
-    e_parted = e.map_batches(add_part, batch_format="pyarrow")
-    e_parted.write_parquet(os.path.join(path, "edges"), partition_cols=["part"])
+    # single full pass: normalize + partitioned write
+    e.map_batches(normalize, batch_format="pyarrow").write_parquet(
+        os.path.join(path, "edges"), partition_cols=["part"])
 
-    def add_deg_part(t: pa.Table) -> pa.Table:
-        vid = t["vid"].to_numpy()
-        return t.append_column("part", pa.array((vid % P).astype(np.int64)))
+    # P shuffle-free local passes: degrees, stats, hub candidates
+    stats = ray.get([
+        _part_stats.remote(path, p, P, hub_threshold) for p in range(P)
+    ])
+    num_edges = sum(s["edges"] for s in stats)
+    max_vid = max((s["max_vid"] for s in stats), default=-1)
+    if num_vertices is None:
+        num_vertices = max_vid + 1
 
-    degrees.map_batches(add_deg_part, batch_format="pyarrow").write_parquet(
-        os.path.join(path, "degrees"), partition_cols=["part"]
-    )
+    hubs = np.sort(np.array(
+        [h for s in stats for h in s["hubs"]], dtype=np.int64))
+    if len(hubs) > max_hubs:
+        raise ValueError(
+            f"{len(hubs)} hubs above threshold {hub_threshold} exceeds "
+            f"max_hubs={max_hubs}; raise the threshold")
 
-    num_edges = e.count()
+    if len(hubs):
+        # move ONLY hub-source edges: extract per partition (object
+        # refs stay in the store), each destination filters its share
+        extracted = [
+            _extract_hub_edges.remote(path, p, hubs) for p in range(P)
+        ]
+        ray.get([
+            _write_hub_edges.remote(path, q, P, *extracted)
+            for q in range(P)
+        ])
+
     meta = {
         "num_vertices": int(num_vertices),
         "num_parts": P,
@@ -221,7 +264,7 @@ def build_graph(
         "symmetrized": bool(symmetrize),
         "has_dir": has_dir,
         "hub_threshold": hub_threshold,
-        "hubs": hubs_list,
+        "hubs": hubs.tolist(),
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)

@@ -52,6 +52,11 @@ def _nth(lst, i):
 
 
 @ray.remote
+def _dict_table(cols: dict) -> pa.Table:
+    return pa.table({k: pa.array(v) for k, v in cols.items()})
+
+
+@ray.remote
 def _spath_table(triple) -> pa.Table:
     vids, dist, pred = triple
     return pa.table({"vid": pa.array(vids), "dist": pa.array(dist),
@@ -490,6 +495,40 @@ class BSPEngine:
         self._peel_to(k)
         self.superstep_seconds += time.perf_counter() - t0
         return self._result_ds("kcore_result", "in_core")
+
+    # -- user vertex programs ------------------------------------------
+
+    def run_program(self, program, *, max_round: int = 100,
+                    stop_when_zero: bool = False,
+                    tol: Optional[float] = None) -> ray.data.Dataset:
+        """Run a :class:`graphscope_ray.graph.program.VertexProgram` to
+        ``max_round`` supersteps; stop early when the summed per-round
+        'changed' value hits zero (``stop_when_zero``) or drops below
+        ``tol``. The summed local aggregates are fed back as ``agg``
+        next round (Pregel-aggregator analogue)."""
+        ray.get([a.vp_init.remote(program) for a in self.actors])
+        agg = 0.0
+        rnd = 0
+        t0 = time.perf_counter()
+        while rnd < max_round:
+            rnd += 1
+            results = self._exchange(
+                "vp_scatter", "vp_apply",
+                scatter_args=(rnd,),
+                apply_args=(agg,),
+                hub_method="vp_get_hub_vals" if self.has_hubs else None,
+            )
+            changed = sum(r[0] for r in results)
+            agg = sum(r[1] for r in results)
+            if stop_when_zero and changed == 0:
+                break
+            if tol is not None and changed < tol:
+                break
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rnd
+        cols_list = [a.vp_result.remote() for a in self.actors]
+        tables = [_dict_table.remote(c) for c in cols_list]
+        return ray.data.from_arrow_refs(tables)
 
     # -- power-iteration centralities ----------------------------------
 

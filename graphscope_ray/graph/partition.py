@@ -726,6 +726,60 @@ class GraphPartition:
                             - self.state["hub_last"]["x"]).sum())
 
     # ------------------------------------------------------------------
+    # user vertex programs (graphscope_ray.graph.program) — the
+    # vectorized analogue of the reference's Pregel UDF surface
+    # (python/graphscope/analytical/udf/decorators.py:116)
+    # ------------------------------------------------------------------
+
+    def vp_init(self, program):
+        from graphscope_ray.graph.program import ProgramContext
+
+        ctx = ProgramContext(
+            part_id=self.p, num_parts=self.P, num_vertices=self.V,
+            nlocal=self.nlocal, local_vids=self.local_vids(),
+            out_deg=self.out_deg,
+        )
+        self.state["vp"] = {
+            "prog": program, "ctx": ctx,
+            "arrays": program.init(ctx),
+        }
+
+    def vp_scatter(self, rnd: int, hub_vals=None):
+        s = self.state["vp"]
+        s["ctx"].round = rnd
+        vals = s["prog"].message(s["ctx"], s["arrays"])
+        if vals is None or self.E == 0:
+            return self._empty_msgs()
+        edge_vals = self._edge_src_vals(np.asarray(vals, np.float64),
+                                        hub_vals)
+        if s["prog"].combine == "min":
+            return self._scatter_min(edge_vals, FLT_SENTINEL)
+        return self._scatter_sum(edge_vals)
+
+    def vp_get_hub_vals(self):
+        s = self.state["vp"]
+        vals = s["prog"].message(s["ctx"], s["arrays"])
+        if vals is None:
+            vals = np.zeros(self.nlocal)
+        return self.hub_own_pos, np.asarray(vals, np.float64)[self.hub_own_local]
+
+    def vp_apply(self, agg, *msgs):
+        s = self.state["vp"]
+        if s["prog"].combine == "min":
+            incoming = self._apply_min(
+                np.full(self.nlocal, FLT_SENTINEL), msgs)
+        else:
+            incoming = self._apply_sum(msgs)
+        return s["prog"].apply(s["ctx"], s["arrays"], incoming, agg)
+
+    def vp_result(self):
+        s = self.state["vp"]
+        cols = {"vid": self.local_vids()}
+        for name in s["prog"].result_columns:
+            cols[name] = s["arrays"][name]
+        return cols
+
+    # ------------------------------------------------------------------
     # checkpoint / restore (north rule: per-superstep, per-partition
     # vertex state + lineage; the reference has no mid-computation
     # checkpoint — this is new capability)

@@ -1,0 +1,108 @@
+"""User-defined vertex programs — the engine's extension surface.
+
+The reference exposes Python Pregel/PIE UDFs (``@pregel(vd_type,
+md_type)`` with per-vertex ``Init``/``Compute`` —
+``/root/reference/python/graphscope/analytical/udf/decorators.py:116``,
+examples ``python/tests/test_udf_app.py:102-128``) compiled to Cython
+server-side. Here the same capability is exposed *vectorized*: a
+program works on whole per-partition numpy arrays instead of single
+vertices, so user code runs at engine speed with no codegen step.
+
+Contract (all methods take a :class:`ProgramContext`):
+
+- ``init(ctx) -> dict[str, np.ndarray]`` — per-partition state arrays
+  (each of length ``ctx.nlocal``);
+- ``message(ctx, state) -> np.ndarray | None`` — per-OWNED-VERTEX
+  values to send along out-edges this round (the engine gathers them
+  per edge, pre-combines per destination with ``combine`` ∈
+  {"sum", "min"}, and shuffles); ``None`` sends nothing;
+- ``apply(ctx, state, incoming, agg) -> (changed, local_agg)`` —
+  update state from the combined incoming vector (``sum``: dense
+  length-``nlocal`` array; ``min``: dense array with +inf for
+  no-message); ``agg`` is the previous round's global aggregate
+  (driver-side sum of all ``local_agg`` values — the analogue of the
+  reference's Pregel aggregators,
+  ``analytical_engine/core/app/pregel/aggregators/aggregator.h``);
+- ``result_columns`` — names of state arrays to emit as the result.
+
+Programs must be picklable (plain classes, module-level).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import numpy as np
+
+
+@dataclass
+class ProgramContext:
+    part_id: int
+    num_parts: int
+    num_vertices: int
+    nlocal: int
+    local_vids: np.ndarray
+    out_deg: np.ndarray
+    round: int = 0
+
+
+class VertexProgram:
+    combine: str = "sum"          # "sum" | "min"
+    result_columns = ("value",)
+
+    def init(self, ctx: ProgramContext) -> dict:
+        raise NotImplementedError
+
+    def message(self, ctx: ProgramContext, state: dict):
+        raise NotImplementedError
+
+    def apply(self, ctx: ProgramContext, state: dict, incoming, agg):
+        raise NotImplementedError
+
+
+class PageRankProgram(VertexProgram):
+    """Example: textbook PageRank without dangling redistribution —
+    the reference's *Pregel* variant
+    (``analytical_engine/apps/pregel/pagerank_pregel.h:43-94``:
+    value = δ·Σmsgs + (1−δ)/N, messages value/outdeg, sum combiner)."""
+
+    combine = "sum"
+    result_columns = ("rank",)
+
+    def __init__(self, delta: float = 0.85):
+        self.delta = delta
+
+    def init(self, ctx):
+        return {"rank": np.full(ctx.nlocal, 1.0 / ctx.num_vertices)}
+
+    def message(self, ctx, state):
+        out = np.zeros(ctx.nlocal)
+        nz = ctx.out_deg > 0
+        out[nz] = state["rank"][nz] / ctx.out_deg[nz]
+        return out
+
+    def apply(self, ctx, state, incoming, agg):
+        new = self.delta * incoming + (1 - self.delta) / ctx.num_vertices
+        delta_max = float(np.abs(new - state["rank"]).max(initial=0.0))
+        state["rank"] = new
+        return delta_max, 0.0
+
+
+class MinLabelProgram(VertexProgram):
+    """Example: min-label propagation (WCC when run on a symmetrized
+    store) via the user-program surface."""
+
+    combine = "min"
+    result_columns = ("label",)
+
+    def init(self, ctx):
+        return {"label": ctx.local_vids.astype(np.float64)}
+
+    def message(self, ctx, state):
+        return state["label"]
+
+    def apply(self, ctx, state, incoming, agg):
+        new = np.minimum(state["label"], incoming)
+        changed = int((new < state["label"]).sum())
+        state["label"] = new
+        return changed, 0.0

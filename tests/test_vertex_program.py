@@ -1,0 +1,63 @@
+"""User vertex-program surface: examples vs oracles."""
+
+import numpy as np
+import pytest
+
+from graphscope_ray import oracle
+from graphscope_ray.graph.build import build_graph
+from graphscope_ray.graph.engine import BSPEngine
+from graphscope_ray.graph.program import MinLabelProgram, PageRankProgram
+
+from conftest import collect, edges_ds, random_graph
+
+
+def pregel_pagerank_oracle(edges, n, delta, rounds):
+    """Textbook variant (pagerank_pregel.h): no dangling handling."""
+    outdeg = np.zeros(n, dtype=np.int64)
+    np.add.at(outdeg, edges[:, 0], 1)
+    r = np.full(n, 1.0 / n)
+    for _ in range(rounds):
+        contrib = np.zeros(n)
+        nz = outdeg[edges[:, 0]] > 0
+        vals = r[edges[:, 0]] / np.maximum(outdeg[edges[:, 0]], 1)
+        np.add.at(contrib, edges[:, 1][nz], vals[nz])
+        r = delta * contrib + (1 - delta) / n
+    return r
+
+
+@pytest.mark.parametrize("P", [1, 4])
+def test_pagerank_program(tmp_path, P):
+    e, n = random_graph(seed=51), 60
+    store = build_graph(edges_ds(e), str(tmp_path / f"vp{P}"),
+                        num_parts=P, num_vertices=n)
+    eng = BSPEngine(store)
+    out = eng.run_program(PageRankProgram(0.85), max_round=10)
+    got = collect(out, "rank", n)
+    want = pregel_pagerank_oracle(e, n, 0.85, 10)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    eng.shutdown()
+
+
+def test_min_label_program_equals_wcc(tmp_path):
+    e, n = random_graph(seed=53), 60
+    store = build_graph(edges_ds(e), str(tmp_path / "vpw"),
+                        num_parts=3, num_vertices=n, symmetrize=True)
+    eng = BSPEngine(store)
+    out = eng.run_program(MinLabelProgram(), max_round=1000,
+                          stop_when_zero=True)
+    got = collect(out, "label", n).astype(np.int64)
+    want = oracle.wcc(e, n)
+    np.testing.assert_array_equal(got, want)
+    eng.shutdown()
+
+
+def test_program_with_hub_split(tmp_path):
+    from conftest import STAR_HUB
+    store = build_graph(edges_ds(STAR_HUB), str(tmp_path / "vph"),
+                        num_parts=3, num_vertices=9, hub_threshold=2)
+    eng = BSPEngine(store)
+    out = eng.run_program(PageRankProgram(0.85), max_round=10)
+    got = collect(out, "rank", 9)
+    want = pregel_pagerank_oracle(STAR_HUB, 9, 0.85, 10)
+    np.testing.assert_allclose(got, want, atol=1e-12)
+    eng.shutdown()
