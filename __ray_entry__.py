@@ -265,6 +265,22 @@ def _q_pg_transitivity(sf_dir):
     return pd.DataFrame({"transitivity": [round(t, 6)]})
 
 
+def _q_pg_avg_clustering(sf_dir):
+    import pandas as pd
+    cl = _q_pg_clustering(sf_dir).to_pandas()
+    return pd.DataFrame({"avg_clustering": [round(float(cl["clustering"].mean()), 6)]})
+
+
+def _q_pg_bfs_tree(sf_dir):
+    """BFS tree predecessors (bfs_generic 'predecessors' format):
+    deterministic min-predecessor tie-break makes this SQL-checkable."""
+    g, _ = _partgraph(sf_dir)
+    src = g.oid_array[0]
+    ds = g.engine.bfs_generic(g.vid_of_oid(src),
+                              output_format="predecessors")
+    return g.to_oid(ds, vid_cols=("node", "predecessor"))
+
+
 def _q_pg_report(sf_dir):
     from graphscope_ray.graph import api
     import pandas as pd
@@ -464,6 +480,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_triangles": _q_pg_triangles,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
+        "pg_avg_clustering": _q_pg_avg_clustering,
+        "pg_bfs_tree": _q_pg_bfs_tree,
         "pg_transitivity": _q_pg_transitivity,
         "pg_report": _q_pg_report,
         "pg_sssp": _q_pg_sssp,
@@ -530,6 +548,31 @@ SELECT deg.v AS vid,
              THEN 2.0 * COALESCE(tc.c, 0) / (deg.d * (deg.d - 1))
              ELSE 0 END, 6) AS clustering
 FROM deg LEFT JOIN tc ON tc.vv = deg.v ORDER BY vid""",
+        "pg_avg_clustering": f"""
+WITH {_PRELUDE},
+{_TRI_CTE},
+tc AS (
+  SELECT vv, count(*) AS c FROM (
+    SELECT u AS vv FROM tri
+    UNION ALL SELECT x FROM tri
+    UNION ALL SELECT y FROM tri) GROUP BY vv)
+SELECT round(avg(CASE WHEN deg.d > 1
+           THEN 2.0 * COALESCE(tc.c, 0) / (deg.d * (deg.d - 1))
+           ELSE 0 END), 6) AS avg_clustering
+FROM deg LEFT JOIN tc ON tc.vv = deg.v""",
+        "pg_bfs_tree": f"""
+WITH RECURSIVE {_PRELUDE},
+bf AS (
+  SELECT (SELECT min(v) FROM v) AS v, 0 AS d
+  UNION
+  SELECT e.t, bf.d + 1 FROM bf JOIN e ON e.s = bf.v WHERE bf.d < {BFS_CAP}
+),
+depth AS (SELECT v, min(d) AS d FROM bf GROUP BY v)
+SELECT b.v AS node, min(e.s) AS predecessor
+FROM depth b JOIN e ON e.t = b.v
+             JOIN depth a ON a.v = e.s AND a.d = b.d - 1
+WHERE b.d > 0
+GROUP BY b.v ORDER BY node""",
         "pg_transitivity": f"""
 WITH {_PRELUDE},
 {_TRI_CTE}

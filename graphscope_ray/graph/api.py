@@ -252,61 +252,88 @@ def canonical_undirected(edges: ray.data.Dataset) -> ray.data.Dataset:
     )
 
 
-def _triangles_broadcast(oriented: ray.data.Dataset) -> ray.data.Dataset:
+def _triangles_broadcast(edges_pdf, num_shards: int) -> ray.data.Dataset:
     """Edge-iterator triangle counting with a broadcast oriented-CSR.
 
-    One ``ray.put`` of (sorted vids, indptr, neighbors, sorted edge
-    keys); each batch expands its edges' wedge candidates with pure
-    numpy (repeat/cumsum slicing) and closes them with a searchsorted
-    membership test — no shuffle joins. Used when the oriented edge set
-    fits a broadcast (≤ ~20M edges); above that the partitioned
-    hash-join path takes over.
+    The (≤ ~20M-edge) undirected edge list is prepped driver-side in
+    one vectorized pass — degrees, (deg, vid) orientation, CSR, sorted
+    edge keys — then ONE ``ray.put``; the O(Σ C(outdeg⁺, 2)) wedge
+    expansion runs as sharded tasks (dense per-shard corner bincounts,
+    tree-reduced). No shuffle joins. Above the broadcast limit the
+    partitioned hash-join path in :func:`triangles` takes over.
     """
-    from ray.data.aggregate import Sum
-
-    pdf = oriented.to_pandas()
-    a = pdf["a"].to_numpy(dtype=np.int64)
-    b = pdf["b"].to_numpy(dtype=np.int64)
-    vids = np.unique(np.r_[a, b])
-    base = np.int64(vids.max() + 1 if len(vids) else 1)
-    if len(vids) and float(base) * float(base) >= float(2**63):
-        raise ValueError("vid range too large for composite keys")
+    s = edges_pdf["src"].to_numpy().astype(np.int64, copy=False)
+    d = edges_pdf["dst"].to_numpy().astype(np.int64, copy=False)
+    vids, inv = np.unique(np.r_[s, d], return_inverse=True)
+    nv = len(vids)
+    if nv > 50_000_000:
+        raise ValueError("broadcast triangle path capped at 50M vertices; "
+                         "use the join path (raise broadcast_edge_limit=0)")
+    if nv == 0:
+        return ray.data.from_arrow(pa.table({
+            "vid": pa.array([], pa.int64()),
+            "tri_cnt": pa.array([], pa.int64())}))
+    si, di = inv[: len(s)], inv[len(s):]
+    deg = np.bincount(si, minlength=nv) + np.bincount(di, minlength=nv)
+    # orientation by (deg, compact id) total order
+    fwd = (deg[si] < deg[di]) | ((deg[si] == deg[di]) & (si < di))
+    a = np.where(fwd, si, di)
+    b = np.where(fwd, di, si)
     order = np.lexsort((b, a))
     a_s, b_s = a[order], b[order]
-    # CSR over compacted source index
-    src_idx = np.searchsorted(vids, a_s)
-    indptr = np.zeros(len(vids) + 1, dtype=np.int64)
-    np.add.at(indptr, src_idx + 1, 1)
+    indptr = np.zeros(nv + 1, dtype=np.int64)
+    np.add.at(indptr, a_s + 1, 1)
     np.cumsum(indptr, out=indptr)
-    keys = np.sort(a_s * base + b_s)
-    ref = ray.put((vids, indptr, b_s, keys, base))
+    keys = a_s * np.int64(nv) + b_s  # sorted by construction
+    ref = ray.put((indptr, b_s, keys, np.int64(nv)))
+    E = len(a_s)
 
-    def count(t: pa.Table) -> pa.Table:
-        vv, ip, nbrs, kk, bb = ray.get(ref)
-        u = t["a"].to_numpy().astype(np.int64)
-        v = t["b"].to_numpy().astype(np.int64)
-        vi = np.searchsorted(vv, v)
-        starts, ends = ip[vi], ip[vi + 1]
+    @ray.remote
+    def shard(lo: int, hi: int) -> np.ndarray:
+        ip, nbrs, kk, bb = ray.get(ref)
+        u = kk[lo:hi] // bb
+        v = kk[lo:hi] % bb
+        starts, ends = ip[v], ip[v + 1]
         cnt = ends - starts
-        if cnt.sum() == 0:
-            return pa.table({"vid": pa.array([], pa.int64()),
-                             "_t": pa.array([], pa.int64())})
-        # expand: for edge e=(u,v), all w in N+(v)
+        tot = int(cnt.sum())
+        if tot == 0:
+            return np.zeros(int(bb), dtype=np.int64)
         e_rep = np.repeat(np.arange(len(u)), cnt)
-        # positions within each slice: arange trick
-        offs = np.arange(int(cnt.sum()), dtype=np.int64) - np.repeat(
+        offs = np.arange(tot, dtype=np.int64) - np.repeat(
             np.cumsum(cnt) - cnt, cnt)
         w = nbrs[starts[e_rep] + offs]
         uu = u[e_rep]
-        closed = kk[np.clip(np.searchsorted(kk, uu * bb + w), 0,
-                            len(kk) - 1)] == uu * bb + w
-        tri_u, tri_v, tri_w = uu[closed], v[e_rep][closed], w[closed]
-        allv = np.concatenate([tri_u, tri_v, tri_w])
-        vidu, c = np.unique(allv, return_counts=True)
-        return pa.table({"vid": vidu, "_t": c.astype(np.int64)})
+        probe = uu * bb + w
+        pos = np.clip(np.searchsorted(kk, probe), 0, len(kk) - 1)
+        closed = kk[pos] == probe
+        allv = np.concatenate([uu[closed], v[e_rep][closed], w[closed]])
+        return np.bincount(allv, minlength=int(bb))
 
-    partial = oriented.map_batches(count, batch_format="pyarrow")
-    return partial.groupby("vid").aggregate(Sum("_t", alias_name="tri_cnt"))
+    @ray.remote
+    def add(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        return x + y
+
+    bounds = np.linspace(0, E, num_shards + 1).astype(np.int64)
+    refs = [shard.remote(int(bounds[i]), int(bounds[i + 1]))
+            for i in range(num_shards) if bounds[i] < bounds[i + 1]]
+    while len(refs) > 1:  # tree reduction of dense corner counts
+        nxt = [add.remote(refs[i], refs[i + 1])
+               for i in range(0, len(refs) - 1, 2)]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    vref = ray.put(vids)
+
+    @ray.remote
+    def emit(counts: np.ndarray, lo: int, hi: int) -> pa.Table:
+        vv = ray.get(vref)
+        return pa.table({"vid": pa.array(vv[lo:hi]),
+                         "tri_cnt": pa.array(counts[lo:hi])})
+
+    chunk = 2_000_000
+    tables = [emit.remote(refs[0], lo, min(lo + chunk, nv))
+              for lo in range(0, nv, chunk)]
+    return ray.data.from_arrow_refs(tables)
 
 
 def triangles(
@@ -328,6 +355,12 @@ def triangles(
     from ray.data.aggregate import Sum
 
     e = edges_undirected.select_columns(["src", "dst"])
+    n_edges = e.count()
+    if n_edges <= broadcast_edge_limit:
+        import ray as _ray
+        num_shards = max(4, int(_ray.cluster_resources().get("CPU", 8)))
+        return _triangles_broadcast(e.to_pandas(), num_shards)
+
     deg = degrees(e, mode="both")
     deg_n = deg.count()
 
@@ -348,10 +381,7 @@ def triangles(
 
     oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
 
-    n_edges = oriented.count()
-    if n_edges <= broadcast_edge_limit:
-        per_vertex = _triangles_broadcast(oriented)
-    else:
+    if True:
         def _as(t: pa.Table, names) -> pa.Table:
             return pa.table({n: t.column(i) for i, n in enumerate(names)})
 
@@ -494,6 +524,23 @@ def induce_subgraph(edges: ray.data.Dataset, vertices) -> ray.data.Dataset:
         return t.filter(pa.array(ok))
 
     return edges.map_batches(keep, batch_format="pyarrow")
+
+
+def add_column(
+    vertices: ray.data.Dataset,
+    context: ray.data.Dataset,
+    *,
+    on: str = "vid",
+    value_cols=("value",),
+    defaults: Optional[dict] = None,
+) -> ray.data.Dataset:
+    """ADD_COLUMN (`grape_instance.cc:539-561`): graft an app-result
+    context column onto the vertex table (broadcast-or-shuffle join)."""
+    from graphscope_ray.graph.joins import attach_values
+
+    return attach_values(vertices, context, on=on, table_key=on,
+                         value_names=list(value_cols),
+                         defaults=defaults or {})
 
 
 def report_graph(edges: ray.data.Dataset) -> dict:

@@ -258,23 +258,64 @@ class BSPEngine:
         limit = max_iter if tol is not None else max_round
         rnd = start_round
         t0 = time.perf_counter()
-        while rnd < limit:
-            rnd += 1
-            base = (1.0 - delta) / self.V + delta * dangling_sum / self.V
-            deltas = self._exchange(
-                "pr_scatter", "pr_apply", apply_args=(base, delta),
-                hub_method="pr_get_hub_vals" if self.has_hubs else None,
-            )
-            dangling_sum = base * dangling_vnum
-            max_delta = max(deltas)
-            self._maybe_checkpoint(
-                "pr", lineage, checkpoint_dir, checkpoint_every, rnd,
-                {"max_delta": max_delta},
-                {"dangling_sum": dangling_sum, "dangling_vnum": dangling_vnum,
-                 "delta": delta},
-            )
-            if tol is not None and max_delta < tol:
-                break
+        if tol is None and checkpoint_every is None and not self.has_hubs:
+            # Fixed-round fast path: the dangling-sum sequence is a
+            # closed-form recurrence, so every round's `base` is known
+            # up front — submit ALL rounds as ONE fused apply+scatter
+            # task per actor per round, no driver round-trips (actor
+            # FIFO ordering preserves BSP semantics); single final
+            # barrier.
+            bases = []
+            while rnd < limit:
+                rnd += 1
+                base = (1.0 - delta) / self.V + delta * dangling_sum / self.V
+                bases.append(base)
+                dangling_sum = base * dangling_vnum
+            packed = [a.pr_step.remote(None, delta) for a in self.actors]
+            for base in bases[:-1]:
+                packed = [
+                    self.actors[p].pr_step.remote(base, delta, *packed)
+                    for p in range(self.P)
+                ]
+            if bases:
+                ray.get([
+                    self.actors[p].pr_apply.remote(bases[-1], delta, *packed)
+                    for p in range(self.P)
+                ])
+        elif tol is None and checkpoint_every is None:
+            # hub-split variant: per-round hub gather rides the pipeline
+            last_deltas = None
+            while rnd < limit:
+                rnd += 1
+                base = (1.0 - delta) / self.V + delta * dangling_sum / self.V
+                hub_parts = [a.pr_get_hub_vals.remote() for a in self.actors]
+                packed = [a.pr_scatter.remote(*hub_parts)
+                          for a in self.actors]
+                last_deltas = [
+                    self.actors[p].pr_apply.remote(base, delta, *packed)
+                    for p in range(self.P)
+                ]
+                dangling_sum = base * dangling_vnum
+            if last_deltas is not None:
+                ray.get(last_deltas)
+        else:
+            while rnd < limit:
+                rnd += 1
+                base = (1.0 - delta) / self.V + delta * dangling_sum / self.V
+                deltas = self._exchange(
+                    "pr_scatter", "pr_apply", apply_args=(base, delta),
+                    hub_method="pr_get_hub_vals" if self.has_hubs else None,
+                )
+                dangling_sum = base * dangling_vnum
+                max_delta = max(deltas)
+                self._maybe_checkpoint(
+                    "pr", lineage, checkpoint_dir, checkpoint_every, rnd,
+                    {"max_delta": max_delta},
+                    {"dangling_sum": dangling_sum,
+                     "dangling_vnum": dangling_vnum, "delta": delta},
+                )
+                if tol is not None and max_delta < tol:
+                    break
         self.superstep_seconds += time.perf_counter() - t0
         self.supersteps += rnd - start_round
         return self._result_ds("pr_result", "rank")
@@ -339,14 +380,30 @@ class BSPEngine:
                 lineage.set_header(algo="cdlp", V=self.V, P=self.P,
                                    weighted=weighted, max_round=max_round)
         t0 = time.perf_counter()
-        for rnd in range(start_round + 1, max_round + 1):
-            changed = self._exchange(
-                "cdlp_scatter", "cdlp_apply",
-                hub_method="cdlp_get_hub_vals" if self.has_hubs else None,
-            )
-            self._maybe_checkpoint("cdlp", lineage, checkpoint_dir,
-                                   checkpoint_every, rnd,
-                                   {"changed": int(sum(changed))}, {})
+        if checkpoint_every is None:
+            # fixed-round pipelined submission (no per-round scalars)
+            last = None
+            for rnd in range(start_round + 1, max_round + 1):
+                if self.has_hubs:
+                    hub_parts = [a.cdlp_get_hub_vals.remote()
+                                 for a in self.actors]
+                    packed = [a.cdlp_scatter.remote(*hub_parts)
+                              for a in self.actors]
+                else:
+                    packed = [a.cdlp_scatter.remote() for a in self.actors]
+                last = [self.actors[p].cdlp_apply.remote(*packed)
+                        for p in range(self.P)]
+            if last is not None:
+                ray.get(last)
+        else:
+            for rnd in range(start_round + 1, max_round + 1):
+                changed = self._exchange(
+                    "cdlp_scatter", "cdlp_apply",
+                    hub_method="cdlp_get_hub_vals" if self.has_hubs else None,
+                )
+                self._maybe_checkpoint("cdlp", lineage, checkpoint_dir,
+                                       checkpoint_every, rnd,
+                                       {"changed": int(sum(changed))}, {})
         self.superstep_seconds += time.perf_counter() - t0
         self.supersteps += max_round - start_round
         return self._result_ds("cdlp_result", "label")

@@ -141,13 +141,32 @@ class GraphPartition:
     def local_vids(self) -> np.ndarray:
         return np.arange(self.p, self.V, self.P, dtype=np.int64)
 
+    def _norm_hub(self, hub_parts):
+        """() → None; (array,) → array; (part, part, ...) → list of
+        (positions, values) parts (pipelined mode)."""
+        if not hub_parts:
+            return None
+        if len(hub_parts) == 1 and isinstance(hub_parts[0], np.ndarray):
+            return hub_parts[0]
+        if len(hub_parts) == 1 and hub_parts[0] is None:
+            return None
+        return list(hub_parts)
+
     def _edge_src_vals(
-        self, local_vals: np.ndarray, hub_vals: Optional[np.ndarray]
+        self, local_vals: np.ndarray, hub_vals
     ) -> np.ndarray:
         out = local_vals[self.src_local]
         if len(self.foreign_idx):
             if hub_vals is None:
                 raise RuntimeError("hub values required but not provided")
+            if isinstance(hub_vals, (list, tuple)):
+                # pipelined mode: per-owner (positions, values) parts —
+                # assemble the hub vector locally (tiny)
+                arr = np.zeros(len(self.hubs))
+                for pos, vals in hub_vals:
+                    if len(pos):
+                        arr[pos] = vals
+                hub_vals = arr
             out = out.copy() if not out.flags.writeable else out
             out[self.foreign_idx] = hub_vals[self.foreign_hub_pos]
         return out
@@ -264,7 +283,8 @@ class GraphPartition:
         }
         return int(dangling.sum())
 
-    def pr_scatter(self, hub_vals=None):
+    def pr_scatter(self, *hub_parts):
+        hub_vals = self._norm_hub(hub_parts)
         s = self.state["pr"]
         v = s["rank"] * s["inv_deg"]  # rank/outdeg; 0 for dangling (no out-edges anyway)
         return self._scatter_sum(self._edge_src_vals(v, hub_vals))
@@ -283,6 +303,15 @@ class GraphPartition:
         s["rank"] = new
         return delta_max
 
+    def pr_step(self, base, delta: float, *msgs):
+        """Fused apply+scatter for the pipelined fixed-round loop: one
+        actor task per round. ``base=None`` → first round (scatter
+        only); messages are the previous round's packed scatter
+        outputs, applied with the previous round's ``base``."""
+        if base is not None:
+            self.pr_apply(base, delta, *msgs)
+        return self.pr_scatter()
+
     def pr_result(self):
         return self.local_vids(), self.state["pr"]["rank"]
 
@@ -299,7 +328,8 @@ class GraphPartition:
             "frontier": np.ones(self.nlocal, dtype=bool),
         }
 
-    def wcc_scatter(self, hub_vals=None):
+    def wcc_scatter(self, *hub_parts):
+        hub_vals = self._norm_hub(hub_parts)
         s = self.state["wcc"]
         if self.E == 0:
             return self._empty_msgs()
@@ -345,7 +375,8 @@ class GraphPartition:
             bool(weighted) and self.has_weight
         )
 
-    def cdlp_scatter(self, hub_vals=None):
+    def cdlp_scatter(self, *hub_parts):
+        hub_vals = self._norm_hub(hub_parts)
         s = self.state["cdlp"]
         if self.E == 0:
             return self._empty_msgs()
@@ -433,7 +464,8 @@ class GraphPartition:
             "unit": bool(unit),
         }
 
-    def sssp_scatter(self, hub_vals=None):
+    def sssp_scatter(self, *hub_parts):
+        hub_vals = self._norm_hub(hub_parts)
         s = self.state["sssp"]
         if self.E == 0:
             return self._empty_msgs()
@@ -482,7 +514,8 @@ class GraphPartition:
             "frontier": np.isfinite(dist), "unit": bool(unit),
         }
 
-    def spath_scatter(self, hub_vals=None):
+    def spath_scatter(self, *hub_parts):
+        hub_vals = self._norm_hub(hub_parts)
         s = self.state["spath"]
         if self.E == 0:
             return self._empty_msgs()
@@ -629,7 +662,8 @@ class GraphPartition:
         s["doomed"] = doomed
         return int(doomed.sum())
 
-    def kcore_scatter(self, hub_vals=None):
+    def kcore_scatter(self, *hub_parts):
+        hub_vals = self._norm_hub(hub_parts)
         s = self.state["kcore"]
         if self.E == 0:
             s["alive"] &= ~s["doomed"]
@@ -661,8 +695,10 @@ class GraphPartition:
     def vec_init(self, name: str, value: float):
         self.state[name] = {"x": np.full(self.nlocal, float(value))}
 
-    def vec_scatter(self, name: str, hub_vals=None, direction: Optional[int] = None,
+    def vec_scatter(self, name: str, *hub_parts,
+                    direction: Optional[int] = None,
                     use_weight: bool = False):
+        hub_vals = self._norm_hub(hub_parts)
         s = self.state[name]
         if self.E == 0:
             return self._empty_msgs()
@@ -744,7 +780,8 @@ class GraphPartition:
             "arrays": program.init(ctx),
         }
 
-    def vp_scatter(self, rnd: int, hub_vals=None):
+    def vp_scatter(self, rnd: int, *hub_parts):
+        hub_vals = self._norm_hub(hub_parts)
         s = self.state["vp"]
         s["ctx"].round = rnd
         vals = s["prog"].message(s["ctx"], s["arrays"])
