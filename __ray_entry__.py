@@ -348,6 +348,14 @@ def _q_pg_hits(sf_dir):
     return _round_col(ds, "hub")
 
 
+def _q_pg_louvain(sf_dir):
+    import pandas as pd
+    from graphscope_ray.graph.louvain import louvain
+    _, edges = _partgraph(sf_dir)
+    vids, labels, q = louvain(edges, weight_col="weight")
+    return pd.DataFrame({"vid": vids, "community": labels})
+
+
 def _q_doc_sha256(sf_dir):
     from graphscope_ray.ingest import with_sha256
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -490,6 +498,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_eigenvector": _q_pg_eigenvector,
         "pg_katz": _q_pg_katz,
         "pg_hits": _q_pg_hits,
+        "pg_louvain": _q_pg_louvain,
         "doc_sha256": _q_doc_sha256,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,

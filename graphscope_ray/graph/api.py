@@ -184,6 +184,12 @@ class Graph:
         """k-core membership — `apps/kcore/kcore.h:31-129`."""
         return self.engine.kcore(k)
 
+    def louvain(self, edges: ray.data.Dataset, **kw):
+        """Louvain communities — deterministic synchronous variant of
+        `apps/pregel/louvain/louvain.h` (see graph/louvain.py)."""
+        from graphscope_ray.graph.louvain import louvain as _louvain
+        return _louvain(edges, **kw)
+
     def kshell(self, k: int) -> ray.data.Dataset:
         """k-shell membership — `apps/kshell/kshell.h`."""
         return self.engine.kshell(k)
@@ -524,6 +530,84 @@ def induce_subgraph(edges: ray.data.Dataset, vertices) -> ray.data.Dataset:
         return t.filter(pa.array(ok))
 
     return edges.map_batches(keep, batch_format="pyarrow")
+
+
+def sampling_path(
+    edges: ray.data.Dataset,
+    roots,
+    *,
+    length: int = 3,
+    seed: int = 42,
+    broadcast_edge_limit: int = 50_000_000,
+) -> ray.data.Dataset:
+    """Deterministic path sampling — `apps/sampling_path/
+    sampling_path.h:27-142` collapsed to the single-label case: from
+    each root, walk ``length`` hops picking the successor with minimal
+    ``hash(dst, path_id, hop, seed)`` (deterministic at any
+    parallelism). Paths stop early at sinks. Output rows
+    (path_id, hop, vid).
+
+    The adjacency is broadcast once as a CSR (guarded by
+    ``broadcast_edge_limit``); the walk itself is a sharded
+    ``map_batches`` over the path set — scale axis = number of paths.
+    """
+    pdf = edges.select_columns(["src", "dst"]).to_pandas()
+    if len(pdf) > broadcast_edge_limit:
+        raise NotImplementedError(
+            "sampling_path broadcast CSR capped; partition-walk variant "
+            "is the follow-on for larger graphs")
+    s_ = pdf["src"].to_numpy(np.int64)
+    d_ = pdf["dst"].to_numpy(np.int64)
+    vids = np.unique(np.r_[s_, d_])
+    order = np.lexsort((d_, s_))
+    s_s, d_s = s_[order], d_[order]
+    si = np.searchsorted(vids, s_s)
+    indptr = np.zeros(len(vids) + 1, dtype=np.int64)
+    np.add.at(indptr, si + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    ref = ray.put((vids, indptr, d_s))
+
+    roots = np.asarray(list(roots), dtype=np.int64)
+    paths_ds = ray.data.from_arrow(pa.table({
+        "path_id": pa.array(np.arange(len(roots), dtype=np.int64)),
+        "root": pa.array(roots),
+    }))
+
+    def walk(t: pa.Table) -> pa.Table:
+        vv, ip, nbrs = ray.get(ref)
+        pid = t["path_id"].to_numpy()
+        cur = t["root"].to_numpy().copy()
+        out_pid = [pid.copy()]
+        out_hop = [np.zeros(len(pid), dtype=np.int64)]
+        out_vid = [cur.copy()]
+        alive = np.ones(len(pid), dtype=bool)
+        for hop in range(1, length + 1):
+            vi = np.clip(np.searchsorted(vv, cur), 0, len(vv) - 1)
+            has = (vv[vi] == cur) & (ip[vi + 1] > ip[vi]) & alive
+            if not has.any():
+                break
+            starts, ends = ip[vi], ip[vi + 1]
+            nxt = np.full(len(pid), -1, dtype=np.int64)
+            idx = np.flatnonzero(has)
+            for i in idx:  # per live path: vectorized hash over its nbrs
+                cand = nbrs[starts[i]:ends[i]]
+                h = (cand * np.int64(1_000_003)
+                     + pid[i] * 31 + hop * 7 + seed)
+                h = (h ^ (h >> 13)) * np.int64(0x9E3779B1)
+                nxt[i] = cand[np.argmin(h)]
+            alive = has
+            cur = np.where(alive, nxt, cur)
+            out_pid.append(pid[alive])
+            out_hop.append(np.full(int(alive.sum()), hop, dtype=np.int64))
+            out_vid.append(cur[alive])
+        return pa.table({
+            "path_id": pa.array(np.concatenate(out_pid)),
+            "hop": pa.array(np.concatenate(out_hop)),
+            "vid": pa.array(np.concatenate(out_vid)),
+        })
+
+    return paths_ds.map_batches(walk, batch_format="pyarrow",
+                                batch_size=4096)
 
 
 def add_column(

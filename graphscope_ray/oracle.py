@@ -171,6 +171,94 @@ def kcore_members(edges_uv: np.ndarray, n: int, k: int) -> np.ndarray:
     return alive
 
 
+def louvain(edges_uv: np.ndarray, n: int, weights=None, max_levels: int = 10,
+            max_sweeps: int = 10):
+    """Slow-loop implementation of the deterministic synchronous Louvain
+    spec (graphscope_ray.graph.louvain docstring) — per-vertex python
+    loops, written independently of the vectorized engine version."""
+    # symmetric row dict
+    w_in = (np.ones(len(edges_uv)) if weights is None
+            else np.asarray(weights, float))
+    rows: dict = {}
+    for (u, v), ww in zip(edges_uv, w_in):
+        rows[(int(u), int(v))] = rows.get((int(u), int(v)), 0.0) + ww
+        rows[(int(v), int(u))] = rows.get((int(v), int(u)), 0.0) + ww
+    vids = sorted({x for p in rows for x in p})
+    idx = {v: i for i, v in enumerate(vids)}
+    nn = len(vids)
+    m = sum(rows.values()) / 2.0
+    if m == 0:
+        vv = np.array(vids, dtype=np.int64)
+        return vv, vv.copy(), 0.0
+
+    cur_rows = {(idx[a], idx[b]): ww for (a, b), ww in rows.items()}
+    assign = list(range(nn))
+    size = nn
+    for _ in range(max_levels):
+        k = [0.0] * size
+        adj: dict = {}
+        for (a, b), ww in cur_rows.items():
+            k[a] += ww
+            if a != b:
+                adj.setdefault(a, {}).setdefault(b, 0.0)
+                adj[a][b] += ww
+        comm = list(range(size))
+        any_move = False
+        for _ in range(max_sweeps):
+            moved = 0
+            for parity in (0, 1):
+                tot = [0.0] * size
+                for v in range(size):
+                    tot[comm[v]] += k[v]
+                pre = list(comm)
+                for v in range(size):
+                    if v % 2 != parity:
+                        continue
+                    kvc: dict = {}
+                    for u, ww in adj.get(v, {}).items():
+                        kvc[pre[u]] = kvc.get(pre[u], 0.0) + ww
+                    d = pre[v]
+                    best_c, best_s = None, None
+                    for c in sorted(kvc):
+                        totc = tot[c] - (k[v] if c == d else 0.0)
+                        sc = kvc[c] / m - k[v] * totc / (2 * m * m)
+                        if best_s is None or sc > best_s:
+                            best_c, best_s = c, sc
+                    if best_c is None:
+                        continue
+                    stay = (kvc.get(d, 0.0) / m
+                            - k[v] * (tot[d] - k[v]) / (2 * m * m))
+                    if best_c != d and best_s > stay + 1e-12:
+                        comm[v] = best_c
+                        moved += 1
+            if moved == 0:
+                break
+            any_move = True
+        if not any_move:
+            break
+        uniq = sorted(set(comm))
+        remap = {c: i for i, c in enumerate(uniq)}
+        assign = [remap[comm[a]] for a in assign]
+        new_rows: dict = {}
+        for (a, b), ww in cur_rows.items():
+            kk2 = (remap[comm[a]], remap[comm[b]])
+            new_rows[kk2] = new_rows.get(kk2, 0.0) + ww
+        cur_rows = new_rows
+        size = len(uniq)
+        if size == 1:
+            break
+    labels = [min(vids[i] for i in range(nn) if assign[i] == c)
+              for c in range(size)]
+    out = np.array([labels[assign[i]] for i in range(nn)], dtype=np.int64)
+    # modularity on contracted graph
+    internal = sum(ww for (a, b), ww in cur_rows.items() if a == b)
+    tot = [0.0] * size
+    for (a, b), ww in cur_rows.items():
+        tot[a] += ww
+    q = internal / (2 * m) - sum((t / (2 * m)) ** 2 for t in tot)
+    return np.array(vids, dtype=np.int64), out, float(q)
+
+
 def eigenvector(edges: np.ndarray, n: int, tol: float = 1e-6,
                 max_round: int = 100) -> np.ndarray:
     """Reference semantics (apps/centrality/eigenvector/...): x' =

@@ -82,3 +82,25 @@ def test_bfs_generic_formats(tmp_path):
     assert sorted(map(tuple, succs.to_numpy())) == [
         (i, i + 1) for i in range(9)]
     eng.shutdown()
+
+
+def test_sampling_path():
+    import ray.data
+    from graphscope_ray.graph import api
+    from conftest import CHAIN_10, edges_ds
+
+    paths = api.sampling_path(edges_ds(CHAIN_10), roots=[0, 5], length=3)
+    pdf = paths.to_pandas().sort_values(["path_id", "hop"])
+    # chain: the only walk from 0 is 0,1,2,3; from 5 is 5,6,7,8
+    p0 = pdf[pdf["path_id"] == 0]["vid"].to_list()
+    p1 = pdf[pdf["path_id"] == 1]["vid"].to_list()
+    assert p0 == [0, 1, 2, 3]
+    assert p1 == [5, 6, 7, 8]
+    # deterministic on a branching graph
+    from conftest import random_graph
+    e = random_graph(seed=2)
+    a = api.sampling_path(edges_ds(e), roots=[0, 1, 2], length=4).to_pandas()
+    b = api.sampling_path(edges_ds(e), roots=[0, 1, 2], length=4).to_pandas()
+    key = ["path_id", "hop"]
+    assert a.sort_values(key).reset_index(drop=True).equals(
+        b.sort_values(key).reset_index(drop=True))
