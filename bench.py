@@ -83,10 +83,17 @@ def run_bench() -> dict:
     queries["cdlp10"] = round(eng.superstep_seconds - base_s, 3)
 
     t0 = time.perf_counter()
-    tc = triangle_total(edges.select_columns(["src", "dst"]),
-                        num_partitions=min(num_cpus, 32))
+    tv = eng.triangles()  # partition-local actor path (r02)
+    tc = int(tv.sum("tri_cnt")) // 3
     queries["triangles"] = round(time.perf_counter() - t0, 3)
     queries["triangle_total"] = tc
+
+    # keep the standalone broadcast path measured for comparison
+    t0 = time.perf_counter()
+    tc_bc = triangle_total(edges.select_columns(["src", "dst"]),
+                           num_partitions=min(num_cpus, 32))
+    queries["triangles_broadcast_path"] = round(time.perf_counter() - t0, 3)
+    assert tc_bc == tc, (tc_bc, tc)
 
     assert pr_rows == wc_rows == cd_rows == g.store.num_vertices
 

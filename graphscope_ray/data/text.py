@@ -17,6 +17,8 @@ import pyarrow as pa
 
 import ray.data
 
+from graphscope_ray.util import round_half_away
+
 _WS = re.compile(r"\s+")
 _ALPHA = re.compile(r"[^a-zA-Z]")
 
@@ -49,7 +51,7 @@ def text_stats(ds: ray.data.Dataset, col: str = "text",
             key: df[key],
             "n_chars": n_chars,
             "n_tokens": n_tokens,
-            "alpha_ratio": np.round(alpha_ratio, 6),
+            "alpha_ratio": round_half_away(alpha_ratio, 6),
         })
 
     return ds.map_batches(f, batch_format="pandas")
@@ -65,7 +67,7 @@ def quality_score(ds: ray.data.Dataset, col: str = "text",
     def f(t: pa.Table) -> pa.Table:
         nt = t["n_tokens"].to_numpy().astype(np.float64)
         ar = t["alpha_ratio"].to_numpy()
-        q = np.round(ar * np.minimum(1.0, nt / 100.0), 6)
+        q = round_half_away(ar * np.minimum(1.0, nt / 100.0), 6)
         return pa.table({key: t[key], "quality": pa.array(q)})
 
     return stats.map_batches(f, batch_format="pyarrow")
@@ -87,25 +89,36 @@ _LEXICONS = {
 
 
 class _LangId:
-    """Stopword-vote language id — compiled once per actor
-    (the stateful-actor-pool pattern; model-free n-gram heuristic)."""
+    """Stopword-vote language id — vectorized: extract-all + explode
+    against a token→language vote table (compiled once per actor), then
+    per-(doc, lang) counts and an argmax with alphabetical-first
+    tie-break (winner = first lang in sorted order with the strictly
+    maximal count; 'unknown' when every count is 0). Exactly replayed
+    by oracle_sql.langid_sql."""
 
     def __init__(self, col: str, key: str):
         self.col, self.key = col, key
         self.word = re.compile(r"[a-zA-ZäöüéèêàçñÄÖÜ]+")
-        self.lex = {k: frozenset(v) for k, v in _LEXICONS.items()}
+        self.langs = sorted(_LEXICONS)
+        rows = [(w, i) for i, lang in enumerate(self.langs)
+                for w in _LEXICONS[lang]]
+        self.vote = pd.DataFrame(rows, columns=["tok", "_lang_idx"])
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        langs = []
-        for s in df[self.col].fillna(""):
-            toks = [t.lower() for t in self.word.findall(s)]
-            best, best_n = "unknown", 0
-            for lang in sorted(self.lex):
-                n = sum(t in self.lex[lang] for t in toks)
-                if n > best_n:
-                    best, best_n = lang, n
-            langs.append(best)
-        return pd.DataFrame({self.key: df[self.key], "lang_pred": langs})
+        toks = (df[self.col].fillna("").reset_index(drop=True)
+                .str.findall(self.word)
+                .explode().dropna().str.lower())
+        votes = toks.reset_index(name="tok").merge(self.vote, on="tok")
+        counts = np.zeros((len(df), len(self.langs)), dtype=np.int64)
+        if len(votes):
+            np.add.at(counts,
+                      (votes["index"].to_numpy(),
+                       votes["_lang_idx"].to_numpy()), 1)
+        best = counts.argmax(axis=1)  # first max wins = sorted-order tie
+        names = np.array(self.langs + ["unknown"])
+        best = np.where(counts.max(axis=1) > 0, best, len(self.langs))
+        return pd.DataFrame({self.key: df[self.key].to_numpy(),
+                             "lang_pred": names[best]})
 
 
 def lang_id(ds: ray.data.Dataset, col: str = "text",
@@ -116,46 +129,31 @@ def lang_id(ds: ray.data.Dataset, col: str = "text",
     )
 
 
-_FP_BASE = np.uint64(1099511628211)
-_FP_OFFSET = np.uint64(14695981039346656037)
-
-
-def _token_hashes(tokens) -> np.ndarray:
-    """FNV-1a per token, vectorized-ish (tokens are short)."""
-    out = np.empty(len(tokens), dtype=np.uint64)
-    for i, t in enumerate(tokens):
-        h = _FP_OFFSET
-        for b in t.encode("utf-8"):
-            h = (h ^ np.uint64(b)) * _FP_BASE
-        out[i] = h
-    return out
-
-
 class _Fingerprint:
-    """Winnowing-style document fingerprint: rolling hash over token
-    k-grams, keep the minimum window hash — deterministic int64 per
-    doc (useful as a cheap near-dup prefilter)."""
+    """Winnowing-style document fingerprint: minimum over sliding
+    windows of ``k_eff = min(k, n_tokens)`` combined token hashes —
+    deterministic int64 per doc (cheap near-dup prefilter). One
+    vectorized codepoint pass per batch (data/hashing — no Python loop
+    over tokens or rows); exactly replayed by
+    oracle_sql.fingerprint_sql. Docs with no tokens fingerprint to 0."""
 
     def __init__(self, col: str, key: str, k: int):
         self.col, self.key, self.k = col, key, k
-        self.ws = re.compile(r"\s+")
 
     def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
-        fps = np.empty(len(df), dtype=np.uint64)
-        for i, s in enumerate(df[self.col].fillna("")):
-            toks = [t for t in self.ws.split(s) if t]
-            if not toks:
-                fps[i] = 0
-                continue
-            h = _token_hashes(toks)
-            k = min(self.k, len(h))
-            # rolling k-gram hash = combined window of token hashes
-            win = h[: len(h) - k + 1].copy()
-            for j in range(1, k):
-                win = win * _FP_BASE + h[j: len(h) - k + 1 + j]
-            fps[i] = win.min()
+        from graphscope_ray.data.hashing import (
+            batch_token_hashes, windowed_hashes)
+        texts = df[self.col].fillna("").tolist()
+        tok_doc, tok_hash = batch_token_hashes(texts)
+        win_doc, win_hash = windowed_hashes(tok_doc, tok_hash, self.k,
+                                            len(texts))
+        starts = np.zeros(len(texts), dtype=np.int64)
+        cnt = np.bincount(win_doc, minlength=len(texts))
+        np.cumsum(cnt[:-1], out=starts[1:])
+        fps = np.minimum.reduceat(win_hash, starts) if len(win_hash) else \
+            np.zeros(len(texts), dtype=np.uint64)
         return pd.DataFrame({
-            self.key: df[self.key],
+            self.key: df[self.key].to_numpy(),
             "fingerprint": fps.astype(np.int64),
         })
 

@@ -69,10 +69,19 @@ class GraphStore:
 
 @ray.remote
 def _part_stats(store_path: str, p: int, P: int,
-                hub_threshold) -> dict:
+                hub_threshold, dedup: bool = False) -> dict:
     """Per-partition pass: write degrees of owned sources, return
     stats + hub candidates. No shuffle — partitioning by src % P means
-    every out-edge of an owned source is local."""
+    every out-edge of an owned source is local.
+
+    ``dedup=True`` (set for symmetrized stores) first collapses
+    duplicate (src, dst) rows keeping the max weight: an input that
+    already contains both (u,v) and (v,u) would otherwise store each
+    direction twice after the symmetrize union, silently turning CDLP
+    votes / k-core degrees / PageRank out-degrees into multigraph
+    semantics (r01 ADVICE). Duplicates co-locate (part = src % P), so
+    this is a local pass, not a shuffle; the rewrite also consolidates
+    the partition into one file."""
     edir = os.path.join(store_path, "edges", f"part={p}")
     ddir = os.path.join(store_path, "degrees", f"part={p}")
     os.makedirs(ddir, exist_ok=True)
@@ -83,7 +92,33 @@ def _part_stats(store_path: str, p: int, P: int,
             os.path.join(ddir, "part.parquet"),
         )
         return {"edges": 0, "max_vid": -1, "hubs": []}
-    t = pq.read_table(edir, columns=["src", "dst"])
+    if dedup:
+        t = pq.read_table(edir)
+        t = t.drop_columns([c for c in ("part",) if c in t.column_names])
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        order = np.lexsort((dst, src))
+        keep = np.empty(len(order), dtype=bool)
+        if len(order):
+            s_o, d_o = src[order], dst[order]
+            keep[0] = True
+            keep[1:] = (s_o[1:] != s_o[:-1]) | (d_o[1:] != d_o[:-1])
+        if "weight" in t.column_names and len(order) and not keep.all():
+            w_o = t["weight"].to_numpy().astype(np.float64)[order]
+            grp = np.cumsum(keep) - 1
+            wmax = np.full(int(grp[-1]) + 1, -np.inf)
+            np.maximum.at(wmax, grp, w_o)
+            t2 = t.take(order[keep]).set_column(
+                t.schema.get_field_index("weight"), "weight",
+                pa.array(wmax))
+        else:
+            t2 = t.take(order[keep])
+        for fn in os.listdir(edir):
+            os.remove(os.path.join(edir, fn))
+        pq.write_table(t2, os.path.join(edir, "edges.parquet"))
+        t = t2
+    else:
+        t = pq.read_table(edir, columns=["src", "dst"])
     src = t["src"].to_numpy()
     dst = t["dst"].to_numpy()
     vid, cnt = np.unique(src, return_counts=True)
@@ -231,7 +266,8 @@ def build_graph(
 
     # P shuffle-free local passes: degrees, stats, hub candidates
     stats = ray.get([
-        _part_stats.remote(path, p, P, hub_threshold) for p in range(P)
+        _part_stats.remote(path, p, P, hub_threshold, dedup=symmetrize)
+        for p in range(P)
     ])
     num_edges = sum(s["edges"] for s in stats)
     max_vid = max((s["max_vid"] for s in stats), default=-1)

@@ -427,6 +427,71 @@ class BSPEngine:
         self.supersteps += rnd
         return self._result_ds("sssp_result", "dist")
 
+    def append_edges(self, edges: ray.data.Dataset,
+                     weight_col: Optional[str] = None) -> np.ndarray:
+        """Append-only edge mutation (the reference's
+        append_only_arrow_fragment surface): rows route to their layout
+        partition (hub sources keep the (src+dst) % P spread), degree
+        increments route to each source's owner. Streams the delta
+        batch-by-batch — only one batch at a time touches the driver.
+        Returns the unique appended source vids (the incremental-SSSP
+        seed set)."""
+        hubs = self.store.hubs
+        seeds = []
+        cols = ["src", "dst"] + ([weight_col] if weight_col else [])
+        for t in edges.select_columns(cols).iter_batches(
+                batch_format="pyarrow"):
+            src = t["src"].to_numpy().astype(np.int64, copy=False)
+            dst = t["dst"].to_numpy().astype(np.int64, copy=False)
+            w = (t[weight_col].to_numpy().astype(np.float64, copy=False)
+                 if weight_col else None)
+            if len(hubs):
+                pos = np.clip(np.searchsorted(hubs, src), 0, len(hubs) - 1)
+                is_hub = hubs[pos] == src
+                part = np.where(is_hub, (src + dst) % self.P,
+                                src % self.P)
+            else:
+                part = src % self.P
+            calls = []
+            for p in range(self.P):
+                m = part == p
+                if m.any():
+                    calls.append(self.actors[p].append_rows.remote(
+                        src[m], dst[m], w[m] if w is not None else None))
+            dvids, dcnt = np.unique(src, return_counts=True)
+            owner = dvids % self.P
+            for p in range(self.P):
+                m = owner == p
+                if m.any():
+                    calls.append(self.actors[p].add_out_deg.remote(
+                        dvids[m], dcnt[m]))
+            ray.get(calls)
+            seeds.append(dvids)
+        return (np.unique(np.concatenate(seeds)) if seeds
+                else np.array([], dtype=np.int64))
+
+    def sssp_incremental(self, seed_vids, *, max_iter: int = 100_000
+                         ) -> ray.data.Dataset:
+        """Resume a previously computed SSSP after append_edges —
+        apps/property/sssp_property_append.h: relaxation restarts only
+        from the appended edges' (already-reached) sources instead of
+        from scratch."""
+        ray.get([a.sssp_seed.remote(np.asarray(seed_vids, dtype=np.int64))
+                 for a in self.actors])
+        rnd = 0
+        t0 = time.perf_counter()
+        while rnd < max_iter:
+            rnd += 1
+            changed = self._exchange(
+                "sssp_scatter", "sssp_apply",
+                hub_method="sssp_get_hub_vals" if self.has_hubs else None,
+            )
+            if int(sum(changed)) == 0:
+                break
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rnd
+        return self._result_ds("sssp_result", "dist")
+
     def bfs(self, source: int, **kw) -> ray.data.Dataset:
         ds = self.sssp(source, unit=True, **kw)
 
@@ -553,6 +618,41 @@ class BSPEngine:
         self.superstep_seconds += time.perf_counter() - t0
         return self._result_ds("kcore_result", "in_core")
 
+    # -- triangles (partition-local oriented CSR) ----------------------
+
+    def triangles(self, *, chunk: int = 4_000_000) -> ray.data.Dataset:
+        """Per-vertex triangle counts on the resident actor pool —
+        apps/clustering/triangles.h:43-157 (degree-ordered orientation,
+        adjacency intersection via sorted-key probes). No driver-side
+        edge materialization: oriented edges are shipped actor→actor
+        once, wedges are enumerated in ``chunk``-bounded vectorized
+        rounds, probes route to the closing edge's owner. Requires a
+        symmetrized store (undirected degree == out-degree)."""
+        if not self.store.meta.get("symmetrized"):
+            raise ValueError("triangles needs build_graph(symmetrize=True)")
+        t0 = time.perf_counter()
+        deg_parts = [a.tri_deg_part.remote() for a in self.actors]
+        blocks = [a.tri_ingest.remote(*deg_parts) for a in self.actors]
+        ray.get([a.tri_adopt.remote(*blocks) for a in self.actors])
+        alive = list(range(self.P))
+        while alive:
+            probe_blocks = {
+                p: self.actors[p].tri_wedges.remote(chunk) for p in alive
+            }
+            got = ray.get(list(probe_blocks.values()))
+            nxt, blocks = [], []
+            for p, blk in zip(alive, got):
+                if blk is not None:
+                    nxt.append(p)
+                    blocks.append(blk)
+            if blocks:
+                ray.get([a.tri_probe.remote(*blocks) for a in self.actors])
+            alive = nxt
+        slices = [a.tri_counts.remote() for a in self.actors]
+        ray.get([a.tri_collect.remote(*slices) for a in self.actors])
+        self.superstep_seconds += time.perf_counter() - t0
+        return self._result_ds("tri_result", "tri_cnt")
+
     # -- user vertex programs ------------------------------------------
 
     def run_program(self, program, *, max_round: int = 100,
@@ -564,7 +664,15 @@ class BSPEngine:
         ``tol``. The summed local aggregates are fed back as ``agg``
         next round (Pregel-aggregator analogue)."""
         ray.get([a.vp_init.remote(program) for a in self.actors])
-        agg = 0.0
+        agg_spec = getattr(program, "aggregators", {}) or {}
+        if agg_spec:
+            from graphscope_ray.graph.program import AGG_OPS
+            for name, op in agg_spec.items():
+                if op not in AGG_OPS:
+                    raise ValueError(f"unknown aggregator op {op!r}")
+            agg: "float | dict" = {}
+        else:
+            agg = 0.0
         rnd = 0
         t0 = time.perf_counter()
         while rnd < max_round:
@@ -576,7 +684,14 @@ class BSPEngine:
                 hub_method="vp_get_hub_vals" if self.has_hubs else None,
             )
             changed = sum(r[0] for r in results)
-            agg = sum(r[1] for r in results)
+            if agg_spec:
+                from graphscope_ray.graph.program import AGG_OPS
+                agg = {
+                    name: AGG_OPS[op]([r[1][name] for r in results])
+                    for name, op in agg_spec.items()
+                }
+            else:
+                agg = sum(r[1] for r in results)
             if stop_when_zero and changed == 0:
                 break
             if tol is not None and changed < tol:

@@ -111,12 +111,13 @@ def attach_vids(
             _broadcast_lookup_fn(ref, list(cols)),
             batch_format="pyarrow",
         )
+    from graphscope_ray.util import shuffle_partitions
     out = edges
     for c in cols:
         out = out.join(
             idmap,
             join_type="inner",
-            num_partitions=num_partitions,
+            num_partitions=shuffle_partitions(num_partitions),
             on=(c,),
             right_on=("oid",),
             right_suffix="_r",

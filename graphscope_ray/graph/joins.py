@@ -70,10 +70,11 @@ def attach_values(
             _attach_lookup_fn(ref, on, list(value_names), defaults),
             batch_format="pyarrow",
         )
+    from graphscope_ray.util import shuffle_partitions
     joined = ds.join(
         table.select_columns([table_key, *value_names]),
         join_type="left_outer",
-        num_partitions=num_partitions,
+        num_partitions=shuffle_partitions(num_partitions),
         on=(on,),
         right_on=(table_key,),
         right_suffix="_r",
@@ -81,4 +82,20 @@ def attach_values(
     drop = table_key + "_r" if table_key == on else table_key
     if drop in joined.columns():
         joined = joined.drop_columns([drop])
+    if defaults:
+        # left_outer leaves nulls where the broadcast path fills
+        # defaults — coalesce so both paths return identical results
+        names = list(value_names)
+
+        def fill(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            for name in names:
+                col = t[name]
+                if col.null_count:
+                    filled = pc.fill_null(col, defaults.get(name, 0))
+                    t = t.set_column(
+                        t.schema.get_field_index(name), name, filled)
+            return t
+
+        joined = joined.map_batches(fill, batch_format="pyarrow")
     return joined

@@ -126,6 +126,53 @@ def _one_level(src, dst, w, n, m, max_sweeps: int):
     return comm, any_move
 
 
+def _level0_bsp(engine, max_sweeps: int):
+    """Level-0 local-moving phase on the resident GraphPartition
+    actors (r01 VERDICT #8): community vector broadcast per
+    half-sweep, weighted votes combined per destination on its owner
+    (partition.lv_votes/lv_moves — the cdlp machinery), sparse move
+    lists applied driver-side. Only O(V) vectors ever touch the
+    driver, never the O(E) rows. Returns (comm, k, m, moved_any).
+
+    Exactly equivalent to _one_level for integer weights (all sums are
+    exact regardless of combine order); for float weights the
+    distributed sums may differ in the last ulp at score ties."""
+    import ray
+
+    actors = engine.actors
+    V = engine.V
+    parts = ray.get([a.lv_degree_part.remote() for a in actors])
+    k = np.zeros(V)
+    for vids_, acc in parts:
+        np.add.at(k, vids_, acc)
+    m = k.sum() / 2.0
+    comm = np.arange(V, dtype=np.int64)
+    if m == 0:
+        return comm, k, m, False
+    any_move = False
+    for _ in range(max_sweeps):
+        moved = 0
+        for parity in (0, 1):
+            tot = np.bincount(comm, weights=k, minlength=V)
+            comm_ref = ray.put(comm)
+            k_ref = ray.put(k)
+            tot_ref = ray.put(tot)
+            blocks = [a.lv_votes.remote(comm_ref) for a in actors]
+            moves = ray.get([
+                a.lv_moves.remote(parity, comm_ref, k_ref, tot_ref,
+                                  m, *blocks)
+                for a in actors
+            ])
+            for bv, bc in moves:
+                if len(bv):
+                    comm[bv] = bc
+                    moved += len(bv)
+        if moved == 0:
+            break
+        any_move = True
+    return comm, k, m, any_move
+
+
 def louvain(
     edges: ray.data.Dataset,
     *,
@@ -133,25 +180,64 @@ def louvain(
     max_levels: int = 10,
     max_sweeps: int = 10,
     max_driver_rows: int = 20_000_000,
+    engine=None,
 ) -> Tuple["np.ndarray", "np.ndarray", float]:
     """→ (vertex ids, community labels = min original member id,
-    final modularity)."""
-    src, dst, w = _sym_rows(edges, weight_col)
-    if len(src) > max_driver_rows:
-        raise NotImplementedError(
-            f"{len(src)} symmetric rows exceed max_driver_rows; the "
-            "BSP-actor level-0 sweep is the follow-on for this scale")
-    vids, inv = np.unique(np.r_[src, dst], return_inverse=True)
-    src_c = inv[: len(src)].astype(np.int64)
-    dst_c = inv[len(src):].astype(np.int64)
-    n0 = len(vids)
-    m = w.sum() / 2.0
-    if m == 0:
-        return vids, vids.copy(), 0.0
+    final modularity).
 
-    assign = np.arange(n0, dtype=np.int64)  # original idx → current node
-    csrc, cdst, cw, n = src_c, dst_c, w, n0
-    for _ in range(max_levels):
+    ``engine``: a BSPEngine over the SAME graph (symmetrized weighted
+    store, dense vids, simple graph — no self loops / duplicate
+    rows). When given, the level-0 local-moving phase — the only
+    level that is ever large — runs on the resident actors and only
+    the contracted graph (communities × communities) comes back to
+    the driver, removing the ``max_driver_rows`` ceiling."""
+    if engine is not None:
+        import ray
+        comm0, k0, m, moved = _level0_bsp(engine, max_sweeps)
+        V = engine.V
+        vids = np.arange(V, dtype=np.int64)
+        if m == 0:
+            return vids, vids.copy(), 0.0
+        # contract on the actors; driver merges community-graph rows
+        uniq, comp = np.unique(comm0, return_inverse=True)
+        comp = comp.astype(np.int64)  # covers all V dense vids
+        cref = ray.put(comp)
+        parts = ray.get([a.lv_contract_part.remote(cref)
+                         for a in engine.actors])
+        n = len(uniq)
+        csrc_l, cdst_l, cw_l = [], [], []
+        for cs, cd, acc in parts:
+            csrc_l.append(cs)
+            cdst_l.append(cd)
+            cw_l.append(acc)
+        key = np.concatenate(csrc_l) * np.int64(n) + np.concatenate(cdst_l)
+        uk, kinv = np.unique(key, return_inverse=True)
+        cw = np.bincount(kinv, weights=np.concatenate(cw_l))
+        csrc = (uk // n).astype(np.int64)
+        cdst = (uk % n).astype(np.int64)
+        assign = comp  # original dense vid -> level-1 node
+        if not moved:
+            q = _modularity(csrc, cdst, cw, np.arange(n), m)
+            return vids, vids.copy(), float(q)
+        start_level = 1
+    else:
+        src, dst, w = _sym_rows(edges, weight_col)
+        if len(src) > max_driver_rows:
+            raise NotImplementedError(
+                f"{len(src)} symmetric rows exceed max_driver_rows; pass "
+                "engine=... to run the level-0 sweep on the actor pool")
+        vids, inv = np.unique(np.r_[src, dst], return_inverse=True)
+        src_c = inv[: len(src)].astype(np.int64)
+        dst_c = inv[len(src):].astype(np.int64)
+        n0 = len(vids)
+        m = w.sum() / 2.0
+        if m == 0:
+            return vids, vids.copy(), 0.0
+        assign = np.arange(n0, dtype=np.int64)
+        csrc, cdst, cw, n = src_c, dst_c, w, n0
+        start_level = 0
+
+    for _ in range(start_level, max_levels):
         comm, moved = _one_level(csrc, cdst, cw, n, m, max_sweeps)
         if not moved:
             break

@@ -71,6 +71,34 @@ class GraphPartition:
             w = np.array([], dtype=np.float64) if self.has_weight else None
             dirs = None
 
+        self._build_layout(src, dst, w, dirs)
+
+        # hubs owned by this partition (their values get published per round)
+        hub_owned_mask = (self.hubs % self.P) == self.p
+        self.hub_own_pos = np.flatnonzero(hub_owned_mask)
+        self.hub_own_local = self.hubs[hub_owned_mask] // self.P
+
+        # global out-degrees of owned vertices
+        ddir = os.path.join(store_path, "degrees", f"part={self.p}")
+        self.out_deg = np.zeros(self.nlocal, dtype=np.int64)
+        if os.path.isdir(ddir):
+            dt = pq.read_table(ddir, columns=["vid", "out_deg"])
+            vid = dt["vid"].to_numpy().astype(np.int64, copy=False)
+            deg = dt["out_deg"].to_numpy().astype(np.int64, copy=False)
+            self.out_deg[vid // self.P] = deg
+
+        self.state: dict = {}
+        # message packing mode: True → scatter returns ONE compact
+        # ("P", bounds, col...) tuple (few big buffers; cheap to
+        # (de)serialize); False → list of per-destination slices for
+        # num_returns=P routing (per-node locality on large clusters)
+        self.packed = True
+
+    def _build_layout(self, src, dst, w, dirs):
+        """(Re)build the (dst % P, dst)-sorted edge layout + group /
+        routing structures from raw arrays (also used by the
+        append-only path, apps/property/sssp_property_append.h
+        analogue)."""
         order = np.lexsort((dst, dst % self.P))
         self.src = src[order]
         self.dst = dst[order]
@@ -110,29 +138,53 @@ class GraphPartition:
         else:
             self.foreign_hub_pos = np.array([], dtype=np.int64)
 
-        # hubs owned by this partition (their values get published per round)
-        hub_owned_mask = (self.hubs % self.P) == self.p
-        self.hub_own_pos = np.flatnonzero(hub_owned_mask)
-        self.hub_own_local = self.hubs[hub_owned_mask] // self.P
-
-        # global out-degrees of owned vertices
-        ddir = os.path.join(store_path, "degrees", f"part={self.p}")
-        self.out_deg = np.zeros(self.nlocal, dtype=np.int64)
-        if os.path.isdir(ddir):
-            dt = pq.read_table(ddir, columns=["vid", "out_deg"])
-            vid = dt["vid"].to_numpy().astype(np.int64, copy=False)
-            deg = dt["out_deg"].to_numpy().astype(np.int64, copy=False)
-            self.out_deg[vid // self.P] = deg
-
-        self.state: dict = {}
-        # message packing mode: True → scatter returns ONE compact
-        # ("P", bounds, col...) tuple (few big buffers; cheap to
-        # (de)serialize); False → list of per-destination slices for
-        # num_returns=P routing (per-node locality on large clusters)
-        self.packed = True
-
     def set_packed(self, flag: bool):
         self.packed = bool(flag)
+
+    # ------------------------------------------------------------------
+    # append-only edge mutation (the reference's only streaming-ish
+    # surface: core/fragment/append_only_arrow_fragment.h +
+    # apps/property/sssp_property_append.h). Vertices are fixed (vids
+    # < V); appended rows re-enter the sorted layout, degrees update at
+    # the source's owner.
+    # ------------------------------------------------------------------
+
+    def append_rows(self, src, dst, w=None):
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if src.max(initial=-1) >= self.V or dst.max(initial=-1) >= self.V:
+            raise ValueError("appended edges must stay within the "
+                             "existing vertex space (vid < V)")
+        new_src = np.concatenate([self.src, src])
+        new_dst = np.concatenate([self.dst, dst])
+        if self.w is not None:
+            wa = (np.asarray(w, dtype=np.float64) if w is not None
+                  else np.ones(len(src)))
+            new_w = np.concatenate([self.w, wa])
+        else:
+            new_w = None
+        if self.dirs is not None:
+            raise NotImplementedError("append on dual-direction stores")
+        self._build_layout(new_src, new_dst, new_w, None)
+        return len(src)
+
+    def add_out_deg(self, vids, cnt):
+        vids = np.asarray(vids, dtype=np.int64)
+        np.add.at(self.out_deg, vids // self.P,
+                  np.asarray(cnt, dtype=np.int64))
+        return True
+
+    def sssp_seed(self, vids):
+        """Mark owned, already-reached vertices as frontier so an
+        incremental SSSP resumes relaxation only from the appended
+        edges' sources (sssp_property_append.h semantics)."""
+        s = self.state["sssp"]
+        vids = np.asarray(vids, dtype=np.int64)
+        mine = vids[(vids % self.P) == self.p] // self.P
+        frontier = np.zeros(self.nlocal, dtype=bool)
+        frontier[mine] = np.isfinite(s["dist"][mine])
+        s["frontier"] = frontier
+        return int(frontier.sum())
 
     # ------------------------------------------------------------------
     # shared kernels
@@ -223,7 +275,8 @@ class GraphPartition:
         the shared buffers. Plain tuples/None pass through (sliced)."""
         out = []
         for m in msgs:
-            if isinstance(m, tuple) and len(m) >= 2 and m[0] == "P":
+            if (isinstance(m, tuple) and len(m) >= 2
+                    and isinstance(m[0], str) and m[0] == "P"):
                 if len(m) == 2:
                     out.append(None)
                     continue
@@ -815,6 +868,284 @@ class GraphPartition:
         for name in s["prog"].result_columns:
             cols[name] = s["arrays"][name]
         return cols
+
+    # ------------------------------------------------------------------
+    # Louvain level-0 local-moving sweep (r01 VERDICT #8): the weighted
+    # community-vote machinery (same shape as cdlp_scatter/apply) with
+    # the community vector broadcast per half-sweep; moves are computed
+    # at each destination's owner and returned sparse. Driver:
+    # louvain.louvain(engine=...). Assumes the store's dense-vid
+    # convention (vid == compact node index).
+    # ------------------------------------------------------------------
+
+    def lv_degree_part(self):
+        """Weighted degree partials of this partition's rows, grouped
+        by (global) src — summed driver-side into the k vector."""
+        w = self.w if self.w is not None else np.ones(self.E)
+        v, inv = np.unique(self.src, return_inverse=True)
+        acc = np.zeros(len(v))
+        np.add.at(acc, inv, w)
+        return v, acc
+
+    def lv_votes(self, comm):
+        """Per-(dst, community-of-src) weight sums of non-self rows,
+        packed by dst % P (cdlp_scatter with a broadcast community
+        vector instead of resident labels)."""
+        if self.E == 0:
+            return self._empty_msgs()
+        w = self.w if self.w is not None else np.ones(self.E)
+        nz = self.src != self.dst
+        g = self.edge_grp[nz]
+        lab = comm[self.src[nz]]
+        ww = w[nz]
+        order = np.lexsort((lab, g))
+        g_s, l_s, w_s = g[order], lab[order], ww[order]
+        if not len(g_s):
+            return self._empty_msgs()
+        newg = np.empty(len(g_s), dtype=bool)
+        newg[0] = True
+        newg[1:] = (g_s[1:] != g_s[:-1]) | (l_s[1:] != l_s[:-1])
+        starts = np.flatnonzero(newg)
+        wsum = np.add.reduceat(w_s, starts)
+        gg, ll = g_s[starts], l_s[starts]
+        dsts = self.uniq_dst[gg]
+        bounds = np.searchsorted(self.part_of_grp[gg],
+                                 np.arange(self.P + 1))
+        if self.packed:
+            return ("P", bounds, dsts, ll, wsum)
+        return [None if bounds[q] == bounds[q + 1]
+                else (dsts[bounds[q]:bounds[q + 1]],
+                      ll[bounds[q]:bounds[q + 1]],
+                      wsum[bounds[q]:bounds[q + 1]])
+                for q in range(self.P)]
+
+    def lv_moves(self, parity: int, comm, k, tot, m: float, *msgs):
+        """Merge vote partials for owned destinations, score candidate
+        moves exactly like louvain._one_level, apply the parity class's
+        winning moves; returns sparse (vid, new_comm)."""
+        msgs = self._unpack(msgs)
+        parts = [mm for mm in msgs if mm is not None and len(mm[0])]
+        empty = (np.array([], dtype=np.int64),) * 2
+        if not parts:
+            return empty
+        dst = np.concatenate([mm[0] for mm in parts])
+        lab = np.concatenate([mm[1] for mm in parts])
+        ws = np.concatenate([mm[2] for mm in parts])
+        order = np.lexsort((lab, dst))
+        dst, lab, ws = dst[order], lab[order], ws[order]
+        newg = np.empty(len(dst), dtype=bool)
+        newg[0] = True
+        newg[1:] = (dst[1:] != dst[:-1]) | (lab[1:] != lab[:-1])
+        starts = np.flatnonzero(newg)
+        kvc = np.add.reduceat(ws, starts)
+        vv, cc = dst[starts], lab[starts]
+        totc = tot[cc] - np.where(cc == comm[vv], k[vv], 0.0)
+        score = kvc / m - k[vv] * totc / (2 * m * m)
+        sel = (vv % 2) == parity
+        vv, cc, score = vv[sel], cc[sel], score[sel]
+        if not len(vv):
+            return empty
+        order = np.lexsort((cc, -score, vv))
+        vv, cc, score = vv[order], cc[order], score[order]
+        first = np.empty(len(vv), dtype=bool)
+        first[0] = True
+        first[1:] = vv[1:] != vv[:-1]
+        bv, bc, bs = vv[first], cc[first], score[first]
+        stay = np.zeros(len(bv))
+        stay_rows = cc == comm[vv]
+        pos = np.searchsorted(bv, vv[stay_rows])
+        stay[pos] = score[stay_rows]
+        has_stay = np.zeros(len(bv), dtype=bool)
+        has_stay[pos] = True
+        no_stay = ~has_stay
+        if no_stay.any():
+            v0 = bv[no_stay]
+            stay[no_stay] = -k[v0] * (tot[comm[v0]] - k[v0]) / (2 * m * m)
+        do = (bs > stay + 1e-12) & (bc != comm[bv])
+        return bv[do], bc[do]
+
+    def lv_contract_part(self, comm):
+        """(comm[src], comm[dst], Σw) partials over ALL local rows."""
+        w = self.w if self.w is not None else np.ones(self.E)
+        cs = comm[self.src]
+        cd = comm[self.dst]
+        ncomm = np.int64(comm.max() + 1) if len(comm) else np.int64(1)
+        key = cs * ncomm + cd
+        uk, inv = np.unique(key, return_inverse=True)
+        acc = np.bincount(inv, weights=w)
+        return (uk // ncomm).astype(np.int64), (uk % ncomm).astype(np.int64), acc
+
+    # ------------------------------------------------------------------
+    # Partition-local triangle counting (apps/clustering/triangles.h:
+    # 43-157 re-expressed on the resident actors — r01 VERDICT #4: no
+    # driver to_pandas; the oriented CSR lives in the pool).
+    #
+    # Protocol (driver: engine.BSPEngine.triangles):
+    #   tri_deg_part   → (owned vids, undirected degree) slice
+    #   tri_ingest     → orient local edges by (deg, vid), ship each
+    #                    oriented edge to owner a % P (handles
+    #                    hub-split rows whose src is foreign)
+    #   tri_adopt      → build oriented CSR (nbr lists sorted by
+    #                    orientation rank) + sorted a*V+b key set
+    #   tri_wedges     → next ≤chunk wedges (u;v,w), probes (u, key)
+    #                    routed to owner v % P
+    #   tri_probe      → binary-search closing edges, credit u/v/w in
+    #                    a dense per-actor count vector (O(V) per
+    #                    worker, like the reference's stage-0 degree
+    #                    broadcast)
+    #   tri_counts/tri_collect → sparse per-owner count exchange
+    # ------------------------------------------------------------------
+
+    def tri_deg_part(self):
+        """Undirected degree of owned vertices (symmetrized store:
+        degree == global out-degree)."""
+        return self.local_vids(), self.out_deg
+
+    def tri_ingest(self, *deg_parts):
+        if self.V >= 3_000_000_000:
+            raise NotImplementedError(
+                "a*V+b probe keys need V < 3e9; use the join path")
+        deg = np.zeros(self.V, dtype=np.int64)
+        for vids, d in deg_parts:
+            if len(vids):
+                deg[vids] = d
+        self.state["tri_deg"] = deg
+        s, d = self.src, self.dst
+        # orientation rank: (deg, vid) total order; keep the copy where
+        # ord(src) < ord(dst) — exactly one per undirected edge
+        fwd = ((deg[s] < deg[d]) | ((deg[s] == deg[d]) & (s < d)))
+        a, b = s[fwd], d[fwd]
+        part = a % self.P
+        order = np.argsort(part, kind="stable")
+        a, b, part = a[order], b[order], part[order]
+        bounds = np.searchsorted(part, np.arange(self.P + 1))
+        return ("P", bounds, a, b)
+
+    def tri_adopt(self, *blocks):
+        msgs = self._unpack(blocks)
+        parts = [m for m in msgs if m is not None and len(m[0])]
+        deg = self.state["tri_deg"]
+        if parts:
+            a = np.concatenate([m[0] for m in parts])
+            b = np.concatenate([m[1] for m in parts])
+        else:
+            a = np.array([], dtype=np.int64)
+            b = np.array([], dtype=np.int64)
+        # sort adjacency by (a, orientation-rank of b) so wedge pairs
+        # (i < j) satisfy ord(v) < ord(w)
+        order = np.lexsort((b, deg[b], a))
+        a, b = a[order], b[order]
+        al = a // self.P
+        indptr = np.zeros(self.nlocal + 1, dtype=np.int64)
+        np.add.at(indptr, al + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        keys = np.sort(a * np.int64(self.V) + b)
+        outdeg = np.diff(indptr)
+        wc = outdeg * (outdeg - 1) // 2
+        self.state["tri"] = {
+            "indptr": indptr, "nbr": b, "keys": keys,
+            "wc": wc, "wc_cum": np.cumsum(wc),
+            "cursor": 0,  # next wedge (flat index over local sources)
+            "credit": np.zeros(self.V, dtype=np.int64),
+        }
+        return int(wc.sum())
+
+    def tri_wedges(self, chunk: int):
+        """Enumerate the next ≤``chunk`` wedges; returns packed probe
+        blocks (u, key=v*V+w) grouped by owner v % P, or None when
+        exhausted. Fully vectorized (triangular-index inversion)."""
+        s = self.state["tri"]
+        total = int(s["wc_cum"][-1]) if len(s["wc_cum"]) else 0
+        lo = s["cursor"]
+        if lo >= total:
+            return None
+        hi = min(lo + chunk, total)
+        s["cursor"] = hi
+        wc_cum = s["wc_cum"]
+        # sources overlapping the flat wedge range [lo, hi)
+        first = int(np.searchsorted(wc_cum, lo, side="right"))
+        last = int(np.searchsorted(wc_cum, hi - 1, side="right"))
+        srcs = np.arange(first, last + 1, dtype=np.int64)
+        start_w = wc_cum[srcs] - s["wc"][srcs]   # first wedge of src
+        take_lo = np.maximum(lo, start_w)
+        take_hi = np.minimum(hi, wc_cum[srcs])
+        cnt = take_hi - take_lo
+        keep = cnt > 0
+        srcs, start_w, take_lo, cnt = (srcs[keep], start_w[keep],
+                                       take_lo[keep], cnt[keep])
+        T = int(cnt.sum())
+        if T == 0:
+            return self._empty_msgs()
+        src_rep = np.repeat(srcs, cnt)
+        k = (np.arange(T, dtype=np.int64)
+             - np.repeat(np.cumsum(cnt) - cnt, cnt)
+             + np.repeat(take_lo - start_w, cnt))  # pair idx in source
+        d = np.diff(s["indptr"])[src_rep].astype(np.float64)
+        # invert triangular index k -> (i, j), 0 <= i < j < d
+        i = (d - 2 - np.floor(
+            (np.sqrt(4 * d * (d - 1) - 8 * k.astype(np.float64) - 7) - 1)
+            / 2)).astype(np.int64)
+        j = (k + i + 1 - (d.astype(np.int64) * (d.astype(np.int64) - 1)) // 2
+             + ((d.astype(np.int64) - i) * (d.astype(np.int64) - i - 1)) // 2)
+        base = s["indptr"][src_rep]
+        v = s["nbr"][base + i]
+        w = s["nbr"][base + j]
+        u = src_rep * self.P + self.p  # local source -> global vid
+        key = v * np.int64(self.V) + w
+        part = v % self.P
+        order = np.argsort(part, kind="stable")
+        u, key, part = u[order], key[order], part[order]
+        bounds = np.searchsorted(part, np.arange(self.P + 1))
+        return ("P", bounds, u, key)
+
+    def tri_probe(self, *blocks):
+        """Close wedges against the local key set; credit all three
+        corners in the dense per-actor credit vector."""
+        s = self.state["tri"]
+        msgs = self._unpack(blocks)
+        parts = [m for m in msgs if m is not None and len(m[0])]
+        hits = 0
+        for u, key in parts:
+            if not len(key):
+                continue
+            pos = np.searchsorted(s["keys"], key)
+            pos = np.clip(pos, 0, max(0, len(s["keys"]) - 1))
+            closed = (s["keys"][pos] == key) if len(s["keys"]) else \
+                np.zeros(len(key), dtype=bool)
+            if closed.any():
+                kc = key[closed]
+                v = kc // np.int64(self.V)
+                w = kc % np.int64(self.V)
+                np.add.at(s["credit"], u[closed], 1)
+                np.add.at(s["credit"], v, 1)
+                np.add.at(s["credit"], w, 1)
+                hits += int(closed.sum())
+        return hits
+
+    def tri_counts(self):
+        """Split the credit vector into sparse per-owner slices."""
+        s = self.state["tri"]
+        nz = np.flatnonzero(s["credit"])
+        vals = s["credit"][nz]
+        part = nz % self.P
+        order = np.argsort(part, kind="stable")
+        nz, vals, part = nz[order], vals[order], part[order]
+        bounds = np.searchsorted(part, np.arange(self.P + 1))
+        return ("P", bounds, nz, vals)
+
+    def tri_collect(self, *blocks):
+        msgs = self._unpack(blocks)
+        counts = np.zeros(self.nlocal, dtype=np.int64)
+        for m in msgs:
+            if m is None or not len(m[0]):
+                continue
+            vid, val = m
+            np.add.at(counts, vid // self.P, val)
+        self.state["tri"]["counts"] = counts
+        return int(counts.sum())
+
+    def tri_result(self):
+        return self.local_vids(), self.state["tri"]["counts"]
 
     # ------------------------------------------------------------------
     # checkpoint / restore (north rule: per-superstep, per-partition

@@ -46,9 +46,32 @@ class ProgramContext:
     round: int = 0
 
 
+#: global-aggregator ops — the reference's Pregel aggregator zoo
+#: (core/app/pregel/aggregators/{numeric,bool}_aggregator.h, exercised
+#: by python/tests/test_udf_app.py:374-420): min/max/sum/product over
+#: numerics, and/or over bools, overwrite (last-writer, highest
+#: partition id wins for determinism).
+AGG_OPS = {
+    "sum": lambda vals: float(np.sum(vals)),
+    "prod": lambda vals: float(np.prod(vals)),
+    "min": lambda vals: float(np.min(vals)),
+    "max": lambda vals: float(np.max(vals)),
+    "and": lambda vals: bool(np.all(vals)),
+    "or": lambda vals: bool(np.any(vals)),
+    "overwrite": lambda vals: vals[-1],
+}
+
+
 class VertexProgram:
     combine: str = "sum"          # "sum" | "min"
     result_columns = ("value",)
+    #: optional named global aggregators: {name: op} with op in
+    #: AGG_OPS. When non-empty, ``apply`` must return
+    #: ``(changed, {name: local_value})`` and receives the combined
+    #: dict (previous round) as ``agg``; when empty, the r01 contract
+    #: holds: ``apply`` returns ``(changed, float)`` and ``agg`` is the
+    #: summed float.
+    aggregators: dict = {}
 
     def init(self, ctx: ProgramContext) -> dict:
         raise NotImplementedError
@@ -86,6 +109,36 @@ class PageRankProgram(VertexProgram):
         delta_max = float(np.abs(new - state["rank"]).max(initial=0.0))
         state["rank"] = new
         return delta_max, 0.0
+
+
+class GlobalStatsProgram(VertexProgram):
+    """Example exercising the aggregator zoo: round 1 publishes each
+    partition's local-vid sum plus two flags; round 2 writes the
+    combined global min/max/sum/and/or back into every vertex."""
+
+    combine = "sum"
+    result_columns = ("gmin", "gmax", "gsum", "gand", "gor")
+    aggregators = {"mn": "min", "mx": "max", "sm": "sum",
+                   "al": "and", "an": "or"}
+
+    def init(self, ctx):
+        z = np.zeros(ctx.nlocal)
+        return {"gmin": z.copy(), "gmax": z.copy(), "gsum": z.copy(),
+                "gand": z.copy(), "gor": z.copy()}
+
+    def message(self, ctx, state):
+        return None
+
+    def apply(self, ctx, state, incoming, agg):
+        if ctx.round == 2 and agg:
+            state["gmin"][:] = agg["mn"]
+            state["gmax"][:] = agg["mx"]
+            state["gsum"][:] = agg["sm"]
+            state["gand"][:] = float(agg["al"])
+            state["gor"][:] = float(agg["an"])
+        local = float(ctx.local_vids.sum())
+        return 1, {"mn": local, "mx": local, "sm": local,
+                   "al": ctx.part_id % 2 == 0, "an": ctx.part_id == 0}
 
 
 class MinLabelProgram(VertexProgram):

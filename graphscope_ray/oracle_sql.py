@@ -1,0 +1,186 @@
+"""DuckDB oracle-SQL generators for the text/dedup operators.
+
+Each generator returns ANSI-ish DuckDB SQL that exactly replays the
+corresponding operator in ``graphscope_ray.data`` over the
+``documents`` view — same polynomial/fmix hash family as
+``data/hashing.py`` (verified bit-for-bit in tests), so the driver's
+hash-compare correctness gate covers MinHash/SimHash/fingerprint/
+lang-id, which were rows-only in round 1.
+
+All mod-2^64 arithmetic goes through HUGEINT (products of a UBIGINT by
+a < 2^63 constant stay below 2^127) and wraps exactly like numpy
+uint64.
+"""
+
+from __future__ import annotations
+
+from graphscope_ray.data.hashing import minhash_perm_params
+from graphscope_ray.data.text import _LEXICONS
+
+M64 = "18446744073709551616"  # 2^64
+B = "1099511628211"
+F = "14695981039346656037"
+C1 = "2685821657736338717"   # 0x2545F4914F6CDD1D
+C2 = "6364136223846793005"   # 0x5851F42D4C957F2D
+MERS = str((1 << 61) - 1)
+
+_POLY = (f"(list_reduce(list_prepend({F}::HUGEINT, "
+         f"list_transform(range(1, length(t)+1), "
+         f"i -> unicode(substr(t,i,1))::HUGEINT)), "
+         f"(a,b) -> ((a*{B}) % {M64} + b + 1) % {M64}))::UBIGINT")
+
+
+def token_hash_ctes(source: str = "documents", text_col: str = "text",
+                    key: str = "doc_id") -> str:
+    """CTE chain ending in ``th(doc_id, h)``: h = list of fmix64(poly)
+    token hashes (layered list_transform keeps expression size linear)."""
+    return f"""
+t0 AS (SELECT {key} AS doc_id,
+              list_filter(string_split_regex({text_col}, '\\s+'),
+                          x -> x <> '') AS toks FROM {source}),
+t1 AS (SELECT doc_id, list_transform(toks, t -> {_POLY}) AS h FROM t0),
+t2 AS (SELECT doc_id, list_transform(h, x -> xor(x, x >> 31)) AS h FROM t1),
+t3 AS (SELECT doc_id, list_transform(h,
+         x -> ((x::HUGEINT * {C1}) % {M64})::UBIGINT) AS h FROM t2),
+t4 AS (SELECT doc_id, list_transform(h, x -> xor(x, x >> 29)) AS h FROM t3),
+t5 AS (SELECT doc_id, list_transform(h,
+         x -> ((x::HUGEINT * {C2}) % {M64})::UBIGINT) AS h FROM t4),
+th AS (SELECT doc_id, list_transform(h, x -> xor(x, x >> 32)) AS h FROM t5)"""
+
+
+def _windows_cte(k: int) -> str:
+    """From ``th`` → ``w(doc_id, wins)``: sliding windows of
+    ``k_eff = min(k, len)`` token hashes combined as acc*B + h; empty
+    docs get the single window [0]."""
+    comb = (f"(list_reduce(list_prepend(0::HUGEINT, "
+            f"list_transform(h[i : i + least({k}, len(h)) - 1], "
+            f"x -> x::HUGEINT)), "
+            f"(a,b) -> ((a*{B}) % {M64} + b) % {M64}))::UBIGINT")
+    return f"""
+w AS (SELECT doc_id,
+  CASE WHEN len(h) = 0 THEN [0::UBIGINT]
+       ELSE list_transform(range(1, len(h) - least({k}, len(h)) + 2),
+                           i -> {comb})
+  END AS wins FROM th)"""
+
+
+_WRAP_I64 = ("(({x})::HUGEINT - CASE WHEN ({x}) >= 9223372036854775808 "
+             f"THEN {M64} ELSE 0 END)::BIGINT")
+
+
+def wrap_int64(x: str) -> str:
+    """UBIGINT expr → BIGINT with two's-complement wrap (numpy
+    ``astype(int64)`` semantics)."""
+    return _WRAP_I64.format(x=x)
+
+
+def fingerprint_sql(k: int = 5) -> str:
+    return f"""
+WITH {token_hash_ctes()},
+{_windows_cte(k)}
+SELECT doc_id, {wrap_int64('list_min(wins)')} AS fingerprint
+FROM w ORDER BY doc_id"""
+
+
+def simhash_expr(hs: str = "h") -> str:
+    """64-term majority-vote bit sum over the token-hash list."""
+    terms = []
+    for b in range(64):
+        terms.append(
+            f"CASE WHEN 2*list_sum(list_transform({hs}, "
+            f"x -> CAST((x >> {b}) & 1 AS BIGINT))) > len({hs}) "
+            f"THEN {1 << b}::HUGEINT ELSE 0::HUGEINT END")
+    return "(" + " + ".join(terms) + ")"
+
+
+def simhash_pairs_sql(max_hamming: int = 0) -> str:
+    """Oracle for simhash_dedup at max_hamming=0: equal-simhash pairs.
+    (The Python path buckets by 16-bit blocks first; at hamming 0 every
+    block matches, so equality join is equivalent as long as no bucket
+    exceeds the 500-doc cap — asserted in tests at sf0.01.)"""
+    assert max_hamming == 0, "SQL oracle only replays the hamming=0 query"
+    sim = ("CASE WHEN len(h) = 0 THEN 0::HUGEINT ELSE "
+           + simhash_expr("h") + " END")
+    return f"""
+WITH {token_hash_ctes()},
+s AS (SELECT doc_id, ({sim}) % {M64}::HUGEINT AS sim FROM th)
+SELECT x.doc_id AS a, y.doc_id AS b, 0::BIGINT AS hamming
+FROM s x JOIN s y ON x.sim = y.sim AND x.doc_id < y.doc_id
+ORDER BY a, b"""
+
+
+def minhash_dedup_sql(*, num_perm: int = 64, bands: int = 16,
+                      shingle_k: int = 3, threshold: float = 0.9,
+                      seed: int = 42, max_bucket: int = 200) -> str:
+    """Full MinHash-LSH dedup replay: shingle windows → per-perm mins →
+    band buckets (row_number-capped like the Python max_bucket guard) →
+    pairs with >= threshold matching signature positions → connected
+    components via recursive min-label propagation (the union-find /
+    WCC twin; both label a group by its min doc_id)."""
+    a, b = minhash_perm_params(num_perm, seed)
+    rows = num_perm // bands
+    sig_cols = ",\n  ".join(
+        f"list_min(list_transform(wins, x -> "
+        f"((({int(a[i])}::HUGEINT * x) % {M64} + {int(b[i])}) % {M64} "
+        f"% {MERS})::UBIGINT)) AS m{i}"
+        for i in range(num_perm))
+    band_selects = "\nUNION ALL ".join(
+        f"SELECT {bi} AS band, "
+        + ", ".join(f"m{bi * rows + r} AS b{r}" for r in range(rows))
+        + ", * FROM sigs"
+        for bi in range(bands))
+    band_key = ", ".join(["band"] + [f"b{r}" for r in range(rows)])
+    match_terms = " + ".join(
+        f"CASE WHEN x.m{i} = y.m{i} THEN 1 ELSE 0 END"
+        for i in range(num_perm))
+    return f"""
+WITH RECURSIVE {token_hash_ctes()},
+{_windows_cte(shingle_k)},
+sigs AS (SELECT doc_id,
+  {sig_cols}
+FROM w),
+banded AS ({band_selects}),
+capped AS (SELECT *, row_number() OVER (PARTITION BY {band_key}
+                                        ORDER BY doc_id) AS rn
+           FROM banded QUALIFY rn <= {max_bucket}),
+pairs AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b
+  FROM capped x JOIN capped y
+    ON x.band = y.band AND {' AND '.join(f'x.b{r} = y.b{r}' for r in range(rows))}
+   AND x.doc_id < y.doc_id
+  WHERE ({match_terms}) >= {threshold} * {num_perm}),
+pe AS (SELECT a AS s, b AS t FROM pairs
+       UNION ALL SELECT b, a FROM pairs),
+members AS (SELECT DISTINCT s AS v FROM pe),
+cc AS (
+  SELECT v, v AS l FROM members
+  UNION
+  SELECT pe.t, cc.l FROM cc JOIN pe ON pe.s = cc.v WHERE cc.l < pe.t
+)
+SELECT v AS doc_id, min(l) AS dup_group FROM cc GROUP BY v ORDER BY doc_id"""
+
+
+def langid_sql() -> str:
+    """Stopword-vote language id: per-language token-membership counts,
+    winner = alphabetically-first language with the strictly maximal
+    count (matching the Python iteration order), 'unknown' when all 0."""
+    langs = sorted(_LEXICONS)
+    counts = []
+    for lang in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(_LEXICONS[lang]))
+        counts.append(
+            f"len(list_filter(toks, x -> list_contains([{words}], x))) "
+            f"AS c_{lang}")
+    gmax = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    cases = "\n    ".join(
+        f"WHEN c_{lg} = {gmax} THEN '{lg}'" for lg in langs)
+    return f"""
+WITH t0 AS (SELECT doc_id,
+  list_transform(regexp_extract_all(text,
+      '[a-zA-ZäöüéèêàçñÄÖÜ]+'), x -> lower(x)) AS toks
+  FROM documents),
+c AS (SELECT doc_id, {', '.join(counts)} FROM t0)
+SELECT doc_id,
+  CASE WHEN {gmax} = 0 THEN 'unknown'
+    {cases}
+  END AS lang_pred
+FROM c ORDER BY doc_id"""

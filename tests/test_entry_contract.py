@@ -28,6 +28,20 @@ def con():
     return c
 
 
+@pytest.fixture(scope="module", autouse=True)
+def _release_entry_engines():
+    """The query cache pins resident GraphPartition actor pools (each
+    reserving CPU slivers); release them when this module finishes or
+    later tests can no longer schedule actors on the small test
+    cluster (the r02 full-suite hang)."""
+    yield
+    for val in list(entrymod._CACHE.values()):
+        obj = val[0] if isinstance(val, tuple) else val
+        if hasattr(obj, "close"):
+            obj.close()
+    entrymod._CACHE.clear()
+
+
 def to_df(res) -> pd.DataFrame:
     if isinstance(res, ray.data.Dataset):
         return res.to_pandas()
@@ -68,6 +82,45 @@ ROWS_ONLY = sorted(set(entrymod.queries()) - set(SQL_CHECKED))
 def test_rows_only_queries_run(name):
     df = to_df(entrymod.queries()[name](SF))
     assert len(df) >= 0 and len(df.columns) > 0
+
+
+def test_unrolled_rounds_reach_fixpoint(con):
+    """The unrolled SSSP / peel oracles are only exact when the round
+    constants exceed the rounds-to-fixpoint at the driver's sf0.01
+    gate; assert a >= 3-round margin with an independent numpy check."""
+    e = con.sql(f"""
+WITH {entrymod._PRELUDE}
+SELECT s, t, w FROM e""").df()
+    src = e["s"].to_numpy()
+    dst = e["t"].to_numpy()
+    w = e["w"].to_numpy().astype(float)
+    n = int(max(src.max(), dst.max())) + 1
+    # Bellman-Ford rounds to fixpoint
+    dist = np.full(n, np.inf)
+    dist[min(src.min(), dst.min())] = 0.0
+    rounds = 0
+    while True:
+        rounds += 1
+        new = dist.copy()
+        np.minimum.at(new, dst, dist[src] + w)
+        if np.array_equal(new, dist, equal_nan=True):
+            break
+        dist = new
+    assert rounds + 3 <= entrymod.SSSP_ROUNDS, rounds
+    # synchronous peel rounds to fixpoint (k and k+1 shells)
+    for k in (entrymod.KCORE_K, entrymod.KCORE_K + 1):
+        alive = np.zeros(n, dtype=bool)
+        alive[np.unique(np.r_[src, dst])] = True
+        rounds = 0
+        while True:
+            rounds += 1
+            keep = alive[src] & alive[dst]
+            deg = np.bincount(src[keep], minlength=n)
+            new_alive = alive & (deg >= k)
+            if np.array_equal(new_alive, alive):
+                break
+            alive = new_alive
+        assert rounds + 3 <= entrymod.PEEL_ROUNDS, (k, rounds)
 
 
 def test_entry_smoke():

@@ -1,0 +1,60 @@
+"""BSP-actor Louvain level-0 sweep (r01 VERDICT #8): engine path must
+produce the same labels as the driver path on dense-vid simple graphs
+(integer weights ⇒ exactly equal scores)."""
+
+import numpy as np
+import pytest
+
+from graphscope_ray.graph.build import build_graph
+from graphscope_ray.graph.engine import BSPEngine
+from graphscope_ray.graph.louvain import louvain
+
+from conftest import edges_ds
+
+
+def dense_graph(n=40, m=200, seed=11):
+    """Random simple graph covering ALL vids 0..n-1 (ring + randoms),
+    unique (u < v) pairs, integer weights."""
+    rng = np.random.default_rng(seed)
+    ring = np.stack([np.arange(n), (np.arange(n) + 1) % n], axis=1)
+    rnd = rng.integers(0, n, size=(m, 2))
+    e = np.r_[ring, rnd]
+    e = e[e[:, 0] != e[:, 1]]
+    lo = np.minimum(e[:, 0], e[:, 1])
+    hi = np.maximum(e[:, 0], e[:, 1])
+    e = np.unique(np.stack([lo, hi], axis=1), axis=0)
+    w = (1.0 + (e[:, 0] + e[:, 1]) % 5).astype(np.float64)
+    return e, w
+
+
+@pytest.mark.parametrize("P", [1, 3])
+def test_engine_level0_matches_driver(tmp_path, P):
+    e, w = dense_graph()
+    n = 40
+    ds = edges_ds(e, weights=w)
+    vids_d, labels_d, q_d = louvain(ds, weight_col="weight")
+    store = build_graph(ds, str(tmp_path / f"lv{P}"), num_parts=P,
+                        num_vertices=n, symmetrize=True,
+                        weight_col="weight")
+    eng = BSPEngine(store)
+    vids_e, labels_e, q_e = louvain(ds, weight_col="weight", engine=eng)
+    np.testing.assert_array_equal(vids_d, vids_e)
+    np.testing.assert_array_equal(labels_d, labels_e)
+    assert abs(q_d - q_e) < 1e-12
+    eng.shutdown()
+
+
+def test_engine_path_bypasses_driver_row_guard(tmp_path):
+    e, w = dense_graph(seed=3)
+    ds = edges_ds(e, weights=w)
+    store = build_graph(ds, str(tmp_path / "lvg"), num_parts=2,
+                        num_vertices=40, symmetrize=True,
+                        weight_col="weight")
+    eng = BSPEngine(store)
+    # driver guard would reject this row count; engine path must not
+    with pytest.raises(NotImplementedError):
+        louvain(ds, weight_col="weight", max_driver_rows=1)
+    vids, labels, q = louvain(ds, weight_col="weight", engine=eng,
+                              max_driver_rows=1)
+    assert len(vids) == 40 and len(labels) == 40
+    eng.shutdown()
