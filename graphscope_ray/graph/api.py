@@ -110,9 +110,15 @@ class Graph:
         n_ids = None
         if oid_space:
             cols = ["src", "dst"]
-            oids = rename(edges.select_columns(["src"]), {"src": "oid"}).union(
-                rename(edges.select_columns(["dst"]), {"dst": "oid"})
-            )
+
+            # fused endpoint extraction: one scan, per-batch unique
+            # (combiner before the distinct shuffle)
+            def endpoints(t: pa.Table) -> pa.Table:
+                vals = np.unique(np.concatenate(
+                    [t["src"].to_numpy(), t["dst"].to_numpy()]))
+                return pa.table({"oid": pa.array(vals)})
+
+            oids = edges.map_batches(endpoints, batch_format="pyarrow")
             idmap = assign_dense_ids(oids, "oid").materialize()
             n_ids = idmap.count()
             edges = attach_vids(edges, idmap, cols, idmap_count=n_ids)

@@ -220,12 +220,15 @@ def build_graph(
         raise ValueError("symmetrize and directions='both' are exclusive")
 
     if symmetrize:
-        def swap(t: pa.Table) -> pa.Table:
+        # fused: one scan emits both orientations (a union of a second
+        # map_batches would read the source twice)
+        def both_dirs(t: pa.Table) -> pa.Table:
             arrs = {"src": t["dst"], "dst": t["src"]}
             if has_weight:
                 arrs["weight"] = t["weight"]
-            return pa.table(arrs).select(t.column_names)
-        e = e.union(e.map_batches(swap, batch_format="pyarrow"))
+            swapped = pa.table(arrs).select(t.column_names)
+            return pa.concat_tables([t, swapped])
+        e = e.map_batches(both_dirs, batch_format="pyarrow")
 
     has_dir = directions == "both"
     if has_dir:

@@ -620,7 +620,7 @@ class BSPEngine:
 
     # -- triangles (partition-local oriented CSR) ----------------------
 
-    def triangles(self, *, chunk: int = 4_000_000) -> ray.data.Dataset:
+    def triangles(self, *, chunk: int = 1_500_000) -> ray.data.Dataset:
         """Per-vertex triangle counts on the resident actor pool —
         apps/clustering/triangles.h:43-157 (degree-ordered orientation,
         adjacency intersection via sorted-key probes). No driver-side
@@ -634,20 +634,25 @@ class BSPEngine:
         deg_parts = [a.tri_deg_part.remote() for a in self.actors]
         blocks = [a.tri_ingest.remote(*deg_parts) for a in self.actors]
         ray.get([a.tri_adopt.remote(*blocks) for a in self.actors])
+        # probes only ACCUMULATE into per-actor credit vectors, so
+        # rounds need no ordering: submit the next wedge chunk before
+        # collecting probes and only barrier once at the end (wedge
+        # enumeration and probing pipeline across actors).
         alive = list(range(self.P))
+        probe_refs = []
+        wedge_refs = {p: self.actors[p].tri_wedges.remote(chunk)
+                      for p in alive}
         while alive:
-            probe_blocks = {
-                p: self.actors[p].tri_wedges.remote(chunk) for p in alive
-            }
-            got = ray.get(list(probe_blocks.values()))
-            nxt, blocks = [], []
-            for p, blk in zip(alive, got):
-                if blk is not None:
-                    nxt.append(p)
-                    blocks.append(blk)
-            if blocks:
-                ray.get([a.tri_probe.remote(*blocks) for a in self.actors])
+            got = ray.get([wedge_refs[p] for p in alive])
+            nxt = [p for p, blk in zip(alive, got) if blk is not None]
+            round_blocks = [blk for blk in got if blk is not None]
+            wedge_refs = {p: self.actors[p].tri_wedges.remote(chunk)
+                          for p in nxt}
+            if round_blocks:
+                probe_refs.extend(
+                    a.tri_probe.remote(*round_blocks) for a in self.actors)
             alive = nxt
+        ray.get(probe_refs)
         slices = [a.tri_counts.remote() for a in self.actors]
         ray.get([a.tri_collect.remote(*slices) for a in self.actors])
         self.superstep_seconds += time.perf_counter() - t0
