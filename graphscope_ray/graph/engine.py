@@ -72,6 +72,13 @@ def _two_col_table(pair_a, pair_b, name_a: str, name_b: str) -> pa.Table:
 
 
 @ray.remote
+def _walk_table(triple) -> pa.Table:
+    pid, hop, vid = triple
+    return pa.table({"path_id": pa.array(pid), "hop": pa.array(hop),
+                     "vid": pa.array(vid)})
+
+
+@ray.remote
 def _shell_table(core_k, core_k1) -> pa.Table:
     vids, a = core_k
     _, b = core_k1
@@ -617,6 +624,35 @@ class BSPEngine:
         self._peel_to(k)
         self.superstep_seconds += time.perf_counter() - t0
         return self._result_ds("kcore_result", "in_core")
+
+    # -- partition-walk path sampling ----------------------------------
+
+    def sampling_path(self, roots, *, length: int = 3, seed: int = 42
+                      ) -> ray.data.Dataset:
+        """Deterministic path sampling on the resident actors — the
+        scale variant of api.sampling_path (identical successor rule,
+        verified equal in tests): walkers move actor→actor per hop as
+        packed blocks, no broadcast CSR, no O(E) driver traffic."""
+        t0 = time.perf_counter()
+        ext = [a.walk_extract.remote() for a in self.actors]
+        ray.get([a.walk_adopt.remote(*ext) for a in self.actors])
+        roots = np.asarray(list(roots), dtype=np.int64)
+        pids = np.arange(len(roots), dtype=np.int64)
+        owner = roots % self.P
+        ray.get([
+            self.actors[p].walk_seed.remote(pids[owner == p],
+                                            roots[owner == p])
+            for p in range(self.P)
+        ])
+        blocks = [a.walk_step.remote(1, seed) for a in self.actors]
+        for hop in range(2, length + 1):
+            blocks = [a.walk_step.remote(hop, seed, *blocks)
+                      for a in self.actors]
+        ray.get(blocks)
+        self.superstep_seconds += time.perf_counter() - t0
+        cols = [a.walk_emissions.remote() for a in self.actors]
+        tables = [_walk_table.remote(c) for c in cols]
+        return ray.data.from_arrow_refs(tables)
 
     # -- triangles (partition-local oriented CSR) ----------------------
 

@@ -828,9 +828,16 @@ class GraphPartition:
             nlocal=self.nlocal, local_vids=self.local_vids(),
             out_deg=self.out_deg,
         )
+        arrays = program.init(ctx)
+        # PIE split (SURVEY §2.6 #3): an optional PEval hook runs once
+        # per partition before the first superstep (the reference's
+        # PEval / IncEval distinction; rounds are IncEval)
+        peval = getattr(program, "peval", None)
+        if callable(peval):
+            peval(ctx, arrays)
         self.state["vp"] = {
             "prog": program, "ctx": ctx,
-            "arrays": program.init(ctx),
+            "arrays": arrays,
         }
 
     def vp_scatter(self, rnd: int, *hub_parts):
@@ -868,6 +875,111 @@ class GraphPartition:
         for name in s["prog"].result_columns:
             cols[name] = s["arrays"][name]
         return cols
+
+    # ------------------------------------------------------------------
+    # partition-walk path sampling (the scale variant of
+    # api.sampling_path — apps/sampling_path/sampling_path.h): walkers
+    # flow actor→actor as packed blocks keyed by the next vertex's
+    # owner; each owner picks the deterministic hash-min successor from
+    # its out-adjacency. One-time adjacency exchange reunites hub-split
+    # out-edges with their owner.
+    # ------------------------------------------------------------------
+
+    def walk_extract(self):
+        """Foreign (hub-source) rows shipped to their owners, packed."""
+        idx = self.foreign_idx
+        src = self.src[idx]
+        dst = self.dst[idx]
+        part = src % self.P
+        order = np.argsort(part, kind="stable")
+        src, dst, part = src[order], dst[order], part[order]
+        bounds = np.searchsorted(part, np.arange(self.P + 1))
+        return ("P", bounds, src, dst)
+
+    def walk_adopt(self, *blocks):
+        """Out-CSR over owned sources (local owned rows + received hub
+        rows), neighbor lists sorted ascending by dst (the broadcast
+        variant's tie order)."""
+        msgs = self._unpack(blocks)
+        srcs = [self.src[self.owned]]
+        dsts = [self.dst[self.owned]]
+        for m in msgs:
+            if m is not None and len(m[0]):
+                srcs.append(m[0])
+                dsts.append(m[1])
+        s = np.concatenate(srcs)
+        d = np.concatenate(dsts)
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        sl = s // self.P
+        indptr = np.zeros(self.nlocal + 1, dtype=np.int64)
+        np.add.at(indptr, sl + 1, 1)
+        np.cumsum(indptr, out=indptr)
+        self.state["walk"] = {"indptr": indptr, "nbr": d,
+                              "out": [], "walkers": None}
+        return True
+
+    def walk_seed(self, pids, vids):
+        s = self.state["walk"]
+        pids = np.asarray(pids, dtype=np.int64)
+        vids = np.asarray(vids, dtype=np.int64)
+        s["walkers"] = (pids, vids)
+        s["out"].append((pids, np.zeros(len(pids), dtype=np.int64), vids))
+        return len(pids)
+
+    def walk_step(self, hop: int, seed: int, *blocks):
+        """Advance walkers one hop; returns packed (pid, nxt) blocks by
+        next owner. Successor rule identical to api.sampling_path."""
+        s = self.state["walk"]
+        if s["walkers"] is not None:
+            pid, cur = s["walkers"]
+            s["walkers"] = None
+        else:
+            msgs = self._unpack(blocks)
+            parts = [m for m in msgs if m is not None and len(m[0])]
+            if not parts:
+                return self._empty_msgs()
+            pid = np.concatenate([m[0] for m in parts])
+            cur = np.concatenate([m[1] for m in parts])
+        if not len(pid):
+            return self._empty_msgs()
+        local = cur // self.P
+        ip, nbr = s["indptr"], s["nbr"]
+        starts, ends = ip[local], ip[local + 1]
+        cnt = ends - starts
+        live = cnt > 0
+        pid, cur, starts, cnt = pid[live], cur[live], starts[live], cnt[live]
+        tot = int(cnt.sum())
+        if tot == 0:
+            return self._empty_msgs()
+        rep = np.repeat(np.arange(len(pid)), cnt)
+        offs = (np.arange(tot, dtype=np.int64)
+                - np.repeat(np.cumsum(cnt) - cnt, cnt))
+        cand = nbr[starts[rep] + offs]
+        h = (cand * np.int64(1_000_003) + pid[rep] * 31 + hop * 7 + seed)
+        h = (h ^ (h >> np.int64(13))) * np.int64(0x9E3779B1)
+        order = np.lexsort((cand, h, rep))
+        first = np.empty(tot, dtype=bool)
+        first[0] = True
+        ro = rep[order]
+        first[1:] = ro[1:] != ro[:-1]
+        nxt = cand[order][first]
+        s["out"].append((pid, np.full(len(pid), hop, dtype=np.int64), nxt))
+        part = nxt % self.P
+        order2 = np.argsort(part, kind="stable")
+        p_s, n_s, part = pid[order2], nxt[order2], part[order2]
+        bounds = np.searchsorted(part, np.arange(self.P + 1))
+        return ("P", bounds, p_s, n_s)
+
+    def walk_emissions(self):
+        s = self.state["walk"]
+        if not s["out"]:
+            e = np.array([], dtype=np.int64)
+            return e, e.copy(), e.copy()
+        pid = np.concatenate([o[0] for o in s["out"]])
+        hop = np.concatenate([o[1] for o in s["out"]])
+        vid = np.concatenate([o[2] for o in s["out"]])
+        return pid, hop, vid
 
     # ------------------------------------------------------------------
     # Louvain level-0 local-moving sweep (r01 VERDICT #8): the weighted

@@ -82,6 +82,13 @@ class VertexProgram:
     def apply(self, ctx: ProgramContext, state: dict, incoming, agg):
         raise NotImplementedError
 
+    def peval(self, ctx: ProgramContext, state: dict) -> None:
+        """Optional PIE PEval hook (`@pie` decorator analogue,
+        python/graphscope/analytical/udf/decorators.py:39): runs once
+        per partition after ``init`` and before the first superstep;
+        every superstep after it is the IncEval. Default: no-op (pure
+        Pregel shape)."""
+
 
 class PageRankProgram(VertexProgram):
     """Example: textbook PageRank without dangling redistribution —

@@ -111,5 +111,18 @@ def corpus_vertices(corpus: ray.data.Dataset) -> ray.data.Dataset:
 
     occ = corpus.select_columns(["repo", "path"])
     occ = occ.map_batches(add_oid, batch_format="pyarrow")
-    # distinct via groupby on oid (keeps repo/path which are functions of oid)
-    return occ.groupby("oid").map_groups(lambda g: g.head(1), batch_format="pandas")
+    # distinct via per-batch drop_duplicates (combiner) + a min-aggregate
+    # groupby — repo/path are functions of oid, so Min reproduces them
+    # exactly without a per-group pandas callable (r01 VERDICT minor)
+    from ray.data.aggregate import Min
+
+    def local_distinct(t: pa.Table) -> pa.Table:
+        import numpy as np
+        oids = t["oid"].to_numpy(zero_copy_only=False)
+        _, first = np.unique(oids, return_index=True)
+        return t.take(np.sort(first))
+
+    occ = occ.map_batches(local_distinct, batch_format="pyarrow")
+    return (occ.groupby("oid")
+            .aggregate(Min("repo", alias_name="repo"),
+                       Min("path", alias_name="path")))

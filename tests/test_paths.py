@@ -104,3 +104,35 @@ def test_sampling_path():
     key = ["path_id", "hop"]
     assert a.sort_values(key).reset_index(drop=True).equals(
         b.sort_values(key).reset_index(drop=True))
+
+
+@pytest.mark.parametrize("P", [1, 3])
+@pytest.mark.parametrize("hub_threshold", [None, 5])
+def test_partition_walk_matches_broadcast_sampling(tmp_path, P,
+                                                   hub_threshold):
+    """engine.sampling_path (actor token walk) must equal
+    api.sampling_path (broadcast CSR) — same hash-min successor rule,
+    also across hub-split stores."""
+    from graphscope_ray.graph import api
+    from graphscope_ray.graph.build import build_graph
+    from graphscope_ray.graph.engine import BSPEngine
+    from conftest import edges_ds, random_graph
+
+    e, n = random_graph(seed=17), 60
+    ds = edges_ds(e)
+    roots = [0, 3, 7, 11, 40]
+    want = (api.sampling_path(ds, roots, length=4, seed=9).to_pandas()
+            .sort_values(["path_id", "hop"]).reset_index(drop=True))
+    store = build_graph(ds, str(tmp_path / f"w{P}{hub_threshold}"),
+                        num_parts=P, num_vertices=n,
+                        hub_threshold=hub_threshold)
+    if hub_threshold is not None:
+        assert len(store.hubs) > 0
+    eng = BSPEngine(store)
+    got = (eng.sampling_path(roots, length=4, seed=9).to_pandas()
+           .sort_values(["path_id", "hop"]).reset_index(drop=True))
+    assert len(got) == len(want)
+    for c in ["path_id", "hop", "vid"]:
+        np.testing.assert_array_equal(got[c].to_numpy(),
+                                      want[c].to_numpy(), err_msg=c)
+    eng.shutdown()
