@@ -209,11 +209,11 @@ def test_multimodal_plumbing():
     a = feats.sort_values("media_id").reset_index(drop=True)
     b = feats2.sort_values("media_id").reset_index(drop=True)
     assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
-    # real decode path raises the documented stub error
-    with pytest.raises(Exception) as ei:
-        multimodal.media_features(ds, decode="real").to_pandas()
-    assert "NotImplementedError" in str(ei.value) or isinstance(
-        ei.value, NotImplementedError)
+    # real decode path works end to end for image/audio (pure-numpy
+    # BMP/WAV codecs); only video falls back to the fake kernel
+    real = multimodal.media_features(ds, decode="real").to_pandas()
+    assert len(real) == 48
+    assert all(len(f) == 16 for f in real["feature"])
     frames = multimodal.frame_sample(ds).to_pandas()
     vids = (tbl["kind"].to_pandas() == "video").sum()
     if vids:
