@@ -350,6 +350,65 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, candidate_pairs: pd.DataFrame,
 # ----------------------------------------------------------------------
 
 
+def _cosine_dedup_lsh(emb, key, col, threshold, *, num_planes=10,
+                      num_tables=6, seed=42, max_bucket=2000):
+    """LSH-bucketed near-dup pairs — the auto-routed scale path of
+    embedding_cosine_dedup (r01 VERDICT: route, don't raise): random-
+    hyperplane signatures over ``num_tables`` independent tables,
+    exact pairwise cosine within each bucket (capped), distinct pairs.
+    Approximate by design: a pair at cosine ≥ threshold is found iff
+    some table buckets it together (probability → 1 with tables for
+    thresholds near 1)."""
+    probe = emb.select_columns([col]).take_batch(1, batch_format="pyarrow")
+    d = len(probe[col][0])
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((num_tables, num_planes, d))
+    pref = ray.put(planes)
+    powers = (1 << np.arange(num_planes)).astype(np.int64)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        ids = t[key].to_numpy()
+        m = np.stack(t[col].to_numpy(zero_copy_only=False))
+        m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+        out_id, out_b, out_v = [], [], []
+        for table in range(num_tables):
+            s = (((m @ pl[table].T) > 0).astype(np.int64) @ powers)
+            out_id.append(ids)
+            out_b.append(s * num_tables + table)
+            out_v.append(m)
+        return pa.table({key: pa.array(np.concatenate(out_id)),
+                         "bucket": pa.array(np.concatenate(out_b)),
+                         col: pa.array(list(np.concatenate(out_v)))})
+
+    bucketed = emb.select_columns([key, col]).map_batches(
+        bucketize, batch_format="pyarrow")
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        from graphscope_ray.util import round_half_away
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "cosine": pd.Series([], dtype="float64")})
+        g = g.sort_values(key).head(max_bucket)
+        ids = g[key].to_numpy()
+        m = np.stack(g[col].to_numpy())
+        sims = m @ m.T
+        i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+        return pd.DataFrame({
+            "a": ids[i], "b": ids[j],
+            "cosine": round_half_away(sims[i, j], 6)})
+
+    out = (bucketed.groupby("bucket")
+           .map_groups(pairs, batch_format="pandas")).to_pandas()
+    if not len(out):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "cosine": pd.Series([], dtype="float64")})
+    return (out.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
+
+
 def embedding_cosine_dedup(
     emb: ray.data.Dataset,
     *,
@@ -363,13 +422,12 @@ def embedding_cosine_dedup(
 
     Small side (≤ broadcast_limit vectors) is broadcast once; each batch
     computes a (batch × all) cosine block with one matmul — vectorized,
-    no python loop over rows. Scale path above the limit: LSH-bucket by
-    random hyperplane signature first (see similarity.lsh_ann_topk)."""
+    no python loop over rows. Above the limit the call auto-routes to
+    the LSH-bucketed scale path (_cosine_dedup_lsh — approximate,
+    documented)."""
     n = count if count is not None else emb.count()
     if n > broadcast_limit:
-        raise ValueError(
-            f"{n} vectors exceed broadcast_limit; bucket with "
-            "similarity.lsh_ann_topk first")
+        return _cosine_dedup_lsh(emb, key, col, threshold)
     pdf = emb.select_columns([key, col]).to_pandas()
     ids = pdf[key].to_numpy(dtype=np.int64)
     mat = np.stack(pdf[col].to_numpy())

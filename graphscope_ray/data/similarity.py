@@ -57,10 +57,11 @@ def ann_topk(
         block, batch_format="pyarrow")
 
     def merge(g: pd.DataFrame) -> pd.DataFrame:
+        from graphscope_ray.util import round_half_away
         g = g.sort_values(["cosine", key], ascending=[False, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["cosine"] = np.round(g["cosine"], 6)
+        g["cosine"] = round_half_away(g["cosine"].to_numpy(), 6)
         return g
 
     out = partial.groupby("query_id").map_groups(merge, batch_format="pandas")
@@ -127,16 +128,12 @@ def lsh_ann_topk(
         pos = np.clip(np.searchsorted(qs, b), 0, len(qs) - 1)
         return t.filter(pa.array(qs[pos] == b))
 
-    cands = bucketed.map_batches(probe, batch_format="pyarrow").to_pandas()
-    if not len(cands):
+    cand_ds = bucketed.map_batches(probe, batch_format="pyarrow")
+    # distributed dedup (a vector appears once per matching table) and
+    # distributed exact rerank — the r01 driver-side to_pandas rerank
+    # is gone; only k·Q·#batches partial-top-k rows ever shuffle
+    cand_ds = cand_ds.groupby(key).map_groups(
+        lambda g: g.head(1), batch_format="pandas")
+    if cand_ds.count() == 0:
         return pd.DataFrame(columns=["query_id", key, "cosine", "rank"])
-    cands = cands.drop_duplicates(subset=[key])
-    ids = cands[key].to_numpy()
-    mat = np.stack(cands[col].to_numpy())
-    sims = mat @ q.T
-    rows = []
-    for qi in range(q.shape[0]):
-        order = np.argsort(-sims[:, qi], kind="stable")[:k]
-        for r, vi in enumerate(order, 1):
-            rows.append((qi, ids[vi], round(float(sims[vi, qi]), 6), r))
-    return pd.DataFrame(rows, columns=["query_id", key, "cosine", "rank"])
+    return ann_topk(cand_ds, queries, k=k, key=key, col=col)
