@@ -572,6 +572,50 @@ def _q_pg_louvain(sf_dir):
     return pd.DataFrame({"vid": oids[vids], "community": oids[labels]})
 
 
+SAMPLE_ROOTS = 3
+SAMPLE_LEN = 4
+SAMPLE_SEED = 11
+
+
+def _q_pg_sampling(sf_dir):
+    """Deterministic path sampling (apps/sampling_path) on the resident
+    actors — partition-walk variant; roots = 3 smallest oids (vids
+    0..2 under dense rank ids)."""
+    g, _ = _partgraph(sf_dir)
+    out = g.engine.sampling_path(range(SAMPLE_ROOTS), length=SAMPLE_LEN,
+                                 seed=SAMPLE_SEED)
+    return g.to_oid(out)
+
+
+def _sampling_sql(n_roots: int, length: int, seed: int) -> str:
+    """The engine hashes DENSE vids (rank of oid), so the SQL maps oids
+    to ranks first, walks in rank space, and maps back for output."""
+    parts = [f"WITH {_PRELUDE},"]
+    parts.append("""vm AS MATERIALIZED (
+  SELECT v, row_number() OVER (ORDER BY v) - 1 AS r FROM v),
+ev AS MATERIALIZED (
+  SELECT a.r AS s, b.r AS t FROM e
+  JOIN vm a ON a.v = e.s JOIN vm b ON b.v = e.t)""")
+    parts.append(f"""p0 AS MATERIALIZED (
+  SELECT r AS path_id, r AS vid FROM vm WHERE r < {n_roots})""")
+    for hop in range(1, length + 1):
+        h = _osql().walk_hash_sql("cand", "path_id", hop, seed)
+        parts.append(f"""p{hop} AS MATERIALIZED (
+  SELECT path_id, cand AS vid FROM (
+    SELECT p.path_id, ev.t AS cand,
+           row_number() OVER (PARTITION BY p.path_id
+                              ORDER BY {h}, ev.t) AS rn
+    FROM p{hop-1} p JOIN ev ON ev.s = p.vid) WHERE rn = 1)""")
+    body = ",\n".join(parts[1:])
+    selects = "\nUNION ALL ".join(
+        f"SELECT path_id, {hop} AS hop, vid FROM p{hop}"
+        for hop in range(0, length + 1))
+    return (f"{parts[0]}\n{body}\n"
+            f"SELECT u.path_id, u.hop, vm.v AS vid\n"
+            f"FROM ({selects}) u JOIN vm ON vm.r = u.vid\n"
+            f"ORDER BY path_id, hop")
+
+
 def _q_pg_dfs(sf_dir):
     """DFS preorder ranks from the min-oid source over the symmetric
     partgraph — api.dfs (sequential, like the reference's token walk)."""
@@ -821,6 +865,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_louvain": _q_pg_louvain,
         "pg_lpa": _q_pg_lpa,
         "pg_dfs": _q_pg_dfs,
+        "pg_sampling": _q_pg_sampling,
         "doc_sha256": _q_doc_sha256,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
@@ -917,6 +962,7 @@ GROUP BY b.v ORDER BY node""",
         "pg_hits": _hits_sql(HITS_ROUNDS),
         "pg_lpa": _lpa_sql(LPA_ROUNDS),
         "pg_dfs": _DFS_SQL,
+        "pg_sampling": _sampling_sql(SAMPLE_ROOTS, SAMPLE_LEN, SAMPLE_SEED),
         "pg_transitivity": f"""
 WITH {_PRELUDE},
 {_TRI_CTE}

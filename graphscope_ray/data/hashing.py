@@ -162,6 +162,17 @@ def windowed_hashes(tok_doc: np.ndarray, tok_hash: np.ndarray, k: int,
     return wd[order], wh[order]
 
 
+def walk_hash(cand: np.ndarray, pid: np.ndarray, hop: int,
+              seed: int) -> np.ndarray:
+    """Deterministic path-sampling successor score: fmix64 of a
+    mod-2^64 combine of (candidate vid, path id, hop, seed). Replayed
+    in SQL by oracle_sql.walk_hash_sql; min (score, candidate) wins."""
+    # scalar part via python ints (numpy warns on scalar u64 overflow)
+    const = U64((int(hop) * int(C2) + int(seed)) % (1 << 64))
+    h = cand.astype(np.uint64) * B + pid.astype(np.uint64) * C1 + const
+    return fmix64(h)
+
+
 def minhash_perm_params(num_perm: int, seed: int):
     """Identical to r01: a,b drawn from default_rng(seed) in [1,M61)."""
     rng = np.random.default_rng(seed)

@@ -664,9 +664,8 @@ def sampling_path(
             offs = (np.arange(tot, dtype=np.int64)
                     - np.repeat(np.cumsum(cnt) - cnt, cnt))
             cand = nbrs[starts[path_rep] + offs]
-            h = (cand * np.int64(1_000_003)
-                 + pid[idx][path_rep] * 31 + hop * 7 + seed)
-            h = (h ^ (h >> np.int64(13))) * np.int64(0x9E3779B1)
+            from graphscope_ray.data.hashing import walk_hash
+            h = walk_hash(cand, pid[idx][path_rep], hop, seed)
             # segmented argmin via lexsort + first-of-run
             order = np.lexsort((cand, h, path_rep))
             first = np.empty(tot, dtype=bool)

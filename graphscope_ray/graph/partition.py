@@ -956,8 +956,8 @@ class GraphPartition:
         offs = (np.arange(tot, dtype=np.int64)
                 - np.repeat(np.cumsum(cnt) - cnt, cnt))
         cand = nbr[starts[rep] + offs]
-        h = (cand * np.int64(1_000_003) + pid[rep] * 31 + hop * 7 + seed)
-        h = (h ^ (h >> np.int64(13))) * np.int64(0x9E3779B1)
+        from graphscope_ray.data.hashing import walk_hash
+        h = walk_hash(cand, pid[rep], hop, seed)
         order = np.lexsort((cand, h, rep))
         first = np.empty(tot, dtype=bool)
         first[0] = True

@@ -159,6 +159,26 @@ cc AS (
 SELECT v AS doc_id, min(l) AS dup_group FROM cc GROUP BY v ORDER BY doc_id"""
 
 
+def fmix_u64_sql(x: str) -> str:
+    """Inline SQL fmix64 of a UBIGINT expression (xorshift-multiply;
+    the expression is substituted 8x — keep ``x`` compact)."""
+    s1 = f"xor(({x}), ({x}) >> 31)"
+    s2 = f"((({s1})::HUGEINT * {C1}) % {M64})::UBIGINT"
+    s3 = f"xor(({s2}), ({s2}) >> 29)"
+    s4 = f"((({s3})::HUGEINT * {C2}) % {M64})::UBIGINT"
+    return f"xor(({s4}), ({s4}) >> 32)"
+
+
+def walk_hash_sql(cand: str, pid: str, hop: int, seed: int) -> str:
+    """SQL twin of data/hashing.walk_hash (sampling_path successor
+    score): fmix64((cand·B + pid·C1 + hop·C2 + seed) mod 2^64)."""
+    combine = (f"((({cand})::HUGEINT * {B}) % {M64}"
+               f" + (({pid})::HUGEINT * {C1}) % {M64}"
+               f" + ({hop}::HUGEINT * {C2}) % {M64}"
+               f" + {seed}) % {M64}")
+    return fmix_u64_sql(f"({combine})::UBIGINT")
+
+
 def langid_sql() -> str:
     """Stopword-vote language id: per-language token-membership counts,
     winner = alphabetically-first language with the strictly maximal
