@@ -19,42 +19,46 @@ import ray.data
 
 from graphscope_ray.util import round_half_away
 
-_WS = re.compile(r"\s+")
-_ALPHA = re.compile(r"[^a-zA-Z]")
-
-
 def token_count(ds: ray.data.Dataset, col: str = "text",
                 key: str = "doc_id") -> ray.data.Dataset:
     """(key, n_tokens): number of non-empty whitespace-separated pieces
-    — SQL-equivalent: len(list_filter(string_split_regex(text, '\\s+'),
-    x -> x <> ''))."""
+    (= number of ``\\S+`` matches) — SQL-equivalent:
+    len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')).
+    Fully vectorized: one Arrow re2 kernel pass, no per-row Python."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        toks = df[col].fillna("").map(lambda s: len([t for t in _WS.split(s) if t]))
-        return pd.DataFrame({key: df[key], "n_tokens": toks.astype("int64")})
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.fill_null(t[col], "")
+        toks = pc.cast(pc.count_substring_regex(s, r"\S+"), pa.int64())
+        return pa.table({key: t[key], "n_tokens": toks})
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def text_stats(ds: ray.data.Dataset, col: str = "text",
                key: str = "doc_id") -> ray.data.Dataset:
     """(key, n_chars, n_tokens, alpha_ratio) — building blocks for
-    quality filtering; each component SQL-replayable."""
+    quality filtering; each component SQL-replayable. Arrow re2
+    count kernels (no per-row Python)."""
 
-    def f(df: pd.DataFrame) -> pd.DataFrame:
-        s = df[col].fillna("")
-        n_chars = s.str.len().astype("int64")
-        n_tokens = s.map(lambda x: len([t for t in _WS.split(x) if t])).astype("int64")
-        n_alpha = s.map(lambda x: len(_ALPHA.sub("", x))).astype("int64")
-        alpha_ratio = np.where(n_chars > 0, n_alpha / n_chars.clip(lower=1), 0.0)
-        return pd.DataFrame({
-            key: df[key],
-            "n_chars": n_chars,
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.fill_null(t[col], "")
+        n_chars = pc.cast(pc.utf8_length(s), pa.int64()).to_numpy()
+        n_tokens = pc.cast(
+            pc.count_substring_regex(s, r"\S+"), pa.int64())
+        n_alpha = pc.cast(
+            pc.count_substring_regex(s, r"[a-zA-Z]"), pa.int64()).to_numpy()
+        alpha_ratio = np.where(
+            n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
+        return pa.table({
+            key: t[key],
+            "n_chars": pa.array(n_chars),
             "n_tokens": n_tokens,
-            "alpha_ratio": round_half_away(alpha_ratio, 6),
+            "alpha_ratio": pa.array(round_half_away(alpha_ratio, 6)),
         })
 
-    return ds.map_batches(f, batch_format="pandas")
+    return ds.map_batches(f, batch_format="pyarrow")
 
 
 def quality_score(ds: ray.data.Dataset, col: str = "text",
