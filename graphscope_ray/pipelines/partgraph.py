@@ -29,9 +29,20 @@ _NUM_BUCKETS = 32
 
 
 def _pair_key(s: np.ndarray, d: np.ndarray) -> np.ndarray:
-    if len(s) and (s.max() >= 2**31 or d.max() >= 2**31):
-        raise ValueError("pair ids exceed 31 bits; widen the key scheme")
-    return (s.astype(np.int64) << np.int64(32)) | d.astype(np.int64)
+    """Bijective (s, d) → int64 pack: uint64 ``s<<32|d`` reinterpreted
+    as int64 (may be negative — only equality/grouping is used, never
+    order). Full 32-bit id headroom (4.29B vertices); beyond that the
+    scheme must move to a two-column key."""
+    if len(s) and (s.max() >= 2**32 or d.max() >= 2**32):
+        raise ValueError("pair ids exceed 32 bits; widen the key scheme")
+    return ((s.astype(np.uint64) << np.uint64(32))
+            | d.astype(np.uint64)).view(np.int64)
+
+
+def _unpack_key(uk: np.ndarray) -> tuple:
+    u = uk.view(np.uint64)
+    return ((u >> np.uint64(32)).astype(np.int64),
+            (u & np.uint64(0xFFFFFFFF)).astype(np.int64))
 
 
 def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Dataset:
@@ -48,10 +59,8 @@ def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Datase
     def dedup(g: pd.DataFrame) -> pd.DataFrame:
         key = _pair_key(g["l_orderkey"].to_numpy(), g["l_partkey"].to_numpy())
         uk = np.unique(key)
-        return pd.DataFrame({
-            "l_orderkey": (uk >> 32).astype(np.int64),
-            "l_partkey": (uk & 0xFFFFFFFF).astype(np.int64),
-        })
+        ok, pk = _unpack_key(uk)
+        return pd.DataFrame({"l_orderkey": ok, "l_partkey": pk})
 
     lp = (
         li.map_batches(add_bucket, batch_format="pyarrow")
@@ -90,11 +99,8 @@ def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Datase
         w = g["_w"].to_numpy()
         uk, inv = np.unique(key, return_inverse=True)
         tot = np.bincount(inv, weights=w).astype(np.int64)
-        return pd.DataFrame({
-            "src": (uk >> 32).astype(np.int64),
-            "dst": (uk & 0xFFFFFFFF).astype(np.int64),
-            "weight": tot,
-        })
+        src, dst = _unpack_key(uk)
+        return pd.DataFrame({"src": src, "dst": dst, "weight": tot})
 
     out = (
         joined.map_batches(lower_pairs, batch_format="pyarrow")
