@@ -770,6 +770,13 @@ def _q_doc_simhash_pairs(sf_dir):
     return simhash_dedup(docs, max_hamming=0)
 
 
+def _q_doc_jaccard(sf_dir):
+    from graphscope_ray.data.dedup import fingerprint_jaccard_pairs
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return fingerprint_jaccard_pairs(docs, threshold=0.5)
+
+
 def _q_emb_ann_topk(sf_dir):
     from graphscope_ray.data import ann_topk
     import pyarrow.compute as pc
@@ -874,6 +881,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_jaccard": _q_doc_jaccard,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "events_window": _q_events_window,
@@ -993,6 +1001,7 @@ FROM documents ORDER BY doc_id""",
         "doc_fingerprint": _osql().fingerprint_sql(k=5),
         "doc_minhash_dedup": _osql().minhash_dedup_sql(threshold=0.9),
         "doc_simhash_pairs": _osql().simhash_pairs_sql(max_hamming=0),
+        "doc_jaccard": _osql().jaccard_pairs_sql(threshold=0.5),
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),

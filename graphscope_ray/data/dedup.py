@@ -336,13 +336,52 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, candidate_pairs: pd.DataFrame,
     def grams(s):
         return {s[i: i + n] for i in range(max(1, len(s) - n + 1))}
 
+    from graphscope_ray.util import round_half_away
     rows = []
     for a, b in zip(candidate_pairs["a"], candidate_pairs["b"]):
         ga, gb = grams(lut.get(a, "")), grams(lut.get(b, ""))
         jac = len(ga & gb) / max(1, len(ga | gb))
         if jac >= threshold:
-            rows.append((a, b, round(jac, 6)))
+            rows.append((a, b, float(round_half_away(jac, 6))))
     return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+
+def fingerprint_jaccard_pairs(
+    ds: ray.data.Dataset, *, col="text", key="doc_id",
+    fp_k: int = 5, n: int = 3, threshold: float = 0.5,
+    max_bucket: int = 500,
+) -> pd.DataFrame:
+    """n-gram Jaccard near-dup pairs with a winnowing-fingerprint
+    prefilter: docs sharing a fingerprint become candidate pairs
+    (bucket groupby, ``max_bucket`` skew cap), then exact character
+    n-gram Jaccard ≥ threshold verifies each pair → (a, b, jaccard).
+
+    Scale shape: only fingerprints shuffle (8 bytes/doc); candidate
+    pairs are bounded by the bucket cap; the verify stage semi-joins
+    just the candidate docs' texts. Exactly replayed by
+    oracle_sql.jaccard_pairs_sql."""
+    from graphscope_ray.data.text import fingerprint
+
+    fps = fingerprint(ds, col=col, key=key, k=fp_k)
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64")})
+        g = g.sort_values(key).head(max_bucket)
+        ids = g[key].to_numpy()
+        i, j = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+
+    cand = (fps.groupby("fingerprint")
+            .map_groups(pairs, batch_format="pandas")).to_pandas()
+    if not len(cand):
+        return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                             "b": pd.Series([], dtype="int64"),
+                             "jaccard": pd.Series([], dtype="float64")})
+    out = ngram_jaccard_pairs(ds, cand, col=col, key=key, n=n,
+                              threshold=threshold)
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 # ----------------------------------------------------------------------

@@ -159,6 +159,40 @@ cc AS (
 SELECT v AS doc_id, min(l) AS dup_group FROM cc GROUP BY v ORDER BY doc_id"""
 
 
+def jaccard_pairs_sql(*, fp_k: int = 5, n: int = 3,
+                      threshold: float = 0.5,
+                      max_bucket: int = 500) -> str:
+    """Replay of data.dedup.fingerprint_jaccard_pairs: winnowing-
+    fingerprint buckets (row_number-capped like the Python max_bucket
+    guard) → candidate pairs → exact character n-gram Jaccard ≥
+    threshold. Python rounds via round_half_away, matching DuckDB's
+    half-away round()."""
+    return f"""
+WITH {token_hash_ctes()},
+{_windows_cte(fp_k)},
+fp AS MATERIALIZED (
+  SELECT doc_id, {wrap_int64('list_min(wins)')} AS fp,
+         row_number() OVER (PARTITION BY {wrap_int64('list_min(wins)')}
+                            ORDER BY doc_id) AS rn
+  FROM w QUALIFY rn <= {max_bucket}),
+g AS MATERIALIZED (
+  SELECT doc_id,
+    list_distinct(list_transform(
+      range(1, greatest(length(text) - {n - 1}, 1) + 1),
+      i -> substr(text, i, {n}))) AS gs
+  FROM documents),
+cand AS (SELECT x.doc_id AS a, y.doc_id AS b
+         FROM fp x JOIN fp y ON x.fp = y.fp AND x.doc_id < y.doc_id),
+j AS (SELECT cand.a, cand.b,
+        len(list_intersect(ga.gs, gb.gs))
+          / greatest(1, len(list_distinct(list_concat(ga.gs, gb.gs))))
+          AS jac
+      FROM cand JOIN g ga ON ga.doc_id = cand.a
+                JOIN g gb ON gb.doc_id = cand.b)
+SELECT a, b, round(jac, 6) AS jaccard FROM j
+WHERE jac >= {threshold} ORDER BY a, b"""
+
+
 def fmix_u64_sql(x: str) -> str:
     """Inline SQL fmix64 of a UBIGINT expression (xorshift-multiply;
     the expression is substituted 8x — keep ``x`` compact)."""

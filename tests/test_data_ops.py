@@ -121,6 +121,25 @@ def test_ngram_jaccard_verification(docs):
         assert out["jaccard"].iloc[0] == 1.0
 
 
+def test_fingerprint_jaccard_pairs_matches_sql(docs):
+    from graphscope_ray.data.dedup import fingerprint_jaccard_pairs
+    from graphscope_ray import oracle_sql
+
+    got = fingerprint_jaccard_pairs(docs, threshold=0.5)
+    con = duckdb.connect()
+    con.sql(f"CREATE VIEW documents AS "
+            f"SELECT * FROM read_parquet('{SF}/documents.parquet')")
+    want = con.sql(oracle_sql.jaccard_pairs_sql(threshold=0.5)).df()
+    assert len(got) == len(want)
+    if len(got):
+        np.testing.assert_array_equal(got["a"].to_numpy(),
+                                      want["a"].to_numpy())
+        np.testing.assert_array_equal(got["b"].to_numpy(),
+                                      want["b"].to_numpy())
+        np.testing.assert_allclose(got["jaccard"].to_numpy(),
+                                   want["jaccard"].to_numpy(), atol=0)
+
+
 def test_lang_id_schema(docs):
     out = lang_id(docs).to_pandas()
     assert set(out.columns) == {"doc_id", "lang_pred"}
