@@ -770,6 +770,13 @@ def _q_doc_simhash_pairs(sf_dir):
     return simhash_dedup(docs, max_hamming=0)
 
 
+def _q_doc_bpe_tokens(sf_dir):
+    from graphscope_ray.data.text import bpe_token_count
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return bpe_token_count(docs)
+
+
 def _q_doc_jaccard(sf_dir):
     from graphscope_ray.data.dedup import fingerprint_jaccard_pairs
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -876,6 +883,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sha256": _q_doc_sha256,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -891,6 +899,13 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _osql():
     from graphscope_ray import oracle_sql as mod
     return mod
+
+
+def _bpe_tokens_sql() -> str:
+    from graphscope_ray.data.text import BPE_PATTERN
+    pat = BPE_PATTERN.replace("'", "''")
+    return (f"SELECT doc_id, len(regexp_extract_all(text, '{pat}'))::BIGINT"
+            f" AS n_bpe_tokens FROM documents ORDER BY doc_id")
 
 
 def oracle_sql() -> dict[str, str]:
@@ -997,6 +1012,7 @@ SELECT doc_id, round(
   * least(1.0, len(list_filter(string_split_regex(text, '\s+'),
                                x -> x <> ''))::DOUBLE / 100.0), 6) AS quality
 FROM documents ORDER BY doc_id""",
+        "doc_bpe_tokens": _bpe_tokens_sql(),
         "doc_langid": _osql().langid_sql(),
         "doc_fingerprint": _osql().fingerprint_sql(k=5),
         "doc_minhash_dedup": _osql().minhash_dedup_sql(threshold=0.9),

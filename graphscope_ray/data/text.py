@@ -35,6 +35,31 @@ def token_count(ds: ray.data.Dataset, col: str = "text",
     return ds.map_batches(f, batch_format="pyarrow")
 
 
+# GPT-2-style pretokenizer, re2-compatible (no lookahead / unicode
+# classes): contractions, letter runs, digit runs, punctuation runs —
+# each optionally preceded by one space. Arrow and DuckDB both use re2,
+# so the engine and the SQL oracle share this exact pattern string.
+BPE_PATTERN = (r"'[sdmt]|'ll|'ve|'re"
+               r"| ?[A-Za-z]+| ?[0-9]+| ?[^\sA-Za-z0-9]+")
+
+
+def bpe_token_count(ds: ray.data.Dataset, col: str = "text",
+                    key: str = "doc_id") -> ray.data.Dataset:
+    """(key, n_bpe_tokens): number of non-overlapping BPE_PATTERN
+    matches — a BPE-ish pretokenizer token count (the thing an LLM-data
+    pipeline budgets by), cheaper than real BPE merges but tracking
+    them far better than whitespace counts. One Arrow re2 pass; the
+    SQL oracle counts the same pattern via regexp_extract_all."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.fill_null(t[col], "")
+        toks = pc.cast(pc.count_substring_regex(s, BPE_PATTERN), pa.int64())
+        return pa.table({key: t[key], "n_bpe_tokens": toks})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
 def text_stats(ds: ray.data.Dataset, col: str = "text",
                key: str = "doc_id") -> ray.data.Dataset:
     """(key, n_chars, n_tokens, alpha_ratio) — building blocks for

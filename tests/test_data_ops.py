@@ -121,6 +121,19 @@ def test_ngram_jaccard_verification(docs):
         assert out["jaccard"].iloc[0] == 1.0
 
 
+def test_bpe_token_count_matches_sql(docs):
+    from graphscope_ray.data.text import bpe_token_count, BPE_PATTERN
+    got = bpe_token_count(docs).to_pandas().sort_values("doc_id")
+    pat = BPE_PATTERN.replace("'", "''")
+    want = duckdb.sql(
+        f"""SELECT doc_id, len(regexp_extract_all(text, '{pat}'))::BIGINT
+            AS n_bpe_tokens
+            FROM read_parquet('{SF}/documents.parquet') ORDER BY doc_id"""
+    ).df()
+    np.testing.assert_array_equal(got["n_bpe_tokens"].to_numpy(),
+                                  want["n_bpe_tokens"].to_numpy())
+
+
 def test_fingerprint_jaccard_pairs_matches_sql(docs):
     from graphscope_ray.data.dedup import fingerprint_jaccard_pairs
     from graphscope_ray import oracle_sql
