@@ -801,6 +801,18 @@ def _q_emb_ann_topk(sf_dir):
     return out
 
 
+def _q_emb_ivf_ann(sf_dir):
+    from graphscope_ray.data.similarity import ivf_ann_topk
+    import pyarrow.compute as pc
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtab = (emb.filter(expr="vec_id < 3")
+            .take_batch(16, batch_format="pyarrow"))
+    order = pc.sort_indices(qtab["vec_id"])
+    queries = np.stack([np.asarray(v)
+                        for v in qtab["embedding"].take(order).to_pylist()])
+    return ivf_ann_topk(emb, queries, k=5, num_centroids=8, nprobe=2)
+
+
 def _q_emb_cosine_dups(sf_dir):
     from graphscope_ray.data.dedup import embedding_cosine_dedup
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -891,6 +903,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_jaccard": _q_doc_jaccard,
         "emb_ann_topk": _q_emb_ann_topk,
+        "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "events_window": _q_events_window,
     }
@@ -1024,6 +1037,33 @@ q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),
 s AS (SELECT q.query_id, e.vec_id,
              round(list_cosine_similarity(e.emb, q.qv), 6) AS cosine
       FROM e CROSS JOIN q),
+r AS (SELECT *, row_number() OVER (PARTITION BY query_id
+                                   ORDER BY cosine DESC, vec_id) AS rank
+      FROM s)
+SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
+ORDER BY query_id, rank""",
+        "emb_ivf_ann": """
+WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+c AS MATERIALIZED (SELECT vec_id AS cid, emb AS cv FROM e WHERE vec_id < 8),
+q AS MATERIALIZED (SELECT vec_id AS query_id, emb AS qv FROM e
+                   WHERE vec_id < 3),
+assign AS MATERIALIZED (
+  SELECT vec_id, emb, cid FROM (
+    SELECT e.vec_id, e.emb, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id
+             ORDER BY list_cosine_similarity(e.emb, c.cv) DESC, c.cid) AS rn
+    FROM e CROSS JOIN c) WHERE rn = 1),
+probe AS MATERIALIZED (
+  SELECT query_id, cid FROM (
+    SELECT q.query_id, c.cid,
+           row_number() OVER (PARTITION BY q.query_id
+             ORDER BY list_cosine_similarity(q.qv, c.cv) DESC, c.cid) AS rn
+    FROM q CROSS JOIN c) WHERE rn <= 2),
+s AS (SELECT p.query_id, a.vec_id,
+             round(list_cosine_similarity(a.emb, q.qv), 6) AS cosine
+      FROM assign a JOIN probe p ON p.cid = a.cid
+                    JOIN q ON q.query_id = p.query_id),
 r AS (SELECT *, row_number() OVER (PARTITION BY query_id
                                    ORDER BY cosine DESC, vec_id) AS rank
       FROM s)

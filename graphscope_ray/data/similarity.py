@@ -69,6 +69,90 @@ def ann_topk(
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
 
 
+def ivf_ann_topk(
+    emb: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    k: int = 10,
+    key: str = "vec_id",
+    col: str = "embedding",
+    num_centroids: int = 8,
+    nprobe: int = 2,
+    centroids: Optional[np.ndarray] = None,
+) -> pd.DataFrame:
+    """IVF-style approximate cosine top-k: vectors are assigned to
+    their nearest centroid (inverted lists); each query probes only its
+    ``nprobe`` nearest lists and reranks exactly within them.
+
+    Centroids default to the embeddings of the ``num_centroids``
+    smallest ``key`` values — deterministic and SQL-replayable (a real
+    deployment trains them offline and passes ``centroids``). Ties
+    break toward the lower centroid id; final rank orders by
+    6-dp-rounded cosine then ``key`` so the DuckDB oracle replays
+    bit-for-bit. Scale shape: one B×K assignment matmul per batch, the
+    non-probed vectors never leave their batch, and only k·Q·#batches
+    partial-top-k rows shuffle."""
+    from graphscope_ray.util import round_half_away
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    if centroids is None:
+        ctab = (emb.filter(expr=f"{key} < {num_centroids}")
+                .take_batch(num_centroids * 2, batch_format="pyarrow"))
+        order = np.argsort(ctab[key].to_numpy())
+        centroids = np.stack(
+            ctab[col].to_numpy(zero_copy_only=False))[order]
+    C = _normalize(np.asarray(centroids, dtype=np.float64))
+    K = C.shape[0]
+
+    # per-query probe sets: nprobe nearest centroids, ties → lower cid
+    qc = q @ C.T                       # Q × K
+    probe = np.zeros((q.shape[0], K), dtype=bool)
+    for qi in range(q.shape[0]):       # Q is small (driver-held queries)
+        idx = np.lexsort((np.arange(K), -qc[qi]))[:nprobe]
+        probe[qi, idx] = True
+    ref = ray.put((C, q, probe))
+
+    def block(t: pa.Table) -> pa.Table:
+        C_, qm, pr = ray.get(ref)
+        ids = t[key].to_numpy()
+        m = _normalize(np.stack(t[col].to_numpy(zero_copy_only=False)))
+        assign = np.argmax(m @ C_.T, axis=1)     # first max = lowest cid
+        mask = pr[:, assign]                     # Q × B: probed per query
+        keep = mask.any(axis=0)
+        if not keep.any():
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             key: pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64())})
+        ids, m, mask = ids[keep], m[keep], mask[:, keep]
+        sims = m @ qm.T                          # B × Q
+        sims[~mask.T] = -np.inf
+        kk = min(k, len(ids))
+        part = np.argpartition(-sims, kk - 1, axis=0)[:kk]
+        qi = np.repeat(np.arange(qm.shape[0]), kk)
+        vi = part.T.ravel()
+        good = np.isfinite(sims[vi, qi])
+        return pa.table({
+            "query_id": pa.array(qi[good].astype(np.int64)),
+            key: pa.array(ids[vi[good]]),
+            "cosine": pa.array(sims[vi[good], qi[good]]),
+        })
+
+    partial = emb.select_columns([key, col]).map_batches(
+        block, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.copy()
+        g["cosine"] = round_half_away(g["cosine"].to_numpy(), 6)
+        g = g.sort_values(["cosine", key], ascending=[False, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        return g
+
+    out = partial.groupby("query_id").map_groups(merge, batch_format="pandas")
+    return (out.to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 def lsh_ann_topk(
     emb: ray.data.Dataset,
     queries: np.ndarray,

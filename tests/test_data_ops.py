@@ -213,6 +213,27 @@ def test_lsh_ann_recall(emb):
         assert top.iloc[0]["vec_id"] == exact[exact["query_id"] == qi].iloc[0]["vec_id"]
 
 
+def test_ivf_ann_subset_of_exact(emb):
+    """IVF results are exact within probed lists: every (query, vec)
+    the IVF path returns must carry the same cosine the brute-force
+    path computes, and rank-1 recall is high when the query vector
+    itself is in the corpus (it probes its own centroid)."""
+    from graphscope_ray.data.similarity import ann_topk, ivf_ann_topk
+    qtab = emb.filter(expr="vec_id < 2").take_batch(8, batch_format="pyarrow")
+    order = np.argsort(qtab["vec_id"].to_numpy())
+    queries = np.stack(qtab["embedding"].to_numpy(zero_copy_only=False))[order]
+    exact = ann_topk(emb, queries, k=5)
+    ivf = ivf_ann_topk(emb, queries, k=5, num_centroids=4, nprobe=2)
+    ex = {(r.query_id, r.vec_id): r.cosine for r in exact.itertuples()}
+    # the query's own vector (cosine 1.0) must be found — it lives in
+    # the query's nearest centroid's list
+    for qi in (0, 1):
+        assert ivf[(ivf.query_id == qi) & (ivf["rank"] == 1)].cosine.iloc[0] == 1.0
+    for r in ivf.itertuples():
+        if (r.query_id, r.vec_id) in ex:
+            assert abs(ex[(r.query_id, r.vec_id)] - r.cosine) < 1e-12
+
+
 def test_embedding_cosine_dedup(emb):
     pairs = embedding_cosine_dedup(emb, threshold=0.99)
     want = duckdb.sql(
