@@ -819,6 +819,42 @@ def _q_emb_cosine_dups(sf_dir):
     return embedding_cosine_dedup(emb, threshold=0.9)
 
 
+def _q_events_session(sf_dir):
+    """Session windows (30-min gap) per user — the gaps-and-islands
+    streaming operator as one bucket shuffle + vectorized kernel."""
+    from graphscope_ray.data.temporal import session_windows
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return session_windows(ev)
+
+
+def _q_events_asof(sf_dir):
+    """As-of join: each event picks the user's most recent order at
+    event time (ties → max o_orderkey); unmatched events keep -1."""
+    import pyarrow.compute as pc
+    from graphscope_ray.data.temporal import asof_join
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey", "o_totalprice"])
+    out = asof_join(ev, orders, by="user_id", right_by="o_custkey",
+                    on="ts", right_on="o_orderdate",
+                    value_cols=("o_orderkey", "o_totalprice"),
+                    tiebreak=("o_orderkey",))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "event_id": t["event_id"],
+            "o_orderkey": pc.cast(pc.fill_null(t["o_orderkey"], -1),
+                                  pa.int64()),
+            "o_totalprice": pc.fill_null(t["o_totalprice"], 0.0),
+        })
+
+    return out.map_batches(finish, batch_format="pyarrow")
+
+
 def _q_events_window(sf_dir):
     """Tumbling 1-hour window per user: count + sum(value) — the
     streaming-shaped operator expressed as bucket groupby."""
@@ -906,6 +942,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "events_window": _q_events_window,
+        "events_session": _q_events_session,
+        "events_asof": _q_events_asof,
     }
 
 
@@ -1080,4 +1118,27 @@ ORDER BY a, b""",
 SELECT user_id, floor(epoch(ts) / 3600)::BIGINT AS bucket,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
 FROM events GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_session": """
+WITH o AS (SELECT user_id, ts, value, event_id,
+  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id)
+            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+  FROM events),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+        "events_asof": """
+WITH j AS (
+  SELECT e.event_id, o.o_orderkey, o.o_totalprice,
+         row_number() OVER (PARTITION BY e.event_id
+           ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+  FROM events e JOIN orders o
+    ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT e.event_id,
+       coalesce(j.o_orderkey, -1)::BIGINT AS o_orderkey,
+       coalesce(j.o_totalprice, 0.0) AS o_totalprice
+FROM events e LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1
+ORDER BY e.event_id""",
     }

@@ -1,0 +1,175 @@
+"""Temporal operators: session windows and as-of joins.
+
+Both are "custom operators the reference-class engines lack" expressed
+as Ray Data compositions (SURVEY.md §2.6a): hash-bucket the key space
+(ONE groupby shuffle), then a vectorized per-bucket kernel — sessions
+via diff/cumsum over a (key, ts)-sorted frame, as-of via
+``pd.merge_asof`` (compiled, no Python row loop). Bucket count bounds
+group size skew; per-key state never leaves its bucket.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+
+from graphscope_ray.util import round_half_away
+
+_NUM_BUCKETS = 64
+
+
+def _arrow_schema(ds: ray.data.Dataset) -> pa.Schema:
+    """Dataset schema as a pyarrow Schema regardless of block format
+    (pandas-backed blocks report a PandasBlockSchema)."""
+    sch = ds.schema().base_schema
+    if isinstance(sch, pa.Schema):
+        return sch
+    fields = []
+    for name, typ in zip(sch.names, sch.types):
+        if isinstance(typ, pa.DataType):
+            fields.append(pa.field(name, typ))
+        else:
+            fields.append(pa.field(name, pa.from_numpy_dtype(typ)))
+    return pa.schema(fields)
+
+
+def session_windows(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    order_col: str = "event_id",
+    gap: np.timedelta64 = np.timedelta64(30, "m"),
+    num_buckets: int = _NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Session windows: per key, consecutive events whose gap exceeds
+    ``gap`` start a new session. → (key, session_start, session_end,
+    n_events, sum_value[6dp]).
+
+    SQL twin: lag/sum window functions (gaps-and-islands); the Ray
+    shape is one bucket shuffle + a vectorized multi-key kernel per
+    bucket (sort by (key, ts, order_col); session breaks where the key
+    changes or the gap exceeds the threshold; reduceat-style groupby
+    aggregation)."""
+    gap64 = np.timedelta64(gap)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = t[key].to_numpy() % num_buckets
+        return t.append_column("_b", pa.array(b.astype(np.int64)))
+
+    def sessions(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order_col], kind="mergesort")
+        k = g[key].to_numpy()
+        t = g[ts].to_numpy()
+        v = g[value].to_numpy()
+        brk = np.ones(len(g), dtype=bool)
+        if len(g) > 1:
+            brk[1:] = (k[1:] != k[:-1]) | ((t[1:] - t[:-1]) > gap64)
+        sid = np.cumsum(brk) - 1
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(g)] - 1
+        return pd.DataFrame({
+            key: k[starts],
+            "session_start": t[starts],
+            "session_end": t[ends],
+            "n_events": np.diff(np.r_[starts, len(g)]).astype(np.int64),
+            "sum_value": round_half_away(
+                np.add.reduceat(v, starts), 6),
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(sessions, batch_format="pandas"))
+
+
+def asof_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    right_by: str | None = None,
+    on: str,
+    right_on: str | None = None,
+    value_cols: tuple = (),
+    direction: str = "backward",
+    tiebreak: tuple = (),
+    num_buckets: int = _NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """As-of join: for each left row, attach ``value_cols`` from the
+    right row with the greatest ``right_on`` <= ``on`` (direction
+    'backward'; 'forward' = smallest >=) sharing the same ``by`` key;
+    unmatched rows keep nulls. ``tiebreak`` names value_cols that
+    order rows sharing the same ``right_on`` (ascending; the LAST one
+    wins, pandas semantics) so duplicate timestamps resolve
+    deterministically at any parallelism.
+
+    Distributed shape: both sides are tagged and hash-bucketed by the
+    join key (one co-grouping shuffle), then each bucket runs
+    ``pd.merge_asof`` — compiled and vectorized, every key's timeline
+    co-located. With duplicate ``right_on`` values the LAST row in
+    (right_on, original order) wins, matching pandas; keep the right
+    side deduped per (key, on) for full determinism."""
+    right_by = right_by or by
+    right_on = right_on or on
+    value_cols = tuple(value_cols)
+
+    lschema = _arrow_schema(left)
+    rschema = _arrow_schema(right)
+    lcols = list(lschema.names)
+    rmap = {"_k": rschema.field(right_by).type,
+            "_on": rschema.field(right_on).type}
+    for c in value_cols:
+        rmap[f"_r_{c}"] = rschema.field(c).type
+    # union schema: left cols + right aux cols + bucket/side tags —
+    # both sides emit it (typed nulls on the absent side) so
+    # Dataset.union sees one schema
+    uni = ([(c, lschema.field(c).type) for c in lcols]
+           + list(rmap.items()))
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {c: (t[c] if c in t.column_names
+                    else pa.nulls(n, type=typ)) for c, typ in uni}
+        out = pa.table(cols)
+        b = t[by].to_numpy() % num_buckets
+        out = out.append_column("_b", pa.array(b.astype(np.int64)))
+        return out.append_column("_side",
+                                 pa.array(np.zeros(n, dtype=np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        src = {"_k": t[right_by], "_on": t[right_on]}
+        for c in value_cols:
+            src[f"_r_{c}"] = t[c]
+        cols = {c: src.get(c, pa.nulls(n, type=typ)) for c, typ in uni}
+        out = pa.table(cols)
+        b = t[right_by].to_numpy() % num_buckets
+        out = out.append_column("_b", pa.array(b.astype(np.int64)))
+        return out.append_column("_side",
+                                 pa.array(np.ones(n, dtype=np.int8)))
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0]
+        rg = g[g["_side"] == 1]
+        lg = lg[lcols].sort_values(on, kind="mergesort")
+        rg = (rg[["_k", "_on"] + [f"_r_{c}" for c in value_cols]]
+              .sort_values(["_on"] + [f"_r_{c}" for c in tiebreak],
+                           kind="mergesort"))
+        lg[by] = lg[by].astype("int64")
+        rg["_k"] = rg["_k"].astype("int64")
+        out = pd.merge_asof(lg, rg, left_on=on, right_on="_on",
+                            left_by=by, right_by="_k",
+                            direction=direction)
+        out = out.drop(columns=["_k", "_on"], errors="ignore")
+        return out.rename(columns={f"_r_{c}": c for c in value_cols})
+
+    return (lt.union(rt)
+            .groupby("_b")
+            .map_groups(merge, batch_format="pandas"))

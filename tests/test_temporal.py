@@ -1,0 +1,72 @@
+"""Session-window and as-of-join operators (data/temporal.py)."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from graphscope_ray.data.temporal import asof_join, session_windows
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_session_windows_matches_sql_and_bucket_invariant():
+    ev = ray.data.read_parquet(
+        f"{SF}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    want = duckdb.sql(f"""
+WITH e AS (SELECT * FROM read_parquet('{SF}/events.parquet')),
+o AS (SELECT user_id, ts, value, event_id,
+  CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk FROM e),
+s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                               ROWS UNBOUNDED PRECEDING) AS sid FROM o)
+SELECT user_id, min(ts) AS session_start, count(*)::BIGINT AS n_events
+FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""").df()
+    for nb in (1, 64):
+        got = (session_windows(ev, num_buckets=nb).to_pandas()
+               .sort_values(["user_id", "session_start"])
+               .reset_index(drop=True))
+        np.testing.assert_array_equal(got["user_id"], want["user_id"])
+        np.testing.assert_array_equal(got["n_events"], want["n_events"])
+        np.testing.assert_array_equal(
+            got["session_start"].to_numpy("datetime64[us]"),
+            want["session_start"].to_numpy("datetime64[us]"))
+
+
+def test_asof_join_matches_sql():
+    ev = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["event_id", "user_id", "ts"])
+    orders = ray.data.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_orderkey"])
+    got = (asof_join(ev, orders, by="user_id", right_by="o_custkey",
+                     on="ts", right_on="o_orderdate",
+                     value_cols=("o_orderkey",), tiebreak=("o_orderkey",))
+           .to_pandas())
+    got["o_orderkey"] = got["o_orderkey"].fillna(-1).astype("int64")
+    got = got.sort_values("event_id").reset_index(drop=True)
+    want = duckdb.sql(f"""
+WITH e AS (SELECT * FROM read_parquet('{SF}/events.parquet')),
+o AS (SELECT * FROM read_parquet('{SF}/orders.parquet')),
+j AS (SELECT e.event_id, o.o_orderkey,
+        row_number() OVER (PARTITION BY e.event_id
+          ORDER BY o.o_orderdate DESC, o.o_orderkey DESC) AS rn
+      FROM e JOIN o ON o.o_custkey = e.user_id AND o.o_orderdate <= e.ts)
+SELECT e.event_id, coalesce(j.o_orderkey, -1)::BIGINT AS o_orderkey
+FROM e LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1
+ORDER BY e.event_id""").df()
+    np.testing.assert_array_equal(got["event_id"], want["event_id"])
+    np.testing.assert_array_equal(got["o_orderkey"], want["o_orderkey"])
+
+
+def test_asof_join_forward_direction():
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2], "t": [10, 50, 10], "lid": [0, 1, 2]}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "k": [1, 1, 2], "t": [20, 60, 5], "rid": [100, 101, 102]}))
+    out = (asof_join(left, right, by="k", on="t",
+                     value_cols=("rid",), direction="forward")
+           .to_pandas().sort_values("lid"))
+    assert out["rid"].fillna(-1).astype(int).tolist() == [100, 101, -1]
