@@ -855,6 +855,22 @@ def _q_events_asof(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_orders_range90d(sf_dir):
+    """Banded range join (self): per order, the customer's order count
+    in the trailing 90-day window (inclusive of the order itself)."""
+    from graphscope_ray.data.temporal import range_join_count
+    left = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    right = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    out = range_join_count(left, right, by="o_custkey",
+                           on="o_orderdate",
+                           window=np.timedelta64(90, "D"),
+                           out_col="n_orders_90d")
+    return out.select_columns(["o_orderkey", "n_orders_90d"])
+
+
 def _q_events_window(sf_dir):
     """Tumbling 1-hour window per user: count + sum(value) — the
     streaming-shaped operator expressed as bucket groupby."""
@@ -944,6 +960,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_session": _q_events_session,
         "events_asof": _q_events_asof,
+        "orders_range90d": _q_orders_range90d,
     }
 
 
@@ -1141,4 +1158,11 @@ SELECT e.event_id,
        coalesce(j.o_totalprice, 0.0) AS o_totalprice
 FROM events e LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1
 ORDER BY e.event_id""",
+        "orders_range90d": """
+SELECT l.o_orderkey, count(r.o_orderdate)::BIGINT AS n_orders_90d
+FROM orders l JOIN orders r
+  ON r.o_custkey = l.o_custkey
+ AND r.o_orderdate > l.o_orderdate - INTERVAL 90 DAY
+ AND r.o_orderdate <= l.o_orderdate
+GROUP BY l.o_orderkey ORDER BY l.o_orderkey""",
     }

@@ -86,6 +86,23 @@ def session_windows(
             .map_groups(sessions, batch_format="pandas"))
 
 
+def _restore_left_types(lschema: pa.Schema):
+    """Per-bucket pandas kernels see left int columns as float64 (the
+    union pads them with nulls on right-side rows); cast them back to
+    their source arrow types — left rows are null-free there."""
+    import pyarrow.compute as pc
+
+    def restore(t: pa.Table) -> pa.Table:
+        for name in lschema.names:
+            i = t.schema.get_field_index(name)
+            if i >= 0 and t.schema.field(i).type != lschema.field(name).type:
+                t = t.set_column(
+                    i, name, pc.cast(t[name], lschema.field(name).type))
+        return t
+
+    return restore
+
+
 def asof_join(
     left: ray.data.Dataset,
     right: ray.data.Dataset,
@@ -172,4 +189,82 @@ def asof_join(
 
     return (lt.union(rt)
             .groupby("_b")
-            .map_groups(merge, batch_format="pandas"))
+            .map_groups(merge, batch_format="pandas")
+            .map_batches(_restore_left_types(lschema),
+                         batch_format="pyarrow"))
+
+
+def range_join_count(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    by: str,
+    right_by: str | None = None,
+    on: str,
+    right_on: str | None = None,
+    window: np.timedelta64 = np.timedelta64(7, "D"),
+    out_col: str = "n_in_range",
+    num_buckets: int = _NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Banded range join, aggregate form: for each left row, the count
+    of right rows with the same key whose ``right_on`` lies in
+    ``(on - window, on]``. → left columns + ``out_col``.
+
+    Shape: the same key-bucket co-grouping shuffle as ``asof_join``;
+    per bucket a key-equijoin then a vectorized band filter + count.
+    Per-bucket fanout is Σ_k |L_k|·|R_k| — fine for bounded per-key
+    cardinality (user event/order timelines); salt hot keys into
+    sub-buckets and sum the counts if a key's timeline is huge."""
+    right_by = right_by or by
+    right_on = right_on or on
+    win = np.timedelta64(window)
+    lschema = _arrow_schema(left)
+    lcols = list(lschema.names)
+    uni = ([(c, lschema.field(c).type) for c in lcols]
+           + [("_k", _arrow_schema(right).field(right_by).type),
+              ("_on", _arrow_schema(right).field(right_on).type)])
+
+    def tag_left(t: pa.Table) -> pa.Table:
+        n = len(t)
+        cols = {c: (t[c] if c in t.column_names
+                    else pa.nulls(n, type=typ)) for c, typ in uni}
+        out = pa.table(cols)
+        b = t[by].to_numpy() % num_buckets
+        out = out.append_column("_b", pa.array(b.astype(np.int64)))
+        return out.append_column("_side",
+                                 pa.array(np.zeros(n, dtype=np.int8)))
+
+    def tag_right(t: pa.Table) -> pa.Table:
+        n = len(t)
+        src = {"_k": t[right_by], "_on": t[right_on]}
+        cols = {c: src.get(c, pa.nulls(n, type=typ)) for c, typ in uni}
+        out = pa.table(cols)
+        b = t[right_by].to_numpy() % num_buckets
+        out = out.append_column("_b", pa.array(b.astype(np.int64)))
+        return out.append_column("_side",
+                                 pa.array(np.ones(n, dtype=np.int8)))
+
+    def count(g: pd.DataFrame) -> pd.DataFrame:
+        lg = g[g["_side"] == 0][lcols].reset_index(drop=True)
+        rg = g[g["_side"] == 1][["_k", "_on"]]
+        if not len(lg):
+            return lg.assign(**{out_col: pd.Series([], dtype="int64")})
+        lg[out_col] = np.zeros(len(lg), dtype=np.int64)
+        if len(rg):
+            li = lg[[by, on]].reset_index(names="_li")
+            pairs = li.merge(rg, left_on=by, right_on="_k")
+            t_l = pairs[on].to_numpy()
+            t_r = pairs["_on"].to_numpy()
+            hit = (t_r > t_l - win) & (t_r <= t_l)
+            cnt = np.bincount(pairs["_li"].to_numpy()[hit],
+                              minlength=len(lg))
+            lg[out_col] = cnt.astype(np.int64)
+        return lg
+
+    lt = left.map_batches(tag_left, batch_format="pyarrow")
+    rt = right.map_batches(tag_right, batch_format="pyarrow")
+    return (lt.union(rt)
+            .groupby("_b")
+            .map_groups(count, batch_format="pandas")
+            .map_batches(_restore_left_types(lschema),
+                         batch_format="pyarrow"))

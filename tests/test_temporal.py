@@ -61,6 +61,29 @@ ORDER BY e.event_id""").df()
     np.testing.assert_array_equal(got["o_orderkey"], want["o_orderkey"])
 
 
+def test_range_join_count_matches_sql():
+    from graphscope_ray.data.temporal import range_join_count
+    left = ray.data.read_parquet(
+        f"{SF}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+    right = ray.data.read_parquet(
+        f"{SF}/orders.parquet", columns=["o_custkey", "o_orderdate"])
+    got = (range_join_count(left, right, by="o_custkey", on="o_orderdate",
+                            window=np.timedelta64(90, "D"),
+                            out_col="n90")
+           .to_pandas().sort_values("o_orderkey").reset_index(drop=True))
+    want = duckdb.sql(f"""
+WITH o AS (SELECT * FROM read_parquet('{SF}/orders.parquet'))
+SELECT l.o_orderkey, count(r.o_orderdate)::BIGINT AS n90
+FROM o l JOIN o r ON r.o_custkey = l.o_custkey
+ AND r.o_orderdate > l.o_orderdate - INTERVAL 90 DAY
+ AND r.o_orderdate <= l.o_orderdate
+GROUP BY l.o_orderkey ORDER BY l.o_orderkey""").df()
+    np.testing.assert_array_equal(got["o_orderkey"], want["o_orderkey"])
+    np.testing.assert_array_equal(got["n90"], want["n90"])
+    assert got["o_orderkey"].dtype == np.int64
+
+
 def test_asof_join_forward_direction():
     left = ray.data.from_pandas(pd.DataFrame({
         "k": [1, 1, 2], "t": [10, 50, 10], "lid": [0, 1, 2]}))
