@@ -23,12 +23,27 @@ import sys
 import time
 
 
+def _page_fault_sentinel() -> float:
+    """Seconds to first-touch a fresh 200 MB numpy buffer. The sandbox
+    host intermittently services new anonymous-page faults ~1000x slow
+    (BASELINE.md "measurement-environment caveat"); a healthy machine
+    returns < 0.2 s, a degraded window returns tens of seconds. The
+    value is reported alongside the timings so a reader can tell
+    whether a run understates the engine."""
+    import numpy as np
+    t0 = time.perf_counter()
+    buf = np.empty(25_000_000, dtype=np.float64)
+    buf[:] = 1.0
+    return round(time.perf_counter() - t0, 3)
+
+
 def run_bench() -> dict:
     import ray
     import ray.data
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "32"))
     sf_dir = os.environ.get("GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sentinel = _page_fault_sentinel()
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
@@ -108,6 +123,7 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "num_vertices": g.store.num_vertices,
         "num_edges_directed": E,
+        "page_fault_sentinel_sec": sentinel,
     }
     g.close()
     ray.shutdown()
