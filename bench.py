@@ -112,6 +112,29 @@ def run_bench() -> dict:
 
     assert pr_rows == wc_rows == cd_rows == g.store.num_vertices
 
+    # -- training-data ops (first-class alongside the graph headline;
+    # not part of the headline metric, reported for BASELINE tracking)
+    from graphscope_ray.data import minhash_lsh_dedup
+    from graphscope_ray.data.text import bpe_token_count
+
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"]).materialize()
+    n_docs = docs.count()
+    t0 = time.perf_counter()
+    dedup_res = minhash_lsh_dedup(docs, threshold=0.9)
+    kept = (len(dedup_res) if hasattr(dedup_res, "__len__")
+            else dedup_res.count())  # pandas (small) or Dataset (scale)
+    queries["minhash_dedup"] = round(time.perf_counter() - t0, 3)
+    queries["minhash_docs_per_sec"] = round(
+        n_docs / max(queries["minhash_dedup"], 1e-9), 1)
+    queries["minhash_kept_docs"] = kept
+
+    t0 = time.perf_counter()
+    ntok = int(bpe_token_count(docs).sum("n_bpe_tokens"))
+    queries["bpe_tokens"] = round(time.perf_counter() - t0, 3)
+    queries["bpe_tokens_per_sec"] = round(
+        ntok / max(queries["bpe_tokens"], 1e-9), 1)
+
     total = (queries["pagerank_tol1e6"] + queries["wcc"]
              + queries["cdlp10"] + queries["triangles"])
     out = {
