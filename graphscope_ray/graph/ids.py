@@ -26,18 +26,44 @@ def _stamp_block(tbl: pa.Table, col: str, start: int) -> pa.Table:
     return pa.table({"oid": tbl.column(col), "vid": vids})
 
 
-def assign_dense_ids(ds: ray.data.Dataset, col: str = "oid") -> ray.data.Dataset:
+def assign_dense_ids(ds: ray.data.Dataset, col: str = "oid",
+                     *, driver_threshold: int = 20_000_000) -> ray.data.Dataset:
     """Distinct values of ``ds[col]`` → Dataset ``(oid, vid:int64)`` with
     vid = dense rank in sorted order.
 
-    Scale path: distinct via groupby shuffle, global sort (range
-    partitioned), then a per-block stamping task using driver-side
-    prefix sums of block row counts — only O(#blocks) metadata touches
-    the driver, never the rows.
+    A per-batch ``unique`` combiner runs first (shrinks every later
+    exchange). If the combined stream stays under ``driver_threshold``
+    rows the distinct+sort collapses to one driver numpy pass — the id
+    map of that size is broadcast driver-side by ``attach_vids`` anyway,
+    so this spends no extra memory and saves two all-to-all exchanges.
+    Scale path (above the threshold): distinct via groupby shuffle,
+    global sort (range partitioned), then a per-block stamping task
+    using driver-side prefix sums of block row counts — only O(#blocks)
+    metadata touches the driver, never the rows.
     """
     from ray.data.aggregate import Count
 
-    distinct = ds.select_columns([col]).groupby(col).aggregate(Count(alias_name="_c"))
+    def batch_unique(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({col: pc.unique(t[col])})
+
+    pre = ds.select_columns([col]).map_batches(
+        batch_unique, batch_format="pyarrow").materialize()
+    if pre.count() <= driver_threshold:
+        vals = np.unique(pre.to_pandas()[col].to_numpy())
+        if len(vals) == 0:
+            return ray.data.from_arrow(pa.table(
+                {"oid": pa.array([], pa.string()),
+                 "vid": pa.array([], pa.int64())}))
+        chunk = 4_000_000  # keep blocks near Ray's target block size
+        return ray.data.from_arrow([
+            pa.table({"oid": pa.array(vals[lo:lo + chunk]),
+                      "vid": pa.array(np.arange(
+                          lo, min(lo + chunk, len(vals)), dtype=np.int64))})
+            for lo in range(0, len(vals), chunk)
+        ])
+
+    distinct = pre.groupby(col).aggregate(Count(alias_name="_c"))
     distinct = distinct.drop_columns(["_c"]).sort(col)
     mat = distinct.materialize()
 

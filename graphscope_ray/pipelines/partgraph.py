@@ -7,12 +7,15 @@ shared orders. This mirrors the corpus edge-derivation rule
 DuckDB oracle can also see, so every graph app gets an independent
 SQL cross-check.
 
-Derivation is expressed with Ray Data's hash-partitioned self-join
-(``Dataset.join`` on the order key) + combiner-style partial counts.
-Pair aggregation uses a *bucketed* single-key groupby (composite
-``src<<32|dst`` key hashed into B buckets, vectorized combine per
-bucket) — Ray 2.49's multi-column groupby costs ~25 s on 1.4M rows
-where this takes ~2 s, with the identical shuffle shape.
+Derivation runs exactly TWO all-to-all exchanges: (1) bucket rows by
+order key — every lineitem of an order co-locates in its bucket, so
+one vectorized per-bucket kernel both dedups (order, part) AND expands
+each order's within-order part pairs with partial counts (replacing
+the earlier distinct-groupby + hash self-join, two extra exchanges of
+O(distinct lineitem) rows); (2) a bucketed single-key groupby over the
+composite ``src<<32|dst`` pair key sums the partials. Ray 2.49's
+multi-column groupby costs ~25 s on 1.4M rows where the packed-key
+bucket groupby takes ~2 s, with the identical shuffle shape.
 """
 
 from __future__ import annotations
@@ -22,8 +25,6 @@ import pandas as pd
 import pyarrow as pa
 
 import ray.data
-
-from graphscope_ray.util import rename
 
 _NUM_BUCKETS = 32
 
@@ -51,48 +52,40 @@ def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Datase
         f"{sf_dir}/lineitem.parquet", columns=["l_orderkey", "l_partkey"]
     )
 
-    # distinct (order, part): bucket by order, vectorized dedup per bucket
+    # exchange 1: bucket by order key — an order's lineitems co-locate
     def add_bucket(t: pa.Table) -> pa.Table:
         b = t["l_orderkey"].to_numpy() % _NUM_BUCKETS
         return t.append_column("b", pa.array(b.astype(np.int64)))
 
-    def dedup(g: pd.DataFrame) -> pd.DataFrame:
-        key = _pair_key(g["l_orderkey"].to_numpy(), g["l_partkey"].to_numpy())
-        uk = np.unique(key)
-        ok, pk = _unpack_key(uk)
-        return pd.DataFrame({"l_orderkey": ok, "l_partkey": pk})
+    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+        """Dedup (order, part), expand each order's within-order part
+        pairs (src < dst by sorted position), partial-count by pair
+        key — one vectorized kernel, no Python loop over orders.
 
-    lp = (
-        li.map_batches(add_bucket, batch_format="pyarrow")
-        .groupby("b")
-        .map_groups(dedup, batch_format="pandas")
-    ).map_batches(lambda t: t.select(["l_orderkey", "l_partkey"]),
-                  batch_format="pyarrow").materialize()
-
-    left = rename(lp, {"l_partkey": "src"})
-    right = rename(lp, {"l_partkey": "dst"})
-    joined = left.join(
-        right,
-        join_type="inner",
-        num_partitions=num_partitions,
-        on=("l_orderkey",),
-    )
-
-    # per-batch partial pair counts, bucketed by pair key
-    def lower_pairs(t: pa.Table) -> pa.Table:
-        s = t["src"].to_numpy()
-        d = t["dst"].to_numpy()
-        keep = s < d
-        s, d = s[keep], d[keep]
-        if len(s) == 0:
-            return pa.table({"key": pa.array([], pa.int64()),
-                             "_w": pa.array([], pa.int64()),
-                             "b": pa.array([], pa.int64())})
-        key = _pair_key(s, d)
-        uk, inv = np.unique(key, return_inverse=True)
+        Pair-index expansion: element i (in-group offset r_i) pairs as
+        the SECOND member with each of its r_i predecessors; the first
+        member's global index is its pair's ordinal among those
+        predecessors plus the group start."""
+        uk = np.unique(
+            _pair_key(g["l_orderkey"].to_numpy(), g["l_partkey"].to_numpy()))
+        order, part = _unpack_key(uk)  # sorted by (order, part), distinct
+        _, starts_cnt = np.unique(order, return_counts=True)
+        grp_start = np.concatenate(([0], np.cumsum(starts_cnt)[:-1]))
+        elem_start = np.repeat(grp_start, starts_cnt)
+        r = np.arange(len(order)) - elem_start  # in-group offset
+        second = np.repeat(np.arange(len(order)), r)
+        off = np.cumsum(r) - r  # exclusive prefix of pair counts
+        first = np.arange(len(second)) - np.repeat(off, r) \
+            + np.repeat(elem_start, r)
+        if len(second) == 0:
+            return pd.DataFrame({"key": np.array([], np.int64),
+                                 "_w": np.array([], np.int64),
+                                 "b2": np.array([], np.int64)})
+        key = _pair_key(part[first], part[second])  # sorted ⇒ src < dst
+        pk, inv = np.unique(key, return_inverse=True)
         cnt = np.bincount(inv).astype(np.int64)
-        return pa.table({"key": uk, "_w": cnt,
-                         "b": (uk % _NUM_BUCKETS).astype(np.int64)})
+        return pd.DataFrame({"key": pk, "_w": cnt,
+                             "b2": (pk % _NUM_BUCKETS).astype(np.int64)})
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         key = g["key"].to_numpy()
@@ -102,9 +95,12 @@ def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Datase
         src, dst = _unpack_key(uk)
         return pd.DataFrame({"src": src, "dst": dst, "weight": tot})
 
+    # exchange 2: sum partials per pair key (bucketed single-key groupby)
     out = (
-        joined.map_batches(lower_pairs, batch_format="pyarrow")
+        li.map_batches(add_bucket, batch_format="pyarrow")
         .groupby("b")
+        .map_groups(pairs_in_bucket, batch_format="pandas")
+        .groupby("b2")
         .map_groups(combine, batch_format="pandas")
     )
     return out.map_batches(lambda t: t.select(["src", "dst", "weight"]),

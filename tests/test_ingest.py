@@ -82,6 +82,19 @@ def test_dense_id_assignment(corpus_path):
     assert idmap["vid"].to_list() == list(range(len(oids)))  # dense
 
 
+def test_dense_id_driver_and_shuffle_paths_agree(corpus_path):
+    # driver fast path (default threshold) vs groupby+sort scale path
+    # (threshold 0) must be row-identical — vids are rank in sorted
+    # oid order either way
+    ds = ray.data.read_parquet(corpus_path)
+    verts = corpus_vertices(ds)
+    fast = (assign_dense_ids(verts, "oid")
+            .to_pandas().sort_values("vid").reset_index(drop=True))
+    slow = (assign_dense_ids(verts, "oid", driver_threshold=0)
+            .to_pandas().sort_values("vid").reset_index(drop=True))
+    assert fast.equals(slow)
+
+
 def test_attach_vids_roundtrip(corpus_path):
     ds = ray.data.read_parquet(corpus_path)
     edges = derive_edges(ds, max_fanout=10_000)
