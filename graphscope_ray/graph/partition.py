@@ -834,7 +834,8 @@ class GraphPartition:
         # PEval / IncEval distinction; rounds are IncEval)
         peval = getattr(program, "peval", None)
         if callable(peval):
-            peval(ctx, arrays)
+            from graphscope_ray.graph.program import LocalEdges
+            peval(ctx, arrays, LocalEdges(self.src, self.dst, self.w))
         self.state["vp"] = {
             "prog": program, "ctx": ctx,
             "arrays": arrays,

@@ -46,6 +46,20 @@ class ProgramContext:
     round: int = 0
 
 
+@dataclass
+class LocalEdges:
+    """The partition's edge fragment, handed to ``peval`` — the PIE
+    model's ``frag`` argument (``@pie`` UDFs receive (frag, context);
+    python/graphscope/analytical/udf/decorators.py:35-70). ``src`` is
+    owned by the partition (src % P == part_id) except for re-spread
+    hub edges; ``dst`` is arbitrary. ``weight`` is None on unweighted
+    stores. Arrays are the actor's resident layout — treat as
+    read-only."""
+    src: np.ndarray
+    dst: np.ndarray
+    weight: "np.ndarray | None"
+
+
 #: global-aggregator ops — the reference's Pregel aggregator zoo
 #: (core/app/pregel/aggregators/{numeric,bool}_aggregator.h, exercised
 #: by python/tests/test_udf_app.py:374-420): min/max/sum/product over
@@ -82,12 +96,14 @@ class VertexProgram:
     def apply(self, ctx: ProgramContext, state: dict, incoming, agg):
         raise NotImplementedError
 
-    def peval(self, ctx: ProgramContext, state: dict) -> None:
+    def peval(self, ctx: ProgramContext, state: dict,
+              edges: LocalEdges) -> None:
         """Optional PIE PEval hook (`@pie` decorator analogue,
-        python/graphscope/analytical/udf/decorators.py:39): runs once
-        per partition after ``init`` and before the first superstep;
-        every superstep after it is the IncEval. Default: no-op (pure
-        Pregel shape)."""
+        python/graphscope/analytical/udf/decorators.py:35-70: Init /
+        PEval / IncEval over (frag, context)): runs once per partition
+        after ``init`` and before the first superstep, with the
+        partition's resident edge fragment; every superstep after it
+        is the IncEval. Default: no-op (pure Pregel shape)."""
 
 
 class PageRankProgram(VertexProgram):
@@ -166,3 +182,29 @@ class MinLabelProgram(VertexProgram):
         changed = int((new < state["label"]).sum())
         state["label"] = new
         return changed, 0.0
+
+
+class PIEWCCProgram(MinLabelProgram):
+    """PIE-shaped WCC: PEval converges min-labels over the edges whose
+    BOTH endpoints are partition-local (the fragment's induced
+    subgraph), then the IncEval supersteps only reconcile across
+    partition boundaries — the PEval/IncEval split of the reference's
+    ``@pie`` UDFs (decorators.py:35-70) and its C++ apps
+    (``PEval(frag, ctx)`` then repeated ``IncEval``; e.g.
+    ``analytical_engine/benchmarks/apps/wcc/wcc.h``). On a
+    locality-preserving partitioning PEval removes almost all rounds;
+    run on a symmetrized store."""
+
+    def peval(self, ctx, state, edges):
+        P, p = ctx.num_parts, ctx.part_id
+        local = (edges.src % P == p) & (edges.dst % P == p)
+        s_loc = edges.src[local] // P
+        d_loc = edges.dst[local] // P
+        labels = state["label"]
+        while True:
+            new = labels.copy()
+            np.minimum.at(new, d_loc, labels[s_loc])
+            if np.array_equal(new, labels):
+                break
+            labels = new
+        state["label"] = labels

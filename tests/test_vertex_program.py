@@ -51,6 +51,25 @@ def test_min_label_program_equals_wcc(tmp_path):
     eng.shutdown()
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_pie_wcc_program(tmp_path, P):
+    from graphscope_ray.graph.program import PIEWCCProgram
+    e, n = random_graph(seed=57), 60
+    store = build_graph(edges_ds(e), str(tmp_path / f"pie{P}"),
+                        num_parts=P, num_vertices=n, symmetrize=True)
+    eng = BSPEngine(store)
+    out = eng.run_program(PIEWCCProgram(), max_round=1000,
+                          stop_when_zero=True)
+    got = collect(out, "label", n).astype(np.int64)
+    np.testing.assert_array_equal(got, oracle.wcc(e, n))
+    # PEval on P=1 sees the whole (symmetrized) graph — every label is
+    # final before the first superstep, so IncEval stops after ONE
+    # zero-changed reconciliation round; that is the PIE split working
+    if P == 1:
+        assert eng.supersteps == 1
+    eng.shutdown()
+
+
 def test_program_with_hub_split(tmp_path):
     from conftest import STAR_HUB
     store = build_graph(edges_ds(STAR_HUB), str(tmp_path / "vph"),
