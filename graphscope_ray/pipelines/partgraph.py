@@ -46,6 +46,41 @@ def _unpack_key(uk: np.ndarray) -> tuple:
             (u & np.uint64(0xFFFFFFFF)).astype(np.int64))
 
 
+def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
+    """One bucket's kernel: dedup (order, part), expand each order's
+    within-order part pairs (src < dst by sorted position),
+    partial-count by pair key — one vectorized kernel, no Python loop
+    over orders.
+
+    Pair-index expansion: element i (in-group offset r_i) pairs as
+    the SECOND member with each of its r_i predecessors; the first
+    member's global index is its pair's ordinal among those
+    predecessors plus the group start."""
+    empty = pd.DataFrame({"key": np.array([], np.int64),
+                          "_w": np.array([], np.int64),
+                          "b2": np.array([], np.int64)})
+    if not len(g):
+        return empty
+    uk = np.unique(
+        _pair_key(g["l_orderkey"].to_numpy(), g["l_partkey"].to_numpy()))
+    order, part = _unpack_key(uk)  # sorted by (order, part), distinct
+    _, starts_cnt = np.unique(order, return_counts=True)
+    grp_start = np.concatenate(([0], np.cumsum(starts_cnt)[:-1]))
+    elem_start = np.repeat(grp_start, starts_cnt)
+    r = np.arange(len(order)) - elem_start  # in-group offset
+    second = np.repeat(np.arange(len(order)), r)
+    off = np.cumsum(r) - r  # exclusive prefix of pair counts
+    first = np.arange(len(second)) - np.repeat(off, r) \
+        + np.repeat(elem_start, r)
+    if len(second) == 0:
+        return empty
+    key = _pair_key(part[first], part[second])  # sorted ⇒ src < dst
+    pk, inv = np.unique(key, return_inverse=True)
+    cnt = np.bincount(inv).astype(np.int64)
+    return pd.DataFrame({"key": pk, "_w": cnt,
+                         "b2": (pk % _NUM_BUCKETS).astype(np.int64)})
+
+
 def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Dataset:
     """→ Dataset (src:int64, dst:int64, weight:int64), src < dst."""
     li = ray.data.read_parquet(
@@ -56,36 +91,6 @@ def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Datase
     def add_bucket(t: pa.Table) -> pa.Table:
         b = t["l_orderkey"].to_numpy() % _NUM_BUCKETS
         return t.append_column("b", pa.array(b.astype(np.int64)))
-
-    def pairs_in_bucket(g: pd.DataFrame) -> pd.DataFrame:
-        """Dedup (order, part), expand each order's within-order part
-        pairs (src < dst by sorted position), partial-count by pair
-        key — one vectorized kernel, no Python loop over orders.
-
-        Pair-index expansion: element i (in-group offset r_i) pairs as
-        the SECOND member with each of its r_i predecessors; the first
-        member's global index is its pair's ordinal among those
-        predecessors plus the group start."""
-        uk = np.unique(
-            _pair_key(g["l_orderkey"].to_numpy(), g["l_partkey"].to_numpy()))
-        order, part = _unpack_key(uk)  # sorted by (order, part), distinct
-        _, starts_cnt = np.unique(order, return_counts=True)
-        grp_start = np.concatenate(([0], np.cumsum(starts_cnt)[:-1]))
-        elem_start = np.repeat(grp_start, starts_cnt)
-        r = np.arange(len(order)) - elem_start  # in-group offset
-        second = np.repeat(np.arange(len(order)), r)
-        off = np.cumsum(r) - r  # exclusive prefix of pair counts
-        first = np.arange(len(second)) - np.repeat(off, r) \
-            + np.repeat(elem_start, r)
-        if len(second) == 0:
-            return pd.DataFrame({"key": np.array([], np.int64),
-                                 "_w": np.array([], np.int64),
-                                 "b2": np.array([], np.int64)})
-        key = _pair_key(part[first], part[second])  # sorted ⇒ src < dst
-        pk, inv = np.unique(key, return_inverse=True)
-        cnt = np.bincount(inv).astype(np.int64)
-        return pd.DataFrame({"key": pk, "_w": cnt,
-                             "b2": (pk % _NUM_BUCKETS).astype(np.int64)})
 
     def combine(g: pd.DataFrame) -> pd.DataFrame:
         key = g["key"].to_numpy()
