@@ -829,6 +829,16 @@ def _q_events_session(sf_dir):
     return session_windows(ev)
 
 
+def _q_events_hopping(sf_dir):
+    """Hopping windows (1 h size, 15 min hop) per user: each event
+    lands in 4 overlapping grid-aligned windows — expand-then-groupby."""
+    from graphscope_ray.data.temporal import hopping_windows
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet", columns=["user_id", "ts", "value"])
+    return hopping_windows(ev, size_us=3600 * 1_000_000,
+                           hop_us=900 * 1_000_000)
+
+
 def _q_events_asof(sf_dir):
     """As-of join: each event picks the user's most recent order at
     event time (ties → max o_orderkey); unmatched events keep -1."""
@@ -959,6 +969,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cosine_dups": _q_emb_cosine_dups,
         "events_window": _q_events_window,
         "events_session": _q_events_session,
+        "events_hopping": _q_events_hopping,
         "events_asof": _q_events_asof,
         "orders_range90d": _q_orders_range90d,
     }
@@ -1146,6 +1157,12 @@ s AS (SELECT *, sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
 SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
 FROM s GROUP BY user_id, sid ORDER BY user_id, session_start""",
+        "events_hopping": """
+SELECT user_id,
+       (((epoch_us(ts) // 900000000) - j) * 900000000)::BIGINT AS wstart_us,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js
+GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_asof": """
 WITH j AS (
   SELECT e.event_id, o.o_orderkey, o.o_totalprice,

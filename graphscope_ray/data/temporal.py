@@ -86,6 +86,55 @@ def session_windows(
             .map_groups(sessions, batch_format="pandas"))
 
 
+def hopping_windows(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    size_us: int = 3600 * 1_000_000,
+    hop_us: int = 900 * 1_000_000,
+) -> ray.data.Dataset:
+    """Hopping (sliding, hop-aligned) windows: per key, count + 6dp
+    sum over every ``size_us`` window whose start is a multiple of
+    ``hop_us`` — each event lands in exactly ``size_us // hop_us``
+    overlapping windows. → (key, wstart_us:int64, n_events, sum_value).
+
+    ``size_us`` must be a multiple of ``hop_us``; then an event at
+    epoch-us ``e`` belongs to the k = size/hop grid-aligned starts in
+    ``(e - size, e]``, so the per-batch expansion is an exact
+    ``np.repeat`` with no post-filter. Expansion happens BEFORE the
+    single (key, wstart) groupby shuffle — k× the rows move, the
+    classic space/shuffle trade of hopping windows; use session or
+    tumbling windows when k is large."""
+    if size_us % hop_us:
+        raise ValueError("size_us must be a multiple of hop_us")
+    k = size_us // hop_us
+
+    def expand(t: pa.Table) -> pa.Table:
+        e = t[ts].to_numpy().astype("datetime64[us]").astype(np.int64)
+        base = (e // hop_us) * hop_us
+        j = np.tile(np.arange(k, dtype=np.int64) * hop_us, len(e))
+        return pa.table({
+            key: pa.array(np.repeat(t[key].to_numpy(), k)),
+            "wstart_us": pa.array(np.repeat(base, k) - j),
+            value: pa.array(np.repeat(t[value].to_numpy(), k)),
+        })
+
+    from ray.data.aggregate import Count, Sum
+    out = (ds.map_batches(expand, batch_format="pyarrow")
+           .groupby([key, "wstart_us"])
+           .aggregate(Count(alias_name="n_events"),
+                      Sum(value, alias_name="sum_value")))
+
+    def rnd(t: pa.Table) -> pa.Table:
+        i = t.schema.get_field_index("sum_value")
+        return t.set_column(i, "sum_value", pa.array(
+            round_half_away(t["sum_value"].to_numpy(), 6)))
+
+    return out.map_batches(rnd, batch_format="pyarrow")
+
+
 def _restore_left_types(lschema: pa.Schema):
     """Per-bucket pandas kernels see left int columns as float64 (the
     union pads them with nulls on right-side rows); cast them back to

@@ -93,3 +93,37 @@ def test_asof_join_forward_direction():
                      value_cols=("rid",), direction="forward")
            .to_pandas().sort_values("lid"))
     assert out["rid"].fillna(-1).astype(int).tolist() == [100, 101, -1]
+
+
+def test_hopping_windows_matches_sql():
+    from graphscope_ray.data.temporal import hopping_windows
+    ev = ray.data.read_parquet(
+        f"{SF}/events.parquet", columns=["user_id", "ts", "value"])
+    got = (hopping_windows(ev, size_us=3600 * 1_000_000,
+                           hop_us=900 * 1_000_000)
+           .to_pandas().sort_values(["user_id", "wstart_us"])
+           .reset_index(drop=True))
+    want = duckdb.sql(f"""
+WITH e AS (SELECT * FROM read_parquet('{SF}/events.parquet'))
+SELECT user_id,
+       (((epoch_us(ts) // 900000000) - j) * 900000000)::BIGINT AS wstart_us,
+       count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
+FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js
+GROUP BY 1, 2 ORDER BY 1, 2""").df()
+    np.testing.assert_array_equal(got["user_id"], want["user_id"])
+    np.testing.assert_array_equal(got["wstart_us"], want["wstart_us"])
+    np.testing.assert_array_equal(got["n_events"], want["n_events"])
+    np.testing.assert_allclose(got["sum_value"], want["sum_value"],
+                               atol=1e-9)
+    # every event appears in exactly size/hop = 4 windows
+    assert got["n_events"].sum() == 4 * ev.count()
+
+
+def test_hopping_windows_rejects_misaligned_hop():
+    import pytest
+    from graphscope_ray.data.temporal import hopping_windows
+    ev = ray.data.from_pandas(pd.DataFrame(
+        {"user_id": [1], "ts": [np.datetime64("2024-01-01", "us")],
+         "value": [1.0]}))
+    with pytest.raises(ValueError):
+        hopping_windows(ev, size_us=1000, hop_us=300)
