@@ -865,6 +865,20 @@ def _q_events_asof(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_rel_pricing(sf_dir):
+    """TPC-H Q1-shaped pricing summary: batch-level partial aggregation
+    (≤6 rows leave each batch), exact integer-scaled money sums."""
+    from graphscope_ray.pipelines.relational import pricing_summary
+    return pricing_summary(sf_dir)
+
+
+def _q_rel_nation_revenue(sf_dir):
+    """Order revenue per customer nation — broadcast lookups + partial
+    aggregation (attach_values auto-falls back to a hash join >20M)."""
+    from graphscope_ray.pipelines.relational import nation_revenue
+    return nation_revenue(sf_dir)
+
+
 def _q_orders_range90d(sf_dir):
     """Banded range join (self): per order, the customer's order count
     in the trailing 90-day window (inclusive of the order itself)."""
@@ -972,6 +986,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_asof": _q_events_asof,
         "orders_range90d": _q_orders_range90d,
+        "rel_pricing": _q_rel_pricing,
+        "rel_nation_revenue": _q_rel_nation_revenue,
     }
 
 
@@ -988,6 +1004,8 @@ def _bpe_tokens_sql() -> str:
 
 
 def oracle_sql() -> dict[str, str]:
+    from graphscope_ray.pipelines.relational import (
+        NATION_REVENUE_SQL, pricing_summary_sql)
     return {
         "pg_edges": f"""
 WITH {_PRELUDE}
@@ -1175,6 +1193,8 @@ SELECT e.event_id,
        coalesce(j.o_totalprice, 0.0) AS o_totalprice
 FROM events e LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1
 ORDER BY e.event_id""",
+        "rel_pricing": pricing_summary_sql(),
+        "rel_nation_revenue": NATION_REVENUE_SQL,
         "orders_range90d": """
 SELECT l.o_orderkey, count(r.o_orderdate)::BIGINT AS n_orders_90d
 FROM orders l JOIN orders r

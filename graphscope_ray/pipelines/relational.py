@@ -1,0 +1,196 @@
+"""Relational pipeline queries over the TPC-H-ish tables.
+
+The reference's data-processing surface is graph-shaped, but its users
+also run plain table pipelines over the same loaded tables (CONTEXT /
+GRAPH extraction feeding dataframes — SURVEY.md §2.3); these two
+queries demonstrate the engine's relational patterns at scale:
+
+- ``pricing_summary`` — TPC-H Q1-shaped aggregate with the
+  combiner-before-shuffle pattern: every batch collapses to ≤6 partial
+  rows inside ``map_batches``, so the groupby exchange moves O(groups
+  × blocks) rows, never O(rows).
+- ``nation_revenue`` — two broadcast lookups (customer → nation key,
+  nation → name via :func:`graphscope_ray.graph.joins.attach_values`,
+  which auto-falls-back to a hash join above 20M rows) + the same
+  partial-aggregation shape.
+
+Money sums are carried as integer cents / 1e-4-scaled int64 so the
+distributed sum is EXACT and associative — float partial sums would
+make the result depend on block combine order (hash-compare vs the
+DuckDB oracle would flake). Per-row scaling rounds half-away-from-zero
+on both sides (util.round_half_away ↔ DuckDB round()).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pyarrow as pa
+import pyarrow.compute as pc
+
+import ray.data
+
+from graphscope_ray.util import round_half_away
+
+
+def pricing_summary(sf_dir: str, *, cutoff: str = "2001-06-01"
+                    ) -> ray.data.Dataset:
+    """Q1-shaped summary: per (l_returnflag, l_linestatus) over rows
+    with ``l_shipdate <= cutoff`` — sum_qty, sum_base_price,
+    sum_disc_price, sum_charge, avg_qty, avg_price, avg_disc,
+    count_order."""
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_quantity", "l_extendedprice", "l_discount", "l_tax",
+                 "l_returnflag", "l_linestatus", "l_shipdate"])
+    cut = np.datetime64(cutoff, "us")
+
+    def partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less_equal(t["l_shipdate"],
+                                   pa.scalar(cut.item(), pa.timestamp("us"))))
+        rf = t["l_returnflag"].to_numpy(zero_copy_only=False).astype(str)
+        ls = t["l_linestatus"].to_numpy(zero_copy_only=False).astype(str)
+        key = np.char.add(rf, ls)  # both single-char flags
+        uk, inv = np.unique(key, return_inverse=True)
+        qty = t["l_quantity"].to_numpy()
+        ext = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        tax = t["l_tax"].to_numpy()
+        # integer-scaled per-row values -> exact associative sums
+        base_c = round_half_away(ext * 100.0, 0)
+        disc_e4 = round_half_away((ext * (1.0 - disc)) * 10_000.0, 0)
+        chrg_e4 = round_half_away(
+            (ext * (1.0 - disc)) * (1.0 + tax) * 10_000.0, 0)
+        disc_e6 = round_half_away(disc * 1_000_000.0, 0)
+
+        def s(w):  # batch partial sums stay < 2^53: exact in float64
+            return np.bincount(inv, weights=w).astype(np.int64)
+
+        return pa.table({
+            "l_returnflag": pa.array([k[0] for k in uk]),
+            "l_linestatus": pa.array([k[1] for k in uk]),
+            "sum_qty": pa.array(s(qty)),
+            "_base_c": pa.array(s(base_c)),
+            "_disc_e4": pa.array(s(disc_e4)),
+            "_chrg_e4": pa.array(s(chrg_e4)),
+            "_disc_e6": pa.array(s(disc_e6)),
+            "count_order": pa.array(
+                np.bincount(inv).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (li.map_batches(partial, batch_format="pyarrow")
+           .groupby(["l_returnflag", "l_linestatus"])
+           .aggregate(Sum("sum_qty", alias_name="sum_qty"),
+                      Sum("_base_c", alias_name="_base_c"),
+                      Sum("_disc_e4", alias_name="_disc_e4"),
+                      Sum("_chrg_e4", alias_name="_chrg_e4"),
+                      Sum("_disc_e6", alias_name="_disc_e6"),
+                      Sum("count_order", alias_name="count_order")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        cnt = t["count_order"].to_numpy().astype(np.float64)
+        base = t["_base_c"].to_numpy() / 100.0
+        return pa.table({
+            "l_returnflag": t["l_returnflag"],
+            "l_linestatus": t["l_linestatus"],
+            "sum_qty": t["sum_qty"],
+            "sum_base_price": pa.array(base),
+            "sum_disc_price": pa.array(
+                t["_disc_e4"].to_numpy() / 10_000.0),
+            "sum_charge": pa.array(t["_chrg_e4"].to_numpy() / 10_000.0),
+            "avg_qty": pa.array(round_half_away(
+                t["sum_qty"].to_numpy() / cnt, 6)),
+            "avg_price": pa.array(round_half_away(base / cnt, 6)),
+            "avg_disc": pa.array(round_half_away(
+                (t["_disc_e6"].to_numpy() / 1_000_000.0) / cnt, 6)),
+            "count_order": t["count_order"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+def pricing_summary_sql(cutoff: str = "2001-06-01") -> str:
+    """DuckDB twin of :func:`pricing_summary` — identical scaling,
+    rounding and operation order (FP products are not associative, so
+    the parenthesization mirrors the numpy kernel exactly)."""
+    return f"""
+WITH f AS (SELECT * FROM lineitem WHERE l_shipdate <= TIMESTAMP '{cutoff}'),
+s AS (SELECT l_returnflag, l_linestatus,
+        sum(l_quantity)::BIGINT AS sum_qty,
+        sum(round(l_extendedprice * 100)::BIGINT) AS base_c,
+        sum(round((l_extendedprice * (1.0 - l_discount)) * 10000)::BIGINT)
+            AS disc_e4,
+        sum(round((l_extendedprice * (1.0 - l_discount)) * (1.0 + l_tax)
+                  * 10000)::BIGINT) AS chrg_e4,
+        sum(round(l_discount * 1000000)::BIGINT) AS disc_e6,
+        count(*)::BIGINT AS count_order
+      FROM f GROUP BY 1, 2)
+SELECT l_returnflag, l_linestatus, sum_qty,
+       base_c / 100.0 AS sum_base_price,
+       disc_e4 / 10000.0 AS sum_disc_price,
+       chrg_e4 / 10000.0 AS sum_charge,
+       round(sum_qty / count_order::DOUBLE, 6) AS avg_qty,
+       round((base_c / 100.0) / count_order::DOUBLE, 6) AS avg_price,
+       round((disc_e6 / 1000000.0) / count_order::DOUBLE, 6) AS avg_disc,
+       count_order
+FROM s ORDER BY l_returnflag, l_linestatus"""
+
+
+def nation_revenue(sf_dir: str) -> ray.data.Dataset:
+    """Total order revenue (integer cents, reported in dollars) per
+    customer nation: two broadcast lookups onto orders, then the
+    partial-aggregation groupby."""
+    from graphscope_ray.graph.joins import attach_values
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet", columns=["o_custkey", "o_totalprice"])
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey", "c_nationkey"])
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet", columns=["n_nationkey", "n_name"])
+
+    o = attach_values(orders, cust, on="o_custkey", table_key="c_custkey",
+                      value_names=["c_nationkey"], defaults={"c_nationkey": -1})
+    o = attach_values(o, nat, on="c_nationkey", table_key="n_nationkey",
+                      value_names=["n_name"], defaults={"n_name": ""})
+
+    def partial(t: pa.Table) -> pa.Table:
+        name = t["n_name"].to_numpy(zero_copy_only=False).astype(str)
+        # inner-join semantics like the SQL twin: drop orders whose
+        # customer or nation lookup missed (default-filled "")
+        hit = name != ""
+        t = t.filter(pa.array(hit))
+        name = name[hit]
+        uk, inv = np.unique(name, return_inverse=True)
+        cents = round_half_away(t["o_totalprice"].to_numpy() * 100.0, 0)
+        return pa.table({
+            "n_name": pa.array(uk),
+            "_rev_c": pa.array(
+                np.bincount(inv, weights=cents).astype(np.int64)),
+            "n_orders": pa.array(np.bincount(inv).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+    agg = (o.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("_rev_c", alias_name="_rev_c"),
+                      Sum("n_orders", alias_name="n_orders")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "revenue": pa.array(t["_rev_c"].to_numpy() / 100.0),
+            "n_orders": t["n_orders"],
+        })
+
+    return agg.map_batches(finish, batch_format="pyarrow")
+
+
+NATION_REVENUE_SQL = """
+SELECT n.n_name,
+       sum(round(o.o_totalprice * 100)::BIGINT) / 100.0 AS revenue,
+       count(*)::BIGINT AS n_orders
+FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+GROUP BY n.n_name ORDER BY n.n_name"""
