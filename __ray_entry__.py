@@ -560,6 +560,78 @@ def _q_pg_hits(sf_dir):
     return _round_col(ds, "hub")
 
 
+def _q_pg_louvain_sweep(sf_dir):
+    """ONE level-0 local-moving sweep (both parity phases) of the
+    deterministic Louvain on the resident actors — the kernel of
+    pg_louvain with an exact SQL twin (integer co-occurrence weights
+    make every distributed sum exact, so the modularity-gain doubles
+    are bit-identical to DuckDB's)."""
+    import pandas as pd
+    from graphscope_ray.graph.louvain import _level0_bsp
+    g, _ = _partgraph(sf_dir)
+    comm, _k, _m, _moved = _level0_bsp(g.engine, max_sweeps=1)
+    oids = g.oid_array
+    return pd.DataFrame({"vid": oids, "community": oids[comm]})
+
+
+def _louvain_sweep_sql() -> str:
+    """SQL twin of one _one_level sweep: two sequential synchronous
+    parity phases from the singleton state. Formula order mirrors the
+    numpy kernel exactly (FP products are left-associative on both
+    sides); all sums are of integer-valued doubles, hence exact."""
+    parts = [f"""WITH {_PRELUDE},
+vr AS MATERIALIZED (
+  SELECT v, (row_number() OVER (ORDER BY v) - 1) % 2 AS par FROM v),
+kw AS MATERIALIZED (
+  SELECT s AS v, sum(w)::DOUBLE AS k FROM e GROUP BY s),
+mm AS MATERIALIZED (SELECT sum(w) / 2.0 AS m FROM e),
+c0 AS MATERIALIZED (SELECT v, v AS comm FROM v)"""]
+    for i, par in ((0, 0), (1, 1)):
+        j = i + 1
+        parts.append(f"""tot{i} AS MATERIALIZED (
+  SELECT c.comm AS c, sum(kw.k) AS tot
+  FROM c{i} c JOIN kw ON kw.v = c.v GROUP BY c.comm),
+cand{i} AS MATERIALIZED (
+  SELECT e.t AS v, c.comm AS cc, sum(e.w)::DOUBLE AS kvc
+  FROM e JOIN c{i} c ON c.v = e.s GROUP BY e.t, c.comm),
+score{i} AS MATERIALIZED (
+  SELECT cand.v, cand.cc,
+         cand.kvc / m.m - kw.k *
+           (tot.tot - CASE WHEN cand.cc = cv.comm THEN kw.k ELSE 0 END)
+           / (2 * m.m * m.m) AS score
+  FROM cand{i} cand
+  JOIN kw ON kw.v = cand.v
+  JOIN c{i} cv ON cv.v = cand.v
+  JOIN tot{i} tot ON tot.c = cand.cc
+  CROSS JOIN mm m),
+best{i} AS MATERIALIZED (
+  SELECT v, cc, score FROM (
+    SELECT *, row_number() OVER (PARTITION BY v
+                                 ORDER BY score DESC, cc ASC) AS rn
+    FROM score{i}) WHERE rn = 1),
+stay{i} AS MATERIALIZED (
+  SELECT b.v,
+         COALESCE(s.score,
+                  -kw.k * (tot.tot - kw.k) / (2 * m.m * m.m)) AS stay
+  FROM best{i} b
+  JOIN c{i} cv ON cv.v = b.v
+  JOIN kw ON kw.v = b.v
+  JOIN tot{i} tot ON tot.c = cv.comm
+  LEFT JOIN score{i} s ON s.v = b.v AND s.cc = cv.comm
+  CROSS JOIN mm m),
+c{j} AS MATERIALIZED (
+  SELECT cv.v,
+         CASE WHEN vr.par = {par} AND b.score > st.stay + 1e-12
+                   AND b.cc <> cv.comm
+              THEN b.cc ELSE cv.comm END AS comm
+  FROM c{i} cv
+  JOIN vr ON vr.v = cv.v
+  LEFT JOIN best{i} b ON b.v = cv.v
+  LEFT JOIN stay{i} st ON st.v = cv.v)""")
+    body = ",\n".join(parts)
+    return f"{body}\nSELECT v AS vid, comm AS community FROM c2 ORDER BY vid"
+
+
 def _q_pg_louvain(sf_dir):
     import pandas as pd
     from graphscope_ray.graph.louvain import louvain
@@ -965,6 +1037,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_katz": _q_pg_katz,
         "pg_hits": _q_pg_hits,
         "pg_louvain": _q_pg_louvain,
+        "pg_louvain_sweep": _q_pg_louvain_sweep,
         "pg_lpa": _q_pg_lpa,
         "pg_dfs": _q_pg_dfs,
         "pg_sampling": _q_pg_sampling,
@@ -1081,6 +1154,7 @@ GROUP BY b.v ORDER BY node""",
         "pg_katz": _katz_sql(KATZ_ROUNDS, KATZ_ALPHA, KATZ_BETA),
         "pg_hits": _hits_sql(HITS_ROUNDS),
         "pg_lpa": _lpa_sql(LPA_ROUNDS),
+        "pg_louvain_sweep": _louvain_sweep_sql(),
         "pg_dfs": _DFS_SQL,
         "pg_sampling": _sampling_sql(SAMPLE_ROOTS, SAMPLE_LEN, SAMPLE_SEED),
         "pg_transitivity": f"""
