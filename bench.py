@@ -110,6 +110,15 @@ def run_bench() -> dict:
     queries["triangles_broadcast_path"] = round(time.perf_counter() - t0, 3)
     assert tc_bc == tc, (tc_bc, tc)
 
+    # the Dataset.join scale path (what actually runs at 100x) — forced
+    # via broadcast_edge_limit=0 so its number is on record (r01 VERDICT)
+    t0 = time.perf_counter()
+    tc_join = triangle_total(edges.select_columns(["src", "dst"]),
+                             num_partitions=min(num_cpus, 32),
+                             broadcast_edge_limit=0)
+    queries["triangles_join_path"] = round(time.perf_counter() - t0, 3)
+    assert tc_join == tc, (tc_join, tc)
+
     assert pr_rows == wc_rows == cd_rows == g.store.num_vertices
 
     # -- training-data ops (first-class alongside the graph headline;

@@ -69,3 +69,16 @@ def test_actor_triangles_with_hub_split(tmp_path):
     want = oracle.triangles_per_vertex(canon_pairs(e), n)
     np.testing.assert_array_equal(got, want)
     eng.shutdown()
+
+
+def test_join_path_matches_oracle():
+    # broadcast_edge_limit=0 forces the Dataset.join scale path (the
+    # 100x-scale fallback had no direct coverage before)
+    e, n = random_graph(seed=19, n=50, m=400), 50
+    ce = canon_pairs(e)
+    got = (api.triangles(edges_ds(ce), broadcast_edge_limit=0)
+           .to_pandas().set_index("vid")["tri_cnt"])
+    want = oracle.triangles_per_vertex(ce, n)
+    full = np.zeros(n, dtype=np.int64)
+    full[got.index.to_numpy()] = got.to_numpy()
+    np.testing.assert_array_equal(full, want)
