@@ -60,6 +60,8 @@ def run_bench() -> dict:
     queries: dict = {}
     t0 = time.perf_counter()
     edges = partgraph_edges(sf_dir).materialize()
+    queries["build_derive"] = round(time.perf_counter() - t0, 3)
+    t1 = time.perf_counter()
     g = Graph.from_edges(
         edges,
         workdir=f"/tmp/gsr-bench-{num_cpus}",
@@ -71,7 +73,10 @@ def run_bench() -> dict:
         num_parts=min(num_cpus, 16),
         hub_threshold=8192,
     )
+    queries["build_store"] = round(time.perf_counter() - t1, 3)
+    t1 = time.perf_counter()
     eng = g.engine  # actor pool up
+    queries["build_pool"] = round(time.perf_counter() - t1, 3)
     queries["build"] = round(time.perf_counter() - t0, 3)
 
     E = g.store.meta["num_edges"]  # symmetrized edge count
