@@ -71,10 +71,19 @@ def _modularity(src, dst, w, comm, m) -> float:
     return internal / (2 * m) - float(np.square(tot / (2 * m)).sum())
 
 
-def _one_level(src, dst, w, n, m, max_sweeps: int):
-    """Local-moving phase on the current level; returns (comm, moved?)."""
+def _one_level(src, dst, w, n, m, max_sweeps: int, parity_of=None):
+    """Local-moving phase on the current level; returns (comm, moved?).
+
+    ``parity_of``: per-node parity class (default: node index % 2).
+    The driver path passes ORIGINAL vids at level 0 so its parity
+    classes match the engine path's dense-vid parity even when the
+    compacted endpoint set skips vids (isolated vertices would
+    otherwise shift every later node into the other class and the two
+    deterministic paths would legitimately diverge)."""
     comm = np.arange(n, dtype=np.int64)
     k = np.bincount(src, weights=w, minlength=n)
+    par = (np.arange(n, dtype=np.int64) % 2 if parity_of is None
+           else np.asarray(parity_of, dtype=np.int64) % 2)
     any_move = False
     for _ in range(max_sweeps):
         moved = 0
@@ -91,7 +100,7 @@ def _one_level(src, dst, w, n, m, max_sweeps: int):
             # candidate scores: move v into C → k_vC/m − k_v·tot'_C/(2m²)
             totc = tot[cc] - np.where(cc == comm[vv], k[vv], 0.0)
             score = kvc / m - k[vv] * totc / (2 * m * m)
-            sel = (vv % 2) == parity
+            sel = par[vv] == parity
             vv, cc, score = vv[sel], cc[sel], score[sel]
             if not len(vv):
                 continue
@@ -198,9 +207,19 @@ def louvain(
         vids = np.arange(V, dtype=np.int64)
         if m == 0:
             return vids, vids.copy(), 0.0
-        # contract on the actors; driver merges community-graph rows
-        uniq, comp = np.unique(comm0, return_inverse=True)
-        comp = comp.astype(np.int64)  # covers all V dense vids
+        # contract on the actors; driver merges community-graph rows.
+        # Zero-mass communities (isolated vertices) are inert — nothing
+        # can join them and they never move — so they are excluded from
+        # the level-1 node numbering; otherwise the contracted node set
+        # (and with it every later parity class) would differ from the
+        # driver path's compacted endpoint set.
+        ksum = np.bincount(comm0, weights=k0, minlength=V)
+        uniq = np.unique(comm0[ksum[comm0] > 0])
+        pos = np.searchsorted(uniq, comm0)
+        pos_c = np.clip(pos, 0, max(0, len(uniq) - 1))
+        comp = np.where(
+            (len(uniq) > 0) & (uniq[pos_c] == comm0), pos_c, -1
+        ).astype(np.int64)  # -1 = inert isolated vertex
         cref = ray.put(comp)
         parts = ray.get([a.lv_contract_part.remote(cref)
                          for a in engine.actors])
@@ -237,13 +256,17 @@ def louvain(
         csrc, cdst, cw, n = src_c, dst_c, w, n0
         start_level = 0
 
-    for _ in range(start_level, max_levels):
-        comm, moved = _one_level(csrc, cdst, cw, n, m, max_sweeps)
+    for level in range(start_level, max_levels):
+        # level 0 (driver path): parity by ORIGINAL vid, matching the
+        # engine path's dense-vid parity on sparse vid covers
+        par = vids if level == 0 else None
+        comm, moved = _one_level(csrc, cdst, cw, n, m, max_sweeps,
+                                 parity_of=par)
         if not moved:
             break
         # contract: relabel communities compactly, rebuild weighted rows
         uniq, comp = np.unique(comm, return_inverse=True)
-        assign = comp[assign]
+        assign = np.where(assign >= 0, comp[np.clip(assign, 0, None)], -1)
         key = comp[csrc] * np.int64(len(uniq)) + comp[cdst]
         uk, kinv = np.unique(key, return_inverse=True)
         cw = np.bincount(kinv, weights=cw)
@@ -254,7 +277,10 @@ def louvain(
             break
 
     q = _modularity(csrc, cdst, cw, np.arange(n), m)
-    # label = min original vid per final community
+    # label = min original vid per final community; inert isolated
+    # vertices (assign == -1, engine path only) label as themselves
     labels = np.full(n, np.iinfo(np.int64).max)
-    np.minimum.at(labels, assign, vids)
-    return vids, labels[assign], float(q)
+    live = assign >= 0
+    np.minimum.at(labels, assign[live], vids[live])
+    out = np.where(live, labels[np.clip(assign, 0, None)], vids)
+    return vids, out, float(q)

@@ -194,7 +194,7 @@ def louvain(edges_uv: np.ndarray, n: int, weights=None, max_levels: int = 10,
     cur_rows = {(idx[a], idx[b]): ww for (a, b), ww in rows.items()}
     assign = list(range(nn))
     size = nn
-    for _ in range(max_levels):
+    for level in range(max_levels):
         k = [0.0] * size
         adj: dict = {}
         for (a, b), ww in cur_rows.items():
@@ -212,7 +212,10 @@ def louvain(edges_uv: np.ndarray, n: int, weights=None, max_levels: int = 10,
                     tot[comm[v]] += k[v]
                 pre = list(comm)
                 for v in range(size):
-                    if v % 2 != parity:
+                    # level 0: parity by ORIGINAL vid (matches the
+                    # engine's dense-vid parity on sparse vid covers)
+                    pv = vids[v] % 2 if level == 0 else v % 2
+                    if pv != parity:
                         continue
                     kvc: dict = {}
                     for u, ww in adj.get(v, {}).items():

@@ -58,3 +58,26 @@ def test_engine_path_bypasses_driver_row_guard(tmp_path):
                               max_driver_rows=1)
     assert len(vids) == 40 and len(labels) == 40
     eng.shutdown()
+
+
+def test_engine_matches_driver_with_isolated_vertices(tmp_path):
+    """Sparse vid cover: vertices 7/13/21 isolated. Level-0 parity is
+    keyed on ORIGINAL vids on both paths, so the two deterministic
+    paths agree even though the driver path compacts the endpoint
+    set (the r02 fuzz-campaign divergence)."""
+    e, w = dense_graph(n=30, m=120, seed=23)
+    # re-id endpoints to leave gaps in 0..39
+    gaps = np.array(sorted(set(range(40)) - {7, 13, 21}))[:30]
+    e = gaps[e]
+    ds = edges_ds(e, weights=w)
+    vids_d, labels_d, q_d = louvain(ds, weight_col="weight")
+    store = build_graph(ds, str(tmp_path / "lvi"), num_parts=3,
+                        num_vertices=40, symmetrize=True,
+                        weight_col="weight")
+    eng = BSPEngine(store)
+    vids_e, labels_e, q_e = louvain(ds, weight_col="weight", engine=eng)
+    lut_e = dict(zip(vids_e.tolist(), labels_e.tolist()))
+    for v, l in zip(vids_d.tolist(), labels_d.tolist()):
+        assert lut_e[v] == l, (v, lut_e[v], l)
+    assert abs(q_d - q_e) < 1e-12
+    eng.shutdown()
