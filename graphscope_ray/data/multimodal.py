@@ -138,6 +138,72 @@ def media_features(ds: ray.data.Dataset, *, decode: str = "fake",
     )
 
 
+class _ImageResize:
+    """Actor-pool stage: REAL nearest-neighbor resize of BMP image
+    rows to (out_w, out_h) — decode (pure-numpy BMP), index-map
+    resample, re-encode. Non-image rows pass through untouched. The
+    index maps are built once per actor per output size (stateful
+    setup amortized across batches)."""
+
+    def __init__(self, out_w: int, out_h: int):
+        self.out_w, self.out_h = int(out_w), int(out_h)
+        self._maps: dict = {}  # (in_h, in_w) -> (row_idx, col_idx)
+
+    def _idx(self, in_h: int, in_w: int):
+        key = (in_h, in_w)
+        if key not in self._maps:
+            rows = (np.arange(self.out_h) * in_h) // self.out_h
+            cols = (np.arange(self.out_w) * in_w) // self.out_w
+            self._maps[key] = (rows, cols)
+        return self._maps[key]
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        from graphscope_ray.data.codecs import decode_bmp, encode_bmp
+
+        payloads, widths, heights = [], [], []
+        for payload, kind in zip(t["payload"].to_pylist(),
+                                 t["kind"].to_pylist()):
+            if kind != "image":
+                payloads.append(payload)
+                widths.append(-1)
+                heights.append(-1)
+                continue
+            rgb = decode_bmp(payload)
+            rows, cols = self._idx(rgb.shape[0], rgb.shape[1])
+            out = rgb[rows][:, cols]
+            payloads.append(encode_bmp(np.ascontiguousarray(out)))
+            widths.append(self.out_w)
+            heights.append(self.out_h)
+        w = np.asarray(widths, np.int32)
+        h = np.asarray(heights, np.int32)
+        return pa.table({
+            "media_id": t["media_id"],
+            "kind": t["kind"],
+            "payload": pa.array(payloads, pa.binary()),
+            "width": pa.array(np.where(w >= 0, w,
+                                       t["width"].to_numpy())
+                              .astype(np.int32)),
+            "height": pa.array(np.where(h >= 0, h,
+                                        t["height"].to_numpy())
+                               .astype(np.int32)),
+            "duration_ms": t["duration_ms"],
+        })
+
+
+def image_resize(ds: ray.data.Dataset, *, out_w: int = 16,
+                 out_h: int = 16, batch_size: int = 64,
+                 concurrency=(1, 4)) -> ray.data.Dataset:
+    """Resize stage for image rows (real end to end — decode,
+    nearest-neighbor resample, re-encode); audio/video rows pass
+    through with their metadata unchanged."""
+    return ds.map_batches(
+        _ImageResize, fn_constructor_kwargs={"out_w": out_w,
+                                             "out_h": out_h},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency,
+    )
+
+
 def frame_sample(ds: ray.data.Dataset, *, every_ms: int = 1000,
                  batch_size: int = 64) -> ray.data.Dataset:
     """Video 'frame sampling' plumbing: one output row per sampled

@@ -38,3 +38,31 @@ def test_media_features_real_decode():
     out2 = media_features(ds, decode="real", feat_dim=8).to_pandas()
     np.testing.assert_array_equal(
         np.stack(out2["feature"].to_numpy()), feats)
+
+
+def test_image_resize_real():
+    from graphscope_ray.data.codecs import decode_bmp
+    from graphscope_ray.data.multimodal import image_resize
+    tbl = synth_media(n=24, seed=11)
+    ds = ray.data.from_arrow(tbl)
+    out = image_resize(ds, out_w=8, out_h=6).to_pandas()
+    assert len(out) == 24
+    src = {int(m): (k, p) for m, k, p in zip(
+        tbl["media_id"].to_pylist(), tbl["kind"].to_pylist(),
+        tbl["payload"].to_pylist())}
+    n_img = 0
+    for _, r in out.iterrows():
+        kind, orig = src[int(r["media_id"])]
+        if kind != "image":
+            assert r["payload"] == orig  # pass-through untouched
+            continue
+        n_img += 1
+        assert (r["width"], r["height"]) == (8, 6)
+        rgb = decode_bmp(r["payload"])
+        assert rgb.shape == (6, 8, 3)
+        # nearest-neighbor invariant: every output pixel exists in the
+        # source image
+        srgb = decode_bmp(orig).reshape(-1, 3)
+        sset = {tuple(px) for px in srgb}
+        assert all(tuple(px) in sset for px in rgb.reshape(-1, 3))
+    assert n_img > 0
