@@ -786,6 +786,20 @@ def _q_pg_lpa(sf_dir):
     return _round_col(_round_col(out, "p0"), "p1")
 
 
+def _q_media_pipeline(sf_dir):
+    """Multimodal stage chain over deterministic synthetic media (the
+    driver tables carry no binary column): BMP resize (real NN
+    resample) → real BMP/WAV decode → feature extraction on an actor
+    pool. Rows-only driver check; kernel correctness is pinned by
+    tests/test_codecs.py (roundtrip + pixel-provenance)."""
+    from graphscope_ray.data.multimodal import (image_resize,
+                                                media_features,
+                                                synth_media)
+    ds = ray.data.from_arrow(synth_media(n=96, seed=5))
+    return media_features(image_resize(ds, out_w=8, out_h=8),
+                          decode="real", feat_dim=8)
+
+
 def _q_doc_sha256(sf_dir):
     from graphscope_ray.ingest import with_sha256
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1042,6 +1056,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_dfs": _q_pg_dfs,
         "pg_sampling": _q_pg_sampling,
         "doc_sha256": _q_doc_sha256,
+        "media_pipeline": _q_media_pipeline,
         "doc_exact_dedup": _q_doc_exact_dedup,
         "doc_token_count": _q_doc_token_count,
         "doc_bpe_tokens": _q_doc_bpe_tokens,
