@@ -101,11 +101,13 @@ def minhash_signatures(ds: ray.data.Dataset, *, col="text", key="doc_id",
     )
 
 
-def _group_pairs_from_buckets(bucketed: ray.data.Dataset, key: str,
-                              num_perm: int, threshold: float,
-                              max_bucket: int) -> pd.DataFrame:
-    """bucket rows (band_key, key, sig) → verified duplicate pairs
-    (estimated Jaccard = matching-minhash fraction ≥ threshold)."""
+def _pairs_dataset_from_buckets(bucketed: ray.data.Dataset, key: str,
+                                num_perm: int, threshold: float,
+                                max_bucket: int) -> ray.data.Dataset:
+    """bucket rows (band_key, key, sig) → verified duplicate-pair
+    Dataset (estimated Jaccard = matching-minhash fraction ≥
+    threshold). May contain the same (a, b) pair once per matching
+    band — downstream WCC/union-find is idempotent to duplicates."""
 
     def pairs(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
@@ -125,8 +127,15 @@ def _group_pairs_from_buckets(bucketed: ray.data.Dataset, key: str,
             "est_jaccard": np.round(match[keep], 6),
         })
 
-    out = bucketed.groupby("band_key").map_groups(pairs, batch_format="pandas")
-    pdf = out.to_pandas()
+    return bucketed.groupby("band_key").map_groups(
+        pairs, batch_format="pandas")
+
+
+def _group_pairs_from_buckets(bucketed: ray.data.Dataset, key: str,
+                              num_perm: int, threshold: float,
+                              max_bucket: int) -> pd.DataFrame:
+    pdf = _pairs_dataset_from_buckets(
+        bucketed, key, num_perm, threshold, max_bucket).to_pandas()
     if len(pdf):
         pdf = pdf.drop_duplicates(subset=["a", "b"])
     return pdf
@@ -144,19 +153,36 @@ def cluster_pairs(pairs: pd.DataFrame, key_a="a", key_b="b",
     if len(pairs) <= max_driver_pairs:
         return _union_find_groups(pairs, key_a, key_b)
     import ray.data
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        key_a: pairs[key_a].to_numpy(np.int64),
+        key_b: pairs[key_b].to_numpy(np.int64)}))
+    pdf = cluster_pairs_dataset(ds, key_a, key_b).to_pandas()
+    return pdf.sort_values("doc_id").reset_index(drop=True)
+
+
+def cluster_pairs_dataset(pairs_ds: "ray.data.Dataset", key_a="a",
+                          key_b="b") -> "ray.data.Dataset":
+    """Dataset-native duplicate clustering (the 100 TB path): the pair
+    set never touches the driver — pairs flow straight into the BSP
+    engine's WCC (duplicate clustering IS connected components) and
+    the (doc_id, dup_group = min member id) map comes back as a
+    Dataset. Cross-bucket duplicate (a, b) rows are fine: the store
+    build dedups them partition-locally."""
     from graphscope_ray.graph.api import Graph
     from graphscope_ray.util import rename
     import tempfile
 
-    ds = ray.data.from_pandas(pd.DataFrame({
-        "src": pairs[key_a].to_numpy(np.int64),
-        "dst": pairs[key_b].to_numpy(np.int64)}))
+    ds = rename(pairs_ds.select_columns([key_a, key_b]),
+                {key_a: "src", key_b: "dst"})
     g = Graph.from_edges(ds, symmetrize=True,
                          workdir=tempfile.mkdtemp(prefix="gsr-dedup-wcc-"))
     out = g.to_oid(g.wcc(), vid_cols=("vid", "comp"))
-    pdf = rename(out, {"vid": "doc_id", "comp": "dup_group"}).to_pandas()
+    # materialize while the actor pool is alive (the WCC result blocks
+    # are actor-held ObjectRefs until executed), then release the pool
+    res = rename(out, {"vid": "doc_id", "comp": "dup_group"}).materialize()
     g.close()
-    return pdf.sort_values("doc_id").reset_index(drop=True)
+    return res
 
 
 def _union_find_groups(pairs: pd.DataFrame, key_a="a", key_b="b") -> pd.DataFrame:
@@ -195,7 +221,10 @@ def minhash_lsh_dedup(
     max_bucket: int = 200,
     max_driver_pairs: int = 5_000_000,
 ) -> pd.DataFrame:
-    """MinHash-LSH near-dup clustering → (doc_id, dup_group).
+    """MinHash-LSH near-dup clustering → (doc_id, dup_group) — a
+    pandas frame under ``max_driver_pairs`` candidate pairs, a
+    ray.data.Dataset above it (the scale route keeps the pair set off
+    the driver entirely: bucketed pairs → BSP WCC → Dataset).
 
     shingle → minhash (num_perm) → band (bands × rows/band) → bucket
     groupby → pairwise signature Jaccard ≥ threshold → cluster_pairs
@@ -231,8 +260,16 @@ def minhash_lsh_dedup(
                              "sig": df["sig"].to_numpy()[rep]})
 
     bucketed = sigs.map_batches(explode, batch_format="pandas")
-    pairs = _group_pairs_from_buckets(bucketed, key, num_perm, threshold,
-                                      max_bucket)
+    pairs_ds = _pairs_dataset_from_buckets(bucketed, key, num_perm,
+                                           threshold, max_bucket)
+    pairs_ds = pairs_ds.materialize()  # consumed twice: count + route
+    if pairs_ds.count() > max_driver_pairs:
+        # scale route: the pair set never lands on the driver — WCC on
+        # the BSP actors, result returned as a Dataset
+        return cluster_pairs_dataset(pairs_ds)
+    pairs = pairs_ds.to_pandas()
+    if len(pairs):
+        pairs = pairs.drop_duplicates(subset=["a", "b"])
     if not len(pairs):
         return pd.DataFrame({"doc_id": pd.Series([], dtype="int64"),
                              "dup_group": pd.Series([], dtype="int64")})

@@ -189,3 +189,26 @@ def test_attach_values_shuffle_path_fills_defaults():
     pdf = out.to_pandas().sort_values("vid")
     assert pdf["val"].tolist() == [0, 10, 0, 30]
     assert not pdf["val"].isna().any()
+
+
+def test_minhash_dataset_route_matches_pandas_route():
+    """The 100TB route (pair Dataset -> BSP WCC, no driver pair
+    materialization) must group identically to the pandas route."""
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.data.dedup import minhash_lsh_dedup
+
+    texts = (["the quick brown fox jumps over the lazy dog"] * 4
+             + ["the quick brown fox jumps over the lazy cat"] * 3
+             + [f"unrelated document number {i} with its own words"
+                for i in range(6)])
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    small = minhash_lsh_dedup(docs, threshold=0.9)
+    big = minhash_lsh_dedup(docs, threshold=0.9, max_driver_pairs=0)
+    assert isinstance(big, ray.data.Dataset)  # scale route -> Dataset
+    big = big.to_pandas()
+    small = small.sort_values("doc_id").reset_index(drop=True)
+    big = big.sort_values("doc_id").reset_index(drop=True)
+    np.testing.assert_array_equal(small["doc_id"], big["doc_id"])
+    np.testing.assert_array_equal(small["dup_group"], big["dup_group"])
