@@ -305,11 +305,25 @@ def simhash_signatures(ds: ray.data.Dataset, *, col="text", key="doc_id",
                           batch_format="pandas", concurrency=concurrency)
 
 
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    """Vectorized 64-bit popcount (SWAR) — no per-row Python loop."""
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> np.uint64(1)) & np.uint64(0x5555555555555555)
+    x = (x & np.uint64(0x3333333333333333)) + (
+        (x >> np.uint64(2)) & np.uint64(0x3333333333333333))
+    x = (x + (x >> np.uint64(4))) & np.uint64(0x0F0F0F0F0F0F0F0F)
+    return ((x * np.uint64(0x0101010101010101)) >> np.uint64(56)).astype(
+        np.int64)
+
+
 def simhash_dedup(ds: ray.data.Dataset, *, col="text", key="doc_id",
-                  max_hamming: int = 3) -> pd.DataFrame:
+                  max_hamming: int = 3,
+                  max_driver_rows: int = 5_000_000):
     """SimHash near-dup pairs: 4 × 16-bit block banding (a pair within
     hamming distance ≤ 3 shares at least one exact 16-bit block), then
-    exact hamming verification → (a, b, hamming)."""
+    exact hamming verification → (a, b, hamming) — a pandas frame
+    under ``max_driver_rows`` pairs, a Dataset above it (the pair set
+    stays off the driver)."""
     sigs = simhash_signatures(ds, col=col, key=key)
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
@@ -335,13 +349,18 @@ def simhash_dedup(ds: ray.data.Dataset, *, col="text", key="doc_id",
         keys = g[key].to_numpy()
         sh = g["simhash"].to_numpy().astype(np.uint64)
         i, j = np.triu_indices(len(keys), k=1)
-        x = sh[i] ^ sh[j]
-        ham = np.array([bin(int(v)).count("1") for v in x], dtype=np.int64)
+        ham = _popcount64(sh[i] ^ sh[j])
         keep = ham <= max_hamming
         return pd.DataFrame({"a": keys[i][keep], "b": keys[j][keep],
                              "hamming": ham[keep]})
 
     out = bucketed.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    out = out.materialize()  # consumed twice: count + route
+    if out.count() > max_driver_rows:
+        # scale route: distributed pair dedup (same (a, b) appears once
+        # per shared block), result stays a Dataset
+        return out.groupby(["a", "b"]).map_groups(
+            lambda g: g.head(1), batch_format="pandas")
     pdf = out.to_pandas()
     return pdf.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
 

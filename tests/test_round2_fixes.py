@@ -212,3 +212,30 @@ def test_minhash_dataset_route_matches_pandas_route():
     big = big.sort_values("doc_id").reset_index(drop=True)
     np.testing.assert_array_equal(small["doc_id"], big["doc_id"])
     np.testing.assert_array_equal(small["dup_group"], big["dup_group"])
+
+
+def test_simhash_dataset_route_matches_pandas_route():
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.data.dedup import simhash_dedup, _popcount64
+
+    # popcount kernel vs python bin()
+    rng = np.random.default_rng(3)
+    xs = rng.integers(0, 2**63, size=200, dtype=np.int64).astype(np.uint64)
+    want = np.array([bin(int(v)).count("1") for v in xs])
+    np.testing.assert_array_equal(_popcount64(xs), want)
+
+    texts = (["simhash needs longer text with many stable tokens"] * 3
+             + ["simhash needs longer text with many stable token"] * 2
+             + [f"completely different content {i}" for i in range(5)])
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    small = simhash_dedup(docs, max_hamming=3)
+    big = simhash_dedup(docs, max_hamming=3, max_driver_rows=0)
+    assert isinstance(big, ray.data.Dataset)
+    big = big.to_pandas()
+    key = ["a", "b"]
+    small = small.sort_values(key).reset_index(drop=True)
+    big = big.sort_values(key).reset_index(drop=True)
+    np.testing.assert_array_equal(small[key].to_numpy(), big[key].to_numpy())
+    np.testing.assert_array_equal(small["hamming"], big["hamming"])
