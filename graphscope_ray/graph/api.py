@@ -615,15 +615,26 @@ def sampling_path(
     parallelism). Paths stop early at sinks. Output rows
     (path_id, hop, vid).
 
-    The adjacency is broadcast once as a CSR (guarded by
-    ``broadcast_edge_limit``); the walk itself is a sharded
-    ``map_batches`` over the path set — scale axis = number of paths.
+    The adjacency is broadcast once as a CSR below
+    ``broadcast_edge_limit`` edges; above it the call auto-routes to
+    the engine's partition-walk variant (walkers move actor→actor as
+    packed blocks, no broadcast, no O(E) driver traffic). For inputs
+    whose vertex ids are already dense ranks the two routes pick
+    identical successors; for arbitrary oids the partition walk hashes
+    dense vids, yielding an equally deterministic but different
+    sample.
     """
-    pdf = edges.select_columns(["src", "dst"]).to_pandas()
-    if len(pdf) > broadcast_edge_limit:
-        raise NotImplementedError(
-            "sampling_path broadcast CSR capped; partition-walk variant "
-            "is the follow-on for larger graphs")
+    e = edges.select_columns(["src", "dst"])
+    if e.count() > broadcast_edge_limit:
+        import tempfile
+        g = Graph.from_edges(
+            e, workdir=tempfile.mkdtemp(prefix="gsr-walk-"))
+        vid_roots = [g.vid_of_oid(r) for r in roots]  # few roots
+        out = g.engine.sampling_path(vid_roots, length=length, seed=seed)
+        res = g.to_oid(out).materialize()
+        g.close()
+        return res
+    pdf = e.to_pandas()
     s_ = pdf["src"].to_numpy(np.int64)
     d_ = pdf["dst"].to_numpy(np.int64)
     vids = np.unique(np.r_[s_, d_])

@@ -136,3 +136,18 @@ def test_partition_walk_matches_broadcast_sampling(tmp_path, P,
         np.testing.assert_array_equal(got[c].to_numpy(),
                                       want[c].to_numpy(), err_msg=c)
     eng.shutdown()
+
+
+def test_sampling_path_auto_routes_to_partition_walk():
+    """Above broadcast_edge_limit the api entry must route to the
+    engine's partition walk; on dense-vid inputs both routes pick
+    identical successors, so the outputs are row-identical."""
+    from graphscope_ray.graph import api
+    e = random_graph(seed=41, n=50, m=400)
+    cols = ["path_id", "hop", "vid"]
+    bc = (api.sampling_path(edges_ds(e), roots=[0, 7, 23], length=4)
+          .to_pandas().sort_values(cols).reset_index(drop=True))
+    pw = (api.sampling_path(edges_ds(e), roots=[0, 7, 23], length=4,
+                            broadcast_edge_limit=0)
+          .to_pandas().sort_values(cols).reset_index(drop=True))
+    assert bc[cols].values.tolist() == pw[cols].values.tolist()
