@@ -73,6 +73,9 @@ AGG_OPS = {
     "and": lambda vals: bool(np.all(vals)),
     "or": lambda vals: bool(np.any(vals)),
     "overwrite": lambda vals: vals[-1],
+    # TextAppendAggregator (text_aggregator.h:29-40): empty-delimiter
+    # concat in partition order (deterministic: vals arrive p=0..P-1)
+    "text_append": lambda vals: "".join(str(v) for v in vals),
 }
 
 

@@ -26,3 +26,36 @@ def test_aggregator_zoo(tmp_path):
     assert (pdf["gand"] == 0.0).all()
     assert (pdf["gor"] == 1.0).all()
     eng.shutdown()
+
+
+def test_text_append_aggregator(tmp_path):
+    """TextAppendAggregator analogue (text_aggregator.h:29-40):
+    empty-delimiter concat of per-partition contributions, delivered
+    back as the round's global aggregate."""
+    from graphscope_ray.graph.program import VertexProgram
+
+    class TextProg(VertexProgram):
+        combine = "sum"
+        result_columns = ("seen",)
+        aggregators = {"txt": "text_append"}
+
+        def init(self, ctx):
+            return {"seen": np.zeros(ctx.nlocal)}
+
+        def message(self, ctx, state):
+            return None
+
+        def apply(self, ctx, state, incoming, agg):
+            if ctx.round == 2 and agg:
+                state["seen"][:] = float(len(agg["txt"]))
+            return 1, {"txt": f"p{ctx.part_id}"}
+
+    e, n, P = random_graph(seed=9), 60, 3
+    store = build_graph(edges_ds(e), str(tmp_path / "txt"), num_parts=P,
+                       num_vertices=n)
+    eng = BSPEngine(store)
+    out = eng.run_program(TextProg(), max_round=2)
+    pdf = out.to_pandas()
+    # round-1 aggregate = "p0p1p2" (partition order), length 6
+    assert (pdf["seen"] == 6.0).all()
+    eng.shutdown()
