@@ -136,12 +136,20 @@ def run_bench() -> dict:
     n_docs = docs.count()
     t0 = time.perf_counter()
     dedup_res = minhash_lsh_dedup(docs, threshold=0.9)
-    kept = (len(dedup_res) if hasattr(dedup_res, "__len__")
-            else dedup_res.count())  # pandas (small) or Dataset (scale)
+    if hasattr(dedup_res, "__len__"):  # pandas (small)
+        clustered = len(dedup_res)
+        n_groups = dedup_res["dup_group"].nunique() if clustered else 0
+    else:  # Dataset (scale route)
+        clustered = dedup_res.count()
+        n_groups = len(dedup_res.unique("dup_group")) if clustered else 0
     queries["minhash_dedup"] = round(time.perf_counter() - t0, 3)
     queries["minhash_docs_per_sec"] = round(
         n_docs / max(queries["minhash_dedup"], 1e-9), 1)
-    queries["minhash_kept_docs"] = kept
+    # docs that belong to a duplicate cluster, and docs surviving dedup
+    # (one representative kept per cluster) — r02's "kept_docs" counted
+    # the former under the latter's name
+    queries["minhash_clustered_docs"] = clustered
+    queries["minhash_kept_docs"] = n_docs - clustered + n_groups
 
     t0 = time.perf_counter()
     ntok = int(bpe_token_count(docs).sum("n_bpe_tokens"))

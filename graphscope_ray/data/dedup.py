@@ -13,6 +13,7 @@ when it is not — duplicate clustering IS a WCC instance.
 from __future__ import annotations
 
 import hashlib
+import warnings
 from typing import Optional
 
 import numpy as np
@@ -266,6 +267,10 @@ def minhash_lsh_dedup(
     if pairs_ds.count() > max_driver_pairs:
         # scale route: the pair set never lands on the driver — WCC on
         # the BSP actors, result returned as a Dataset
+        warnings.warn(
+            "minhash_lsh_dedup: candidate pairs exceed max_driver_pairs "
+            f"({max_driver_pairs}); returning a ray.data.Dataset instead "
+            "of a pandas frame (scale route)", stacklevel=2)
         return cluster_pairs_dataset(pairs_ds)
     pairs = pairs_ds.to_pandas()
     if len(pairs):
@@ -316,21 +321,30 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         np.int64)
 
 
-def simhash_dedup(ds: ray.data.Dataset, *, col="text", key="doc_id",
-                  max_hamming: int = 3,
-                  max_driver_rows: int = 5_000_000):
-    """SimHash near-dup pairs: 4 × 16-bit block banding (a pair within
-    hamming distance ≤ 3 shares at least one exact 16-bit block), then
-    exact hamming verification → (a, b, hamming) — a pandas frame
-    under ``max_driver_rows`` pairs, a Dataset above it (the pair set
-    stays off the driver)."""
-    sigs = simhash_signatures(ds, col=col, key=key)
+def simhash_pairs_from_sigs(sigs: ray.data.Dataset, *, key="doc_id",
+                            max_hamming: int = 3, max_bucket: int = 500,
+                            max_driver_rows: int = 5_000_000):
+    """Banded pair generation over a (key, simhash:int64) Dataset —
+    the bucketing/verify stage of ``simhash_dedup``, factored out so
+    adversarial bucket distributions are directly testable.
+
+    Recall shape at scale: 4 × 16-bit block banding gives only 2^16
+    buckets per band, so at ≥10^8 docs every bucket overflows any cap.
+    Instead of silently truncating (r02's ``head(500)`` dropped
+    candidates), an oversized bucket is RE-BANDED on its remaining 48
+    bits split into 4 × 12-bit sub-blocks: a pair at hamming ≤ 3 inside
+    the bucket differs in ≤ 3 of those 48 bits, so by pigeonhole it
+    shares at least one exact 12-bit sub-block — the d ≤ 3 guarantee
+    survives one level down (2^28 effective buckets). Only a sub-bucket
+    still above ``max_bucket`` (≥ ``max_bucket`` docs sharing 28 exact
+    bits) is truncated, with a warning."""
 
     def explode(df: pd.DataFrame) -> pd.DataFrame:
         sh = df["simhash"].to_numpy().astype(np.uint64)
         out = []
         for blk in range(4):
-            block = ((sh >> np.uint64(16 * blk)) & np.uint64(0xFFFF)).astype(np.int64)
+            block = ((sh >> np.uint64(16 * blk))
+                     & np.uint64(0xFFFF)).astype(np.int64)
             out.append(pd.DataFrame({
                 key: df[key],
                 "band_key": block * 4 + blk,
@@ -340,29 +354,85 @@ def simhash_dedup(ds: ray.data.Dataset, *, col="text", key="doc_id",
 
     bucketed = sigs.map_batches(explode, batch_format="pandas")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "hamming": pd.Series([], dtype="int64")})
-        g = g.sort_values(key).head(500)
-        keys = g[key].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
+    def pair_block(keys: np.ndarray, sh: np.ndarray) -> tuple:
         i, j = np.triu_indices(len(keys), k=1)
         ham = _popcount64(sh[i] ^ sh[j])
         keep = ham <= max_hamming
-        return pd.DataFrame({"a": keys[i][keep], "b": keys[j][keep],
-                             "hamming": ham[keep]})
+        return keys[i][keep], keys[j][keep], ham[keep]
 
-    out = bucketed.groupby("band_key").map_groups(pairs, batch_format="pandas")
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "hamming": pd.Series([], dtype="int64")})
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty.copy()
+        g = g.sort_values(key)
+        keys = g[key].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        if len(g) <= max_bucket:
+            a, b, h = pair_block(keys, sh)
+            return pd.DataFrame({"a": a, "b": b, "hamming": h})
+        # oversized bucket → sub-band the other 48 bits (4 × 12-bit)
+        blk = int(g["band_key"].iloc[0]) & 3
+        parts = [((sh >> np.uint64(16 * t)) & np.uint64(0xFFFF))
+                 for t in range(4) if t != blk]
+        rest = parts[0] | (parts[1] << np.uint64(16)) | (
+            parts[2] << np.uint64(32))
+        av, bv, hv = [], [], []
+        for sb in range(4):
+            sub = ((rest >> np.uint64(12 * sb)) & np.uint64(0xFFF))
+            order = np.argsort(sub, kind="stable")
+            s_sub, s_keys, s_sh = sub[order], keys[order], sh[order]
+            bounds = np.flatnonzero(np.r_[True, s_sub[1:] != s_sub[:-1],
+                                          True])
+            for lo, hi in zip(bounds[:-1], bounds[1:]):
+                m = hi - lo
+                if m < 2:
+                    continue
+                if m > max_bucket:
+                    warnings.warn(
+                        f"simhash sub-bucket of {m} docs sharing 28 "
+                        f"exact bits truncated to {max_bucket}",
+                        stacklevel=2)
+                    hi = lo + max_bucket
+                a, b, h = pair_block(s_keys[lo:hi], s_sh[lo:hi])
+                av.append(a); bv.append(b); hv.append(h)
+        if not av:
+            return empty.copy()
+        return pd.DataFrame({"a": np.concatenate(av),
+                             "b": np.concatenate(bv),
+                             "hamming": np.concatenate(hv)})
+
+    out = bucketed.groupby("band_key").map_groups(
+        pairs, batch_format="pandas")
     out = out.materialize()  # consumed twice: count + route
     if out.count() > max_driver_rows:
         # scale route: distributed pair dedup (same (a, b) appears once
         # per shared block), result stays a Dataset
+        warnings.warn(
+            "simhash_dedup: pair rows exceed max_driver_rows "
+            f"({max_driver_rows}); returning a ray.data.Dataset instead "
+            "of a pandas frame (scale route)", stacklevel=2)
         return out.groupby(["a", "b"]).map_groups(
             lambda g: g.head(1), batch_format="pandas")
     pdf = out.to_pandas()
     return pdf.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
+
+
+def simhash_dedup(ds: ray.data.Dataset, *, col="text", key="doc_id",
+                  max_hamming: int = 3, max_bucket: int = 500,
+                  max_driver_rows: int = 5_000_000):
+    """SimHash near-dup pairs: 4 × 16-bit block banding (a pair within
+    hamming distance ≤ 3 shares at least one exact 16-bit block) with
+    guarantee-preserving 12-bit sub-banding of oversized buckets (see
+    simhash_pairs_from_sigs), then exact hamming verification →
+    (a, b, hamming) — a pandas frame under ``max_driver_rows`` pairs,
+    a Dataset above it (the pair set stays off the driver)."""
+    sigs = simhash_signatures(ds, col=col, key=key)
+    return simhash_pairs_from_sigs(sigs, key=key, max_hamming=max_hamming,
+                                   max_bucket=max_bucket,
+                                   max_driver_rows=max_driver_rows)
 
 
 # ----------------------------------------------------------------------
@@ -370,36 +440,153 @@ def simhash_dedup(ds: ray.data.Dataset, *, col="text", key="doc_id",
 # ----------------------------------------------------------------------
 
 
-def ngram_jaccard_pairs(ds: ray.data.Dataset, candidate_pairs: pd.DataFrame,
+def _gram_table(ds: ray.data.Dataset, *, col: str, key: str, n: int,
+                ids: Optional[np.ndarray] = None) -> ray.data.Dataset:
+    """(key, grams:binary) — per-doc distinct char-n-gram hash set,
+    packed as sorted uint64 bytes. One vectorized codepoint pass per
+    batch (data/hashing.char_ngram_hashes); optional broadcast id-set
+    semi-join prune when the candidate set is known and small."""
+    src = ds.select_columns([key, col])
+    if ids is not None and len(ids):
+        ref = ray.put(np.sort(np.asarray(ids)))
+
+        def keep(t: pa.Table) -> pa.Table:
+            idset = ray.get(ref)
+            v = t[key].to_numpy()
+            pos = np.clip(np.searchsorted(idset, v), 0, len(idset) - 1)
+            return t.filter(pa.array(idset[pos] == v))
+
+        src = src.map_batches(keep, batch_format="pyarrow")
+
+    def gram(df: pd.DataFrame) -> pd.DataFrame:
+        from graphscope_ray.data.hashing import char_ngram_hashes
+        texts = df[col].fillna("").tolist()
+        gd, gh = char_ngram_hashes(texts, n)
+        counts = np.bincount(gd, minlength=len(texts)) if len(texts) else \
+            np.array([], dtype=np.int64)
+        arrs = np.split(gh, np.cumsum(counts)[:-1]) if len(texts) else []
+        return pd.DataFrame({key: df[key].to_numpy(),
+                             "grams": [a.tobytes() for a in arrs]})
+
+    return src.map_batches(gram, batch_format="pandas")
+
+
+def _cogroup_attach_grams(pairs_ds: ray.data.Dataset,
+                          grams: ray.data.Dataset, *, side: str,
+                          key: str) -> ray.data.Dataset:
+    """Inner-join ``grams`` onto ``pairs_ds[side]`` via one
+    groupby-co-group shuffle (each group = one doc id: its single gram
+    row + the pair rows referencing it). Pair rows whose doc has no
+    gram row are dropped (inner semantics)."""
+    gcol = "_g" + side
+    sch = pairs_ds.schema()
+    carry = [c for c in sch.names if c != side]
+    # typed sentinels keep every union block's schema identical (the
+    # _kind flag, not the value, distinguishes gram rows)
+    types = dict(zip(sch.names, sch.types))
+
+    def _sentinel(c, nrows):
+        t = types[c]
+        is_int = (pa.types.is_integer(t) if isinstance(t, pa.DataType)
+                  else np.issubdtype(t, np.integer))  # pandas blocks
+        if is_int:
+            return np.full(nrows, -1, dtype=np.int64)
+        return pd.Series([b""] * nrows, dtype=object)  # binary carries
+
+    def tag_pairs(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={side: "_k"})
+        out = out[["_k"] + carry]
+        out["_gv"] = pd.Series([b""] * len(df), dtype=object)
+        out["_kind"] = np.full(len(df), 0, dtype=np.int8)
+        return out
+
+    def tag_grams(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"_k": df[key].to_numpy()})
+        for c in carry:
+            out[c] = _sentinel(c, len(df))
+        out["_gv"] = df["grams"].to_numpy()
+        out["_kind"] = np.full(len(df), 1, dtype=np.int8)
+        return out
+
+    both = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
+        grams.map_batches(tag_grams, batch_format="pandas"))
+
+    def attach(g: pd.DataFrame) -> pd.DataFrame:
+        gv = g[g["_kind"] == 1]
+        pr = g[g["_kind"] == 0]
+        if not len(gv) or not len(pr):
+            pr = pr.iloc[:0]
+            val = b""
+        else:
+            val = gv["_gv"].iloc[0]
+        out = pr.rename(columns={"_k": side})
+        out[gcol] = val
+        return out.drop(columns=["_gv", "_kind"])
+
+    return both.groupby("_k").map_groups(attach, batch_format="pandas")
+
+
+def ngram_jaccard_pairs(ds: ray.data.Dataset, candidate_pairs,
                         *, col="text", key="doc_id", n: int = 3,
-                        threshold: float = 0.5) -> pd.DataFrame:
-    """Exact character-n-gram Jaccard for a bounded candidate-pair set
-    (the verification stage after an LSH prefilter). Texts of the
-    candidate docs are semi-join-filtered via a broadcast id set."""
-    ids = np.unique(np.r_[candidate_pairs["a"].to_numpy(),
-                          candidate_pairs["b"].to_numpy()])
-    ref = ray.put(ids)
+                        threshold: float = 0.5,
+                        num_partitions: int = 16) -> pd.DataFrame:
+    """Exact character-n-gram Jaccard verification of candidate pairs —
+    fully distributed (no driver text LUT, r02 VERDICT #6): per-doc
+    distinct gram-HASH sets are computed in one vectorized codepoint
+    pass per batch, candidate pair rows hash-join against that gram
+    table once per side, and each pair's |intersection| is a per-pair
+    numpy ``intersect1d`` inside ``map_batches``. Jaccard over 64-bit
+    gram hashes equals Jaccard over the substring sets the SQL twin
+    (oracle_sql.jaccard_pairs_sql) computes unless two distinct grams
+    of one pair collide (< 1e-9 per pair — documented, not observed).
 
-    def keep(t: pa.Table) -> pa.Table:
-        idset = ray.get(ref)
-        v = t[key].to_numpy()
-        pos = np.clip(np.searchsorted(idset, v), 0, len(idset) - 1)
-        return t.filter(pa.array(idset[pos] == v))
-
-    texts = ds.map_batches(keep, batch_format="pyarrow").to_pandas()
-    lut = dict(zip(texts[key], texts[col]))
-
-    def grams(s):
-        return {s[i: i + n] for i in range(max(1, len(s) - n + 1))}
-
+    ``candidate_pairs`` may be a pandas frame or a Dataset with int64
+    columns (a, b); only the verified pairs ever land on the driver."""
     from graphscope_ray.util import round_half_away
-    rows = []
-    for a, b in zip(candidate_pairs["a"], candidate_pairs["b"]):
-        ga, gb = grams(lut.get(a, "")), grams(lut.get(b, ""))
-        jac = len(ga & gb) / max(1, len(ga | gb))
-        if jac >= threshold:
-            rows.append((a, b, float(round_half_away(jac, 6))))
-    return pd.DataFrame(rows, columns=["a", "b", "jaccard"])
+
+    if isinstance(candidate_pairs, pd.DataFrame):
+        if not len(candidate_pairs):
+            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                                 "b": pd.Series([], dtype="int64"),
+                                 "jaccard": pd.Series([], dtype="float64")})
+        ids = np.unique(np.r_[candidate_pairs["a"].to_numpy(),
+                              candidate_pairs["b"].to_numpy()])
+        pairs_ds = ray.data.from_pandas(
+            candidate_pairs[["a", "b"]].astype(np.int64))
+    else:
+        # Dataset route: the pair ids never aggregate on the driver —
+        # the joins themselves are the semi-join
+        ids = None
+        pairs_ds = candidate_pairs.select_columns(["a", "b"])
+
+    grams = _gram_table(ds, col=col, key=key, n=n, ids=ids)
+    # co-group attach (union + groupby + map_groups) instead of chained
+    # Dataset.join: Ray 2.49's hash-shuffle join crashes when a
+    # partition receives rows on one side and none on the other
+    # ("No match ... for key field reference" in the aggregator), which
+    # sparse candidate-pair sets hit routinely
+    j = _cogroup_attach_grams(
+        _cogroup_attach_grams(pairs_ds, grams, side="a", key=key),
+        grams, side="b", key=key)
+
+    def verify(df: pd.DataFrame) -> pd.DataFrame:
+        av, bv, jv = [], [], []
+        for a, b, gab, gbb in zip(df["a"].to_numpy(), df["b"].to_numpy(),
+                                  df["_ga"], df["_gb"]):
+            s_a = np.frombuffer(gab, dtype=np.uint64)
+            s_b = np.frombuffer(gbb, dtype=np.uint64)
+            inter = len(np.intersect1d(s_a, s_b, assume_unique=True))
+            jac = inter / max(1, len(s_a) + len(s_b) - inter)
+            if jac >= threshold:
+                av.append(a); bv.append(b); jv.append(jac)
+        return pd.DataFrame({
+            "a": np.asarray(av, dtype=np.int64),
+            "b": np.asarray(bv, dtype=np.int64),
+            "jaccard": round_half_away(np.asarray(jv, dtype=np.float64), 6),
+        })
+
+    out = j.map_batches(verify, batch_format="pandas").to_pandas()
+    return out.sort_values(["a", "b"]).reset_index(drop=True)
 
 
 def fingerprint_jaccard_pairs(
@@ -429,12 +616,17 @@ def fingerprint_jaccard_pairs(
         i, j = np.triu_indices(len(ids), k=1)
         return pd.DataFrame({"a": ids[i], "b": ids[j]})
 
-    cand = (fps.groupby("fingerprint")
-            .map_groups(pairs, batch_format="pandas")).to_pandas()
-    if not len(cand):
+    cand_ds = fps.groupby("fingerprint").map_groups(
+        pairs, batch_format="pandas").materialize()
+    npairs = cand_ds.count()
+    if not npairs:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
                              "jaccard": pd.Series([], dtype="float64")})
+    # bounded pair-ID sets (ids only — never texts) come to the driver
+    # to enable the broadcast semi-join prune; above the cap the pairs
+    # stay a Dataset and the verify joins do the pruning
+    cand = cand_ds.to_pandas() if npairs <= 2_000_000 else cand_ds
     out = ngram_jaccard_pairs(ds, cand, col=col, key=key, n=n,
                               threshold=threshold)
     return out.sort_values(["a", "b"]).reset_index(drop=True)
@@ -522,6 +714,11 @@ def embedding_cosine_dedup(
     documented)."""
     n = count if count is not None else emb.count()
     if n > broadcast_limit:
+        warnings.warn(
+            "embedding_cosine_dedup: input exceeds broadcast_limit "
+            f"({broadcast_limit} vectors); switching to the APPROXIMATE "
+            "LSH-bucketed route — pairs at cosine >= threshold can be "
+            "missed (recall < 1 by design)", stacklevel=2)
         return _cosine_dedup_lsh(emb, key, col, threshold)
     pdf = emb.select_columns([key, col]).to_pandas()
     ids = pdf[key].to_numpy(dtype=np.int64)

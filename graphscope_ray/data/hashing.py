@@ -40,8 +40,11 @@ C2 = U64(0x5851F42D4C957F2D)
 BINV = U64(pow(1099511628211, -1, 1 << 64))
 MERSENNE61 = U64((1 << 61) - 1)
 
-# ASCII whitespace codepoints: \t \n \v \f \r space
-_WS_CP = np.array([9, 10, 11, 12, 13, 32], dtype=np.uint64)
+# Whitespace codepoints = RE2 \s exactly: \t \n \f \r space (NOT \v —
+# RE2's Perl-class \s excludes cp 11, and the SQL twins tokenize with
+# string_split_regex(text, '\s+'), so including it here would make
+# fingerprint/MinHash/SimHash diverge from the oracles on \x0b).
+_WS_CP = np.array([9, 10, 12, 13, 32], dtype=np.uint64)
 
 
 def fmix64(h: np.ndarray) -> np.ndarray:
@@ -57,7 +60,11 @@ def _codepoints(texts) -> tuple[np.ndarray, np.ndarray]:
     """Join the batch with '\\n' → (codepoint array, doc start offsets).
     One encode per batch; no per-row Python work after this."""
     joined = "\n".join(texts)
-    cp = np.frombuffer(joined.encode("utf-32-le"), dtype=np.uint32)
+    # surrogatepass: lone surrogates (e.g. from surrogateescape-decoded
+    # bytes) hash as their codepoint value instead of raising; DuckDB
+    # strings are UTF-8-clean so the SQL twins never see them anyway.
+    cp = np.frombuffer(joined.encode("utf-32-le", "surrogatepass"),
+                       dtype=np.uint32)
     lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
                        count=len(texts))
     starts = np.zeros(len(texts), dtype=np.int64)
@@ -160,6 +167,65 @@ def windowed_hashes(tok_doc: np.ndarray, tok_hash: np.ndarray, k: int,
     wh = np.concatenate(parts_hash)
     order = np.argsort(wd, kind="stable")
     return wd[order], wh[order]
+
+
+def char_ngram_hashes(texts, n: int) -> tuple[np.ndarray, np.ndarray]:
+    """Distinct character-n-gram hashes per document, vectorized (one
+    codepoint pass per batch) → (gram_doc, gram_hash) sorted by
+    (doc, hash) with per-doc duplicates removed.
+
+    Gram semantics mirror ``{s[i:i+n] for i in range(max(1, len(s)-n+1))}``:
+    every length-n substring; docs shorter than n contribute their whole
+    text as the single gram (the empty doc contributes the empty gram).
+    The hash is the same injective-per-length polynomial + fmix64 family
+    as token hashes, so distinct substrings collide with probability
+    ~2^-64 — Jaccard over hash sets equals Jaccard over substring sets
+    for all practical purposes (collision odds per pair < 1e-9 even at
+    10^5 grams/doc)."""
+    n_docs = len(texts)
+    if n_docs == 0:
+        return (np.array([], dtype=np.int64), np.array([], dtype=np.uint64))
+    cp, doc_starts = _codepoints(texts)
+    L = len(cp)
+    lens = np.fromiter((len(t) for t in texts), dtype=np.int64,
+                       count=n_docs)
+    doc_ends = doc_starts + lens
+    bp, bi = _pow_arrays(L if L else 1)
+    pref = np.zeros(L + 1, dtype=np.uint64)
+    if L:
+        np.cumsum((cp + U64(1)) * bi[:L], out=pref[1:])
+
+    def seg_hash(a: np.ndarray, b: np.ndarray) -> np.ndarray:
+        out = np.full(len(a), F, dtype=np.uint64)  # empty segment → F
+        nz = b > a
+        an, bn = a[nz], b[nz]
+        out[nz] = F * bp[bn - an] + bp[bn - 1] * (pref[bn] - pref[an])
+        return fmix64(out)
+
+    parts_doc, parts_hash = [], []
+    # full-length windows within long-enough docs
+    long_docs = lens >= n
+    if long_docs.any() and L >= n:
+        j = np.arange(L - n + 1, dtype=np.int64)
+        dj = np.searchsorted(doc_starts, j, side="right") - 1
+        valid = (j + n) <= doc_ends[dj]
+        jv = j[valid]
+        if len(jv):
+            parts_doc.append(dj[valid])
+            parts_hash.append(seg_hash(jv, jv + n))
+    # short docs (len < n, incl. empty): whole text as the single gram
+    short = np.flatnonzero(~long_docs)
+    if len(short):
+        parts_doc.append(short)
+        parts_hash.append(seg_hash(doc_starts[short], doc_ends[short]))
+    gd = np.concatenate(parts_doc)
+    gh = np.concatenate(parts_hash)
+    order = np.lexsort((gh, gd))
+    gd, gh = gd[order], gh[order]
+    keep = np.empty(len(gd), dtype=bool)
+    keep[0] = True
+    keep[1:] = (gd[1:] != gd[:-1]) | (gh[1:] != gh[:-1])
+    return gd[keep].astype(np.int64), gh[keep]
 
 
 def walk_hash(cand: np.ndarray, pid: np.ndarray, hop: int,

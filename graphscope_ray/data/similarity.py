@@ -104,8 +104,12 @@ def ivf_ann_topk(
     C = _normalize(np.asarray(centroids, dtype=np.float64))
     K = C.shape[0]
 
-    # per-query probe sets: nprobe nearest centroids, ties → lower cid
-    qc = q @ C.T                       # Q × K
+    # per-query probe sets: nprobe nearest centroids, ties → lower cid.
+    # Assignment/probe similarities are rounded to 6 dp BEFORE the
+    # argmax/top-nprobe (here and in the SQL twin) so a near-tie between
+    # two centroids can't flip a list assignment between numpy matmul
+    # and DuckDB list_cosine_similarity (unrounded decision boundary).
+    qc = round_half_away(q @ C.T, 6)   # Q × K
     probe = np.zeros((q.shape[0], K), dtype=bool)
     for qi in range(q.shape[0]):       # Q is small (driver-held queries)
         idx = np.lexsort((np.arange(K), -qc[qi]))[:nprobe]
@@ -116,7 +120,8 @@ def ivf_ann_topk(
         C_, qm, pr = ray.get(ref)
         ids = t[key].to_numpy()
         m = _normalize(np.stack(t[col].to_numpy(zero_copy_only=False)))
-        assign = np.argmax(m @ C_.T, axis=1)     # first max = lowest cid
+        assign = np.argmax(round_half_away(m @ C_.T, 6),
+                           axis=1)               # first max = lowest cid
         mask = pr[:, assign]                     # Q × B: probed per query
         keep = mask.any(axis=0)
         if not keep.any():

@@ -184,8 +184,10 @@ class Graph:
             if i >= len(self.oid_array) or self.oid_array[i] != oid:
                 raise KeyError(oid)
             return i
-        rows = self.idmap.filter(
-            lambda r: r["oid"] == oid).take(1)
+        # pushed-down expression filter (scans only matching row groups;
+        # the r02 lambda variant was a full O(V) per-row Python scan)
+        lit = repr(oid) if isinstance(oid, str) else oid
+        rows = self.idmap.filter(expr=f"oid == {lit}").take(1)
         if not rows:
             raise KeyError(oid)
         return int(rows[0]["vid"])
@@ -453,42 +455,41 @@ def triangles(
 
     oriented = e2.map_batches(orient, batch_format="pyarrow").materialize()
 
-    if True:
-        def _as(t: pa.Table, names) -> pa.Table:
-            return pa.table({n: t.column(i) for i, n in enumerate(names)})
+    def _as(t: pa.Table, names) -> pa.Table:
+        return pa.table({n: t.column(i) for i, n in enumerate(names)})
 
-        from graphscope_ray.util import shuffle_partitions
-        num_partitions = shuffle_partitions(num_partitions)
-        right1 = oriented.map_batches(lambda t: _as(t, ["b", "c"]),
-                                      batch_format="pyarrow")
-        wedges = oriented.join(
-            right1,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("b",),
-        )
-        # close the wedge: (a, c) must be an oriented edge a→c
-        right2 = oriented.map_batches(lambda t: _as(t, ["a", "c"]),
-                                      batch_format="pyarrow")
-        closed = wedges.join(
-            right2,
-            join_type="inner",
-            num_partitions=num_partitions,
-            on=("a", "c"),
-        )
+    from graphscope_ray.util import shuffle_partitions
+    num_partitions = shuffle_partitions(num_partitions)
+    right1 = oriented.map_batches(lambda t: _as(t, ["b", "c"]),
+                                  batch_format="pyarrow")
+    wedges = oriented.join(
+        right1,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("b",),
+    )
+    # close the wedge: (a, c) must be an oriented edge a→c
+    right2 = oriented.map_batches(lambda t: _as(t, ["a", "c"]),
+                                  batch_format="pyarrow")
+    closed = wedges.join(
+        right2,
+        join_type="inner",
+        num_partitions=num_partitions,
+        on=("a", "c"),
+    )
 
-        def corners(t: pa.Table) -> pa.Table:
-            v = np.concatenate(
-                [t["a"].to_numpy(), t["b"].to_numpy(), t["c"].to_numpy()]
-            )
-            vid, cnt = np.unique(v, return_counts=True)
-            return pa.table({"vid": vid, "_t": cnt.astype(np.int64)})
-
-        per_vertex = (
-            closed.map_batches(corners, batch_format="pyarrow")
-            .groupby("vid")
-            .aggregate(Sum("_t", alias_name="tri_cnt"))
+    def corners(t: pa.Table) -> pa.Table:
+        v = np.concatenate(
+            [t["a"].to_numpy(), t["b"].to_numpy(), t["c"].to_numpy()]
         )
+        vid, cnt = np.unique(v, return_counts=True)
+        return pa.table({"vid": vid, "_t": cnt.astype(np.int64)})
+
+    per_vertex = (
+        closed.map_batches(corners, batch_format="pyarrow")
+        .groupby("vid")
+        .aggregate(Sum("_t", alias_name="tri_cnt"))
+    )
     # vertices in no triangle → 0
     allv = deg.select_columns(["vid"])
     out = attach_values(

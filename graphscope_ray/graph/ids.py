@@ -49,12 +49,24 @@ def assign_dense_ids(ds: ray.data.Dataset, col: str = "oid",
 
     pre = ds.select_columns([col]).map_batches(
         batch_unique, batch_format="pyarrow").materialize()
-    if pre.count() <= driver_threshold:
+    # empty-input schema must keep the input's oid type (int64 graphs
+    # were getting a string-typed idmap, breaking attach_vids joins);
+    # an empty materialized stream can lose its schema → fall back to
+    # the input dataset's
+    sch = pre.schema() or ds.schema()
+    oid_type = (dict(zip(sch.names, sch.types))[col] if sch is not None
+                else pa.string())
+    empty = pa.table({"oid": pa.array([], oid_type),
+                      "vid": pa.array([], pa.int64())})
+    n_pre = pre.count()
+    if n_pre == 0:
+        # to_pandas() of an empty stream drops the column entirely —
+        # return the typed empty map before touching it
+        return ray.data.from_arrow(empty)
+    if n_pre <= driver_threshold:
         vals = np.unique(pre.to_pandas()[col].to_numpy())
         if len(vals) == 0:
-            return ray.data.from_arrow(pa.table(
-                {"oid": pa.array([], pa.string()),
-                 "vid": pa.array([], pa.int64())}))
+            return ray.data.from_arrow(empty)
         chunk = 4_000_000  # keep blocks near Ray's target block size
         return ray.data.from_arrow([
             pa.table({"oid": pa.array(vals[lo:lo + chunk]),
@@ -79,9 +91,7 @@ def assign_dense_ids(ds: ray.data.Dataset, col: str = "oid",
         out_refs.append(_stamp_block.remote(block_ref, col, offset))
         offset += n
     if not out_refs:
-        return ray.data.from_arrow(
-            pa.table({"oid": pa.array([], pa.string()), "vid": pa.array([], pa.int64())})
-        )
+        return ray.data.from_arrow(empty)
     return ray.data.from_arrow_refs(out_refs)
 
 

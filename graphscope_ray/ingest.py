@@ -49,11 +49,9 @@ def with_sha256(ds: ray.data.Dataset, column: str = "content") -> ray.data.Datas
 
 
 def _pairs_of_group(g: pd.DataFrame, max_fanout: int) -> pd.DataFrame:
-    """All unordered path pairs within one (repo, commit) group.
-
-    Paths are deduped and sorted so output is deterministic; groups
-    larger than ``max_fanout`` are truncated (documented cap: a commit
-    touching k files contributes C(min(k, max_fanout), 2) pairs)."""
+    """All unordered path pairs within one (repo, commit) group — the
+    r01 per-group reference kernel, kept as the differential-test twin
+    of the fused bucket kernel below (tests/test_ingest.py)."""
     repo = g["repo"].iloc[0]
     paths = np.unique(g["path"].to_numpy())
     if len(paths) > max_fanout:
@@ -67,27 +65,23 @@ def _pairs_of_group(g: pd.DataFrame, max_fanout: int) -> pd.DataFrame:
     return pd.DataFrame({"src": pre + paths[i], "dst": pre + paths[j]})
 
 
-def derive_edges(
+def _derive_edges_groupby(
     corpus: ray.data.Dataset,
     *,
     max_fanout: int = 256,
     num_partitions: int = 32,
 ) -> ray.data.Dataset:
-    """Corpus ``(repo, path, commit, ...)`` → undirected weighted edge
-    table ``(src: string, dst: string, weight: int64)`` with src < dst.
-
-    Stages: column-pruned distinct occurrences → per-(repo, commit)
-    pair expansion (``map_groups``) → per-batch partial counts →
-    global ``groupby(src, dst).sum`` (small after pre-aggregation).
-    """
+    """r01 derivation shape (multi-column groupby + per-(repo, commit)
+    map_groups + Sum aggregate): four exchanges, a Python callable per
+    commit group. Superseded by the fused two-exchange ``derive_edges``
+    (measured ~2.0× faster at sf0.1 in an interleaved in-window A/B,
+    BASELINE.md round-2 addendum); retained as the property-test twin."""
     occ = corpus.select_columns(["repo", "path", "commit"])
 
     pairs = occ.groupby(["repo", "commit"]).map_groups(
         lambda g: _pairs_of_group(g, max_fanout), batch_format="pandas"
     )
 
-    # Combiner: collapse duplicate pairs within each batch before the
-    # all-to-all groupby shuffle.
     def partial_count(batch: pa.Table) -> pa.Table:
         df = batch.to_pandas()
         out = df.groupby(["src", "dst"], sort=False).size().reset_index(name="weight")
@@ -98,6 +92,129 @@ def derive_edges(
 
     edges = partial.groupby(["src", "dst"]).aggregate(Sum("weight", alias_name="weight"))
     return edges
+
+
+_NUM_BUCKETS = 32
+
+
+def _bucket_pairs(g: pd.DataFrame, max_fanout: int) -> pd.DataFrame:
+    """One commit-bucket's fused kernel (string-key port of
+    pipelines/partgraph.pairs_in_bucket): dedup (repo, commit, path)
+    occurrences, truncate each commit group to its first ``max_fanout``
+    sorted paths, expand within-group path pairs, partial-count by
+    file-id pair key — one vectorized pass, no Python loop over commits.
+
+    Exactness: string group/dedup boundaries come from lexsort +
+    change-point comparisons on the object arrays themselves (no
+    separator-concat aliasing); src < dst holds because bucket-local
+    file ids are ranks in sorted oid order and every pair is emitted in
+    sorted-path order within a same-repo group."""
+    empty = pd.DataFrame({"src": pd.Series([], dtype=object),
+                          "dst": pd.Series([], dtype=object),
+                          "_w": pd.Series([], dtype=np.int64),
+                          "b2": pd.Series([], dtype=np.int64)})
+    if not len(g):
+        return empty
+    repo = g["repo"].to_numpy()
+    commit = g["commit"].to_numpy()
+    path = g["path"].to_numpy()
+    order = np.lexsort((path, commit, repo))
+    repo, commit, path = repo[order], commit[order], path[order]
+    dup = np.empty(len(repo), dtype=bool)
+    dup[0] = False
+    dup[1:] = ((repo[1:] == repo[:-1]) & (commit[1:] == commit[:-1])
+               & (path[1:] == path[:-1]))
+    repo, commit, path = repo[~dup], commit[~dup], path[~dup]
+    new_grp = np.empty(len(repo), dtype=bool)
+    new_grp[0] = True
+    new_grp[1:] = (repo[1:] != repo[:-1]) | (commit[1:] != commit[:-1])
+    grp_start = np.flatnonzero(new_grp)
+    counts = np.diff(np.r_[grp_start, len(repo)])
+    r = np.arange(len(repo)) - np.repeat(grp_start, counts)
+    keep = r < max_fanout  # first max_fanout sorted paths per commit
+    repo, path, r = repo[keep], path[keep], r[keep]
+    if len(r) == 0:
+        return empty
+    # bucket-local file ids = rank in sorted oid order (same-repo pairs
+    # ⇒ fid order == path order within a group)
+    oid = np.asarray(pd.Series(repo, dtype=object) + "::"
+                     + pd.Series(path, dtype=object), dtype=object)
+    uoid, fid = np.unique(oid, return_inverse=True)
+    idx = np.arange(len(r))
+    second = np.repeat(idx, r)
+    if len(second) == 0:
+        return empty
+    off = np.cumsum(r) - r  # exclusive prefix of per-element pair counts
+    first = (np.arange(len(second)) - np.repeat(off, r)
+             + np.repeat(idx - r, r))
+    if len(uoid) >= 2**32:
+        raise ValueError("bucket exceeds 2^32 distinct files; "
+                         "raise _NUM_BUCKETS")
+    key = (fid[first].astype(np.uint64) << np.uint64(32)) | \
+        fid[second].astype(np.uint64)
+    uk, inv = np.unique(key, return_inverse=True)
+    w = np.bincount(inv).astype(np.int64)
+    s_id = (uk >> np.uint64(32)).astype(np.int64)
+    d_id = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
+    src, dst = uoid[s_id], uoid[d_id]
+    # global pair bucket for exchange 2 (content hash — the same pair
+    # from commits in different commit-buckets must meet)
+    b2 = (pd.util.hash_array(src) * np.uint64(31)
+          + pd.util.hash_array(dst)) % np.uint64(_NUM_BUCKETS)
+    return pd.DataFrame({"src": src, "dst": dst, "_w": w,
+                         "b2": b2.astype(np.int64)})
+
+
+def derive_edges(
+    corpus: ray.data.Dataset,
+    *,
+    max_fanout: int = 256,
+    num_partitions: int = 32,
+) -> ray.data.Dataset:
+    """Corpus ``(repo, path, commit, ...)`` → undirected weighted edge
+    table ``(src: string, dst: string, weight: int64)`` with src < dst.
+
+    Fused two-exchange derivation (r02 VERDICT #2 — the kernel shape
+    measured ~2.0× faster than the four-exchange groupby path on the
+    partgraph twin): (1) bucket occurrence rows by a hash of
+    (repo, commit) — a commit's rows co-locate, so one vectorized
+    per-bucket kernel dedups occurrences AND expands each commit's
+    within-commit path pairs with partial counts; (2) a bucketed
+    groupby over a global pair hash sums the partials. ``max_fanout``
+    truncation (first N sorted paths per commit) is the documented
+    skew guard, identical to the r01 semantics."""
+    occ = corpus.select_columns(["repo", "path", "commit"])
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(
+            df[["repo", "commit"]], index=False).to_numpy()
+        return df.assign(b=(h % np.uint64(_NUM_BUCKETS)).astype(np.int64))
+
+    def combine(g: pd.DataFrame) -> pd.DataFrame:
+        src = g["src"].to_numpy()
+        dst = g["dst"].to_numpy()
+        w = g["_w"].to_numpy()
+        order = np.lexsort((dst, src))
+        src, dst, w = src[order], dst[order], w[order]
+        new = np.empty(len(src), dtype=bool)
+        new[0] = True
+        new[1:] = (src[1:] != src[:-1]) | (dst[1:] != dst[:-1])
+        gidx = np.cumsum(new) - 1
+        tot = np.bincount(gidx, weights=w).astype(np.int64)
+        first_idx = np.flatnonzero(new)
+        return pd.DataFrame({"src": src[first_idx], "dst": dst[first_idx],
+                             "weight": tot})
+
+    out = (
+        occ.map_batches(add_bucket, batch_format="pandas")
+        .groupby("b")
+        .map_groups(lambda g: _bucket_pairs(g, max_fanout),
+                    batch_format="pandas")
+        .groupby("b2")
+        .map_groups(combine, batch_format="pandas")
+    )
+    return out.map_batches(lambda t: t.select(["src", "dst", "weight"]),
+                           batch_format="pyarrow")
 
 
 def corpus_vertices(corpus: ray.data.Dataset) -> ray.data.Dataset:

@@ -112,3 +112,31 @@ def test_attach_vids_roundtrip(corpus_path):
     a = evid.sort_values(["src", "dst", "weight"]).reset_index(drop=True)
     b = evid2[a.columns].sort_values(["src", "dst", "weight"]).reset_index(drop=True)
     assert a.equals(b)
+
+
+def test_fused_derivation_equals_groupby_path(corpus_path):
+    # r02 VERDICT #2: the fused two-exchange bucket kernel must be
+    # row-identical to the superseded four-exchange groupby derivation,
+    # with and without the max_fanout skew cap engaged
+    from graphscope_ray.ingest import _derive_edges_groupby
+    ds = ray.data.read_parquet(corpus_path)
+    for fanout in (10_000, 3):
+        new = (derive_edges(ds, max_fanout=fanout).to_pandas()
+               .sort_values(["src", "dst"]).reset_index(drop=True))
+        old = (_derive_edges_groupby(ds, max_fanout=fanout).to_pandas()
+               .sort_values(["src", "dst"]).reset_index(drop=True))
+        assert len(new) == len(old)
+        assert (new["src"].to_numpy() == old["src"].to_numpy()).all()
+        assert (new["dst"].to_numpy() == old["dst"].to_numpy()).all()
+        assert (new["weight"].to_numpy(dtype=np.int64)
+                == old["weight"].to_numpy(dtype=np.int64)).all()
+
+
+def test_empty_idmap_keeps_int64_oid_type():
+    # ADVICE r02: empty edge sets must not silently yield a
+    # string-typed idmap for int64-keyed graphs
+    ds = ray.data.from_arrow(pa.table({"oid": pa.array([], pa.int64())}))
+    for thr in (20_000_000, 0):
+        m = assign_dense_ids(ds, "oid", driver_threshold=thr)
+        sch = dict(zip(m.schema().names, m.schema().types))
+        assert sch["oid"] == pa.int64(), (thr, sch)
