@@ -408,6 +408,87 @@ def _partgraph(sf_dir: str):
     return g, edges
 
 
+def _partgraph_str(sf_dir: str):
+    """String-oid partgraph (reference oid_type=string,
+    framework/graph.py:108-111): the same co-occurrence edges keyed by
+    'p' || partkey strings — exercises ids.py's object-array dense-rank
+    path end-to-end under the DuckDB oracle."""
+    key = sf_dir + "#str"
+    if key in _CACHE:
+        return _CACHE[key][0]
+    from graphscope_ray.graph.api import Graph
+    from graphscope_ray.pipelines.partgraph import partgraph_edges
+
+    def to_str(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "src": pc.binary_join_element_wise(
+                "p", pc.cast(t["src"], pa.string()), ""),
+            "dst": pc.binary_join_element_wise(
+                "p", pc.cast(t["dst"], pa.string()), ""),
+            "weight": t["weight"],
+        })
+
+    edges = (partgraph_edges(sf_dir)
+             .map_batches(to_str, batch_format="pyarrow").materialize())
+    g = Graph.from_edges(
+        edges,
+        workdir=f"/tmp/gsr-strgraph-{abs(hash(sf_dir)) % 10**8}",
+        weight_col="weight",
+        symmetrize=True,
+    )
+    _CACHE[key] = (g, edges)
+    return g
+
+
+def _q_pg_string_oids(sf_dir):
+    """WCC + PageRank over the string-oid graph; comp is the
+    lexicographically smallest member oid (min dense vid = min string
+    under rank ids)."""
+    from graphscope_ray.graph.joins import attach_values
+    g = _partgraph_str(sf_dir)
+    wcc = g.to_oid(g.wcc(), vid_cols=("vid", "comp"))
+    pr = _round_col(g.to_oid(g.pagerank(delta=DELTA, max_round=PR_ROUNDS)),
+                    "rank")
+    return attach_values(wcc, pr, on="vid", table_key="vid",
+                         value_names=["rank"])
+
+
+def _string_oids_sql(rounds: int, delta: float) -> str:
+    parts = ["""WITH RECURSIVE
+occ AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (
+  SELECT 'p' || a.l_partkey::VARCHAR AS src,
+         'p' || b.l_partkey::VARCHAR AS dst, count(*)::BIGINT AS w
+  FROM occ a JOIN occ b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+  GROUP BY 1, 2),
+e AS MATERIALIZED (SELECT src AS s, dst AS t, w FROM e0
+      UNION ALL SELECT dst, src, w FROM e0),
+v AS MATERIALIZED (SELECT DISTINCT s AS v FROM e),
+deg AS MATERIALIZED (SELECT s AS v, count(*)::BIGINT AS d FROM e GROUP BY s),
+n AS MATERIALIZED (SELECT count(*) AS c FROM v),
+r AS (
+  SELECT v, v AS l FROM v
+  UNION
+  SELECT e.t, r.l FROM r JOIN e ON e.s = r.v WHERE r.l < e.t
+),
+wcc AS MATERIALIZED (SELECT v, min(l) AS comp FROM r GROUP BY v),
+r0 AS MATERIALIZED (SELECT v.v, 1.0 / (SELECT c FROM n) AS r FROM v)"""]
+    for k in range(1, rounds + 1):
+        parts.append(f"""r{k} AS MATERIALIZED (
+  SELECT v.v,
+         {1 - delta} / (SELECT c FROM n)
+           + {delta} * COALESCE(m.s, 0) AS r
+  FROM v LEFT JOIN (
+    SELECT e.t AS v, sum(r{k-1}.r / deg.d) AS s
+    FROM e JOIN r{k-1} ON r{k-1}.v = e.s JOIN deg ON deg.v = e.s
+    GROUP BY e.t) m ON m.v = v.v)""")
+    return (",\n".join(parts) + f"""
+SELECT wcc.v AS vid, wcc.comp, round(r{rounds}.r, 6) AS rank
+FROM wcc JOIN r{rounds} ON r{rounds}.v = wcc.v ORDER BY vid""")
+
+
 def _round_col(ds, col, nd=6):
     from graphscope_ray.util import round_half_away
 
@@ -1004,14 +1085,40 @@ def _q_media_pipeline(sf_dir):
     """Multimodal stage chain over deterministic synthetic media (the
     driver tables carry no binary column): BMP resize (real NN
     resample) → real BMP/WAV decode → feature extraction on an actor
-    pool. Rows-only driver check; kernel correctness is pinned by
-    tests/test_codecs.py (roundtrip + pixel-provenance)."""
+    pool. The feature vectors are exploded to (media_id, dim, feat)
+    scalar rows and hash-compared against a committed expectation
+    computed by the INDEPENDENT struct-based oracle in
+    tools/gen_media_oracle.py (r02 VERDICT #3); kernel correctness is
+    additionally pinned by tests/test_codecs.py."""
     from graphscope_ray.data.multimodal import (image_resize,
                                                 media_features,
                                                 synth_media)
     ds = ray.data.from_arrow(synth_media(n=96, seed=5))
-    return media_features(image_resize(ds, out_w=8, out_h=8),
-                          decode="real", feat_dim=8)
+    out = media_features(image_resize(ds, out_w=8, out_h=8),
+                         decode="real", feat_dim=8)
+
+    def explode(t: pa.Table) -> pa.Table:
+        from graphscope_ray.util import round_half_away
+        mids, kinds, nbytes, dims, feats = [], [], [], [], []
+        for mid, kind, feat, nb in zip(
+                t["media_id"].to_pylist(), t["kind"].to_pylist(),
+                t["feature"].to_pylist(), t["payload_bytes"].to_pylist()):
+            for d, f in enumerate(feat):
+                mids.append(mid)
+                kinds.append(kind)
+                nbytes.append(nb)
+                dims.append(d)
+                feats.append(f)
+        return pa.table({
+            "media_id": pa.array(mids, pa.int64()),
+            "kind": pa.array(kinds, pa.string()),
+            "payload_bytes": pa.array(nbytes, pa.int64()),
+            "dim": pa.array(dims, pa.int64()),
+            "feat": pa.array(round_half_away(
+                np.asarray(feats, dtype=np.float64), 6)),
+        })
+
+    return out.map_batches(explode, batch_format="pyarrow")
 
 
 def _q_doc_sha256(sf_dir):
@@ -1272,6 +1379,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_lpa": _q_pg_lpa,
         "pg_dfs": _q_pg_dfs,
         "pg_sampling": _q_pg_sampling,
+        "pg_string_oids": _q_pg_string_oids,
         "doc_sha256": _q_doc_sha256,
         "media_pipeline": _q_media_pipeline,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -1393,6 +1501,7 @@ GROUP BY b.v ORDER BY node""",
         "pg_louvain_sweep": _louvain_sweep_sql(),
         "pg_dfs": _DFS_SQL,
         "pg_sampling": _sampling_sql(SAMPLE_ROOTS, SAMPLE_LEN, SAMPLE_SEED),
+        "pg_string_oids": _string_oids_sql(PR_ROUNDS, DELTA),
         "pg_transitivity": f"""
 WITH {_PRELUDE},
 {_TRI_CTE}
@@ -1403,6 +1512,14 @@ WITH {_PRELUDE}
 SELECT (SELECT count(*) FROM v)::BIGINT AS node_num,
        (SELECT count(*) FROM e0)::BIGINT AS edge_num,
        0::BIGINT AS selfloops_num""",
+        # committed expectation computed by the independent struct-based
+        # re-implementation in tools/gen_media_oracle.py (binary media
+        # itself is not SQL-expressible; the hash compare pins the whole
+        # resize→decode→feature chain bit-for-bit)
+        "media_pipeline": """
+SELECT media_id, kind, payload_bytes, dim, feat
+FROM read_parquet('/root/repo/tests/data/media_pipeline_expected.parquet')
+ORDER BY media_id, dim""",
         "doc_sha256": """
 SELECT doc_id, sha256(text) AS content_sha256 FROM documents ORDER BY doc_id""",
         "doc_exact_dedup": """
