@@ -137,15 +137,18 @@ def _one_level(src, dst, w, n, m, max_sweeps: int, parity_of=None):
 
 def _level0_bsp(engine, max_sweeps: int):
     """Level-0 local-moving phase on the resident GraphPartition
-    actors (r01 VERDICT #8): community vector broadcast per
-    half-sweep, weighted votes combined per destination on its owner
-    (partition.lv_votes/lv_moves — the cdlp machinery), sparse move
-    lists applied driver-side. Only O(V) vectors ever touch the
-    driver, never the O(E) rows. Returns (comm, k, m, moved_any).
+    actors (r01 VERDICT #8, r02 VERDICT #8): comm/k/tot live ON the
+    actors (lv_init once per level — the only O(V) transfer), weighted
+    votes combined per destination on its owner
+    (partition.lv_votes/lv_moves — the cdlp machinery), and each
+    half-sweep exchanges only the SPARSE move list (O(moved) driver
+    traffic, applied as incremental community-mass deltas by
+    lv_apply). Returns (comm, k, m, moved_any).
 
-    Exactly equivalent to _one_level for integer weights (all sums are
-    exact regardless of combine order); for float weights the
-    distributed sums may differ in the last ulp at score ties."""
+    Exactly equivalent to _one_level for integer weights (all sums —
+    including the incremental tot — are exact regardless of combine
+    order); for float weights the distributed sums may differ in the
+    last ulp at score ties."""
     import ray
 
     actors = engine.actors
@@ -155,31 +158,29 @@ def _level0_bsp(engine, max_sweeps: int):
     for vids_, acc in parts:
         np.add.at(k, vids_, acc)
     m = k.sum() / 2.0
-    comm = np.arange(V, dtype=np.int64)
     if m == 0:
-        return comm, k, m, False
+        return np.arange(V, dtype=np.int64), k, m, False
+    k_ref = ray.put(k)  # once per level, zero-copy on read
+    ray.get([a.lv_init.remote(k_ref, m) for a in actors])
     any_move = False
     for _ in range(max_sweeps):
         moved = 0
         for parity in (0, 1):
-            tot = np.bincount(comm, weights=k, minlength=V)
-            comm_ref = ray.put(comm)
-            k_ref = ray.put(k)
-            tot_ref = ray.put(tot)
-            blocks = [a.lv_votes.remote(comm_ref) for a in actors]
-            moves = ray.get([
-                a.lv_moves.remote(parity, comm_ref, k_ref, tot_ref,
-                                  m, *blocks)
-                for a in actors
-            ])
-            for bv, bc in moves:
-                if len(bv):
-                    comm[bv] = bc
-                    moved += len(bv)
+            blocks = [a.lv_votes.remote() for a in actors]
+            moves = ray.get([a.lv_moves.remote(parity, *blocks)
+                             for a in actors])
+            mv = np.concatenate([b for b, _ in moves])
+            mc = np.concatenate([c for _, c in moves])
+            if len(mv):
+                mref = ray.put((mv, mc))
+                ray.get([a.lv_apply.remote(mref) for a in actors])
+                moved += len(mv)
         if moved == 0:
             break
         any_move = True
-    return comm, k, m, any_move
+    comm = ray.get(actors[0].lv_comm.remote()) if actors else \
+        np.arange(V, dtype=np.int64)
+    return np.asarray(comm, dtype=np.int64), k, m, any_move
 
 
 def louvain(

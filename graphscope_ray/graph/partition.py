@@ -983,10 +983,12 @@ class GraphPartition:
         return pid, hop, vid
 
     # ------------------------------------------------------------------
-    # Louvain level-0 local-moving sweep (r01 VERDICT #8): the weighted
-    # community-vote machinery (same shape as cdlp_scatter/apply) with
-    # the community vector broadcast per half-sweep; moves are computed
-    # at each destination's owner and returned sparse. Driver:
+    # Louvain level-0 local-moving sweep (r01 VERDICT #8, r02 VERDICT
+    # #8): the weighted community-vote machinery (same shape as
+    # cdlp_scatter/apply) with RESIDENT comm/k/tot state per actor —
+    # built once per level by lv_init, then only sparse move lists move
+    # per half-sweep (no O(V) ray.put per phase). Moves are computed at
+    # each destination's owner and returned sparse. Driver:
     # louvain.louvain(engine=...). Assumes the store's dense-vid
     # convention (vid == compact node index).
     # ------------------------------------------------------------------
@@ -1000,12 +1002,42 @@ class GraphPartition:
         np.add.at(acc, inv, w)
         return v, acc
 
-    def lv_votes(self, comm):
+    def lv_init(self, k: np.ndarray, m: float):
+        """Resident Louvain state: full singleton comm + tot copies
+        (tot starts equal to k). One O(V) transfer per LEVEL (k is
+        plasma-shared, read zero-copy), not per half-sweep."""
+        self.state["lv"] = {
+            "comm": np.arange(len(k), dtype=np.int64),
+            "k": k,                  # read-only (zero-copy plasma view)
+            "tot": k.copy(),
+            "m": float(m),
+        }
+
+    def lv_apply(self, moves):
+        """Apply a sparse move list to the resident state: comm
+        reassignments plus incremental community-mass deltas. For
+        integer weights the incremental tot equals a bincount recompute
+        exactly; for float weights it may differ in the last ulp (the
+        same caveat as the distributed vote sums)."""
+        s = self.state["lv"]
+        mv, mc = moves
+        if not len(mv):
+            return
+        kv = s["k"][mv]
+        np.subtract.at(s["tot"], s["comm"][mv], kv)
+        np.add.at(s["tot"], mc, kv)
+        s["comm"][mv] = mc
+
+    def lv_comm(self):
+        return self.state["lv"]["comm"]
+
+    def lv_votes(self):
         """Per-(dst, community-of-src) weight sums of non-self rows,
-        packed by dst % P (cdlp_scatter with a broadcast community
-        vector instead of resident labels)."""
+        packed by dst % P (cdlp_scatter against the resident community
+        vector)."""
         if self.E == 0:
             return self._empty_msgs()
+        comm = self.state["lv"]["comm"]
         w = self.w if self.w is not None else np.ones(self.E)
         nz = self.src != self.dst
         g = self.edge_grp[nz]
@@ -1032,10 +1064,12 @@ class GraphPartition:
                       wsum[bounds[q]:bounds[q + 1]])
                 for q in range(self.P)]
 
-    def lv_moves(self, parity: int, comm, k, tot, m: float, *msgs):
+    def lv_moves(self, parity: int, *msgs):
         """Merge vote partials for owned destinations, score candidate
-        moves exactly like louvain._one_level, apply the parity class's
-        winning moves; returns sparse (vid, new_comm)."""
+        moves against the RESIDENT comm/k/tot exactly like
+        louvain._one_level; returns sparse (vid, new_comm)."""
+        s = self.state["lv"]
+        comm, k, tot, m = s["comm"], s["k"], s["tot"], s["m"]
         msgs = self._unpack(msgs)
         parts = [mm for mm in msgs if mm is not None and len(mm[0])]
         empty = (np.array([], dtype=np.int64),) * 2
