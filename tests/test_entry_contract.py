@@ -123,6 +123,81 @@ SELECT s, t, w FROM e""").df()
         assert rounds + 3 <= entrymod.PEEL_ROUNDS, (k, rounds)
 
 
+def test_multi_source_sssp_fixpoint_margin(con):
+    """pg_sssp_avg_len's unrolled twin runs SSSP_ROUNDS for each of the
+    AVGLEN_SOURCES sources; assert every source converges with a >= 3
+    round margin (the single-source test above only covers source 0)."""
+    e = con.sql(f"""
+WITH {entrymod._PRELUDE}
+SELECT s, t, w FROM e""").df()
+    src = e["s"].to_numpy()
+    dst = e["t"].to_numpy()
+    w = e["w"].to_numpy().astype(float)
+    n = int(max(src.max(), dst.max())) + 1
+    sources = np.sort(np.unique(np.r_[src, dst]))[:entrymod.AVGLEN_SOURCES]
+    dist = np.full((n, len(sources)), np.inf)
+    dist[sources, np.arange(len(sources))] = 0.0
+    rounds = 0
+    while True:
+        rounds += 1
+        new = dist.copy()
+        np.minimum.at(new, dst, dist[src] + w[:, None])
+        if np.array_equal(new, dist):
+            break
+        dist = new
+    assert rounds + 3 <= entrymod.SSSP_ROUNDS, rounds
+
+
+def test_louvain_unroll_covers_engine_levels(con):
+    """_louvain_full_sql unrolls LOUVAIN_LEVELS levels of exactly
+    LOUVAIN_SWEEPS sweeps; it equals the engine run (max_levels=10)
+    only if every level past the unroll leaves the label assignment
+    unchanged. (Late levels can OSCILLATE — moves every sweep with the
+    state returning to singletons by the end of the block — so 'no
+    move happened' is the wrong criterion; compare the labels
+    directly.) Run the deterministic numpy twin at both depths."""
+    from graphscope_ray.graph import louvain as lv
+
+    e = con.sql(f"""
+WITH {entrymod._PRELUDE}
+SELECT s, t, w FROM e""").df()
+    src = e["s"].to_numpy().astype(np.int64)
+    dst = e["t"].to_numpy().astype(np.int64)
+    w = e["w"].to_numpy().astype(float)
+    n = int(max(src.max(), dst.max())) + 1
+    m = w.sum() / 2.0
+
+    def labels_at(levels: int) -> np.ndarray:
+        csrc, cdst, cw, nn = src, dst, w, n
+        assign = np.arange(n, dtype=np.int64)
+        par = np.arange(nn, dtype=np.int64)
+        for _ in range(levels):
+            comm, moved = lv._one_level(csrc, cdst, cw, nn, m,
+                                        entrymod.LOUVAIN_SWEEPS,
+                                        parity_of=par)
+            if not moved:
+                break
+            uniq, comp = np.unique(comm, return_inverse=True)
+            assign = comp[assign]
+            key = comp[csrc] * np.int64(len(uniq)) + comp[cdst]
+            uk, kinv = np.unique(key, return_inverse=True)
+            cw = np.bincount(kinv, weights=cw)
+            csrc = (uk // len(uniq)).astype(np.int64)
+            cdst = (uk % len(uniq)).astype(np.int64)
+            nn = len(uniq)
+            par = None
+            if nn == 1:
+                break
+        lab = np.full(nn, np.iinfo(np.int64).max)
+        np.minimum.at(lab, assign, np.arange(n, dtype=np.int64))
+        return lab[assign]
+
+    np.testing.assert_array_equal(
+        labels_at(entrymod.LOUVAIN_LEVELS), labels_at(10),
+        err_msg="unrolled-level count too small for the engine's "
+                "max_levels=10 run")
+
+
 def test_entry_smoke():
     df = entrymod.entry()
     assert len(df) > 0

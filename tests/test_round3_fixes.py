@@ -1,0 +1,104 @@
+"""Round-3 fixes: SimHash guarantee-preserving sub-banding under an
+adversarial bucket distribution, and the distributed n-gram Jaccard
+verify stage (no driver text LUT)."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from graphscope_ray.data.dedup import (
+    ngram_jaccard_pairs,
+    simhash_pairs_from_sigs,
+)
+
+
+def _brute_pairs(keys, sigs, max_hamming):
+    out = set()
+    for i in range(len(keys)):
+        x = sigs[i] ^ sigs[i + 1:]
+        ham = np.zeros(len(x), dtype=np.int64)
+        for b in range(64):
+            ham += ((x >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+        for j in np.flatnonzero(ham <= max_hamming):
+            out.add((int(keys[i]), int(keys[i + 1 + j])))
+    return out
+
+
+def test_simhash_subbanding_adversarial_bucket():
+    """600 docs share one exact 16-bit block (overflowing the
+    max_bucket=500 cap that r02 silently truncated at); the planted
+    hamming<=3 pairs must still be found via the 12-bit sub-banding."""
+    rng = np.random.default_rng(7)
+    n = 600
+    # block 0 identical for everyone → one bucket of 600 in band 0
+    rest = rng.integers(0, 1 << 48, size=n, dtype=np.uint64)
+    sigs = (rest << np.uint64(16)) | np.uint64(0xBEEF)
+    # plant 3 near-dup pairs: flip <= 3 bits of the upper 48
+    for a, b_, nbits in ((0, 1, 3), (10, 11, 2), (20, 21, 1)):
+        v = sigs[a]
+        for bit in rng.choice(np.arange(16, 64), size=nbits, replace=False):
+            v = v ^ (np.uint64(1) << np.uint64(bit))
+        sigs[b_] = v
+    # make the other three 16-bit blocks collide nowhere else by
+    # construction odds (2^48 space, 600 docs) — verified by brute force
+    keys = np.arange(n, dtype=np.int64)
+    expected = _brute_pairs(keys, sigs, max_hamming=3)
+    assert {(0, 1), (10, 11), (20, 21)} <= expected
+
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": keys, "simhash": sigs.view(np.int64)}))
+    got = simhash_pairs_from_sigs(ds, max_hamming=3, max_bucket=500)
+    got_pairs = set(zip(got["a"].astype(int), got["b"].astype(int)))
+    assert got_pairs == expected, (
+        got_pairs.symmetric_difference(expected))
+
+
+def test_ngram_jaccard_distributed_matches_python_sets():
+    """The co-grouped 64-bit gram-hash Jaccard equals the direct
+    Python-set computation, with candidate pairs given as a Dataset
+    (nothing but the verified pairs ever lands on the driver)."""
+    rng = np.random.default_rng(13)
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta"]
+    texts = []
+    for i in range(300):
+        base = " ".join(rng.choice(words, size=8))
+        texts.append(base)
+        if i % 3 == 0:
+            texts[-1] = base + " tail"  # near-dups of the previous base
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(texts), dtype=np.int64), "text": texts}))
+    cand = pd.DataFrame({
+        "a": np.arange(0, 120, 2, dtype=np.int64),
+        "b": np.arange(1, 121, 2, dtype=np.int64)})
+    cand_ds = ray.data.from_pandas(cand)
+    got = ngram_jaccard_pairs(docs, cand_ds, n=3, threshold=0.0)
+
+    def grams(s):
+        return {s[i:i + 3] for i in range(max(1, len(s) - 2))}
+
+    from graphscope_ray.util import round_half_away
+    want = []
+    for a, b in zip(cand["a"], cand["b"]):
+        ga, gb = grams(texts[a]), grams(texts[b])
+        want.append((a, b, float(round_half_away(
+            np.float64(len(ga & gb) / max(1, len(ga | gb))), 6))))
+    want_df = (pd.DataFrame(want, columns=["a", "b", "jaccard"])
+               .sort_values(["a", "b"]).reset_index(drop=True))
+    got = got.sort_values(["a", "b"]).reset_index(drop=True)
+    assert len(got) == len(want_df)
+    assert (got["a"].to_numpy() == want_df["a"].to_numpy()).all()
+    assert np.allclose(got["jaccard"], want_df["jaccard"], atol=0)
+
+
+def test_ngram_jaccard_empty_and_missing_docs():
+    docs = ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.array([0, 1], dtype=np.int64),
+        "text": ["", "abc"]}))
+    # pair referencing a missing doc id drops (inner semantics);
+    # the ("", "abc") pair scores 0 (empty-gram vs substring grams)
+    out = ngram_jaccard_pairs(
+        docs, pd.DataFrame({"a": [0, 0], "b": [1, 99]}), threshold=0.0)
+    assert len(out) == 1
+    assert float(out["jaccard"].iloc[0]) == 0.0
