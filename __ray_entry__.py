@@ -489,6 +489,37 @@ SELECT wcc.v AS vid, wcc.comp, round(r{rounds}.r, 6) AS rank
 FROM wcc JOIN r{rounds} ON r{rounds}.v = wcc.v ORDER BY vid""")
 
 
+def _q_pg_labeled_select(sf_dir):
+    """LabeledVertexDataContext selector surface (reference
+    context.py:305-329): label the partgraph vertices even/odd by oid
+    parity, run PageRank, select {'id': 'v:even.id', 'rank':
+    'r:even'} — the label filter is a pushed-down expression and the
+    oid attach is the broadcast join."""
+    from graphscope_ray.graph.context import Context
+    import pyarrow.compute as pc
+    g, _ = _partgraph(sf_dir)
+    pr = _round_col(g.pagerank(delta=DELTA, max_round=PR_ROUNDS), "rank")
+
+    def lab(t: pa.Table) -> pa.Table:
+        even = pc.equal(pc.bit_wise_and(t["oid"], 1), 0)
+        return pa.table({"vid": t["vid"],
+                         "label": pc.if_else(even, "even", "odd")})
+
+    verts = g.idmap.map_batches(lab, batch_format="pyarrow")
+    ctx = Context(g, pr, vertices=verts)
+    return ctx.select({"id": "v:even.id", "rank": "r:even"})
+
+
+def _labeled_select_sql(rounds: int, delta: float) -> str:
+    base = _pagerank_sql(rounds, delta)
+    # same unroll, restricted to the 'even' label (oid parity)
+    return base.replace(
+        "SELECT v AS vid, round(r, 6) AS rank FROM",
+        "SELECT v AS id, round(r, 6) AS rank FROM").replace(
+        f"ORDER BY vid",
+        f"WHERE v % 2 = 0 ORDER BY id")
+
+
 def _round_col(ds, col, nd=6):
     from graphscope_ray.util import round_half_away
 
@@ -1380,6 +1411,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_dfs": _q_pg_dfs,
         "pg_sampling": _q_pg_sampling,
         "pg_string_oids": _q_pg_string_oids,
+        "pg_labeled_select": _q_pg_labeled_select,
         "doc_sha256": _q_doc_sha256,
         "media_pipeline": _q_media_pipeline,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -1502,6 +1534,7 @@ GROUP BY b.v ORDER BY node""",
         "pg_dfs": _DFS_SQL,
         "pg_sampling": _sampling_sql(SAMPLE_ROOTS, SAMPLE_LEN, SAMPLE_SEED),
         "pg_string_oids": _string_oids_sql(PR_ROUNDS, DELTA),
+        "pg_labeled_select": _labeled_select_sql(PR_ROUNDS, DELTA),
         "pg_transitivity": f"""
 WITH {_PRELUDE},
 {_TRI_CTE}
