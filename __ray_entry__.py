@@ -489,6 +489,73 @@ SELECT wcc.v AS vid, wcc.comp, round(r{rounds}.r, 6) AS rank
 FROM wcc JOIN r{rounds} ON r{rounds}.v = wcc.v ORDER BY vid""")
 
 
+def _q_pg_pattern_paths(sf_dir):
+    """Label-pattern path sampling over the natural TPC-H property
+    graph — customer -[places]-> order -[contains]-> part — the
+    reference's true sampling_path surface (apps/sampling_path/
+    sampling_path.h:27-142). Vertex ids are namespaced key*4+typecode
+    so the three key spaces cannot collide; output columns decode back
+    to raw keys for the SQL twin."""
+    from graphscope_ray.graph.api import sampling_path_pattern
+    import pyarrow.compute as pc
+
+    def enc(col, code):
+        return pc.add(pc.multiply(col, 4), code)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey"])
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey"])
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey"])
+
+    def vt(code, lab):
+        def f(t: pa.Table) -> pa.Table:
+            return pa.table({
+                "vid": enc(t.column(0), code),
+                "label": pa.array([lab] * len(t), pa.string())})
+        return f
+
+    verts = (cust.map_batches(vt(0, "customer"), batch_format="pyarrow")
+             .union(orders.select_columns(["o_orderkey"])
+                    .map_batches(vt(1, "order"), batch_format="pyarrow"))
+             .union(part.map_batches(vt(2, "part"),
+                                     batch_format="pyarrow")))
+
+    def places(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": enc(t["o_custkey"], 0), "dst": enc(t["o_orderkey"], 1),
+            "label": pa.array(["places"] * len(t), pa.string())})
+
+    def contains(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": enc(t["l_orderkey"], 1), "dst": enc(t["l_partkey"], 2),
+            "label": pa.array(["contains"] * len(t), pa.string())})
+
+    edges = (orders.map_batches(places, batch_format="pyarrow")
+             .union(li.map_batches(contains, batch_format="pyarrow")))
+    out = sampling_path_pattern(
+        verts, edges,
+        ["customer", "places", "order", "contains", "part"])
+
+    def dec(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pcc
+        return pa.table({f"v{i}": pcc.divide(t[f"v{i}"], 4)
+                         for i in range(3)})
+
+    return out.map_batches(dec, batch_format="pyarrow")
+
+
+_PATTERN_PATHS_SQL = """
+SELECT o.o_custkey AS v0, l.l_orderkey AS v1, l.l_partkey AS v2
+FROM orders o
+JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
+  ON l.l_orderkey = o.o_orderkey
+ORDER BY v0, v1, v2"""
+
+
 def _q_pg_labeled_select(sf_dir):
     """LabeledVertexDataContext selector surface (reference
     context.py:305-329): label the partgraph vertices even/odd by oid
@@ -1412,6 +1479,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_sampling": _q_pg_sampling,
         "pg_string_oids": _q_pg_string_oids,
         "pg_labeled_select": _q_pg_labeled_select,
+        "pg_pattern_paths": _q_pg_pattern_paths,
         "doc_sha256": _q_doc_sha256,
         "media_pipeline": _q_media_pipeline,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -1535,6 +1603,7 @@ GROUP BY b.v ORDER BY node""",
         "pg_sampling": _sampling_sql(SAMPLE_ROOTS, SAMPLE_LEN, SAMPLE_SEED),
         "pg_string_oids": _string_oids_sql(PR_ROUNDS, DELTA),
         "pg_labeled_select": _labeled_select_sql(PR_ROUNDS, DELTA),
+        "pg_pattern_paths": _PATTERN_PATHS_SQL,
         "pg_transitivity": f"""
 WITH {_PRELUDE},
 {_TRI_CTE}

@@ -702,6 +702,63 @@ def sampling_path(
                                 batch_size=4096)
 
 
+def sampling_path_pattern(
+    vertices: ray.data.Dataset,
+    edges: ray.data.Dataset,
+    pattern,
+    *,
+    max_paths: Optional[int] = None,
+    label_col: str = "label",
+) -> ray.data.Dataset:
+    """Label-pattern path enumeration — the reference's TRUE
+    sampling_path surface (`apps/sampling_path/sampling_path.h:27-142`):
+    walk the alternating pattern ``[v_label, e_label, v_label, ...]``
+    from every vertex of the first label, following out-edges of each
+    e_label into vertices of the next v_label. Output rows
+    ``(v0, v1, ..., vk)``, one per matching path.
+
+    ``vertices``: Dataset ``(vid, label)``; ``edges``: Dataset
+    ``(src, dst, label)``; parallel duplicate edges count once
+    (adjacency-set semantics). Each hop is one co-group shuffle
+    (joins.cogroup_join) — no broadcast, no O(paths) driver state.
+
+    ``max_paths``: deterministic cap — lexicographically smallest
+    ``max_paths`` paths (the reference's total_path_limit is a rough
+    execution-order-dependent cutoff, apps/sampling_path
+    sampling_path.h:115-124, which cannot be reproduced portably;
+    documented deviation)."""
+    if len(pattern) < 3 or len(pattern) % 2 == 0:
+        raise ValueError("pattern must be [v, e, v, (e, v)*]")
+    from graphscope_ray.graph.joins import attach_values, cogroup_join
+    from graphscope_ray.util import rename
+
+    n_hops = len(pattern) // 2
+    paths = rename(
+        vertices.filter(expr=f"{label_col} == {pattern[0]!r}")
+        .select_columns(["vid"]), {"vid": "v0"})
+    vlab = vertices.select_columns(["vid", label_col])
+    for h in range(n_hops):
+        e_lab, v_lab = pattern[2 * h + 1], pattern[2 * h + 2]
+        from ray.data.aggregate import Count
+        es = (edges.filter(expr=f"{label_col} == {e_lab!r}")
+              .select_columns(["src", "dst"])
+              .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
+              .drop_columns(["_c"]))
+        es = attach_values(es, rename(vlab, {label_col: "_dlab"}),
+                           on="dst", table_key="vid",
+                           value_names=["_dlab"], defaults={"_dlab": ""})
+        es = (es.filter(expr=f"_dlab == {v_lab!r}")
+              .drop_columns(["_dlab"]))
+        es = rename(es, {"dst": f"v{h + 1}"})
+        paths = cogroup_join(paths, es, on=f"v{h}", right_on="src",
+                             value_cols=[f"v{h + 1}"])
+    cols = [f"v{i}" for i in range(n_hops + 1)]
+    paths = paths.select_columns(cols)
+    if max_paths is not None:
+        paths = paths.sort(cols).limit(max_paths)
+    return paths
+
+
 def dfs(
     edges: ray.data.Dataset,
     source,

@@ -4,7 +4,9 @@ The reference has no relational join operator; gathers over adjacency
 are its implicit joins (SURVEY.md §2.5). Here small sides are broadcast
 once via ``ray.put`` and probed with vectorized ``searchsorted`` inside
 ``map_batches`` (no shuffle); large sides fall back to Ray Data's
-hash-partitioned ``Dataset.join``.
+hash-partitioned ``Dataset.join``. ``cogroup_join`` is the robust
+one-to-many shuffle join (union + groupby + map_groups) used where
+chained ``Dataset.join`` would hit Ray 2.49's empty-partition crash.
 """
 
 from __future__ import annotations
@@ -12,12 +14,91 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
 import ray.data
 
 BROADCAST_ROWS = 20_000_000
+
+
+def _sentinel_like(dtype, nrows):
+    """Typed filler so every union block keeps one schema (the _kind
+    flag, not the value, distinguishes the two sides)."""
+    if isinstance(dtype, pa.DataType):
+        if pa.types.is_integer(dtype):
+            return np.full(nrows, -1, dtype=np.int64)
+        if pa.types.is_floating(dtype):
+            return np.full(nrows, np.nan)
+        if pa.types.is_string(dtype) or pa.types.is_large_string(dtype):
+            return pd.Series([""] * nrows, dtype=object)
+        return pd.Series([b""] * nrows, dtype=object)
+    if np.issubdtype(dtype, np.integer):
+        return np.full(nrows, -1, dtype=np.int64)
+    if np.issubdtype(dtype, np.floating):
+        return np.full(nrows, np.nan)
+    return pd.Series([""] * nrows, dtype=object)
+
+
+def cogroup_join(
+    left: ray.data.Dataset,
+    right: ray.data.Dataset,
+    *,
+    on: str,
+    right_on: str,
+    value_cols: list,
+) -> ray.data.Dataset:
+    """Inner one-to-many hash join: one output row per matching
+    (left row, right row) pair, carrying every left column plus
+    ``value_cols`` from the right.
+
+    Expressed as union + ``groupby(key).map_groups`` (one shuffle, like
+    a hash join) instead of ``Dataset.join`` because Ray 2.49's
+    hash-shuffle join aggregator crashes on partitions that receive
+    rows on one side only — routine for sparse key sets."""
+    lsch = left.schema()
+    ltypes = dict(zip(lsch.names, lsch.types))
+    lcarry = [c for c in lsch.names if c != on]
+    rsch = right.schema()
+    rtypes = dict(zip(rsch.names, rsch.types))
+
+    def tag_left(df: pd.DataFrame) -> pd.DataFrame:
+        out = df.rename(columns={on: "_k"})[["_k"] + lcarry].copy()
+        for c in value_cols:
+            out[c] = _sentinel_like(rtypes[c], len(df))
+        out["_kind"] = np.full(len(df), 0, dtype=np.int8)
+        return out
+
+    def tag_right(df: pd.DataFrame) -> pd.DataFrame:
+        out = pd.DataFrame({"_k": df[right_on].to_numpy()})
+        for c in lcarry:
+            out[c] = _sentinel_like(ltypes[c], len(df))
+        for c in value_cols:
+            out[c] = df[c].to_numpy()
+        out["_kind"] = np.full(len(df), 1, dtype=np.int8)
+        return out
+
+    both = left.map_batches(tag_left, batch_format="pandas").union(
+        right.map_batches(tag_right, batch_format="pandas"))
+
+    def expand(g: pd.DataFrame) -> pd.DataFrame:
+        l_ = g[g["_kind"] == 0]
+        r_ = g[g["_kind"] == 1]
+        nl, nr = len(l_), len(r_)
+        if not nl or not nr:
+            out = l_.iloc[:0]
+        else:
+            # cross product within the key group: left rows repeat,
+            # right values tile
+            out = l_.loc[l_.index.repeat(nr)].copy()
+            for c in value_cols:
+                out[c] = np.tile(r_[c].to_numpy(), nl)
+        out = out.rename(columns={"_k": on})
+        return out.drop(columns=["_kind"])[
+            [on] + lcarry + list(value_cols)]
+
+    return both.groupby("_k").map_groups(expand, batch_format="pandas")
 
 
 def _attach_lookup_fn(ref, on, value_names, defaults):

@@ -102,3 +102,42 @@ def test_ngram_jaccard_empty_and_missing_docs():
         docs, pd.DataFrame({"a": [0, 0], "b": [1, 99]}), threshold=0.0)
     assert len(out) == 1
     assert float(out["jaccard"].iloc[0]) == 0.0
+
+
+def test_cogroup_join_one_to_many_and_sparse_partitions():
+    from graphscope_ray.graph.joins import cogroup_join
+    left = ray.data.from_pandas(pd.DataFrame({
+        "k": np.array([1, 1, 5], dtype=np.int64),
+        "tag": ["a", "b", "c"]}))
+    right = ray.data.from_pandas(pd.DataFrame({
+        "rk": np.array([1, 1, 1, 7], dtype=np.int64),
+        "val": np.array([10, 20, 30, 40], dtype=np.int64)}))
+    out = cogroup_join(left, right, on="k", right_on="rk",
+                       value_cols=["val"]).to_pandas()
+    # k=1: 2 left x 3 right = 6 rows; k=5 and rk=7 unmatched drop
+    assert len(out) == 6
+    assert sorted(out["val"].tolist()) == [10, 10, 20, 20, 30, 30]
+    assert set(out["tag"]) == {"a", "b"}
+
+
+def test_sampling_path_pattern_small():
+    from graphscope_ray.graph.api import sampling_path_pattern
+    verts = ray.data.from_pandas(pd.DataFrame({
+        "vid": np.arange(6, dtype=np.int64),
+        "label": ["A", "A", "B", "B", "C", "D"]}))
+    edges = ray.data.from_pandas(pd.DataFrame({
+        "src": np.array([0, 0, 1, 2, 3, 2, 0], dtype=np.int64),
+        "dst": np.array([2, 3, 2, 4, 4, 5, 2], dtype=np.int64),
+        "label": ["e", "e", "e", "f", "f", "f", "e"]}))  # dup 0-e-2
+    out = (sampling_path_pattern(verts, edges, ["A", "e", "B", "f", "C"])
+           .to_pandas().sort_values(["v0", "v1", "v2"])
+           .reset_index(drop=True))
+    # A-e-B: (0,2) (0,3) (1,2); B-f-C: (2,4) (3,4); 2->5 is D, dropped
+    want = pd.DataFrame({"v0": [0, 0, 1], "v1": [2, 3, 2],
+                         "v2": [4, 4, 4]})
+    assert out.astype(np.int64).equals(want.astype(np.int64))
+    capped = sampling_path_pattern(verts, edges, ["A", "e", "B", "f", "C"],
+                                   max_paths=2).to_pandas()
+    assert len(capped) == 2
+    assert capped.sort_values(["v0", "v1"]).reset_index(drop=True)[
+        "v0"].tolist() == [0, 0]
