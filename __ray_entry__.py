@@ -204,13 +204,15 @@ def _lpa_sql(rounds: int) -> str:
             f"FROM {last_u} ORDER BY vid")
 
 
-def _sssp_chain(rounds: int) -> list[str]:
+def _sssp_chain(rounds: int, prelude: str = None, vtab: str = "v") -> list[str]:
     """CTE chain s0..sR: unrolled Bellman-Ford over the weighted
     symmetric edge set, d_k(v) = min(d_{k-1}(v), min over in-edges
-    d_{k-1}(s) + w)."""
-    parts = [f"WITH {_PRELUDE},"]
-    parts.append("s0 AS MATERIALIZED (SELECT v.v, CASE WHEN v.v = (SELECT min(v) FROM v)"
-                 " THEN 0.0 END AS d FROM v)")
+    d_{k-1}(s) + w). ``prelude`` must define ``e`` (s, t, w) and the
+    vertex table ``vtab``; the source is min(``vtab``)."""
+    parts = [f"WITH {prelude or _PRELUDE},"]
+    parts.append(f"s0 AS MATERIALIZED (SELECT {vtab}.v, "
+                 f"CASE WHEN {vtab}.v = (SELECT min(v) FROM {vtab})"
+                 f" THEN 0.0 END AS d FROM {vtab})")
     for k in range(1, rounds + 1):
         parts.append(f"""s{k} AS MATERIALIZED (
   SELECT a.v,
@@ -288,6 +290,75 @@ def _sssp_avg_sql(rounds: int, k: int) -> str:
     return (f"{parts[0]}\n{body}\n"
             f"SELECT round(sum(d) / (count(d) - {k}), 6) AS avg_length "
             f"FROM m{rounds} WHERE d IS NOT NULL")
+
+
+# ----------------------------------------------------------------------
+# dynamic-mutation twins (MODIFY_EDGES / MODIFY_VERTICES,
+# grape_instance.cc:247-296 over dynamic_fragment.h): the Ray side
+# mutates the resident pool IN PLACE (Graph.remove_edges /
+# remove_vertices / update_edge_weights) and the SQL twin recomputes
+# over the equivalently mutated edge table. Both share the literal
+# predicates below (canonical src < dst pairs).
+# ----------------------------------------------------------------------
+
+MUT_EDGE_PRED = "(src * 131071 + dst) % 5 = 0"   # deleted edge pairs
+MUT_VERT_MOD = 13                                 # deleted vertices
+MUT_W_PRED = "(src + dst) % 3 = 0"                # halved-weight pairs
+
+# vertex set from the ORIGINAL graph (edge deletion keeps vertices);
+# edge set = e0 minus the deleted canonical pairs, both directions
+_MUT_EDGE_PRELUDE = f"""
+occ AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+       count(*)::BIGINT AS w
+       FROM occ a JOIN occ b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+v AS MATERIALIZED (SELECT DISTINCT src AS v FROM
+      (SELECT src FROM e0 UNION ALL SELECT dst AS src FROM e0)),
+e0m AS MATERIALIZED (SELECT src, dst, w FROM e0
+      WHERE NOT ({MUT_EDGE_PRED})),
+e AS MATERIALIZED (SELECT src AS s, dst AS t, w FROM e0m
+      UNION ALL SELECT dst, src, w FROM e0m)
+"""
+
+_MUT_WCC_SQL = f"""
+WITH RECURSIVE {_MUT_EDGE_PRELUDE},
+r AS (
+  SELECT v, v AS l FROM v
+  UNION
+  SELECT e.t, r.l FROM r JOIN e ON e.s = r.v WHERE r.l < e.t
+)
+SELECT v AS vid, min(l) AS comp FROM r GROUP BY v ORDER BY vid
+"""
+
+# vertex deletion (oid % MOD = 0) + halved weights on the surviving
+# (src+dst) % 3 = 0 pairs; surviving vertex table = vm
+_MUT_SSSP_PRELUDE = f"""
+occ AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+e0 AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst,
+       count(*)::BIGINT AS w
+       FROM occ a JOIN occ b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+vm AS MATERIALIZED (SELECT DISTINCT src AS v FROM
+      (SELECT src FROM e0 UNION ALL SELECT dst AS src FROM e0)
+      WHERE src % {MUT_VERT_MOD} <> 0),
+e0m AS MATERIALIZED (SELECT src, dst,
+       CASE WHEN {MUT_W_PRED} THEN w * 0.5 ELSE w * 1.0 END AS w
+       FROM e0
+       WHERE src % {MUT_VERT_MOD} <> 0 AND dst % {MUT_VERT_MOD} <> 0),
+e AS MATERIALIZED (SELECT src AS s, dst AS t, w FROM e0m
+      UNION ALL SELECT dst, src, w FROM e0m)
+"""
+
+
+def _mut_sssp_sql(rounds: int) -> str:
+    parts = _sssp_chain(rounds, prelude=_MUT_SSSP_PRELUDE, vtab="vm")
+    body = ",\n".join(parts[1:])
+    return (f"{parts[0]}\n{body}\n"
+            f"SELECT v AS vid, round(d, 6) AS dist FROM s{rounds} "
+            f"WHERE d IS NOT NULL ORDER BY vid")
 
 
 def _peel_chain(k: int, rounds: int, prefix: str) -> str:
@@ -439,6 +510,92 @@ def _partgraph_str(sf_dir: str):
     )
     _CACHE[key] = (g, edges)
     return g
+
+
+def _mutgraph(sf_dir: str):
+    """Partgraph with the MUT_EDGE_PRED canonical pairs deleted IN
+    PLACE on the resident pool (Graph.remove_edges → both stored
+    directions) — MODIFY_EDGES delete, dynamic_fragment.h:220-233."""
+    key = sf_dir + "#mut"
+    if key in _CACHE:
+        return _CACHE[key]
+    from graphscope_ray.graph.api import Graph
+    from graphscope_ray.pipelines.partgraph import partgraph_edges
+
+    edges = partgraph_edges(sf_dir).materialize()
+    g = Graph.from_edges(
+        edges,
+        workdir=f"/tmp/gsr-mutgraph-{abs(hash(sf_dir)) % 10**8}",
+        weight_col="weight",
+        symmetrize=True,
+    )
+
+    def kill(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        return t.filter(pa.array((src * 131071 + dst) % 5 == 0))
+
+    g.remove_edges(edges.map_batches(kill, batch_format="pyarrow"))
+    _CACHE[key] = g
+    return g
+
+
+def _q_pg_mutation_wcc(sf_dir):
+    g = _mutgraph(sf_dir)
+    return g.to_oid(g.wcc(), vid_cols=("vid", "comp"))
+
+
+def _mutvgraph(sf_dir: str):
+    """Partgraph with vertices oid % MUT_VERT_MOD deleted (incident
+    edges go with them) and the surviving MUT_W_PRED canonical pairs'
+    weights halved in place — MODIFY_VERTICES delete + MODIFY_EDGES
+    update on the resident pool."""
+    key = sf_dir + "#mutv"
+    if key in _CACHE:
+        return _CACHE[key]
+    from graphscope_ray.graph.api import Graph
+    from graphscope_ray.pipelines.partgraph import partgraph_edges
+
+    edges = partgraph_edges(sf_dir).materialize()
+    g = Graph.from_edges(
+        edges,
+        workdir=f"/tmp/gsr-mutvgraph-{abs(hash(sf_dir)) % 10**8}",
+        weight_col="weight",
+        symmetrize=True,
+    )
+    oids = g.oid_array
+    g.remove_vertices(oids[oids % MUT_VERT_MOD == 0])
+
+    def halve(t: pa.Table) -> pa.Table:
+        src = t["src"].to_numpy()
+        dst = t["dst"].to_numpy()
+        t = t.filter(pa.array((src + dst) % 3 == 0))
+        w = t["weight"].to_numpy().astype(np.float64) * 0.5
+        return t.set_column(t.schema.get_field_index("weight"),
+                            "weight", pa.array(w))
+
+    g.update_edge_weights(edges.map_batches(halve, batch_format="pyarrow"))
+    _CACHE[key] = g
+    return g
+
+
+def _q_pg_mutation_sssp(sf_dir):
+    """SSSP from the smallest SURVIVING oid over the vertex-deleted,
+    weight-updated graph; unreachable (incl. newly isolated) rows are
+    dropped on both sides."""
+    g = _mutvgraph(sf_dir)
+    oids = g.oid_array
+    src = oids[oids % MUT_VERT_MOD != 0][0]
+    ds = g.to_oid(g.sssp(src))
+
+    def fin(t: pa.Table) -> pa.Table:
+        from graphscope_ray.util import round_half_away
+        d = t["dist"].to_numpy()
+        keep = np.isfinite(d)
+        return pa.table({"vid": t["vid"].to_numpy()[keep],
+                         "dist": round_half_away(d[keep], 6)})
+
+    return ds.map_batches(fin, batch_format="pyarrow")
 
 
 def _q_pg_string_oids(sf_dir):
@@ -1477,6 +1634,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_lpa": _q_pg_lpa,
         "pg_dfs": _q_pg_dfs,
         "pg_sampling": _q_pg_sampling,
+        "pg_mutation_wcc": _q_pg_mutation_wcc,
+        "pg_mutation_sssp": _q_pg_mutation_sssp,
         "pg_string_oids": _q_pg_string_oids,
         "pg_labeled_select": _q_pg_labeled_select,
         "pg_pattern_paths": _q_pg_pattern_paths,
@@ -1588,6 +1747,8 @@ FROM depth b JOIN e ON e.t = b.v
 WHERE b.d > 0
 GROUP BY b.v ORDER BY node""",
         "pg_sssp": _sssp_sql(SSSP_ROUNDS),
+        "pg_mutation_wcc": _MUT_WCC_SQL,
+        "pg_mutation_sssp": _mut_sssp_sql(SSSP_ROUNDS),
         "pg_sssp_path": _sssp_path_sql(SSSP_ROUNDS),
         "pg_sssp_has_path": _HAS_PATH_SQL,
         "pg_sssp_avg_len": _sssp_avg_sql(SSSP_ROUNDS, AVGLEN_SOURCES),

@@ -262,6 +262,79 @@ class Graph:
         see BSPEngine.triangles. Store must be symmetrized."""
         return self.engine.triangles(**kw)
 
+    # -- dynamic mutation (MODIFY_EDGES / MODIFY_VERTICES) -------------
+    #
+    # oid-space wrappers over BSPEngine's in-place surface (reference:
+    # core/fragment/dynamic_fragment.h:220-233 dispatched by
+    # grape_instance.cc:247-296). On a symmetrized store, edge
+    # mutations apply to both stored directions automatically.
+
+    def _oids_to_vids(self, oids) -> np.ndarray:
+        if self.idmap is None:
+            return np.asarray(oids, dtype=np.int64)
+        if (self.idmap_count or 0) <= self.oid_broadcast_rows:
+            arr = self.oid_array
+            oids = np.asarray(oids)
+            i = np.searchsorted(arr, oids)
+            ic = np.clip(i, 0, len(arr) - 1)
+            if ((i >= len(arr)) | (arr[ic] != oids)).any():
+                raise KeyError("unknown oid in mutation list")
+            return ic.astype(np.int64)
+        ds = ray.data.from_arrow(pa.table({"oid": pa.array(oids)}))
+        ds = attach_values(ds, self.idmap, on="oid", table_key="oid",
+                           value_names=["vid"],
+                           table_count=self.idmap_count)
+        out = [t["vid"].to_numpy() for t in
+               ds.iter_batches(batch_format="pyarrow")]
+        vids = np.concatenate(out) if out else np.array([], dtype=np.int64)
+        if len(vids) != len(np.asarray(oids)):
+            raise KeyError("unknown oid in mutation list")
+        return vids.astype(np.int64)
+
+    def _pairs_to_vid_space(self, pairs: ray.data.Dataset,
+                            extra_cols=()) -> ray.data.Dataset:
+        pairs = pairs.select_columns(["src", "dst", *extra_cols])
+        if self.idmap is not None:
+            pairs = attach_vids(pairs, self.idmap,
+                                idmap_count=self.idmap_count)
+        if self.store.meta.get("symmetrized"):
+            pairs = pairs.union(reverse_edges(pairs))
+        return pairs
+
+    def remove_edges(self, pairs: ray.data.Dataset) -> int:
+        """Delete (src, dst) oid pairs in place (every stored copy;
+        missing pairs are silent no-ops). Returns stored rows removed
+        (counts both directions on a symmetrized store)."""
+        return self.engine.remove_edges(self._pairs_to_vid_space(pairs))
+
+    def update_edge_weights(self, pairs: ray.data.Dataset,
+                            weight_col: str = "weight") -> int:
+        """Overwrite weights of existing (src, dst) oid pairs in place."""
+        return self.engine.update_edge_weights(
+            self._pairs_to_vid_space(pairs, extra_cols=(weight_col,)),
+            weight_col=weight_col)
+
+    def append_edges(self, edges: ray.data.Dataset,
+                     weight_col: Optional[str] = None) -> np.ndarray:
+        """Append edges given in oid space (endpoints must already be
+        known vertices); on a symmetrized store the reverse copies are
+        appended too. Returns appended source vids (incremental-SSSP
+        seeds) — see BSPEngine.append_edges."""
+        extra = (weight_col,) if weight_col else ()
+        return self.engine.append_edges(
+            self._pairs_to_vid_space(edges, extra_cols=extra),
+            weight_col=weight_col)
+
+    def remove_vertices(self, oids) -> int:
+        """Delete vertices (and every incident edge) in place; deleted
+        ids disappear from subsequent per-vertex results. Returns the
+        number of stored edge rows removed."""
+        return self.engine.remove_vertices(self._oids_to_vids(oids))
+
+    def clear_edges(self) -> None:
+        """CLEAR_EDGES (grape_instance.cc:704-752)."""
+        self.engine.clear_edges()
+
 
 # ----------------------------------------------------------------------
 # Dataset-side algorithms (no resident state needed)

@@ -151,6 +151,10 @@ class BSPEngine:
                  for a in self.actors])
         self.superstep_seconds = 0.0
         self.supersteps = 0
+        # vids deleted in-place (MODIFY_VERTICES); per-vertex results
+        # filter these out. Driver-held: deletion lists are
+        # caller-supplied and small relative to V by assumption.
+        self.removed_vids = np.array([], dtype=np.int64)
 
     def shutdown(self):
         for a in self.actors:
@@ -215,10 +219,26 @@ class BSPEngine:
         ]
         return ray.get(results)
 
+    def _finish_ds(self, tables) -> ray.data.Dataset:
+        """Assemble per-partition result tables; drop rows for vids
+        deleted by remove_vertices (per-vertex result surfaces only)."""
+        ds = ray.data.from_arrow_refs(tables)
+        if len(self.removed_vids):
+            removed = np.sort(self.removed_vids)
+
+            def drop(t: pa.Table) -> pa.Table:
+                vid = t["vid"].to_numpy()
+                pos = np.clip(np.searchsorted(removed, vid),
+                              0, len(removed) - 1)
+                return t.filter(~(removed[pos] == vid))
+
+            ds = ds.map_batches(drop, batch_format="pyarrow")
+        return ds
+
     def _result_ds(self, method: str, name: str, args=(), dtype=None) -> ray.data.Dataset:
         pairs = [getattr(a, method).remote(*args) for a in self.actors]
         tables = [_pair_to_table.remote(pr, name, dtype) for pr in pairs]
-        return ray.data.from_arrow_refs(tables)
+        return self._finish_ds(tables)
 
     def _maybe_checkpoint(self, algo, lineage, ckpt_dir, every, rnd, metrics, scalars):
         if lineage is None or every is None or rnd % every != 0:
@@ -499,6 +519,122 @@ class BSPEngine:
         self.supersteps += rnd
         return self._result_ds("sssp_result", "dist")
 
+    # -- full dynamic mutation (MODIFY_EDGES / MODIFY_VERTICES) --------
+    #
+    # The reference's DynamicFragment surface (core/fragment/
+    # dynamic_fragment.h:220-233, dispatched by grape_instance.cc:
+    # 247-296): edge delete/update and vertex insert/delete/update,
+    # in place on the resident pool. Deletion pairs route to their
+    # layout partition exactly like append_edges; per-vertex results
+    # after remove_vertices exclude the deleted ids.
+
+    def _layout_parts(self, src: np.ndarray, dst: np.ndarray) -> np.ndarray:
+        """Partition that stores edge (src, dst) under the build
+        layout: src % P, except hub sources spread over (src+dst) % P."""
+        hubs = self.store.hubs
+        if len(hubs):
+            pos = np.clip(np.searchsorted(hubs, src), 0, len(hubs) - 1)
+            is_hub = hubs[pos] == src
+            return np.where(is_hub, (src + dst) % self.P, src % self.P)
+        return src % self.P
+
+    def _apply_deg_deltas(self, removed_pairs, sign: int = -1):
+        """Combine (vids, counts) slices from a mutation round and
+        route the (signed) degree deltas to each vertex's owner."""
+        parts = [r for r in removed_pairs if len(r[0])]
+        if not parts:
+            return 0
+        dv = np.concatenate([r[0] for r in parts])
+        dc = np.concatenate([r[1] for r in parts])
+        u, inv = np.unique(dv, return_inverse=True)
+        cnt = np.bincount(inv, weights=dc).astype(np.int64)
+        owner = u % self.P
+        calls = []
+        for p in range(self.P):
+            m = owner == p
+            if m.any():
+                calls.append(self.actors[p].add_out_deg.remote(
+                    u[m], sign * cnt[m]))
+        ray.get(calls)
+        return int(cnt.sum())
+
+    def remove_edges(self, edges: ray.data.Dataset) -> int:
+        """Delete (src, dst) vid pairs in place (every stored copy;
+        missing pairs are silent no-ops, NetworkX-style). Streams the
+        deletion set batch-by-batch; degrees decrement at each source's
+        owner by the actually-removed counts. Returns rows removed."""
+        total = 0
+        for t in edges.select_columns(["src", "dst"]).iter_batches(
+                batch_format="pyarrow"):
+            src = t["src"].to_numpy().astype(np.int64, copy=False)
+            dst = t["dst"].to_numpy().astype(np.int64, copy=False)
+            part = self._layout_parts(src, dst)
+            refs = []
+            for p in range(self.P):
+                m = part == p
+                if m.any():
+                    refs.append(self.actors[p].remove_rows.remote(
+                        src[m], dst[m]))
+            total += self._apply_deg_deltas(ray.get(refs))
+        return total
+
+    def update_edge_weights(self, edges: ray.data.Dataset,
+                            weight_col: str = "weight") -> int:
+        """Overwrite the weight of existing (src, dst) vid pairs in
+        place (MODIFY_EDGES update; missing pairs are no-ops). Returns
+        the number of layout rows updated."""
+        total = 0
+        for t in edges.select_columns(["src", "dst", weight_col]
+                                      ).iter_batches(batch_format="pyarrow"):
+            src = t["src"].to_numpy().astype(np.int64, copy=False)
+            dst = t["dst"].to_numpy().astype(np.int64, copy=False)
+            w = t[weight_col].to_numpy().astype(np.float64, copy=False)
+            part = self._layout_parts(src, dst)
+            refs = []
+            for p in range(self.P):
+                m = part == p
+                if m.any():
+                    refs.append(self.actors[p].update_rows_weight.remote(
+                        src[m], dst[m], w[m]))
+            total += sum(ray.get(refs))
+        return total
+
+    def remove_vertices(self, vids) -> int:
+        """Delete vertices in place: every incident edge goes (full
+        per-partition scan — the reference walks adjacency the same
+        way), degrees fix up at the surviving sources' owners, and the
+        ids are excluded from subsequent per-vertex results. The vid
+        space itself is unchanged (dense ids keep their rank meaning).
+        Returns the number of edges removed."""
+        vids = np.unique(np.asarray(vids, dtype=np.int64))
+        if not len(vids):
+            return 0
+        removed = ray.get([a.remove_incident.remote(vids)
+                           for a in self.actors])
+        n = self._apply_deg_deltas(removed)
+        self.removed_vids = np.union1d(self.removed_vids, vids)
+        return n
+
+    def clear_edges(self) -> None:
+        """CLEAR_EDGES: drop every edge, zero all degrees."""
+        ray.get([a.clear_edges.remote() for a in self.actors])
+
+    def add_vertices(self, n_new: int) -> int:
+        """MODIFY_VERTICES insert: extend the vertex space by ``n_new``
+        isolated vids (V..V+n_new-1, arrival order — see
+        GraphPartition.grow_vertices for the id-invariant caveat).
+        Returns the new V."""
+        ray.get([a.grow_vertices.remote(int(n_new)) for a in self.actors])
+        self.V = int(self.V + n_new)
+        return self.V
+
+    def set_vertex_values(self, name: str, vids, vals) -> None:
+        """MODIFY_VERTICES update: sparse overwrite of a named vertex
+        state vector at its owners (state must exist, e.g. vec_init)."""
+        vids = np.asarray(vids, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.float64)
+        ray.get([a.vec_set.remote(name, vids, vals) for a in self.actors])
+
     def bfs(self, source: int, **kw) -> ray.data.Dataset:
         ds = self.sssp(source, unit=True, **kw)
 
@@ -529,7 +665,7 @@ class BSPEngine:
         self.supersteps += rnd
         pairs = [a.spath_result.remote() for a in self.actors]
         tables = [_spath_table.remote(pr) for pr in pairs]
-        return ray.data.from_arrow_refs(tables)
+        return self._finish_ds(tables)
 
     def sssp_has_path(self, source: int, target: int, **kw) -> bool:
         """apps/sssp/sssp_has_path.h — reachability via the dist map."""
@@ -741,7 +877,7 @@ class BSPEngine:
         self.supersteps += rnd
         cols_list = [a.vp_result.remote() for a in self.actors]
         tables = [_dict_table.remote(c) for c in cols_list]
-        return ray.data.from_arrow_refs(tables)
+        return self._finish_ds(tables)
 
     # -- power-iteration centralities ----------------------------------
 
@@ -877,7 +1013,7 @@ class BSPEngine:
             _two_col_table.remote(x, y, "auth", "hub")
             for x, y in zip(auth, hub)
         ]
-        return ray.data.from_arrow_refs(tables)
+        return self._finish_ds(tables)
 
     def kshell(self, k: int) -> ray.data.Dataset:
         """Shell k = k-core minus (k+1)-core (peel continues in place)."""
@@ -891,4 +1027,4 @@ class BSPEngine:
         tables = [
             _shell_table.remote(a, b) for a, b in zip(core_k, core_k1)
         ]
-        return ray.data.from_arrow_refs(tables)
+        return self._finish_ds(tables)

@@ -34,6 +34,14 @@ INT_SENTINEL = np.iinfo(np.int64).max
 FLT_SENTINEL = np.float64(np.inf)
 
 
+def _part_order(part: np.ndarray, P: int) -> np.ndarray:
+    """Stable order by destination-partition id. uint8 keys take
+    numpy's single-pass radix argsort when P <= 256 (vs multi-pass
+    merge on int64) — this sort sits on every packed-scatter path."""
+    key = part.astype(np.uint8) if P <= 256 else part
+    return np.argsort(key, kind="stable")
+
+
 class GraphPartition:
     def __init__(self, store_path: str, part_id: int):
         import json
@@ -173,6 +181,145 @@ class GraphPartition:
         np.add.at(self.out_deg, vids // self.P,
                   np.asarray(cnt, dtype=np.int64))
         return True
+
+    # ------------------------------------------------------------------
+    # full dynamic mutation (the reference's MODIFY_EDGES /
+    # MODIFY_VERTICES over DynamicFragment: core/fragment/
+    # dynamic_fragment.h:220-233, grape_instance.cc:247-296). Edge
+    # delete/update route here by the same layout rule append_rows
+    # uses; vertex deletion is a full local scan (the reference walks
+    # adjacency the same way). All kernels are vectorized
+    # (searchsorted membership, never a Python row loop) and rebuild
+    # the sorted layout once per call.
+    # ------------------------------------------------------------------
+
+    def _pair_keys(self, src, dst):
+        if self.V >= 3_000_000_000:
+            raise NotImplementedError(
+                "packed (src, dst) keys need V < 3e9; mutate via the "
+                "Dataset rebuild path instead")
+        return src * np.int64(self.V) + dst
+
+    def remove_rows(self, src, dst):
+        """Delete EVERY stored copy of each (src, dst) pair from this
+        partition's layout (DynamicFragment del-edge semantics — a
+        missing pair is a silent no-op, NetworkX-style). Returns
+        (unique removed source vids, per-source removed counts) so the
+        engine can decrement degrees at each source's owner."""
+        if self.dirs is not None:
+            raise NotImplementedError("mutation on dual-direction stores")
+        empty = np.array([], dtype=np.int64)
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        if self.E == 0 or not len(src):
+            return empty, empty
+        qkeys = np.unique(self._pair_keys(src, dst))
+        keys = self._pair_keys(self.src, self.dst)
+        pos = np.clip(np.searchsorted(qkeys, keys), 0, len(qkeys) - 1)
+        hit = qkeys[pos] == keys
+        if not hit.any():
+            return empty, empty
+        rsrc = self.src[hit]
+        keep = ~hit
+        self._build_layout(self.src[keep], self.dst[keep],
+                           self.w[keep] if self.w is not None else None,
+                           None)
+        dvids, dcnt = np.unique(rsrc, return_counts=True)
+        return dvids, dcnt
+
+    def update_rows_weight(self, src, dst, w):
+        """Set the weight of every stored copy of each (src, dst) pair
+        (MODIFY_EDGES update semantics; missing pairs are no-ops).
+        Duplicate pairs in one call: the last value wins. Returns the
+        number of layout rows updated."""
+        if self.dirs is not None:
+            raise NotImplementedError("mutation on dual-direction stores")
+        if self.w is None:
+            raise ValueError("graph was built without weights")
+        src = np.asarray(src, dtype=np.int64)
+        dst = np.asarray(dst, dtype=np.int64)
+        w = np.asarray(w, dtype=np.float64)
+        if self.E == 0 or not len(src):
+            return 0
+        qk = self._pair_keys(src, dst)
+        # stable sort + take the LAST occurrence of each key
+        order = np.argsort(qk, kind="stable")
+        qk_s, w_s = qk[order], w[order]
+        last = np.r_[qk_s[1:] != qk_s[:-1], True]
+        qk_u, w_u = qk_s[last], w_s[last]
+        keys = self._pair_keys(self.src, self.dst)
+        pos = np.clip(np.searchsorted(qk_u, keys), 0, len(qk_u) - 1)
+        hit = qk_u[pos] == keys
+        if hit.any():
+            self.w[hit] = w_u[pos[hit]]
+        return int(hit.sum())
+
+    def remove_incident(self, vids):
+        """Remove ALL edges whose source OR destination is in ``vids``
+        (vertex deletion: DynamicFragment del-vertex). Full local scan,
+        O(E_p log |vids|) vectorized. Returns (unique removed source
+        vids, counts) for the degree fixup."""
+        if self.dirs is not None:
+            raise NotImplementedError("mutation on dual-direction stores")
+        empty = np.array([], dtype=np.int64)
+        q = np.unique(np.asarray(vids, dtype=np.int64))
+        if self.E == 0 or not len(q):
+            return empty, empty
+
+        def in_sorted(a):
+            pos = np.clip(np.searchsorted(q, a), 0, len(q) - 1)
+            return q[pos] == a
+
+        hit = in_sorted(self.src) | in_sorted(self.dst)
+        if not hit.any():
+            return empty, empty
+        rsrc = self.src[hit]
+        keep = ~hit
+        self._build_layout(self.src[keep], self.dst[keep],
+                           self.w[keep] if self.w is not None else None,
+                           None)
+        dvids, dcnt = np.unique(rsrc, return_counts=True)
+        return dvids, dcnt
+
+    def clear_edges(self):
+        """CLEAR_EDGES (grape_instance.cc:704-752): drop every edge,
+        zero all degrees; the vertex space is untouched."""
+        if self.dirs is not None:
+            raise NotImplementedError("mutation on dual-direction stores")
+        empty = np.array([], dtype=np.int64)
+        self._build_layout(
+            empty, empty,
+            np.array([], dtype=np.float64) if self.w is not None else None,
+            None)
+        self.out_deg[:] = 0
+        return True
+
+    def grow_vertices(self, n_new: int):
+        """Extend the vertex space by ``n_new`` fresh, isolated vids
+        (V..V+n_new-1) — MODIFY_VERTICES insert. New vids follow the
+        same vid%P ownership; per-app state is allocated per run, so
+        only V/nlocal/out_deg need extending here. NOTE: in-place adds
+        assign vids in arrival order, so the build-time 'vid = rank of
+        sorted oid' invariant holds only for the original id range."""
+        old_nlocal = self.nlocal
+        self.V = int(self.V + n_new)
+        self.nlocal = len(range(self.p, self.V, self.P))
+        if self.nlocal > old_nlocal:
+            self.out_deg = np.concatenate([
+                self.out_deg,
+                np.zeros(self.nlocal - old_nlocal, dtype=np.int64)])
+        return self.nlocal
+
+    def vec_set(self, name: str, vids, vals):
+        """Sparse owner-side vertex-value update (MODIFY_VERTICES
+        update analogue): overwrite state[name] at the owned subset of
+        ``vids``. The state must already exist (vec_init)."""
+        s = self.state[name]
+        vids = np.asarray(vids, dtype=np.int64)
+        vals = np.asarray(vals, dtype=np.float64)
+        mine = (vids % self.P) == self.p
+        s["x"][vids[mine] // self.P] = vals[mine]
+        return int(mine.sum())
 
     def sssp_seed(self, vids):
         """Mark owned, already-reached vertices as frontier so an
@@ -892,7 +1039,7 @@ class GraphPartition:
         src = self.src[idx]
         dst = self.dst[idx]
         part = src % self.P
-        order = np.argsort(part, kind="stable")
+        order = _part_order(part, self.P)
         src, dst, part = src[order], dst[order], part[order]
         bounds = np.searchsorted(part, np.arange(self.P + 1))
         return ("P", bounds, src, dst)
@@ -967,7 +1114,7 @@ class GraphPartition:
         nxt = cand[order][first]
         s["out"].append((pid, np.full(len(pid), hop, dtype=np.int64), nxt))
         part = nxt % self.P
-        order2 = np.argsort(part, kind="stable")
+        order2 = _part_order(part, self.P)
         p_s, n_s, part = pid[order2], nxt[order2], part[order2]
         bounds = np.searchsorted(part, np.arange(self.P + 1))
         return ("P", bounds, p_s, n_s)
@@ -1163,7 +1310,7 @@ class GraphPartition:
         fwd = ((deg[s] < deg[d]) | ((deg[s] == deg[d]) & (s < d)))
         a, b = s[fwd], d[fwd]
         part = a % self.P
-        order = np.argsort(part, kind="stable")
+        order = _part_order(part, self.P)
         a, b, part = a[order], b[order], part[order]
         bounds = np.searchsorted(part, np.arange(self.P + 1))
         return ("P", bounds, a, b)
@@ -1240,18 +1387,23 @@ class GraphPartition:
         u = src_rep * self.P + self.p  # local source -> global vid
         key = v * np.int64(self.V) + w
         part = v % self.P
-        order = np.argsort(part, kind="stable")
+        order = _part_order(part, self.P)
         u, key, part = u[order], key[order], part[order]
         bounds = np.searchsorted(part, np.arange(self.P + 1))
         return ("P", bounds, u, key)
 
     def tri_probe(self, *blocks):
         """Close wedges against the local key set; credit all three
-        corners in the dense per-actor credit vector."""
+        corners in the dense per-actor credit vector. Corner credits
+        accumulate via one bincount pass when V is small enough that
+        the V-length scratch is cheap (bincount streams ~10× faster
+        than np.add.at's per-element scatter); huge-V graphs fall back
+        to add.at rather than allocating GB-scale scratch per call."""
         s = self.state["tri"]
         msgs = self._unpack(blocks)
         parts = [m for m in msgs if m is not None and len(m[0])]
         hits = 0
+        corner_blocks = []
         for u, key in parts:
             if not len(key):
                 continue
@@ -1261,12 +1413,16 @@ class GraphPartition:
                 np.zeros(len(key), dtype=bool)
             if closed.any():
                 kc = key[closed]
-                v = kc // np.int64(self.V)
-                w = kc % np.int64(self.V)
-                np.add.at(s["credit"], u[closed], 1)
-                np.add.at(s["credit"], v, 1)
-                np.add.at(s["credit"], w, 1)
+                corner_blocks.append(u[closed])
+                corner_blocks.append(kc // np.int64(self.V))
+                corner_blocks.append(kc % np.int64(self.V))
                 hits += int(closed.sum())
+        if corner_blocks:
+            corners = np.concatenate(corner_blocks)
+            if self.V <= 16_000_000:
+                s["credit"] += np.bincount(corners, minlength=self.V)
+            else:
+                np.add.at(s["credit"], corners, 1)
         return hits
 
     def tri_counts(self):
@@ -1275,7 +1431,7 @@ class GraphPartition:
         nz = np.flatnonzero(s["credit"])
         vals = s["credit"][nz]
         part = nz % self.P
-        order = np.argsort(part, kind="stable")
+        order = _part_order(part, self.P)
         nz, vals, part = nz[order], vals[order], part[order]
         bounds = np.searchsorted(part, np.arange(self.P + 1))
         return ("P", bounds, nz, vals)

@@ -123,6 +123,33 @@ SELECT s, t, w FROM e""").df()
         assert rounds + 3 <= entrymod.PEEL_ROUNDS, (k, rounds)
 
 
+def test_mutation_sssp_fixpoint_margin(con):
+    """pg_mutation_sssp unrolls SSSP_ROUNDS over the vertex-deleted,
+    weight-halved edge set — deletions can stretch shortest paths, so
+    assert the fixpoint margin independently on the MUTATED graph."""
+    e = con.sql(f"""
+WITH {entrymod._MUT_SSSP_PRELUDE}
+SELECT s, t, w FROM e""").df()
+    s0 = con.sql(f"""
+WITH {entrymod._MUT_SSSP_PRELUDE}
+SELECT min(v) AS v FROM vm""").df()["v"].iloc[0]
+    src = e["s"].to_numpy()
+    dst = e["t"].to_numpy()
+    w = e["w"].to_numpy().astype(float)
+    n = int(max(src.max(), dst.max())) + 1
+    dist = np.full(n, np.inf)
+    dist[int(s0)] = 0.0
+    rounds = 0
+    while True:
+        rounds += 1
+        new = dist.copy()
+        np.minimum.at(new, dst, dist[src] + w)
+        if np.array_equal(new, dist, equal_nan=True):
+            break
+        dist = new
+    assert rounds + 3 <= entrymod.SSSP_ROUNDS, rounds
+
+
 def test_multi_source_sssp_fixpoint_margin(con):
     """pg_sssp_avg_len's unrolled twin runs SSSP_ROUNDS for each of the
     AVGLEN_SOURCES sources; assert every source converges with a >= 3
