@@ -60,6 +60,46 @@ def write_parquet(ds: ray.data.Dataset, path: str, *,
     ds.write_parquet(path, partition_cols=partition_cols, **kw)
 
 
+def write_csv(ds: ray.data.Dataset, path: str, **kw) -> None:
+    """CSV sink (the reference's ``context.to_csv`` /
+    ``output(fd='file://...')`` surface, `framework/context.py:269-272`)."""
+    ds.write_csv(path, **kw)
+
+
+def write_context(ds: ray.data.Dataset, uri: str, *,
+                  partition_cols=None, **kw) -> None:
+    """Context/result sink by URI — the analogue of the reference's
+    ``Context.output(fd=...)`` through vineyard dataframe streams
+    (`framework/context.py:208-267`: file://, oss://, hdfs://).
+
+    ``file://`` (or a bare path) writes locally; any other scheme is
+    handed to ``pyarrow.fs`` resolution (S3 ships with pyarrow; HDFS
+    needs libhdfs) — unresolvable schemes raise with the dependency
+    named rather than failing deep in a write task. Format picks by
+    extension: ``.csv`` → CSV, anything else → partitioned Parquet."""
+    scheme, _, rest = uri.partition("://")
+    if not rest:          # bare path
+        scheme, rest = "file", uri
+    if scheme == "file":
+        if rest.endswith(".csv"):
+            ds.write_csv(rest, **kw)
+        else:
+            ds.write_parquet(rest, partition_cols=partition_cols, **kw)
+        return
+    try:
+        from pyarrow import fs as pafs
+        filesystem, path = pafs.FileSystem.from_uri(uri)
+    except Exception as exc:  # pragma: no cover - env-dependent
+        raise NotImplementedError(
+            f"remote sink scheme {scheme!r} needs a pyarrow.fs "
+            f"filesystem this environment can resolve: {exc}") from exc
+    if path.endswith(".csv"):
+        ds.write_csv(path, filesystem=filesystem, **kw)
+    else:
+        ds.write_parquet(path, filesystem=filesystem,
+                         partition_cols=partition_cols, **kw)
+
+
 def add_labels(
     labeled: dict[str, ray.data.Dataset],
     label_col: str = "label",

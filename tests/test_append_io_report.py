@@ -68,6 +68,23 @@ def test_csv_loader_options(tmp_path):
     assert set(ds2.to_pandas().columns) == {"src", "dst"}
 
 
+def test_write_context_sinks(tmp_path):
+    ds = ray.data.from_arrow(pa.table({"vid": pa.array([1, 2, 3]),
+                                       "rank": pa.array([0.1, 0.2, 0.7])}))
+    from graphscope_ray.io import write_context
+    import pandas as pd
+    write_context(ds, f"file://{tmp_path}/out.csv")
+    got = pd.concat([pd.read_csv(f"{tmp_path}/out.csv/{f}")
+                     for f in sorted(__import__('os').listdir(
+                         f"{tmp_path}/out.csv"))])
+    assert sorted(got["vid"].tolist()) == [1, 2, 3]
+    write_context(ds, str(tmp_path / "out_pq"))
+    back = ray.data.read_parquet(str(tmp_path / "out_pq")).to_pandas()
+    assert sorted(back["vid"].tolist()) == [1, 2, 3]
+    with pytest.raises(NotImplementedError):
+        write_context(ds, "oss://bucket/key.parquet")
+
+
 def test_add_labels_and_project():
     person = ray.data.from_arrow(pa.table({"vid": pa.array([1, 2])}))
     post = ray.data.from_arrow(pa.table({"vid": pa.array([10])}))
