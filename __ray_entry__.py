@@ -1411,6 +1411,17 @@ def _q_doc_langid(sf_dir):
     return lang_id(docs)
 
 
+def _q_doc_curation(sf_dir):
+    """Composed curation pipeline (pipelines/curation.py): one fused
+    pass gating language + quality, then digest-bucket exact dedup of
+    the survivors — the read happens once, rejected rows never reach
+    a shuffle."""
+    from graphscope_ray.pipelines.curation import curate
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return curate(docs, lang="en", min_quality=0.1)
+
+
 def _q_doc_fingerprint(sf_dir):
     from graphscope_ray.data import fingerprint
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1646,6 +1657,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
+        "doc_curation": _q_doc_curation,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
@@ -1801,6 +1813,7 @@ SELECT doc_id, round(
 FROM documents ORDER BY doc_id""",
         "doc_bpe_tokens": _bpe_tokens_sql(),
         "doc_langid": _osql().langid_sql(),
+        "doc_curation": _osql().curation_sql(lang="en", min_quality=0.1),
         "doc_fingerprint": _osql().fingerprint_sql(k=5),
         "doc_minhash_dedup": _osql().minhash_dedup_sql(threshold=0.9),
         "doc_simhash_pairs": _osql().simhash_pairs_sql(max_hamming=0),

@@ -238,3 +238,46 @@ SELECT doc_id,
     {cases}
   END AS lang_pred
 FROM c ORDER BY doc_id"""
+
+
+def curation_sql(lang: str = "en", min_quality: float = 0.1) -> str:
+    """Composed curation twin (pipelines/curation.py): language gate +
+    quality gate + exact dedup (min doc_id per identical text among
+    the survivors) + token count, all in one statement. Component
+    expressions are copied verbatim from langid_sql and the
+    doc_quality / doc_token_count twins so the fused Ray kernel and
+    this SQL share every rounding decision."""
+    langs = sorted(_LEXICONS)
+    counts = []
+    for lg in langs:
+        words = ", ".join(f"'{w}'" for w in sorted(_LEXICONS[lg]))
+        counts.append(
+            f"len(list_filter(toks, x -> list_contains([{words}], x))) "
+            f"AS c_{lg}")
+    gmax = "greatest(" + ", ".join(f"c_{lg}" for lg in langs) + ")"
+    cases = "\n    ".join(
+        f"WHEN c_{lg} = {gmax} THEN '{lg}'" for lg in langs)
+    return rf"""
+WITH t0 AS (SELECT doc_id, text,
+  list_transform(regexp_extract_all(text,
+      '[a-zA-ZäöüéèêàçñÄÖÜ]+'), x -> lower(x)) AS toks
+  FROM documents),
+c AS (SELECT doc_id, text, {', '.join(counts)} FROM t0),
+s AS (SELECT doc_id, text,
+  CASE WHEN {gmax} = 0 THEN 'unknown'
+    {cases}
+  END AS lang_pred,
+  round(
+    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1), 6)
+    * least(1.0, len(list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> ''))::DOUBLE / 100.0), 6)
+    AS quality,
+  len(list_filter(string_split_regex(text, '\s+'),
+                  x -> x <> ''))::BIGINT AS n_tokens
+  FROM c),
+f AS (SELECT * FROM s
+      WHERE lang_pred = '{lang}' AND quality >= {min_quality}),
+k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text)
+SELECT f.doc_id, f.lang_pred, f.quality, f.n_tokens
+FROM f JOIN k ON k.doc_id = f.doc_id ORDER BY f.doc_id"""
