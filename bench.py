@@ -157,6 +157,16 @@ def run_bench() -> dict:
     queries["bpe_tokens_per_sec"] = round(
         ntok / max(queries["bpe_tokens"], 1e-9), 1)
 
+    # fused one-pass curation (langid + quality gate + exact dedup +
+    # token count — pipelines/curation.py)
+    from graphscope_ray.pipelines.curation import curate
+    t0 = time.perf_counter()
+    kept_docs = curate(docs, lang="en", min_quality=0.1).count()
+    queries["curation"] = round(time.perf_counter() - t0, 3)
+    queries["curation_docs_per_sec"] = round(
+        n_docs / max(queries["curation"], 1e-9), 1)
+    queries["curation_kept_docs"] = kept_docs
+
     total = (queries["pagerank_tol1e6"] + queries["wcc"]
              + queries["cdlp10"] + queries["triangles"])
     out = {
