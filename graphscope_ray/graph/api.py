@@ -146,6 +146,47 @@ class Graph:
             self._engine.shutdown()
             self._engine = None
 
+    # -- persistence (vineyard-resident-graph analogue) ----------------
+
+    def save(self) -> str:
+        """Persist the graph for reuse across sessions — the analogue
+        of the reference's vineyard-resident graph fetched by name
+        (`grape_instance.cc:200-208`): the partitioned edge store is
+        already on disk at ``store.path``; this adds the oid↔vid map
+        (partitioned parquet, streamed — never driver-materialized)
+        plus its row count, so :meth:`open` rebuilds the facade with
+        zero recomputation. Returns the store path."""
+        import json as _json
+        if self.idmap is not None:
+            d = os.path.join(self.store.path, "idmap")
+            if not os.path.isdir(d):
+                self.idmap.write_parquet(d)
+            n = self.idmap_count
+            if n is None:
+                n = self.idmap.count()
+            with open(os.path.join(self.store.path,
+                                   "idmap_count.json"), "w") as f:
+                _json.dump({"count": int(n)}, f)
+        return self.store.path
+
+    @classmethod
+    def open(cls, path: str) -> "Graph":
+        """Reopen a :meth:`save`'d graph (or a bare vid-space store):
+        no id re-derivation, no degree pass — the actor pool reloads
+        the partitioned layout on first use."""
+        import json as _json
+        store = GraphStore(path)
+        idmap = None
+        n = None
+        d = os.path.join(path, "idmap")
+        if os.path.isdir(d):
+            idmap = ray.data.read_parquet(d)
+            marker = os.path.join(path, "idmap_count.json")
+            if os.path.exists(marker):
+                with open(marker) as f:
+                    n = int(_json.load(f)["count"])
+        return cls(store, idmap=idmap, idmap_count=n)
+
     # -- result translation -------------------------------------------
 
     def to_oid(self, ds: ray.data.Dataset, vid_cols=("vid",)) -> ray.data.Dataset:
