@@ -483,10 +483,9 @@ def _partgraph_str(sf_dir: str):
     """String-oid partgraph (reference oid_type=string,
     framework/graph.py:108-111): the same co-occurrence edges keyed by
     'p' || partkey strings — exercises ids.py's object-array dense-rank
-    path end-to-end under the DuckDB oracle."""
-    key = sf_dir + "#str"
-    if key in _CACHE:
-        return _CACHE[key][0]
+    path end-to-end under the DuckDB oracle. NOT cached (see
+    _mutgraph's pool-budget note): the one consumer closes the pool
+    after materializing."""
     from graphscope_ray.graph.api import Graph
     from graphscope_ray.pipelines.partgraph import partgraph_edges
 
@@ -508,17 +507,20 @@ def _partgraph_str(sf_dir: str):
         weight_col="weight",
         symmetrize=True,
     )
-    _CACHE[key] = (g, edges)
     return g
 
 
 def _mutgraph(sf_dir: str):
     """Partgraph with the MUT_EDGE_PRED canonical pairs deleted IN
     PLACE on the resident pool (Graph.remove_edges → both stored
-    directions) — MODIFY_EDGES delete, dynamic_fragment.h:220-233."""
-    key = sf_dir + "#mut"
-    if key in _CACHE:
-        return _CACHE[key]
+    directions) — MODIFY_EDGES delete, dynamic_fragment.h:220-233.
+
+    NOT cached: mutation graphs are consumed by exactly one query
+    each, and every cached graph pins a resident actor pool whose CPU
+    reservation counts against the cluster — four cached pools would
+    cover a whole 32-CPU driver cluster and deadlock any later
+    Dataset task (the r02 full-suite-hang failure mode). Callers must
+    g.close() after materializing their result."""
     from graphscope_ray.graph.api import Graph
     from graphscope_ray.pipelines.partgraph import partgraph_edges
 
@@ -536,23 +538,22 @@ def _mutgraph(sf_dir: str):
         return t.filter(pa.array((src * 131071 + dst) % 5 == 0))
 
     g.remove_edges(edges.map_batches(kill, batch_format="pyarrow"))
-    _CACHE[key] = g
     return g
 
 
 def _q_pg_mutation_wcc(sf_dir):
     g = _mutgraph(sf_dir)
-    return g.to_oid(g.wcc(), vid_cols=("vid", "comp"))
+    try:
+        return g.to_oid(g.wcc(), vid_cols=("vid", "comp")).materialize()
+    finally:
+        g.close()
 
 
 def _mutvgraph(sf_dir: str):
     """Partgraph with vertices oid % MUT_VERT_MOD deleted (incident
     edges go with them) and the surviving MUT_W_PRED canonical pairs'
     weights halved in place — MODIFY_VERTICES delete + MODIFY_EDGES
-    update on the resident pool."""
-    key = sf_dir + "#mutv"
-    if key in _CACHE:
-        return _CACHE[key]
+    update on the resident pool. Not cached (see _mutgraph)."""
     from graphscope_ray.graph.api import Graph
     from graphscope_ray.pipelines.partgraph import partgraph_edges
 
@@ -575,7 +576,6 @@ def _mutvgraph(sf_dir: str):
                             "weight", pa.array(w))
 
     g.update_edge_weights(edges.map_batches(halve, batch_format="pyarrow"))
-    _CACHE[key] = g
     return g
 
 
@@ -584,18 +584,21 @@ def _q_pg_mutation_sssp(sf_dir):
     weight-updated graph; unreachable (incl. newly isolated) rows are
     dropped on both sides."""
     g = _mutvgraph(sf_dir)
-    oids = g.oid_array
-    src = oids[oids % MUT_VERT_MOD != 0][0]
-    ds = g.to_oid(g.sssp(src))
+    try:
+        oids = g.oid_array
+        src = oids[oids % MUT_VERT_MOD != 0][0]
+        ds = g.to_oid(g.sssp(src))
 
-    def fin(t: pa.Table) -> pa.Table:
-        from graphscope_ray.util import round_half_away
-        d = t["dist"].to_numpy()
-        keep = np.isfinite(d)
-        return pa.table({"vid": t["vid"].to_numpy()[keep],
-                         "dist": round_half_away(d[keep], 6)})
+        def fin(t: pa.Table) -> pa.Table:
+            from graphscope_ray.util import round_half_away
+            d = t["dist"].to_numpy()
+            keep = np.isfinite(d)
+            return pa.table({"vid": t["vid"].to_numpy()[keep],
+                             "dist": round_half_away(d[keep], 6)})
 
-    return ds.map_batches(fin, batch_format="pyarrow")
+        return ds.map_batches(fin, batch_format="pyarrow").materialize()
+    finally:
+        g.close()
 
 
 def _q_pg_string_oids(sf_dir):
@@ -604,11 +607,14 @@ def _q_pg_string_oids(sf_dir):
     under rank ids)."""
     from graphscope_ray.graph.joins import attach_values
     g = _partgraph_str(sf_dir)
-    wcc = g.to_oid(g.wcc(), vid_cols=("vid", "comp"))
-    pr = _round_col(g.to_oid(g.pagerank(delta=DELTA, max_round=PR_ROUNDS)),
-                    "rank")
-    return attach_values(wcc, pr, on="vid", table_key="vid",
-                         value_names=["rank"])
+    try:
+        wcc = g.to_oid(g.wcc(), vid_cols=("vid", "comp"))
+        pr = _round_col(
+            g.to_oid(g.pagerank(delta=DELTA, max_round=PR_ROUNDS)), "rank")
+        return attach_values(wcc, pr, on="vid", table_key="vid",
+                             value_names=["rank"]).materialize()
+    finally:
+        g.close()
 
 
 def _string_oids_sql(rounds: int, delta: float) -> str:
@@ -988,22 +994,23 @@ def _q_pg_hits(sf_dir):
     from graphscope_ray.graph.api import Graph, to_undirected
     from graphscope_ray.pipelines.partgraph import partgraph_edges
 
-    key = sf_dir + "#hits"
-    if key not in _CACHE:
-        # undirected semantics: the digraph contains BOTH orientations of
-        # every co-occurrence edge, and the dual store additionally tags
-        # reversals so HITS's two phases each see the full neighborhood
-        _, edges = _partgraph(sf_dir)  # materialized, shared
-        _CACHE[key] = Graph.from_edges(
-            to_undirected(edges.select_columns(["src", "dst"])),
-            workdir=f"/tmp/gsr-hits-{abs(hash(sf_dir)) % 10**8}",
-            directions="both",
-        )
-    g = _CACHE[key]
-    out = g.engine.hits(tolerance=0.0, max_round=HITS_ROUNDS)
-    ds = g.to_oid(out)
-    ds = _round_col(ds, "auth")
-    return _round_col(ds, "hub")
+    # undirected semantics: the digraph contains BOTH orientations of
+    # every co-occurrence edge, and the dual store additionally tags
+    # reversals so HITS's two phases each see the full neighborhood.
+    # Transient pool (see _mutgraph's pool-budget note).
+    _, edges = _partgraph(sf_dir)  # materialized, shared
+    g = Graph.from_edges(
+        to_undirected(edges.select_columns(["src", "dst"])),
+        workdir=f"/tmp/gsr-hits-{abs(hash(sf_dir)) % 10**8}",
+        directions="both",
+    )
+    try:
+        out = g.engine.hits(tolerance=0.0, max_round=HITS_ROUNDS)
+        ds = g.to_oid(out)
+        ds = _round_col(ds, "auth")
+        return _round_col(ds, "hub").materialize()
+    finally:
+        g.close()
 
 
 def _q_pg_louvain_sweep(sf_dir):
