@@ -810,19 +810,26 @@ class BSPEngine:
         # rounds need no ordering: submit the next wedge chunk before
         # collecting probes and only barrier once at the end (wedge
         # enumeration and probing pipeline across actors).
+        # tri_wedges uses num_returns=2 so the driver reads only the
+        # tiny has_more flag; the packed wedge block routes actor→actor
+        # by reference through plasma (every probe actor maps the same
+        # buffer read-only and slices its rows — no driver relay, no
+        # P× re-shipping of wedge bytes).
         alive = list(range(self.P))
         probe_refs = []
-        wedge_refs = {p: self.actors[p].tri_wedges.remote(chunk)
-                      for p in alive}
+        wedge_refs = {
+            p: self.actors[p].tri_wedges.options(num_returns=2).remote(chunk)
+            for p in alive}
         while alive:
-            got = ray.get([wedge_refs[p] for p in alive])
-            nxt = [p for p, blk in zip(alive, got) if blk is not None]
-            round_blocks = [blk for blk in got if blk is not None]
-            wedge_refs = {p: self.actors[p].tri_wedges.remote(chunk)
-                          for p in nxt}
-            if round_blocks:
-                probe_refs.extend(
-                    a.tri_probe.remote(*round_blocks) for a in self.actors)
+            more = ray.get([wedge_refs[p][0] for p in alive])
+            round_blocks = [wedge_refs[p][1] for p in alive]
+            nxt = [p for p, m in zip(alive, more) if m]
+            wedge_refs = {
+                p: self.actors[p].tri_wedges.options(
+                    num_returns=2).remote(chunk)
+                for p in nxt}
+            probe_refs.extend(
+                a.tri_probe.remote(*round_blocks) for a in self.actors)
             alive = nxt
         ray.get(probe_refs)
         slices = [a.tri_counts.remote() for a in self.actors]

@@ -1345,16 +1345,23 @@ class GraphPartition:
         return int(wc.sum())
 
     def tri_wedges(self, chunk: int):
-        """Enumerate the next ≤``chunk`` wedges; returns packed probe
-        blocks (u, key=v*V+w) grouped by owner v % P, or None when
-        exhausted. Fully vectorized (triangular-index inversion)."""
+        """Enumerate the next ≤``chunk`` wedges → ``(has_more, block)``
+        where block is the packed probe rows (u, key=v*V+w) grouped by
+        owner v % P, or None when this call produced nothing. Called
+        with ``num_returns=2`` so the DRIVER only ever reads the tiny
+        has_more flag — the block object routes actor→actor through
+        plasma (the r03 fix: the old single-return protocol made the
+        driver ray.get every wedge block and re-ship it by value to
+        all P probe actors). Fully vectorized (triangular-index
+        inversion)."""
         s = self.state["tri"]
         total = int(s["wc_cum"][-1]) if len(s["wc_cum"]) else 0
         lo = s["cursor"]
         if lo >= total:
-            return None
+            return False, None
         hi = min(lo + chunk, total)
         s["cursor"] = hi
+        has_more = hi < total
         wc_cum = s["wc_cum"]
         # sources overlapping the flat wedge range [lo, hi)
         first = int(np.searchsorted(wc_cum, lo, side="right"))
@@ -1369,7 +1376,7 @@ class GraphPartition:
                                        take_lo[keep], cnt[keep])
         T = int(cnt.sum())
         if T == 0:
-            return self._empty_msgs()
+            return has_more, None
         src_rep = np.repeat(srcs, cnt)
         k = (np.arange(T, dtype=np.int64)
              - np.repeat(np.cumsum(cnt) - cnt, cnt)
@@ -1390,7 +1397,7 @@ class GraphPartition:
         order = _part_order(part, self.P)
         u, key, part = u[order], key[order], part[order]
         bounds = np.searchsorted(part, np.arange(self.P + 1))
-        return ("P", bounds, u, key)
+        return has_more, ("P", bounds, u, key)
 
     def tri_probe(self, *blocks):
         """Close wedges against the local key set; credit all three
