@@ -1436,6 +1436,76 @@ def _q_doc_fingerprint(sf_dir):
     return fingerprint(docs)
 
 
+def _q_doc_sample(sf_dir):
+    """Deterministic 25% Bernoulli sample — fmix64 row coin, no
+    shuffle, reproducible at any parallelism (data/curate.py)."""
+    from graphscope_ray.data.curate import hash_sample
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "lang", "n_chars"])
+    return hash_sample(docs, 0.25, seed=1)
+
+
+def _q_doc_split(sf_dir):
+    from graphscope_ray.data.curate import split_assign
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return split_assign(docs, seed=7)
+
+
+def _q_doc_normalize(sf_dir):
+    from graphscope_ray.data.curate import normalize_text
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return normalize_text(docs)
+
+
+def _q_doc_pii(sf_dir):
+    from graphscope_ray.data.curate import pii_scrub
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return pii_scrub(docs)
+
+
+def _q_doc_repetition(sf_dir):
+    from graphscope_ray.data.curate import repetition_stats
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return repetition_stats(docs)
+
+
+def _q_doc_vocab(sf_dir):
+    """Global top-100 vocabulary — per-batch value_counts combiner,
+    then a distinct-token groupby (never O(total tokens) shuffled)."""
+    from graphscope_ray.data.curate import vocab_topk
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return vocab_topk(docs, k=100)
+
+
+def _q_doc_packing(sf_dir):
+    """Fixed-token-budget sequence packing — global sort + distributed
+    prefix sum (O(#blocks) scalars on the driver)."""
+    from graphscope_ray.data.curate import pack_sequences
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return pack_sequences(docs, 2048)
+
+
+def _q_doc_decontaminate(sf_dir):
+    """Benchmark decontamination — 8-token window hashes vs a
+    broadcast benchmark set (docs with doc_id % 20 == 0)."""
+    from graphscope_ray.data.curate import decontaminate
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def bench_filter(t):
+        ids = t["doc_id"].to_numpy(zero_copy_only=False)
+        return t.filter(pa.array(ids % 20 == 0))
+
+    bench = docs.map_batches(bench_filter, batch_format="pyarrow")
+    return decontaminate(docs, bench, n=8)
+
+
 def _q_doc_minhash_dedup(sf_dir):
     from graphscope_ray.data import minhash_lsh_dedup
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1665,6 +1735,14 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
         "doc_curation": _q_doc_curation,
+        "doc_sample": _q_doc_sample,
+        "doc_split": _q_doc_split,
+        "doc_normalize": _q_doc_normalize,
+        "doc_pii": _q_doc_pii,
+        "doc_repetition": _q_doc_repetition,
+        "doc_vocab": _q_doc_vocab,
+        "doc_packing": _q_doc_packing,
+        "doc_decontaminate": _q_doc_decontaminate,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
@@ -1685,6 +1763,16 @@ def queries() -> dict[str, Callable[[str], Any]]:
 def _osql():
     from graphscope_ray import oracle_sql as mod
     return mod
+
+
+def _pii_sql() -> str:
+    from graphscope_ray.data.curate import EMAIL_PATTERN, LONGNUM_PATTERN
+    return _osql().pii_scrub_sql(EMAIL_PATTERN, LONGNUM_PATTERN)
+
+
+def _vocab_sql() -> str:
+    from graphscope_ray.data.curate import VOCAB_TOKEN_PATTERN
+    return _osql().vocab_topk_sql(100, VOCAB_TOKEN_PATTERN)
 
 
 def _bpe_tokens_sql() -> str:
@@ -1821,6 +1909,14 @@ FROM documents ORDER BY doc_id""",
         "doc_bpe_tokens": _bpe_tokens_sql(),
         "doc_langid": _osql().langid_sql(),
         "doc_curation": _osql().curation_sql(lang="en", min_quality=0.1),
+        "doc_sample": _osql().hash_sample_sql(0.25, seed=1),
+        "doc_split": _osql().split_assign_sql(seed=7),
+        "doc_normalize": _osql().NORMALIZE_SQL,
+        "doc_pii": _pii_sql(),
+        "doc_repetition": _osql().REPETITION_SQL,
+        "doc_vocab": _vocab_sql(),
+        "doc_packing": _osql().pack_sequences_sql(2048),
+        "doc_decontaminate": _osql().decontaminate_sql(n=8, bench_mod=20),
         "doc_fingerprint": _osql().fingerprint_sql(k=5),
         "doc_minhash_dedup": _osql().minhash_dedup_sql(threshold=0.9),
         "doc_simhash_pairs": _osql().simhash_pairs_sql(max_hamming=0),

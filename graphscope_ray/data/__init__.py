@@ -22,3 +22,13 @@ from graphscope_ray.data.dedup import (  # noqa: F401
     embedding_cosine_dedup,
 )
 from graphscope_ray.data.similarity import ann_topk, lsh_ann_topk  # noqa: F401
+from graphscope_ray.data.curate import (  # noqa: F401
+    decontaminate,
+    hash_sample,
+    normalize_text,
+    pack_sequences,
+    pii_scrub,
+    repetition_stats,
+    split_assign,
+    vocab_topk,
+)

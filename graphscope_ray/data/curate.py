@@ -1,0 +1,334 @@
+"""Corpus-curation operators for a training-data pipeline.
+
+The ops a 100 TB LLM-data run needs between raw ingest and tokenizer:
+deterministic sampling + train/val/test splits, text normalization,
+PII scrubbing, repetition-based quality stats (Gopher-style), global
+vocabulary building, fixed-token-budget sequence packing, and
+benchmark decontamination. Every op is a streaming Ray Data transform
+(map_batches over Arrow / pandas kernels — no per-row Python in hot
+paths, no driver materialization of row data), and every definition is
+chosen so a DuckDB SQL twin replays it bit-for-bit (the driver's
+correctness gate): hash decisions reuse the fmix64/poly family from
+``data/hashing`` whose SQL twins live in ``oracle_sql``.
+
+Scale notes (100 TB shapes):
+- ``hash_sample`` / ``split_assign`` / ``normalize_text`` /
+  ``pii_scrub`` / ``repetition_stats`` are embarrassingly parallel —
+  no shuffle at all.
+- ``vocab_topk`` pre-aggregates token counts inside each batch (the
+  combiner), so the global groupby shuffles only O(distinct tokens per
+  batch) rows, never O(total tokens).
+- ``pack_sequences`` is sort + distributed prefix sum: only
+  O(#blocks) scalar sums touch the driver (same stamping pattern as
+  ``graph/ids.assign_dense_ids``).
+- ``decontaminate`` broadcasts the (small) benchmark n-gram hash set
+  once with ``ray.put`` and probes it per batch — no join shuffle.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from graphscope_ray.data.hashing import (B, U64, batch_token_hashes,
+                                         fmix64, windowed_hashes)
+from graphscope_ray.util import round_half_away
+
+# Shared regex constants — Arrow's compute kernels and DuckDB's
+# regexp_* functions are both RE2, so using the *same pattern string*
+# on both sides makes the SQL twins exact.
+EMAIL_PATTERN = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+"
+LONGNUM_PATTERN = r"[0-9]{7,}"
+VOCAB_TOKEN_PATTERN = r"[a-z0-9]+"
+
+
+def _row_hash(ids: np.ndarray, seed: int) -> np.ndarray:
+    """fmix64(id·B + seed) — the deterministic per-row coin shared by
+    hash_sample / split_assign (SQL twin: oracle twin in
+    __ray_entry__ via oracle_sql.fmix_u64_sql)."""
+    x = ids.astype(np.uint64) * B + U64(seed)
+    return fmix64(x)
+
+
+def hash_sample(ds: ray.data.Dataset, rate: float, *, seed: int = 1,
+                key: str = "doc_id") -> ray.data.Dataset:
+    """Keep each row iff fmix64(key·B + seed) % 1e6 < rate·1e6 — a
+    deterministic, reproducible Bernoulli(rate) sample that needs no
+    global state, no shuffle, and gives the same answer at any
+    parallelism (the property a resumable 100 TB run needs)."""
+    thresh = int(round(rate * 1_000_000))
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[key].to_numpy(zero_copy_only=False)
+        h = _row_hash(ids, seed) % U64(1_000_000)
+        return t.filter(pa.array(h < U64(thresh)))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def split_assign(ds: ray.data.Dataset,
+                 splits: list[tuple[str, float]] | None = None, *,
+                 seed: int = 7, key: str = "doc_id") -> ray.data.Dataset:
+    """Add a ``split`` column assigning each row to one of the named
+    fractions (order matters: buckets are carved left-to-right from
+    fmix64(key·B+seed) % 10000). Deterministic per key — a doc never
+    migrates between train and test across runs or cluster sizes."""
+    if splits is None:
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    names = [n for n, _ in splits]
+    bounds = np.cumsum([int(round(w * 10_000)) for _, w in splits])
+    bounds[-1] = 10_000  # rounding guard: last split absorbs the slack
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[key].to_numpy(zero_copy_only=False)
+        b = (_row_hash(ids, seed) % U64(10_000)).astype(np.int64)
+        idx = np.searchsorted(bounds, b, side="right")
+        lab = np.array(names, dtype=object)[idx]
+        return t.append_column("split", pa.array(lab, pa.string()))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def normalize_text(ds: ray.data.Dataset, col: str = "text",
+                   key: str = "doc_id") -> ray.data.Dataset:
+    """(key, norm_text): lowercase, collapse whitespace runs to one
+    space, trim — the canonical form most dedup/quality stages want.
+    Three Arrow kernels per batch, zero-copy in/out; SQL twin:
+    trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.fill_null(t[col], "")
+        s = pc.utf8_lower(s)
+        s = pc.replace_substring_regex(s, r"\s+", " ")
+        s = pc.utf8_trim(s, " ")
+        return pa.table({key: t[key], "norm_text": s})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def pii_scrub(ds: ray.data.Dataset, col: str = "text",
+              key: str = "doc_id") -> ray.data.Dataset:
+    """(key, scrubbed, n_emails, n_longnums): mask emails with
+    ``<EMAIL>`` and 7+-digit runs with ``<NUM>`` and count what was
+    masked. Both sides run the identical RE2 patterns (EMAIL_PATTERN /
+    LONGNUM_PATTERN), so leftmost-non-overlapping semantics agree with
+    DuckDB's regexp_replace(..., 'g') exactly."""
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.fill_null(t[col], "")
+        n_em = pc.cast(pc.count_substring_regex(s, EMAIL_PATTERN),
+                       pa.int64())
+        s = pc.replace_substring_regex(s, EMAIL_PATTERN, "<EMAIL>")
+        n_num = pc.cast(pc.count_substring_regex(s, LONGNUM_PATTERN),
+                        pa.int64())
+        s = pc.replace_substring_regex(s, LONGNUM_PATTERN, "<NUM>")
+        return pa.table({key: t[key], "scrubbed": s,
+                         "n_emails": n_em, "n_longnums": n_num})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+class _RepetitionStats:
+    """(key, n_lines, dup_line_frac, top_token_frac) — the two
+    Gopher-style repetition signals: fraction of non-distinct non-empty
+    lines, and the share of the modal whitespace token. Vectorized via
+    pandas explode + C-level groupby (no per-row Python); rounded to
+    6 dp so the SQL twin hash-matches."""
+
+    def __init__(self, col: str, key: str):
+        import re
+        self.col, self.key = col, key
+        # RE2 \s exactly ([\t\n\f\r ]) — Python re's \s also matches \v
+        # and unicode spaces, which would diverge from the DuckDB twin
+        self.ws = re.compile(r"[\t\n\f\r ]+")
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        n = len(df)
+        texts = df[self.col].fillna("").reset_index(drop=True)
+
+        lines = texts.str.split("\n").explode()
+        lines = lines[lines != ""]
+        li = lines.index.to_numpy()
+        n_lines = np.bincount(li, minlength=n) if len(li) else np.zeros(
+            n, dtype=np.int64)
+        uniq = lines.reset_index().drop_duplicates()
+        n_uniq = np.bincount(uniq["index"].to_numpy(), minlength=n) \
+            if len(uniq) else np.zeros(n, dtype=np.int64)
+        dup_frac = np.where(n_lines > 0,
+                            1.0 - n_uniq / np.maximum(n_lines, 1), 0.0)
+
+        toks = texts.str.split(self.ws).explode()
+        toks = toks[toks != ""]
+        ti = toks.index.to_numpy()
+        n_toks = np.bincount(ti, minlength=n) if len(ti) else np.zeros(
+            n, dtype=np.int64)
+        if len(ti):
+            cnt = (toks.reset_index(name="tok")
+                   .groupby(["index", "tok"], sort=False)
+                   .size().reset_index(name="c"))
+            top = cnt.groupby("index", sort=False)["c"].max()
+            top_cnt = np.zeros(n, dtype=np.int64)
+            top_cnt[top.index.to_numpy()] = top.to_numpy()
+        else:
+            top_cnt = np.zeros(n, dtype=np.int64)
+        top_frac = np.where(n_toks > 0, top_cnt / np.maximum(n_toks, 1), 0.0)
+
+        return pd.DataFrame({
+            self.key: df[self.key].to_numpy(),
+            "n_lines": n_lines.astype(np.int64),
+            "dup_line_frac": round_half_away(dup_frac, 6),
+            "top_token_frac": round_half_away(top_frac, 6),
+        })
+
+
+def repetition_stats(ds: ray.data.Dataset, col: str = "text",
+                     key: str = "doc_id",
+                     concurrency=(1, 4)) -> ray.data.Dataset:
+    return ds.map_batches(
+        _RepetitionStats, fn_constructor_args=(col, key),
+        batch_format="pandas", concurrency=concurrency,
+    )
+
+
+def vocab_topk(ds: ray.data.Dataset, k: int = 100, col: str = "text",
+               ) -> ray.data.Dataset:
+    """Global top-k vocabulary (token, cnt): tokens are maximal
+    ``[a-z0-9]+`` runs of lower(text). Per-batch value_counts is the
+    combiner — the groupby shuffle moves O(distinct-per-batch) rows,
+    not O(total tokens) — then one small sort + limit. Deterministic
+    tie-break: cnt desc, token asc."""
+    import re
+    pat = re.compile(VOCAB_TOKEN_PATTERN)
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        toks = (df[col].fillna("").str.lower()
+                .str.findall(pat).explode().dropna())
+        vc = toks.value_counts()
+        return pd.DataFrame({"token": vc.index.astype(str),
+                             "cnt": vc.to_numpy().astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(combiner, batch_format="pandas")
+              .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
+    top = counts.sort(["cnt", "token"], descending=[True, False]).limit(k)
+    return top
+
+
+@ray.remote
+def _seq_stamp(tbl: pa.Table, start_tokens: int, budget: int) -> pa.Table:
+    n = tbl["n_tokens"].to_numpy()
+    cum_prev = start_tokens + np.cumsum(n) - n  # exclusive prefix sum
+    seq = (cum_prev // budget).astype(np.int64)
+    return tbl.append_column("seq_id", pa.array(seq))
+
+
+@ray.remote
+def _block_token_sum(tbl: pa.Table) -> int:
+    return int(tbl["n_tokens"].to_numpy().sum())
+
+
+def pack_sequences(ds: ray.data.Dataset, budget: int, *,
+                   key: str = "doc_id", col: str = "text",
+                   ) -> ray.data.Dataset:
+    """(key, n_tokens, seq_id): contiguous-chunk sequence packing —
+    docs in key order are packed greedily into sequences, a new
+    sequence starting whenever the running token total crosses a
+    ``budget`` boundary (seq_id = floor(exclusive-prefix-sum / budget);
+    SQL twin: a window running sum). Distributed as global sort +
+    per-block prefix sums: only one int per block reaches the driver,
+    and each block is stamped independently — the pattern that scales
+    to 10^12 rows (mirrors graph/ids.assign_dense_ids)."""
+    from graphscope_ray.data.text import token_count
+
+    toks = token_count(ds, col=col, key=key)
+    mat = toks.sort(key).materialize()
+
+    blocks = []  # block refs in global sorted order
+    for bundle in mat.iter_internal_ref_bundles():
+        for block_ref, meta in bundle.blocks:
+            if meta.num_rows:
+                blocks.append(block_ref)
+    if not blocks:
+        return ray.data.from_arrow(pa.table({
+            key: pa.array([], pa.int64()),
+            "n_tokens": pa.array([], pa.int64()),
+            "seq_id": pa.array([], pa.int64())}))
+    sums = ray.get([_block_token_sum.remote(b) for b in blocks])
+    out_refs, offset = [], 0
+    for block_ref, s in zip(blocks, sums):
+        out_refs.append(_seq_stamp.remote(block_ref, offset, budget))
+        offset += s
+    return ray.data.from_arrow_refs(out_refs)
+
+
+class _Decontaminate:
+    """Flag documents sharing any ``n``-token window hash with a
+    benchmark set (the standard eval-decontamination pass). The
+    benchmark window-hash set is built once and broadcast by object
+    ref; each batch probes it with one vectorized np.isin — no join
+    shuffle, no driver text. Window hashes come from the shared
+    SQL-replayable family (data/hashing), so the DuckDB twin reuses
+    oracle_sql's windows CTE."""
+
+    def __init__(self, bench_ref, n: int, col: str, key: str):
+        self.bench = np.sort(ray.get(bench_ref))
+        self.n, self.col, self.key = n, col, key
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[self.col].fillna("").tolist()
+        tok_doc, tok_hash = batch_token_hashes(texts)
+        win_doc, win_hash = windowed_hashes(tok_doc, tok_hash, self.n,
+                                            len(texts))
+        # exclude the empty-doc sentinel window (hash 0 for 0 tokens)
+        nz = win_hash != U64(0)
+        hits = np.zeros(len(texts), dtype=np.int64)
+        if nz.any() and len(self.bench):
+            m = np.clip(np.searchsorted(self.bench, win_hash[nz]),
+                        0, len(self.bench) - 1)
+            ok = self.bench[m] == win_hash[nz]
+            np.add.at(hits, win_doc[nz][ok], 1)
+        return pd.DataFrame({
+            self.key: df[self.key].to_numpy(),
+            "n_hits": hits,
+            "contaminated": (hits > 0).astype(np.int64),
+        })
+
+
+def benchmark_window_hashes(bench_ds: ray.data.Dataset, n: int,
+                            col: str = "text") -> np.ndarray:
+    """Distinct n-token window hashes of the benchmark corpus (small
+    side — this is what gets broadcast). Computed distributed, only
+    the distinct uint64 hashes reach the driver."""
+
+    def f(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[col].fillna("").tolist()
+        tok_doc, tok_hash = batch_token_hashes(texts)
+        _, wh = windowed_hashes(tok_doc, tok_hash, n, len(texts))
+        wh = np.unique(wh[wh != U64(0)])
+        return pd.DataFrame({"h": wh.astype(np.int64)})
+
+    parts = bench_ds.map_batches(f, batch_format="pandas").to_pandas()
+    if parts.empty:  # empty-stream to_pandas drops columns entirely
+        return np.array([], dtype=np.uint64)
+    return np.unique(parts["h"].to_numpy().astype(np.uint64))
+
+
+def decontaminate(ds: ray.data.Dataset, bench_ds: ray.data.Dataset, *,
+                  n: int = 8, col: str = "text", key: str = "doc_id",
+                  concurrency=(1, 4)) -> ray.data.Dataset:
+    """(key, n_hits, contaminated): per-document count of n-token
+    windows that appear in the benchmark corpus. Docs shorter than
+    ``n`` tokens use their full-length window (min(k, len) semantics,
+    matching oracle_sql._windows_cte); empty docs are never flagged."""
+    bench = benchmark_window_hashes(bench_ds, n, col)
+    bench_ref = ray.put(bench)
+    return ds.map_batches(
+        _Decontaminate, fn_constructor_args=(bench_ref, n, col, key),
+        batch_format="pandas", concurrency=concurrency,
+    )

@@ -281,3 +281,112 @@ f AS (SELECT * FROM s
 k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY text)
 SELECT f.doc_id, f.lang_pred, f.quality, f.n_tokens
 FROM f JOIN k ON k.doc_id = f.doc_id ORDER BY f.doc_id"""
+
+
+def _row_hash_sql(seed: int, key: str = "doc_id") -> str:
+    """SQL twin of data/curate._row_hash: fmix64(key·B + seed)."""
+    return fmix_u64_sql(
+        f"(({key}::HUGEINT * {B} + {seed}) % {M64})::UBIGINT")
+
+
+def hash_sample_sql(rate: float, seed: int = 1) -> str:
+    thresh = int(round(rate * 1_000_000))
+    return f"""
+SELECT doc_id, lang, n_chars FROM documents
+WHERE ({_row_hash_sql(seed)}) % 1000000 < {thresh} ORDER BY doc_id"""
+
+
+def split_assign_sql(splits=None, seed: int = 7) -> str:
+    """Twin of data/curate.split_assign (same left-to-right bucket
+    carving from fmix64(doc_id·B+seed) % 10000)."""
+    if splits is None:
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    h = _row_hash_sql(seed)
+    bound, whens = 0, []
+    for name, w in splits[:-1]:
+        bound += int(round(w * 10_000))
+        whens.append(f"WHEN ({h}) % 10000 < {bound} THEN '{name}'")
+    whens.append(f"ELSE '{splits[-1][0]}'")
+    return f"""
+SELECT doc_id, CASE {' '.join(whens)} END AS split
+FROM documents ORDER BY doc_id"""
+
+
+NORMALIZE_SQL = r"""
+SELECT doc_id,
+       trim(regexp_replace(lower(text), '\s+', ' ', 'g'), ' ') AS norm_text
+FROM documents ORDER BY doc_id"""
+
+
+def pii_scrub_sql(email_pat: str, num_pat: str) -> str:
+    """Twin of data/curate.pii_scrub — identical RE2 patterns, email
+    pass first, then long-number pass over the email-scrubbed text."""
+    return f"""
+WITH a AS (SELECT doc_id, text,
+    len(regexp_extract_all(text, '{email_pat}'))::BIGINT AS n_emails,
+    regexp_replace(text, '{email_pat}', '<EMAIL>', 'g') AS t1
+    FROM documents)
+SELECT doc_id,
+    regexp_replace(t1, '{num_pat}', '<NUM>', 'g') AS scrubbed,
+    n_emails,
+    len(regexp_extract_all(t1, '{num_pat}'))::BIGINT AS n_longnums
+FROM a ORDER BY doc_id"""
+
+
+REPETITION_SQL = r"""
+WITH ln AS (SELECT doc_id, unnest(list_filter(string_split(text, chr(10)),
+                x -> x <> '')) AS line FROM documents),
+la AS (SELECT doc_id, count(*) AS nl, count(DISTINCT line) AS nu
+       FROM ln GROUP BY doc_id),
+tk AS (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\s+'),
+                x -> x <> '')) AS tok FROM documents),
+tc AS (SELECT doc_id, tok, count(*) AS c FROM tk GROUP BY 1, 2),
+ta AS (SELECT doc_id, max(c) AS mx, sum(c) AS s FROM tc GROUP BY doc_id)
+SELECT d.doc_id,
+  COALESCE(la.nl, 0)::BIGINT AS n_lines,
+  round(CASE WHEN COALESCE(la.nl, 0) > 0
+        THEN 1.0 - la.nu::DOUBLE / la.nl ELSE 0 END, 6) AS dup_line_frac,
+  round(CASE WHEN COALESCE(ta.s, 0) > 0
+        THEN ta.mx::DOUBLE / ta.s ELSE 0 END, 6) AS top_token_frac
+FROM documents d LEFT JOIN la ON la.doc_id = d.doc_id
+LEFT JOIN ta ON ta.doc_id = d.doc_id ORDER BY d.doc_id"""
+
+
+def vocab_topk_sql(k: int, token_pat: str) -> str:
+    return f"""
+SELECT tok AS token, count(*)::BIGINT AS cnt FROM (
+  SELECT unnest(regexp_extract_all(lower(text), '{token_pat}')) AS tok
+  FROM documents)
+GROUP BY tok ORDER BY cnt DESC, token LIMIT {k}"""
+
+
+def pack_sequences_sql(budget: int) -> str:
+    """Twin of data/curate.pack_sequences: seq_id = floor(exclusive
+    running token total / budget) in doc_id order."""
+    return rf"""
+WITH n AS (SELECT doc_id,
+    len(list_filter(string_split_regex(text, '\s+'),
+        x -> x <> ''))::BIGINT AS n_tokens FROM documents),
+c AS (SELECT doc_id, n_tokens,
+    sum(n_tokens) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+      - n_tokens AS cum FROM n)
+SELECT doc_id, n_tokens, (cum // {budget})::BIGINT AS seq_id
+FROM c ORDER BY doc_id"""
+
+
+def decontaminate_sql(n: int = 8, bench_mod: int = 20) -> str:
+    """Twin of data/curate.decontaminate with the benchmark defined as
+    docs where doc_id % bench_mod == 0; window hashes reuse the shared
+    token-hash CTEs (min(k, len) windows, empty docs excluded)."""
+    return f"""
+WITH {token_hash_ctes()},{_windows_cte(n)},
+bw AS (SELECT DISTINCT unnest(wins) AS h FROM w
+       WHERE doc_id % {bench_mod} = 0),
+ex AS (SELECT doc_id, unnest(wins) AS h FROM w),
+hits AS (SELECT ex.doc_id, count(*) AS c FROM ex
+         JOIN bw ON bw.h = ex.h WHERE ex.h <> 0 AND bw.h <> 0
+         GROUP BY ex.doc_id)
+SELECT d.doc_id, COALESCE(hits.c, 0)::BIGINT AS n_hits,
+       (COALESCE(hits.c, 0) > 0)::BIGINT AS contaminated
+FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
+ORDER BY d.doc_id"""

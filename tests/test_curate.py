@@ -1,0 +1,200 @@
+"""Curation operators (data/curate.py): determinism, edge cases, and
+DuckDB twins on adversarial inputs the sf tables don't contain."""
+
+import duckdb
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from graphscope_ray.data.curate import (
+    EMAIL_PATTERN,
+    LONGNUM_PATTERN,
+    benchmark_window_hashes,
+    decontaminate,
+    hash_sample,
+    normalize_text,
+    pack_sequences,
+    pii_scrub,
+    repetition_stats,
+    split_assign,
+    vocab_topk,
+)
+from graphscope_ray import oracle_sql as osql
+
+EDGE_TEXTS = [
+    "",                               # empty
+    "   \t\n  ",                      # whitespace-only
+    "a",                              # single short token
+    "x y x y x y x y",               # heavy token repetition
+    "line\nline\nline\nother",       # duplicate lines
+    "Mail me at bob.smith+x@exa-mple.co.uk now",
+    "call 12345678 or 999 or 1234567890123",
+    "Ünïcode ÄÖÜ müde Straße\n\n\nÜnïcode",
+    "one two three four five six seven eight nine ten",
+    "one two three four five six seven eight CONTAM",
+]
+
+
+@pytest.fixture(scope="module")
+def edge_ds():
+    return ray.data.from_pandas(pd.DataFrame({
+        "doc_id": np.arange(len(EDGE_TEXTS), dtype=np.int64),
+        "text": EDGE_TEXTS,
+    })).repartition(3)
+
+
+@pytest.fixture(scope="module")
+def edge_con():
+    c = duckdb.connect()
+    df = pd.DataFrame({"doc_id": np.arange(len(EDGE_TEXTS), dtype=np.int64),
+                       "text": EDGE_TEXTS})
+    c.register("documents", df)
+    return c
+
+
+def _cmp(got: pd.DataFrame, want: pd.DataFrame, sort_cols):
+    got = got.sort_values(sort_cols).reset_index(drop=True)
+    want = want.sort_values(sort_cols).reset_index(drop=True)
+    assert list(got.columns) != [], got
+    got = got[want.columns.tolist()]
+    assert len(got) == len(want)
+    for c in want.columns:
+        a, b = got[c].to_numpy(), want[c].to_numpy()
+        if a.dtype.kind == "f":
+            np.testing.assert_allclose(a, b.astype(float), atol=0, rtol=0,
+                                       err_msg=c)
+        else:
+            assert (pd.Series(a).astype(str)
+                    == pd.Series(b).astype(str)).all(), c
+
+
+def test_hash_sample_deterministic_and_parallelism_invariant(edge_ds):
+    a = hash_sample(edge_ds.select_columns(["doc_id"]), 0.5,
+                    seed=3, key="doc_id").to_pandas()
+    b = hash_sample(edge_ds.repartition(1).select_columns(["doc_id"]), 0.5,
+                    seed=3, key="doc_id").to_pandas()
+    assert sorted(a["doc_id"]) == sorted(b["doc_id"])
+    # different seed → (almost surely) different subset
+    c = hash_sample(edge_ds.select_columns(["doc_id"]), 0.5,
+                    seed=4).to_pandas()
+    assert not (sorted(a["doc_id"]) == sorted(c["doc_id"])
+                and len(a) == len(c) == len(EDGE_TEXTS))
+
+
+def test_hash_sample_rate_statistics():
+    n = 20_000
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64)}))
+    kept = hash_sample(ds, 0.3, seed=11).count()
+    assert abs(kept / n - 0.3) < 0.02
+
+
+def test_split_assign_partition_and_fractions():
+    n = 20_000
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.arange(n, dtype=np.int64)})).repartition(4)
+    out = split_assign(ds, seed=7).to_pandas()
+    assert len(out) == n and set(out["split"]) == {"train", "val", "test"}
+    frac = out["split"].value_counts(normalize=True)
+    assert abs(frac["train"] - 0.8) < 0.02
+    assert abs(frac["val"] - 0.1) < 0.01
+    assert abs(frac["test"] - 0.1) < 0.01
+    # exhaustive + disjoint by construction; deterministic across runs
+    out2 = split_assign(ds.repartition(1), seed=7).to_pandas()
+    m = out.merge(out2, on="doc_id")
+    assert (m["split_x"] == m["split_y"]).all()
+
+
+def test_normalize_text_edges(edge_ds, edge_con):
+    got = normalize_text(edge_ds).to_pandas()
+    want = edge_con.sql(osql.NORMALIZE_SQL).df()
+    _cmp(got, want, ["doc_id"])
+    row = got.set_index("doc_id")["norm_text"]
+    assert row[0] == "" and row[1] == ""
+    assert row[4] == "line line line other"
+
+
+def test_pii_scrub_edges(edge_ds, edge_con):
+    got = pii_scrub(edge_ds).to_pandas()
+    want = edge_con.sql(
+        osql.pii_scrub_sql(EMAIL_PATTERN, LONGNUM_PATTERN)).df()
+    _cmp(got, want, ["doc_id"])
+    row = got.set_index("doc_id")
+    assert row.loc[5, "n_emails"] == 1
+    assert "<EMAIL>" in row.loc[5, "scrubbed"]
+    assert row.loc[6, "n_longnums"] == 2
+    assert row.loc[6, "scrubbed"] == "call <NUM> or 999 or <NUM>"
+
+
+def test_repetition_stats_edges(edge_ds, edge_con):
+    got = repetition_stats(edge_ds).to_pandas()
+    want = edge_con.sql(osql.REPETITION_SQL).df()
+    _cmp(got, want, ["doc_id"])
+    row = got.set_index("doc_id")
+    assert row.loc[0, "n_lines"] == 0 and row.loc[0, "dup_line_frac"] == 0
+    assert row.loc[3, "top_token_frac"] == 0.5
+    assert row.loc[4, "dup_line_frac"] == 0.5  # 4 lines, 2 distinct
+
+
+def test_vocab_topk_edges(edge_ds, edge_con):
+    got = vocab_topk(edge_ds, k=5).to_pandas()
+    want = edge_con.sql(osql.vocab_topk_sql(5, "[a-z0-9]+")).df()
+    _cmp(got, want, ["cnt", "token"])
+    assert got.sort_values(["cnt", "token"],
+                           ascending=[False, True]).iloc[0]["token"] in (
+        "line", "x", "y")
+
+
+def test_pack_sequences_edges_and_budget(edge_ds, edge_con):
+    got = pack_sequences(edge_ds, 10).to_pandas()
+    want = edge_con.sql(osql.pack_sequences_sql(10)).df()
+    _cmp(got, want, ["doc_id"])
+    # seq ids are non-decreasing in doc order and start at 0
+    g = got.sort_values("doc_id")["seq_id"].to_numpy()
+    assert g[0] == 0 and (np.diff(g) >= 0).all()
+    # a doc longer than the budget still gets exactly one seq_id
+    assert got["doc_id"].is_unique
+
+
+def test_pack_sequences_empty():
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": pd.Series([], dtype=np.int64),
+         "text": pd.Series([], dtype=str)}))
+    out = pack_sequences(ds, 16)
+    assert out.count() == 0
+    # schema survives on the dataset (empty-stream to_pandas drops it)
+    assert set(out.schema().names) == {"doc_id", "n_tokens", "seq_id"}
+
+
+def test_decontaminate_edges(edge_ds, edge_con):
+    got = decontaminate(edge_ds, edge_ds, n=8).to_pandas()
+    want = edge_con.sql(osql.decontaminate_sql(n=8, bench_mod=1)).df()
+    _cmp(got, want, ["doc_id"])
+    row = got.set_index("doc_id")
+    # empty/whitespace docs never flagged, even self-vs-self
+    assert row.loc[0, "contaminated"] == 0
+    assert row.loc[1, "contaminated"] == 0
+    # docs with tokens flag themselves when the bench includes them
+    assert row.loc[9, "contaminated"] == 1
+
+
+def test_decontaminate_shared_window_cross_doc():
+    # docs 8 and 9 share the 8-token prefix; bench = doc 9 only →
+    # doc 8 must be flagged through the shared window, doc 7 must not
+    df = pd.DataFrame({"doc_id": np.arange(len(EDGE_TEXTS), dtype=np.int64),
+                       "text": EDGE_TEXTS})
+    ds = ray.data.from_pandas(df)
+    bench = ray.data.from_pandas(df[df.doc_id == 9].reset_index(drop=True))
+    out = decontaminate(ds, bench, n=8).to_pandas().set_index("doc_id")
+    assert out.loc[9, "contaminated"] == 1
+    assert out.loc[8, "contaminated"] == 1
+    assert out.loc[7, "contaminated"] == 0
+
+
+def test_benchmark_window_hashes_excludes_empty():
+    ds = ray.data.from_pandas(pd.DataFrame(
+        {"doc_id": np.array([0, 1], dtype=np.int64),
+         "text": ["", "   "]}))
+    assert len(benchmark_window_hashes(ds, 8)) == 0
