@@ -103,10 +103,18 @@ def run_bench() -> dict:
     queries["cdlp10"] = round(eng.superstep_seconds - base_s, 3)
 
     t0 = time.perf_counter()
-    tv = eng.triangles()  # partition-local actor path (r02)
+    tv = eng.triangles()  # local-closing actor path (r03 default)
     tc = int(tv.sum("tri_cnt")) // 3
     queries["triangles"] = round(time.perf_counter() - t0, 3)
     queries["triangle_total"] = tc
+
+    # the routed-probe path (the >64M-oriented-edge scale shape) —
+    # forced via local_keys_limit=0 so its number stays on record
+    t0 = time.perf_counter()
+    tv_r = eng.triangles(local_keys_limit=0)
+    tc_routed = int(tv_r.sum("tri_cnt")) // 3
+    queries["triangles_routed_path"] = round(time.perf_counter() - t0, 3)
+    assert tc_routed == tc, (tc_routed, tc)
 
     # keep the standalone broadcast path measured for comparison
     t0 = time.perf_counter()

@@ -792,46 +792,69 @@ class BSPEngine:
 
     # -- triangles (partition-local oriented CSR) ----------------------
 
-    def triangles(self, *, chunk: int = 1_500_000) -> ray.data.Dataset:
+    def triangles(self, *, chunk: int = 1_500_000,
+                  local_keys_limit: int = 64_000_000,
+                  local_chunk: int = 262_144) -> ray.data.Dataset:
         """Per-vertex triangle counts on the resident actor pool —
         apps/clustering/triangles.h:43-157 (degree-ordered orientation,
         adjacency intersection via sorted-key probes). No driver-side
-        edge materialization: oriented edges are shipped actor→actor
-        once, wedges are enumerated in ``chunk``-bounded vectorized
-        rounds, probes route to the closing edge's owner. Requires a
-        symmetrized store (undirected degree == out-degree)."""
+        edge materialization. Two routes, auto-picked by oriented edge
+        count:
+
+        * **local closing** (≤ ``local_keys_limit`` oriented edges):
+          every actor merges the P sorted key shards once (O(E) per
+          actor — the shard refs themselves are plasma-shared per
+          node) and closes its own wedges with zero probe shipping and
+          zero driver rounds. This is the page-fault-aware path: the
+          r03 profile showed the routed loop's wall was ~99% first-touch
+          faults on per-chunk temporaries + plasma probe blocks.
+        * **routed probes** (above the limit): oriented edges shipped
+          actor→actor once, wedges enumerated in ``chunk``-bounded
+          rounds, probes routed to the closing edge's owner — per-actor
+          memory stays O(E/P); this is the 100×-scale shape.
+
+        Requires a symmetrized store (undirected degree == out-degree).
+        """
         if not self.store.meta.get("symmetrized"):
             raise ValueError("triangles needs build_graph(symmetrize=True)")
         t0 = time.perf_counter()
         deg_parts = [a.tri_deg_part.remote() for a in self.actors]
         blocks = [a.tri_ingest.remote(*deg_parts) for a in self.actors]
         ray.get([a.tri_adopt.remote(*blocks) for a in self.actors])
-        # probes only ACCUMULATE into per-actor credit vectors, so
-        # rounds need no ordering: submit the next wedge chunk before
-        # collecting probes and only barrier once at the end (wedge
-        # enumeration and probing pipeline across actors).
-        # tri_wedges uses num_returns=2 so the driver reads only the
-        # tiny has_more flag; the packed wedge block routes actor→actor
-        # by reference through plasma (every probe actor maps the same
-        # buffer read-only and slices its rows — no driver relay, no
-        # P× re-shipping of wedge bytes).
-        alive = list(range(self.P))
-        probe_refs = []
-        wedge_refs = {
-            p: self.actors[p].tri_wedges.options(num_returns=2).remote(chunk)
-            for p in alive}
-        while alive:
-            more = ray.get([wedge_refs[p][0] for p in alive])
-            round_blocks = [wedge_refs[p][1] for p in alive]
-            nxt = [p for p, m in zip(alive, more) if m]
+        oriented_e = self.store.meta["num_edges"] // 2
+        if oriented_e <= local_keys_limit:
+            key_refs = [a.tri_keys.remote() for a in self.actors]
+            ray.get([a.tri_merge_keys.remote(*key_refs)
+                     for a in self.actors])
+            ray.get([a.tri_count_local.remote(local_chunk)
+                     for a in self.actors])
+        else:
+            # probes only ACCUMULATE into per-actor credit vectors, so
+            # rounds need no ordering: submit the next wedge chunk
+            # before collecting probes and only barrier once at the
+            # end. tri_wedges uses num_returns=2 so the driver reads
+            # only the tiny has_more flag; the packed wedge block
+            # routes actor→actor by reference through plasma (every
+            # probe actor maps the same buffer read-only and slices
+            # its rows — no driver relay, no P× re-shipping).
+            alive = list(range(self.P))
+            probe_refs = []
             wedge_refs = {
                 p: self.actors[p].tri_wedges.options(
                     num_returns=2).remote(chunk)
-                for p in nxt}
-            probe_refs.extend(
-                a.tri_probe.remote(*round_blocks) for a in self.actors)
-            alive = nxt
-        ray.get(probe_refs)
+                for p in alive}
+            while alive:
+                more = ray.get([wedge_refs[p][0] for p in alive])
+                round_blocks = [wedge_refs[p][1] for p in alive]
+                nxt = [p for p, m in zip(alive, more) if m]
+                wedge_refs = {
+                    p: self.actors[p].tri_wedges.options(
+                        num_returns=2).remote(chunk)
+                    for p in nxt}
+                probe_refs.extend(
+                    a.tri_probe.remote(*round_blocks) for a in self.actors)
+                alive = nxt
+            ray.get(probe_refs)
         slices = [a.tri_counts.remote() for a in self.actors]
         ray.get([a.tri_collect.remote(*slices) for a in self.actors])
         self.superstep_seconds += time.perf_counter() - t0

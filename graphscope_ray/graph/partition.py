@@ -1338,30 +1338,22 @@ class GraphPartition:
         wc = outdeg * (outdeg - 1) // 2
         self.state["tri"] = {
             "indptr": indptr, "nbr": b, "keys": keys,
+            "outdeg": outdeg,
             "wc": wc, "wc_cum": np.cumsum(wc),
             "cursor": 0,  # next wedge (flat index over local sources)
             "credit": np.zeros(self.V, dtype=np.int64),
+            # perf counters (seconds inside the two hot methods; read
+            # back by tri_stats for the orchestration-overhead split)
+            "t_wedge": 0.0, "t_probe": 0.0, "n_probe_rows": 0,
         }
         return int(wc.sum())
 
-    def tri_wedges(self, chunk: int):
-        """Enumerate the next ≤``chunk`` wedges → ``(has_more, block)``
-        where block is the packed probe rows (u, key=v*V+w) grouped by
-        owner v % P, or None when this call produced nothing. Called
-        with ``num_returns=2`` so the DRIVER only ever reads the tiny
-        has_more flag — the block object routes actor→actor through
-        plasma (the r03 fix: the old single-return protocol made the
-        driver ray.get every wedge block and re-ship it by value to
-        all P probe actors). Fully vectorized (triangular-index
-        inversion)."""
+    def _tri_enum(self, lo: int, hi: int):
+        """Vectorized wedge enumeration for the flat wedge range
+        ``[lo, hi)`` over this partition's oriented CSR → ``(u, v, w)``
+        with ord(v) < ord(w) — triangular-index inversion, no Python
+        loop over wedges."""
         s = self.state["tri"]
-        total = int(s["wc_cum"][-1]) if len(s["wc_cum"]) else 0
-        lo = s["cursor"]
-        if lo >= total:
-            return False, None
-        hi = min(lo + chunk, total)
-        s["cursor"] = hi
-        has_more = hi < total
         wc_cum = s["wc_cum"]
         # sources overlapping the flat wedge range [lo, hi)
         first = int(np.searchsorted(wc_cum, lo, side="right"))
@@ -1376,12 +1368,12 @@ class GraphPartition:
                                        take_lo[keep], cnt[keep])
         T = int(cnt.sum())
         if T == 0:
-            return has_more, None
+            return None
         src_rep = np.repeat(srcs, cnt)
         k = (np.arange(T, dtype=np.int64)
              - np.repeat(np.cumsum(cnt) - cnt, cnt)
              + np.repeat(take_lo - start_w, cnt))  # pair idx in source
-        d = np.diff(s["indptr"])[src_rep].astype(np.float64)
+        d = s["outdeg"][src_rep].astype(np.float64)
         # invert triangular index k -> (i, j), 0 <= i < j < d
         i = (d - 2 - np.floor(
             (np.sqrt(4 * d * (d - 1) - 8 * k.astype(np.float64) - 7) - 1)
@@ -1392,12 +1384,102 @@ class GraphPartition:
         v = s["nbr"][base + i]
         w = s["nbr"][base + j]
         u = src_rep * self.P + self.p  # local source -> global vid
+        return u, v, w
+
+    def tri_wedges(self, chunk: int):
+        """Enumerate the next ≤``chunk`` wedges → ``(has_more, block)``
+        where block is the packed probe rows (u, key=v*V+w) grouped by
+        owner v % P, or None when this call produced nothing. Called
+        with ``num_returns=2`` so the DRIVER only ever reads the tiny
+        has_more flag — the block object routes actor→actor through
+        plasma (the r03 fix: the old single-return protocol made the
+        driver ray.get every wedge block and re-ship it by value to
+        all P probe actors)."""
+        import time as _time
+        _t0 = _time.perf_counter()
+        s = self.state["tri"]
+        total = int(s["wc_cum"][-1]) if len(s["wc_cum"]) else 0
+        lo = s["cursor"]
+        if lo >= total:
+            return False, None
+        hi = min(lo + chunk, total)
+        s["cursor"] = hi
+        has_more = hi < total
+        enum = self._tri_enum(lo, hi)
+        if enum is None:
+            return has_more, None
+        u, v, w = enum
         key = v * np.int64(self.V) + w
         part = v % self.P
         order = _part_order(part, self.P)
         u, key, part = u[order], key[order], part[order]
         bounds = np.searchsorted(part, np.arange(self.P + 1))
+        s["t_wedge"] += _time.perf_counter() - _t0
         return has_more, ("P", bounds, u, key)
+
+    def tri_keys(self):
+        """This partition's sorted oriented-edge key shard (for the
+        local-closing fast path — the driver fans the P shard refs back
+        to every actor, which merges them once)."""
+        return self.state["tri"]["keys"]
+
+    def tri_merge_keys(self, *shards):
+        """Merge all P sorted key shards into one sorted global key
+        array held locally. O(E_oriented) memory PER ACTOR (per node
+        via plasma-shared inputs; the merged copy is private) — the
+        driver only takes this route below ``local_keys_limit``; above
+        it the routed tri_wedges/tri_probe protocol keeps per-actor
+        memory at O(E/P)."""
+        parts = [sh for sh in shards if len(sh)]
+        gk = (np.concatenate(parts) if parts
+              else np.array([], dtype=np.int64))
+        gk.sort()
+        self.state["tri"]["gkeys"] = gk
+        return len(gk)
+
+    def tri_count_local(self, chunk: int = 262_144) -> int:
+        """Close ALL of this partition's wedges against the merged
+        global key set — zero probe shipping, zero driver rounds. The
+        page-fault-aware fast path (r03 profile: tri_wedges was ~99%
+        of the 9.7 s clean-window triangles wall, and that time is
+        first-touch page faults on ~400 MB of fresh temporaries per
+        actor, not CPU): small internal chunks keep the scratch
+        high-water mark at ~30×chunk×8 B, faulted once and then reused
+        by glibc across the remaining iterations (mallopt in
+        graphscope_ray.__init__ pins large blocks to the heap)."""
+        import time as _time
+        _t0 = _time.perf_counter()
+        s = self.state["tri"]
+        gk = s["gkeys"]
+        total = int(s["wc_cum"][-1]) if len(s["wc_cum"]) else 0
+        credit = s["credit"]
+        V = np.int64(self.V)
+        hits = 0
+        small_v = self.V <= 16_000_000
+        for lo in range(0, total, chunk):
+            enum = self._tri_enum(lo, min(lo + chunk, total))
+            if enum is None:
+                continue
+            u, v, w = enum
+            key = v * V + w
+            if len(gk):
+                pos = np.searchsorted(gk, key)
+                pos = np.clip(pos, 0, len(gk) - 1)
+                closed = gk[pos] == key
+            else:
+                closed = np.zeros(len(key), dtype=bool)
+            n = int(closed.sum())
+            if n:
+                corners = np.concatenate(
+                    (u[closed], v[closed], w[closed]))
+                if small_v:
+                    credit += np.bincount(corners, minlength=self.V)
+                else:
+                    np.add.at(credit, corners, 1)
+                hits += n
+        s["n_probe_rows"] += total
+        s["t_wedge"] += _time.perf_counter() - _t0
+        return hits
 
     def tri_probe(self, *blocks):
         """Close wedges against the local key set; credit all three
@@ -1406,6 +1488,8 @@ class GraphPartition:
         the V-length scratch is cheap (bincount streams ~10× faster
         than np.add.at's per-element scatter); huge-V graphs fall back
         to add.at rather than allocating GB-scale scratch per call."""
+        import time as _time
+        _t0 = _time.perf_counter()
         s = self.state["tri"]
         msgs = self._unpack(blocks)
         parts = [m for m in msgs if m is not None and len(m[0])]
@@ -1430,7 +1514,18 @@ class GraphPartition:
                 s["credit"] += np.bincount(corners, minlength=self.V)
             else:
                 np.add.at(s["credit"], corners, 1)
+        s["t_probe"] += _time.perf_counter() - _t0
+        s["n_probe_rows"] += sum(len(m[0]) for m in parts)
         return hits
+
+    def tri_stats(self):
+        """Perf counters: seconds spent inside tri_wedges / tri_probe
+        on this actor plus probe-row volume (profiling aid)."""
+        s = self.state.get("tri", {})
+        return {"t_wedge": s.get("t_wedge", 0.0),
+                "t_probe": s.get("t_probe", 0.0),
+                "n_probe_rows": s.get("n_probe_rows", 0),
+                "wedges": int(s["wc"].sum()) if "wc" in s else 0}
 
     def tri_counts(self):
         """Split the credit vector into sparse per-owner slices."""

@@ -26,6 +26,8 @@ def canon_pairs(e):
     return np.unique(np.stack([lo[keep], hi[keep]], axis=1), axis=0)
 
 
+@pytest.mark.parametrize("local_limit", [64_000_000, 0],
+                         ids=["local-close", "routed-probes"])
 @pytest.mark.parametrize("P", [1, 2, 5])
 @pytest.mark.parametrize(
     "edges,n",
@@ -37,11 +39,12 @@ def canon_pairs(e):
         (random_graph(seed=7, n=40, m=300), 40),
     ],
 )
-def test_actor_triangles_matches_oracle(tmp_path, P, edges, n):
-    store = build_graph(edges_ds(edges), str(tmp_path / f"t{P}"),
+def test_actor_triangles_matches_oracle(tmp_path, P, edges, n, local_limit):
+    store = build_graph(edges_ds(edges), str(tmp_path / f"t{P}{local_limit}"),
                         num_parts=P, num_vertices=n, symmetrize=True)
     eng = BSPEngine(store)
-    got = collect(eng.triangles(chunk=64), "tri_cnt", n)
+    got = collect(eng.triangles(chunk=64, local_keys_limit=local_limit),
+                  "tri_cnt", n)
     want = oracle.triangles_per_vertex(canon_pairs(edges), n)
     np.testing.assert_array_equal(got, want)
     eng.shutdown()
@@ -66,6 +69,20 @@ def test_actor_triangles_with_hub_split(tmp_path):
     assert len(store.hubs) > 0  # the hub's edges really moved
     eng = BSPEngine(store)
     got = collect(eng.triangles(), "tri_cnt", n)
+    want = oracle.triangles_per_vertex(canon_pairs(e), n)
+    np.testing.assert_array_equal(got, want)
+    eng.shutdown()
+
+
+def test_local_close_chunk_boundaries(tmp_path):
+    # force many tiny internal chunks through tri_count_local so the
+    # flat-range enumeration boundaries (wedge ranges straddling
+    # chunk edges) are exercised on the local-closing route
+    e, n = random_graph(seed=11, n=70, m=700), 70
+    store = build_graph(edges_ds(e), str(tmp_path / "tc"), num_parts=4,
+                        num_vertices=n, symmetrize=True)
+    eng = BSPEngine(store)
+    got = collect(eng.triangles(local_chunk=37), "tri_cnt", n)
     want = oracle.triangles_per_vertex(canon_pairs(e), n)
     np.testing.assert_array_equal(got, want)
     eng.shutdown()
