@@ -33,21 +33,39 @@ def exact_dedup(ds: ray.data.Dataset, col: str = "text",
                 key: str = "doc_id") -> ray.data.Dataset:
     """Keep the minimum key per identical ``col`` value → (key,
     dup_count). Hash-partition by content digest (no raw-content
-    shuffle: only the md5 + key move)."""
+    shuffle: only the 128-bit md5 + key move, packed as two int64
+    columns). One coarse 32-bucket groupby + a vectorized multi-group
+    kernel — not a per-distinct-digest map_groups dispatch (see
+    pipelines/partgraph.py on why that is ~12× slower at 10^4+
+    groups). Grouping stays on the FULL 128-bit digest; the coarse
+    bucket only routes."""
 
     def digest(df: pd.DataFrame) -> pd.DataFrame:
-        h = df[col].fillna("").map(
-            lambda s: hashlib.md5(s.encode("utf-8", "surrogatepass")).hexdigest()
-        )
-        return pd.DataFrame({key: df[key], "_h": h})
+        raw = [hashlib.md5(s.encode("utf-8", "surrogatepass")).digest()
+               for s in df[col].fillna("")]
+        h = (np.frombuffer(b"".join(raw), dtype=np.int64).reshape(-1, 2)
+             if raw else np.empty((0, 2), dtype=np.int64))
+        return pd.DataFrame({key: df[key].to_numpy(),
+                             "_h1": h[:, 0], "_h2": h[:, 1],
+                             "_cb": np.mod(h[:, 0], 32)})
 
     hashed = ds.map_batches(digest, batch_format="pandas")
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return pd.DataFrame({key: [g[key].min()],
-                             "dup_count": [np.int64(len(g))]})
+        if not len(g):
+            return pd.DataFrame({key: pd.Series([], dtype="int64"),
+                                 "dup_count": pd.Series([], dtype="int64")})
+        h1, h2 = g["_h1"].to_numpy(), g["_h2"].to_numpy()
+        ky = g[key].to_numpy()
+        order = np.lexsort((ky, h2, h1))
+        h1, h2, ky = h1[order], h2[order], ky[order]
+        starts = np.flatnonzero(
+            np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])
+        cnt = np.diff(np.r_[starts, len(h1)])
+        return pd.DataFrame({key: ky[starts],  # key-sorted ⇒ group min
+                             "dup_count": cnt.astype(np.int64)})
 
-    return hashed.groupby("_h").map_groups(keep_min, batch_format="pandas")
+    return hashed.groupby("_cb").map_groups(keep_min, batch_format="pandas")
 
 
 # ----------------------------------------------------------------------
@@ -102,34 +120,80 @@ def minhash_signatures(ds: ray.data.Dataset, *, col="text", key="doc_id",
     )
 
 
+_PAIR_SLICE = 200_000  # pairs per signature-compare slice (memory cap)
+
+
 def _pairs_dataset_from_buckets(bucketed: ray.data.Dataset, key: str,
                                 num_perm: int, threshold: float,
                                 max_bucket: int) -> ray.data.Dataset:
     """bucket rows (band_key, key, sig) → verified duplicate-pair
     Dataset (estimated Jaccard = matching-minhash fraction ≥
     threshold). May contain the same (a, b) pair once per matching
-    band — downstream WCC/union-find is idempotent to duplicates."""
+    band — downstream WCC/union-find is idempotent to duplicates.
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    Shuffle shape: ONE coarse groupby over ``band_key % 32`` with a
+    single vectorized multi-group kernel per coarse bucket — NOT
+    ``groupby(band_key).map_groups``, whose per-distinct-key Python
+    dispatch (~100 µs each) dominates wall time once band buckets
+    reach 10^4 (the partgraph derivation measured the same shape at
+    ~12× — see pipelines/partgraph.py module docstring)."""
+
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64"),
+                          "est_jaccard": pd.Series([], dtype="float64")})
+
+    def pairs_coarse(g: pd.DataFrame) -> pd.DataFrame:
         if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "est_jaccard": pd.Series([], dtype="float64")})
-        g = g.sort_values(key).head(max_bucket)
-        keys = g[key].to_numpy()
-        sigs = np.stack([
-            np.frombuffer(s, dtype=np.int64) for s in g["sig"]
-        ])
-        i, j = np.triu_indices(len(keys), k=1)
-        match = (sigs[i] == sigs[j]).mean(axis=1)
-        keep = match >= threshold
-        return pd.DataFrame({
-            "a": keys[i][keep], "b": keys[j][keep],
-            "est_jaccard": np.round(match[keep], 6),
-        })
+            return empty
+        bk = g["band_key"].to_numpy()
+        ky = g[key].to_numpy()
+        # sort by (band_key, key): within-group key order matches the
+        # per-group `sort_values(key)` of the reference shape
+        order = np.lexsort((ky, bk))
+        bk, ky = bk[order], ky[order]
+        sigm = (np.frombuffer(b"".join(g["sig"].to_numpy()[order]),
+                              dtype=np.int64).reshape(len(g), num_perm))
+        # group boundaries + in-group offsets, then cap each band
+        # bucket at max_bucket members (skew guard, same semantics as
+        # head(max_bucket) on the key-sorted group)
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        cnt = np.diff(np.r_[starts, len(bk)])
+        r = np.arange(len(bk)) - np.repeat(starts, cnt)
+        m = r < max_bucket
+        bk, ky, sigm, r = bk[m], ky[m], sigm[m], r[m]
+        if not len(bk):
+            return empty
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        cnt = np.diff(np.r_[starts, len(bk)])
+        elem_start = np.repeat(starts, cnt)
+        # pair-index expansion (pipelines/partgraph.pairs_in_bucket):
+        # element at in-group offset r pairs as SECOND with each of its
+        # r predecessors
+        second = np.repeat(np.arange(len(bk)), r)
+        if not len(second):
+            return empty
+        off = np.cumsum(r) - r
+        first = (np.arange(len(second)) - np.repeat(off, r)
+                 + np.repeat(elem_start, r))
+        outs = []
+        for lo in range(0, len(second), _PAIR_SLICE):
+            fi = first[lo:lo + _PAIR_SLICE]
+            se = second[lo:lo + _PAIR_SLICE]
+            match = (sigm[fi] == sigm[se]).mean(axis=1)
+            keep = match >= threshold
+            if keep.any():
+                outs.append(pd.DataFrame({
+                    "a": ky[fi[keep]], "b": ky[se[keep]],
+                    "est_jaccard": np.round(match[keep], 6)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    return bucketed.groupby("band_key").map_groups(
-        pairs, batch_format="pandas")
+    def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_cb"] = np.mod(df["band_key"].to_numpy(), 32).astype(np.int64)
+        return df
+
+    return bucketed.map_batches(add_coarse, batch_format="pandas") \
+        .groupby("_cb").map_groups(pairs_coarse, batch_format="pandas")
 
 
 def _group_pairs_from_buckets(bucketed: ray.data.Dataset, key: str,
@@ -321,6 +385,37 @@ def _popcount64(x: np.ndarray) -> np.ndarray:
         np.int64)
 
 
+def dedup_pair_rows(pairs: ray.data.Dataset) -> ray.data.Dataset:
+    """Distributed drop-duplicates on (a, b) pair rows whose duplicate
+    rows are bitwise identical (the extra columns are functions of the
+    pair): one coarse 32-bucket groupby + a vectorized first-per-pair
+    kernel — NOT ``groupby(["a","b"]).map_groups`` (a Python dispatch
+    per distinct pair, plus Ray 2.49's multi-column groupby tax; see
+    pipelines/partgraph.py)."""
+
+    def add_pb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        a = df["a"].to_numpy().astype(np.uint64)
+        b = df["b"].to_numpy().astype(np.uint64)
+        df["_pb"] = np.mod(fmix64(a * np.uint64(0x9E3779B97F4A7C15) ^ b),
+                           np.uint64(32)).astype(np.int64)
+        return df
+
+    def first_per_pair(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_pb"])
+        if not len(g):
+            return g
+        a, b = g["a"].to_numpy(), g["b"].to_numpy()
+        order = np.lexsort((b, a))
+        sa, sb = a[order], b[order]
+        starts = order[np.flatnonzero(
+            np.r_[True, (sa[1:] != sa[:-1]) | (sb[1:] != sb[:-1])])]
+        return g.iloc[starts].reset_index(drop=True)
+
+    return pairs.map_batches(add_pb, batch_format="pandas") \
+        .groupby("_pb").map_groups(first_per_pair, batch_format="pandas")
+
+
 def simhash_pairs_from_sigs(sigs: ray.data.Dataset, *, key="doc_id",
                             max_hamming: int = 3, max_bucket: int = 500,
                             max_driver_rows: int = 5_000_000):
@@ -364,17 +459,10 @@ def simhash_pairs_from_sigs(sigs: ray.data.Dataset, *, key="doc_id",
                           "b": pd.Series([], dtype="int64"),
                           "hamming": pd.Series([], dtype="int64")})
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return empty.copy()
-        g = g.sort_values(key)
-        keys = g[key].to_numpy()
-        sh = g["simhash"].to_numpy().astype(np.uint64)
-        if len(g) <= max_bucket:
-            a, b, h = pair_block(keys, sh)
-            return pd.DataFrame({"a": a, "b": b, "hamming": h})
-        # oversized bucket → sub-band the other 48 bits (4 × 12-bit)
-        blk = int(g["band_key"].iloc[0]) & 3
+    def pairs_one_group(keys, sh, band_key) -> tuple:
+        """One oversized band bucket → sub-band the other 48 bits
+        (4 × 12-bit); rows arrive key-sorted."""
+        blk = int(band_key) & 3
         parts = [((sh >> np.uint64(16 * t)) & np.uint64(0xFFFF))
                  for t in range(4) if t != blk]
         rest = parts[0] | (parts[1] << np.uint64(16)) | (
@@ -398,24 +486,68 @@ def simhash_pairs_from_sigs(sigs: ray.data.Dataset, *, key="doc_id",
                     hi = lo + max_bucket
                 a, b, h = pair_block(s_keys[lo:hi], s_sh[lo:hi])
                 av.append(a); bv.append(b); hv.append(h)
+        return av, bv, hv
+
+    def pairs_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        """All band buckets of one coarse (band_key % 32) route in one
+        vectorized kernel — per-distinct-band-bucket map_groups
+        dispatch costs ~100 µs/group (see pipelines/partgraph.py);
+        only the RARE oversized buckets drop to per-group sub-banding."""
+        if len(g) < 2:
+            return empty.copy()
+        bk = g["band_key"].to_numpy()
+        ky = g[key].to_numpy()
+        sh = g["simhash"].to_numpy().astype(np.uint64)
+        order = np.lexsort((ky, bk))
+        bk, ky, sh = bk[order], ky[order], sh[order]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        cnt = np.diff(np.r_[starts, len(bk)])
+        av, bv, hv = [], [], []
+        big = cnt > max_bucket
+        if big.any():
+            for gi in np.flatnonzero(big):
+                lo, hi = starts[gi], starts[gi] + cnt[gi]
+                a1, b1, h1 = pairs_one_group(ky[lo:hi], sh[lo:hi], bk[lo])
+                av.extend(a1); bv.extend(b1); hv.extend(h1)
+            keep_rows = ~np.repeat(big, cnt)
+            bk, ky, sh = bk[keep_rows], ky[keep_rows], sh[keep_rows]
+            starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+            cnt = np.diff(np.r_[starts, len(bk)])
+        if len(bk):
+            r = np.arange(len(bk)) - np.repeat(starts, cnt)
+            second = np.repeat(np.arange(len(bk)), r)
+            if len(second):
+                off = np.cumsum(r) - r
+                first = (np.arange(len(second)) - np.repeat(off, r)
+                         + np.repeat(np.repeat(starts, cnt), r))
+                ham = _popcount64(sh[first] ^ sh[second])
+                kp = ham <= max_hamming
+                av.append(ky[first[kp]])
+                bv.append(ky[second[kp]])
+                hv.append(ham[kp])
         if not av:
             return empty.copy()
         return pd.DataFrame({"a": np.concatenate(av),
                              "b": np.concatenate(bv),
                              "hamming": np.concatenate(hv)})
 
-    out = bucketed.groupby("band_key").map_groups(
-        pairs, batch_format="pandas")
+    def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_cb"] = np.mod(df["band_key"].to_numpy(), 32).astype(np.int64)
+        return df
+
+    out = bucketed.map_batches(add_coarse, batch_format="pandas") \
+        .groupby("_cb").map_groups(pairs_coarse, batch_format="pandas")
     out = out.materialize()  # consumed twice: count + route
     if out.count() > max_driver_rows:
         # scale route: distributed pair dedup (same (a, b) appears once
-        # per shared block), result stays a Dataset
+        # per shared block; duplicate rows are identical since hamming
+        # is a function of the pair), result stays a Dataset
         warnings.warn(
             "simhash_dedup: pair rows exceed max_driver_rows "
             f"({max_driver_rows}); returning a ray.data.Dataset instead "
             "of a pandas frame (scale route)", stacklevel=2)
-        return out.groupby(["a", "b"]).map_groups(
-            lambda g: g.head(1), batch_format="pandas")
+        return dedup_pair_rows(out)
     pdf = out.to_pandas()
     return pdf.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
 
@@ -508,22 +640,49 @@ def _cogroup_attach_grams(pairs_ds: ray.data.Dataset,
         out["_kind"] = np.full(len(df), 1, dtype=np.int8)
         return out
 
-    both = pairs_ds.map_batches(tag_pairs, batch_format="pandas").union(
-        grams.map_batches(tag_grams, batch_format="pandas"))
+    def add_cb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_cb"] = np.mod(df["_k"].to_numpy(), 32).astype(np.int64)
+        return df
 
-    def attach(g: pd.DataFrame) -> pd.DataFrame:
-        gv = g[g["_kind"] == 1]
-        pr = g[g["_kind"] == 0]
-        if not len(gv) or not len(pr):
-            pr = pr.iloc[:0]
-            val = b""
-        else:
-            val = gv["_gv"].iloc[0]
-        out = pr.rename(columns={"_k": side})
-        out[gcol] = val
-        return out.drop(columns=["_gv", "_kind"])
+    both = pairs_ds.map_batches(tag_pairs, batch_format="pandas") \
+        .map_batches(add_cb, batch_format="pandas").union(
+            grams.map_batches(tag_grams, batch_format="pandas")
+            .map_batches(add_cb, batch_format="pandas"))
 
-    return both.groupby("_k").map_groups(attach, batch_format="pandas")
+    def attach_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized kernel per coarse (_k % 32) route: sort by
+        # (_k, _kind) so each key group's single gram row (if any)
+        # comes last, then gather it onto the group's pair rows —
+        # per-distinct-doc-id map_groups dispatch is the slow shape
+        # (see pipelines/partgraph.py)
+        g = g.drop(columns=["_cb"])
+        base = (g.iloc[:0].drop(columns=["_gv", "_kind"])
+                .rename(columns={"_k": side}))
+        base[gcol] = pd.Series([], dtype=object)
+        if not len(g):
+            return base
+        k = g["_k"].to_numpy()
+        kind = g["_kind"].to_numpy()
+        order = np.lexsort((kind, k))
+        ks, kinds = k[order], kind[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        cnt = np.diff(np.r_[starts, len(ks)])
+        last = starts + cnt - 1
+        has_gram = kinds[last] == 1
+        gid = np.repeat(np.arange(len(starts)), cnt)
+        gv_sorted = g["_gv"].to_numpy()[order]
+        row_keep = (kinds == 0) & has_gram[gid]
+        if not row_keep.any():
+            return base
+        out = (g.iloc[order[row_keep]]
+               .rename(columns={"_k": side})
+               .drop(columns=["_gv", "_kind"]))
+        out[gcol] = gv_sorted[last][gid[row_keep]]
+        return out.reset_index(drop=True)
+
+    return both.groupby("_cb").map_groups(
+        attach_coarse, batch_format="pandas")
 
 
 def ngram_jaccard_pairs(ds: ray.data.Dataset, candidate_pairs,
@@ -607,17 +766,43 @@ def fingerprint_jaccard_pairs(
 
     fps = fingerprint(ds, col=col, key=key, k=fp_k)
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64")})
-        g = g.sort_values(key).head(max_bucket)
-        ids = g[key].to_numpy()
-        i, j = np.triu_indices(len(ids), k=1)
-        return pd.DataFrame({"a": ids[i], "b": ids[j]})
+    empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                          "b": pd.Series([], dtype="int64")})
 
-    cand_ds = fps.groupby("fingerprint").map_groups(
-        pairs, batch_format="pandas").materialize()
+    def pairs_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        # all fingerprint buckets of one coarse (fp % 32) route in one
+        # vectorized multi-group kernel (cap each bucket at max_bucket
+        # key-sorted members; see pipelines/partgraph.py for why
+        # per-distinct-fingerprint map_groups dispatch is the slow shape)
+        if len(g) < 2:
+            return empty
+        fp = g["fingerprint"].to_numpy()
+        ky = g[key].to_numpy()
+        order = np.lexsort((ky, fp))
+        fp, ky = fp[order], ky[order]
+        starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+        cnt = np.diff(np.r_[starts, len(fp)])
+        r = np.arange(len(fp)) - np.repeat(starts, cnt)
+        m = r < max_bucket
+        fp, ky, r = fp[m], ky[m], r[m]
+        starts = np.flatnonzero(np.r_[True, fp[1:] != fp[:-1]])
+        cnt = np.diff(np.r_[starts, len(fp)])
+        second = np.repeat(np.arange(len(fp)), r)
+        if not len(second):
+            return empty
+        off = np.cumsum(r) - r
+        first = (np.arange(len(second)) - np.repeat(off, r)
+                 + np.repeat(np.repeat(starts, cnt), r))
+        return pd.DataFrame({"a": ky[first], "b": ky[second]})
+
+    def add_coarse(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_cb"] = np.mod(df["fingerprint"].to_numpy(), 32).astype(np.int64)
+        return df
+
+    cand_ds = fps.map_batches(add_coarse, batch_format="pandas") \
+        .groupby("_cb").map_groups(
+            pairs_coarse, batch_format="pandas").materialize()
     npairs = cand_ds.count()
     if not npairs:
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),

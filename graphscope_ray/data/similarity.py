@@ -220,9 +220,28 @@ def lsh_ann_topk(
     cand_ds = bucketed.map_batches(probe, batch_format="pyarrow")
     # distributed dedup (a vector appears once per matching table) and
     # distributed exact rerank — the r01 driver-side to_pandas rerank
-    # is gone; only k·Q·#batches partial-top-k rows ever shuffle
-    cand_ds = cand_ds.groupby(key).map_groups(
-        lambda g: g.head(1), batch_format="pandas")
+    # is gone; only k·Q·#batches partial-top-k rows ever shuffle.
+    # Dedup = one coarse 32-bucket groupby + a vectorized first-per-key
+    # kernel (per-distinct-key map_groups dispatch is the slow shape;
+    # see pipelines/partgraph.py)
+
+    def add_cb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_cb"] = np.mod(df[key].to_numpy(), 32).astype(np.int64)
+        return df
+
+    def first_per_key(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.drop(columns=["_cb"])
+        if not len(g):
+            return g
+        kv = g[key].to_numpy()
+        order = np.argsort(kv, kind="stable")
+        ks = kv[order]
+        starts = order[np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])]
+        return g.iloc[starts].reset_index(drop=True)
+
+    cand_ds = cand_ds.map_batches(add_cb, batch_format="pandas") \
+        .groupby("_cb").map_groups(first_per_key, batch_format="pandas")
     if cand_ds.count() == 0:
         return pd.DataFrame(columns=["query_id", key, "cosine", "rank"])
     return ann_topk(cand_ds, queries, k=k, key=key, col=col)

@@ -79,26 +79,54 @@ def cogroup_join(
         out["_kind"] = np.full(len(df), 1, dtype=np.int8)
         return out
 
-    both = left.map_batches(tag_left, batch_format="pandas").union(
-        right.map_batches(tag_right, batch_format="pandas"))
+    def add_cb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_cb"] = np.mod(df["_k"].to_numpy(), 32).astype(np.int64)
+        return df
 
-    def expand(g: pd.DataFrame) -> pd.DataFrame:
-        l_ = g[g["_kind"] == 0]
-        r_ = g[g["_kind"] == 1]
-        nl, nr = len(l_), len(r_)
-        if not nl or not nr:
-            out = l_.iloc[:0]
-        else:
-            # cross product within the key group: left rows repeat,
-            # right values tile
-            out = l_.loc[l_.index.repeat(nr)].copy()
-            for c in value_cols:
-                out[c] = np.tile(r_[c].to_numpy(), nl)
-        out = out.rename(columns={"_k": on})
-        return out.drop(columns=["_kind"])[
-            [on] + lcarry + list(value_cols)]
+    both = left.map_batches(tag_left, batch_format="pandas") \
+        .map_batches(add_cb, batch_format="pandas").union(
+            right.map_batches(tag_right, batch_format="pandas")
+            .map_batches(add_cb, batch_format="pandas"))
 
-    return both.groupby("_k").map_groups(expand, batch_format="pandas")
+    def expand_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        # every key group of one coarse (_k % 32) route expands in one
+        # vectorized cross-product kernel — per-distinct-key map_groups
+        # dispatch costs ~100 µs/group (see pipelines/partgraph.py)
+        out_cols = [on] + lcarry + list(value_cols)
+        g = g.drop(columns=["_cb"])
+        if not len(g):
+            return (g.rename(columns={"_k": on})
+                    .drop(columns=["_kind"])[out_cols])
+        k = g["_k"].to_numpy()
+        kind = g["_kind"].to_numpy()
+        order = np.lexsort((kind, k))  # lefts precede rights per key
+        ks, kinds = k[order], kind[order]
+        starts = np.flatnonzero(np.r_[True, ks[1:] != ks[:-1]])
+        cnt = np.diff(np.r_[starts, len(ks)])
+        gid = np.repeat(np.arange(len(starts)), cnt)
+        is_l = kinds == 0
+        l_cnt = np.bincount(gid[is_l], minlength=len(starts))
+        r_cnt = cnt - l_cnt
+        left_pos = np.flatnonzero(is_l)
+        reps = r_cnt[gid[left_pos]]
+        total = int(reps.sum())
+        if total == 0:
+            return (g.iloc[:0].rename(columns={"_k": on})
+                    .drop(columns=["_kind"])[out_cols])
+        out_left = np.repeat(left_pos, reps)          # sorted positions
+        block_start = np.cumsum(reps) - reps
+        woff = np.arange(total) - np.repeat(block_start, reps)
+        r_start = starts + l_cnt                      # first right row
+        out_right = np.repeat(r_start[gid[left_pos]], reps) + woff
+        out = (g.iloc[order[out_left]]
+               .rename(columns={"_k": on}).drop(columns=["_kind"]))
+        for c in value_cols:
+            out[c] = g[c].to_numpy()[order[out_right]]
+        return out[out_cols].reset_index(drop=True)
+
+    return both.groupby("_cb").map_groups(
+        expand_coarse, batch_format="pandas")
 
 
 def _attach_lookup_fn(ref, on, value_names, defaults):

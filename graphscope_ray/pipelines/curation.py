@@ -50,6 +50,10 @@ class _Curator:
         quality = round_half_away(
             ar * np.minimum(1.0, n_tokens / 100.0), 6)
         keep = (lang_pred == self.lang) & (quality >= self.min_quality)
+        raw = [hashlib.md5(t.encode("utf-8", "surrogatepass")).digest()
+               for t in df.loc[keep, self.col].fillna("")]
+        h = (np.frombuffer(b"".join(raw), dtype=np.int64).reshape(-1, 2)
+             if raw else np.empty((0, 2), dtype=np.int64))
         # dtypes pinned explicitly: an all-rejected batch would
         # otherwise emit float64 empties that break the digest sort
         return pd.DataFrame({
@@ -57,10 +61,8 @@ class _Curator:
             "lang_pred": pd.Series(lang_pred[keep], dtype="object"),
             "quality": quality[keep].astype(np.float64),
             "n_tokens": n_tokens[keep].astype(np.int64),
-            "_h": pd.Series(
-                [hashlib.md5(t.encode("utf-8", "surrogatepass")).hexdigest()
-                 for t in df.loc[keep, self.col].fillna("")],
-                dtype="object"),
+            "_h1": h[:, 0], "_h2": h[:, 1],
+            "_cb": np.mod(h[:, 0], 32),
         })
 
 
@@ -76,7 +78,20 @@ def curate(ds: ray.data.Dataset, *, col: str = "text",
         batch_format="pandas", concurrency=concurrency)
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
-        return (g.sort_values(key).head(1)
-                .drop(columns=["_h"]).reset_index(drop=True))
+        # one vectorized kernel per coarse digest bucket: sort by
+        # (digest, key), keep each digest group's first (= min-key) row
+        # — grouping stays on the full 128-bit digest, the 32-way _cb
+        # bucket only routes (per-distinct-digest map_groups dispatch
+        # costs ~100 µs/group; see pipelines/partgraph.py)
+        g = g.drop(columns=["_cb"])
+        if not len(g):
+            return g.drop(columns=["_h1", "_h2"])
+        h1, h2 = g["_h1"].to_numpy(), g["_h2"].to_numpy()
+        order = np.lexsort((g[key].to_numpy(), h2, h1))
+        h1, h2 = h1[order], h2[order]
+        starts = order[np.flatnonzero(
+            np.r_[True, (h1[1:] != h1[:-1]) | (h2[1:] != h2[:-1])])]
+        return (g.iloc[starts].drop(columns=["_h1", "_h2"])
+                .reset_index(drop=True))
 
-    return scored.groupby("_h").map_groups(keep_min, batch_format="pandas")
+    return scored.groupby("_cb").map_groups(keep_min, batch_format="pandas")
