@@ -729,19 +729,35 @@ def ngram_jaccard_pairs(ds: ray.data.Dataset, candidate_pairs,
         grams, side="b", key=key)
 
     def verify(df: pd.DataFrame) -> pd.DataFrame:
-        av, bv, jv = [], [], []
-        for a, b, gab, gbb in zip(df["a"].to_numpy(), df["b"].to_numpy(),
-                                  df["_ga"], df["_gb"]):
-            s_a = np.frombuffer(gab, dtype=np.uint64)
-            s_b = np.frombuffer(gbb, dtype=np.uint64)
-            inter = len(np.intersect1d(s_a, s_b, assume_unique=True))
-            jac = inter / max(1, len(s_a) + len(s_b) - inter)
-            if jac >= threshold:
-                av.append(a); bv.append(b); jv.append(jac)
+        """Batch-vectorized set intersection: tag every gram hash with
+        its pair index, lexsort (pair, hash), and count length-2 runs —
+        a hash present on both sides of a pair forms exactly one such
+        run (per-side gram sets are distinct). No Python loop over
+        pairs."""
+        n = len(df)
+        if not n:
+            return pd.DataFrame({
+                "a": pd.Series([], dtype="int64"),
+                "b": pd.Series([], dtype="int64"),
+                "jaccard": pd.Series([], dtype="float64")})
+        ga, gb = df["_ga"].to_numpy(), df["_gb"].to_numpy()
+        na = np.fromiter((len(x) for x in ga), dtype=np.int64, count=n) // 8
+        nb = np.fromiter((len(x) for x in gb), dtype=np.int64, count=n) // 8
+        hashes = np.frombuffer(b"".join(ga) + b"".join(gb), dtype=np.uint64)
+        pid = np.r_[np.repeat(np.arange(n, dtype=np.int64), na),
+                    np.repeat(np.arange(n, dtype=np.int64), nb)]
+        order = np.lexsort((hashes, pid))
+        hs, ps = hashes[order], pid[order]
+        new_run = np.r_[True, (ps[1:] != ps[:-1]) | (hs[1:] != hs[:-1])]
+        starts = np.flatnonzero(new_run)
+        rlen = np.diff(np.r_[starts, len(hs)])
+        inter = np.bincount(ps[starts[rlen == 2]], minlength=n)
+        jac = inter / np.maximum(1, na + nb - inter)
+        keep = jac >= threshold
         return pd.DataFrame({
-            "a": np.asarray(av, dtype=np.int64),
-            "b": np.asarray(bv, dtype=np.int64),
-            "jaccard": round_half_away(np.asarray(jv, dtype=np.float64), 6),
+            "a": df["a"].to_numpy()[keep].astype(np.int64),
+            "b": df["b"].to_numpy()[keep].astype(np.int64),
+            "jaccard": round_half_away(jac[keep].astype(np.float64), 6),
         })
 
     out = j.map_batches(verify, batch_format="pandas").to_pandas()
