@@ -188,12 +188,11 @@ class _RepetitionStats:
 
 
 def repetition_stats(ds: ray.data.Dataset, col: str = "text",
-                     key: str = "doc_id",
-                     concurrency=(1, 4)) -> ray.data.Dataset:
-    return ds.map_batches(
-        _RepetitionStats, fn_constructor_args=(col, key),
-        batch_format="pandas", concurrency=concurrency,
-    )
+                     key: str = "doc_id") -> ray.data.Dataset:
+    # one compiled regex per worker → task pool (see
+    # dedup.minhash_signatures for the actor-vs-task A/B)
+    return ds.map_batches(_RepetitionStats(col, key),
+                          batch_format="pandas")
 
 
 def vocab_topk(ds: ray.data.Dataset, k: int = 100, col: str = "text",

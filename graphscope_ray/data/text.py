@@ -1,8 +1,10 @@
 """Text analysis operators over a documents table.
 
 All operators are Ray Data batch transforms; regex/lexicon state is
-compiled once per actor (callable-class + ``concurrency``), vectorized
-via pandas string kernels / numpy inside the batch. Definitions are
+built once per pickled callable instance and shipped to a task pool
+(actor pools are reserved for stages with genuinely expensive state —
+e.g. decontamination's broadcast hash set), vectorized via pandas
+string kernels / numpy inside the batch. Definitions are
 chosen to be exactly reproducible in ANSI SQL where the driver's DuckDB
 oracle needs to replay them (token_count, quality_score).
 """
@@ -151,11 +153,10 @@ class _LangId:
 
 
 def lang_id(ds: ray.data.Dataset, col: str = "text",
-            key: str = "doc_id", concurrency=(1, 4)) -> ray.data.Dataset:
-    return ds.map_batches(
-        _LangId, fn_constructor_args=(col, key),
-        batch_format="pandas", concurrency=concurrency,
-    )
+            key: str = "doc_id") -> ray.data.Dataset:
+    # instance (task pool): the vote table is ~75 rows, so actor-pool
+    # spin-up costs more than it saves (see dedup.minhash_signatures)
+    return ds.map_batches(_LangId(col, key), batch_format="pandas")
 
 
 class _Fingerprint:
@@ -188,8 +189,6 @@ class _Fingerprint:
 
 
 def fingerprint(ds: ray.data.Dataset, col: str = "text", key: str = "doc_id",
-                k: int = 5, concurrency=(1, 4)) -> ray.data.Dataset:
-    return ds.map_batches(
-        _Fingerprint, fn_constructor_args=(col, key, k),
-        batch_format="pandas", concurrency=concurrency,
-    )
+                k: int = 5) -> ray.data.Dataset:
+    # stateless per worker → task pool (see dedup.minhash_signatures)
+    return ds.map_batches(_Fingerprint(col, key, k), batch_format="pandas")

@@ -28,8 +28,9 @@ from graphscope_ray.util import round_half_away
 
 
 class _Curator:
-    """Fused per-batch curation kernel (stateful: the langid vote
-    table compiles once per actor)."""
+    """Fused per-batch curation kernel (the langid vote table builds
+    once per pickled instance — shipped as a task-pool callable, see
+    dedup.minhash_signatures for the actor-vs-task A/B)."""
 
     def __init__(self, col: str, key: str, lang: str, min_quality: float):
         self.col, self.key = col, key
@@ -68,14 +69,12 @@ class _Curator:
 
 def curate(ds: ray.data.Dataset, *, col: str = "text",
            key: str = "doc_id", lang: str = "en",
-           min_quality: float = 0.1,
-           concurrency=(1, 8)) -> ray.data.Dataset:
+           min_quality: float = 0.1) -> ray.data.Dataset:
     """documents → (key, lang_pred, quality, n_tokens) of the curated
     set: ``lang``-language docs with quality ≥ ``min_quality``, exact
     duplicates collapsed to the minimum ``key`` per content digest."""
-    scored = ds.map_batches(
-        _Curator, fn_constructor_args=(col, key, lang, min_quality),
-        batch_format="pandas", concurrency=concurrency)
+    scored = ds.map_batches(_Curator(col, key, lang, min_quality),
+                            batch_format="pandas")
 
     def keep_min(g: pd.DataFrame) -> pd.DataFrame:
         # one vectorized kernel per coarse digest bucket: sort by
