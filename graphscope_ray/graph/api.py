@@ -478,24 +478,45 @@ def _triangles_broadcast(edges_pdf, num_shards: int) -> ray.data.Dataset:
 
     @ray.remote
     def shard(lo: int, hi: int) -> np.ndarray:
+        """Wedge expansion in ~256k-wedge chunks: the scratch arrays
+        are faulted once and then reused from the worker heap (one
+        monolithic expansion first-touches ~100 MB per shard, which
+        dominates wall time on slow-fault hosts — same analysis as
+        GraphPartition.tri_count_local)."""
         ip, nbrs, kk, bb = ray.get(ref)
-        u = kk[lo:hi] // bb
-        v = kk[lo:hi] % bb
-        starts, ends = ip[v], ip[v + 1]
-        cnt = ends - starts
-        tot = int(cnt.sum())
-        if tot == 0:
-            return np.zeros(int(bb), dtype=np.int64)
-        e_rep = np.repeat(np.arange(len(u)), cnt)
-        offs = np.arange(tot, dtype=np.int64) - np.repeat(
-            np.cumsum(cnt) - cnt, cnt)
-        w = nbrs[starts[e_rep] + offs]
-        uu = u[e_rep]
-        probe = uu * bb + w
-        pos = np.clip(np.searchsorted(kk, probe), 0, len(kk) - 1)
-        closed = kk[pos] == probe
-        allv = np.concatenate([uu[closed], v[e_rep][closed], w[closed]])
-        return np.bincount(allv, minlength=int(bb))
+        u_all = kk[lo:hi] // bb
+        v_all = kk[lo:hi] % bb
+        starts_all = ip[v_all]
+        cnt = ip[v_all + 1] - starts_all
+        out = np.zeros(int(bb), dtype=np.int64)
+        if not len(cnt):
+            return out
+        wcum = np.cumsum(cnt)
+        total = int(wcum[-1])
+        if total == 0:
+            return out
+        CH = 262_144
+        marks = np.searchsorted(wcum, np.arange(CH, total, CH))
+        bounds = np.unique(np.r_[0, marks, len(cnt)])
+        for i in range(len(bounds) - 1):
+            e0, e1 = int(bounds[i]), int(bounds[i + 1])
+            u, v = u_all[e0:e1], v_all[e0:e1]
+            st, c = starts_all[e0:e1], cnt[e0:e1]
+            tot = int(c.sum())
+            if tot == 0:
+                continue
+            e_rep = np.repeat(np.arange(len(u)), c)
+            offs = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(c) - c, c)
+            w = nbrs[st[e_rep] + offs]
+            uu = u[e_rep]
+            probe = uu * bb + w
+            pos = np.clip(np.searchsorted(kk, probe), 0, len(kk) - 1)
+            closed = kk[pos] == probe
+            allv = np.concatenate(
+                [uu[closed], v[e_rep][closed], w[closed]])
+            out += np.bincount(allv, minlength=int(bb))
+        return out
 
     @ray.remote
     def add(x: np.ndarray, y: np.ndarray) -> np.ndarray:
