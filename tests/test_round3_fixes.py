@@ -141,3 +141,25 @@ def test_sampling_path_pattern_small():
     assert len(capped) == 2
     assert capped.sort_values(["v0", "v1"]).reset_index(drop=True)[
         "v0"].tolist() == [0, 0]
+
+
+def test_dedup_pair_rows_first_per_pair():
+    # the simhash/minhash scale-route pair dedup: duplicate (a, b) rows
+    # arriving in different blocks collapse to one row, extra columns
+    # (functions of the pair) are preserved, distinct pairs untouched
+    import ray.data
+    from graphscope_ray.data.dedup import dedup_pair_rows
+
+    p1 = pd.DataFrame({"a": np.array([1, 1, 2], dtype=np.int64),
+                       "b": np.array([5, 6, 7], dtype=np.int64),
+                       "hamming": np.array([0, 1, 2], dtype=np.int64)})
+    p2 = pd.DataFrame({"a": np.array([1, 2, 3], dtype=np.int64),
+                       "b": np.array([5, 7, 9], dtype=np.int64),
+                       "hamming": np.array([0, 2, 3], dtype=np.int64)})
+    ds = ray.data.from_pandas([p1, p2])
+    out = (dedup_pair_rows(ds).to_pandas()
+           .sort_values(["a", "b"]).reset_index(drop=True))
+    want = pd.DataFrame({"a": np.array([1, 1, 2, 3], dtype=np.int64),
+                         "b": np.array([5, 6, 7, 9], dtype=np.int64),
+                         "hamming": np.array([0, 1, 2, 3], dtype=np.int64)})
+    assert out[["a", "b", "hamming"]].equals(want)
