@@ -198,16 +198,6 @@ def _pairs_dataset_from_buckets(bucketed: ray.data.Dataset, key: str,
         .groupby("_cb").map_groups(pairs_coarse, batch_format="pandas")
 
 
-def _group_pairs_from_buckets(bucketed: ray.data.Dataset, key: str,
-                              num_perm: int, threshold: float,
-                              max_bucket: int) -> pd.DataFrame:
-    pdf = _pairs_dataset_from_buckets(
-        bucketed, key, num_perm, threshold, max_bucket).to_pandas()
-    if len(pdf):
-        pdf = pdf.drop_duplicates(subset=["a", "b"])
-    return pdf
-
-
 def cluster_pairs(pairs: pd.DataFrame, key_a="a", key_b="b",
                   max_driver_pairs: int = 5_000_000) -> pd.DataFrame:
     """Duplicate-pair clustering → (doc_id, dup_group = min member id).
