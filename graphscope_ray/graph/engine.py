@@ -792,7 +792,7 @@ class BSPEngine:
 
     # -- triangles (partition-local oriented CSR) ----------------------
 
-    def triangles(self, *, chunk: int = 1_500_000,
+    def triangles(self, *, chunk: Optional[int] = None,
                   local_keys_limit: int = 64_000_000,
                   local_chunk: int = 262_144) -> ray.data.Dataset:
         """Per-vertex triangle counts on the resident actor pool —
@@ -820,7 +820,17 @@ class BSPEngine:
         t0 = time.perf_counter()
         deg_parts = [a.tri_deg_part.remote() for a in self.actors]
         blocks = [a.tri_ingest.remote(*deg_parts) for a in self.actors]
-        ray.get([a.tri_adopt.remote(*blocks) for a in self.actors])
+        wedge_counts = ray.get(
+            [a.tri_adopt.remote(*blocks) for a in self.actors])
+        if chunk is None:
+            # adaptive routed-path chunk: small enough that the
+            # per-chunk scratch is faulted once and reused from the
+            # worker heap (cold A/B at sf0.1: 50 s at 1.5M vs 1.8 s at
+            # 262k), large enough to bound the driver loop to ~64
+            # rounds at any scale
+            chunk = min(4_000_000,
+                        max(262_144,
+                            max(wedge_counts, default=0) // 64 + 1))
         oriented_e = self.store.meta["num_edges"] // 2
         if oriented_e <= local_keys_limit:
             key_refs = [a.tri_keys.remote() for a in self.actors]
