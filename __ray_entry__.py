@@ -1436,6 +1436,16 @@ def _q_doc_fingerprint(sf_dir):
     return fingerprint(docs)
 
 
+def _q_doc_span_dedup(sf_dir):
+    """Cross-document duplicated 8-token span counts (token-level
+    exact-substring dedup signal, Lee et al. 2022 shape) — only
+    (doc_id, span-hash) pairs shuffle; see data/dedup.duplicated_spans."""
+    from graphscope_ray.data.dedup import duplicated_spans
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return duplicated_spans(docs, k=8)
+
+
 def _q_doc_sample(sf_dir):
     """Deterministic 25% Bernoulli sample — fmix64 row coin, no
     shuffle, reproducible at any parallelism (data/curate.py)."""
@@ -1443,6 +1453,27 @@ def _q_doc_sample(sf_dir):
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
                                  columns=["doc_id", "lang", "n_chars"])
     return hash_sample(docs, 0.25, seed=1)
+
+
+_MIX_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.1, "src3": 0.0}
+
+
+def _q_doc_domain_mix(sf_dir):
+    """Deterministic per-source downsampling to a target mixture — no
+    shuffle, resumable (data/curate.domain_mixture)."""
+    from graphscope_ray.data.curate import domain_mixture
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    return domain_mixture(docs, _MIX_RATES, default_rate=0.75, seed=5)
+
+
+def _q_doc_order(sf_dir):
+    """Deterministic global training-order shuffle: distributed
+    range-sort on a per-key fmix64 stamp (data/curate.training_order)."""
+    from graphscope_ray.data.curate import training_order
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id"])
+    return training_order(docs, seed=11)
 
 
 def _q_doc_split(sf_dir):
@@ -1736,6 +1767,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_doc_langid,
         "doc_curation": _q_doc_curation,
         "doc_sample": _q_doc_sample,
+        "doc_domain_mix": _q_doc_domain_mix,
+        "doc_order": _q_doc_order,
         "doc_split": _q_doc_split,
         "doc_normalize": _q_doc_normalize,
         "doc_pii": _q_doc_pii,
@@ -1747,6 +1780,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_jaccard": _q_doc_jaccard,
+        "doc_span_dedup": _q_doc_span_dedup,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
@@ -1910,6 +1944,9 @@ FROM documents ORDER BY doc_id""",
         "doc_langid": _osql().langid_sql(),
         "doc_curation": _osql().curation_sql(lang="en", min_quality=0.1),
         "doc_sample": _osql().hash_sample_sql(0.25, seed=1),
+        "doc_domain_mix": _osql().domain_mixture_sql(
+            _MIX_RATES, default_rate=0.75, seed=5),
+        "doc_order": _osql().training_order_sql(seed=11),
         "doc_split": _osql().split_assign_sql(seed=7),
         "doc_normalize": _osql().NORMALIZE_SQL,
         "doc_pii": _pii_sql(),
@@ -1921,6 +1958,7 @@ FROM documents ORDER BY doc_id""",
         "doc_minhash_dedup": _osql().minhash_dedup_sql(threshold=0.9),
         "doc_simhash_pairs": _osql().simhash_pairs_sql(max_hamming=0),
         "doc_jaccard": _osql().jaccard_pairs_sql(threshold=0.5),
+        "doc_span_dedup": _osql().span_dedup_sql(k=8),
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),

@@ -20,15 +20,18 @@ from graphscope_ray.data.dedup import (  # noqa: F401
     simhash_dedup,
     ngram_jaccard_pairs,
     embedding_cosine_dedup,
+    duplicated_spans,
 )
 from graphscope_ray.data.similarity import ann_topk, lsh_ann_topk  # noqa: F401
 from graphscope_ray.data.curate import (  # noqa: F401
     decontaminate,
+    domain_mixture,
     hash_sample,
     normalize_text,
     pack_sequences,
     pii_scrub,
     repetition_stats,
     split_assign,
+    training_order,
     vocab_topk,
 )

@@ -331,3 +331,49 @@ def decontaminate(ds: ray.data.Dataset, bench_ds: ray.data.Dataset, *,
         _Decontaminate, fn_constructor_args=(bench_ref, n, col, key),
         batch_format="pandas", concurrency=concurrency,
     )
+
+
+def domain_mixture(ds: ray.data.Dataset, rates: dict[str, float], *,
+                   default_rate: float = 1.0, seed: int = 5,
+                   col: str = "source",
+                   key: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic per-domain downsampling to a target mixture: a
+    row of domain ``d`` is kept iff ``fmix64(key·B+seed) % 1e6 <
+    rate_d·1e6`` with ``rate_d = rates.get(d, default_rate)``. The
+    100 TB shape of "rebalance the source mixture before training":
+    no shuffle, no global state, and the kept set is identical at any
+    parallelism and across resumed runs — the properties a multi-epoch
+    data recipe needs (SQL twin: oracle_sql.domain_mixture_sql).
+
+    Rates > 1 are clamped to 1 (this op never upsamples; repeat-epoch
+    upsampling is a reader-side concern, not a filter)."""
+    thresh = {d: min(int(round(r * 1_000_000)), 1_000_000)
+              for d, r in rates.items()}
+    dflt = min(int(round(default_rate * 1_000_000)), 1_000_000)
+
+    def f(t: pa.Table) -> pa.Table:
+        ids = t[key].to_numpy(zero_copy_only=False)
+        dom = pd.Series(t[col].to_numpy(zero_copy_only=False))
+        th = dom.map(thresh).fillna(dflt).to_numpy(dtype=np.int64)
+        h = (fmix64(ids.astype(np.uint64) * B + U64(seed))
+             % U64(1_000_000)).astype(np.int64)
+        return t.filter(pa.array(h < th))
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def training_order(ds: ray.data.Dataset, *, seed: int = 11,
+                   key: str = "doc_id") -> ray.data.Dataset:
+    """Deterministic global shuffle for training order: stamp ``ord =
+    fmix64(key·B+seed)`` (two's-complement int64) and range-sort on
+    it. Unlike ``random_shuffle`` the order is a pure function of the
+    keys — reproducible across runs, cluster sizes and resumes, and
+    the sort is Ray Data's distributed range-partition exchange (no
+    driver materialization). SQL twin: oracle_sql.training_order_sql."""
+
+    def stamp(t: pa.Table) -> pa.Table:
+        ids = t[key].to_numpy(zero_copy_only=False)
+        h = fmix64(ids.astype(np.uint64) * B + U64(seed))
+        return t.append_column("ord", pa.array(h.astype(np.int64)))
+
+    return ds.map_batches(stamp, batch_format="pyarrow").sort("ord")

@@ -944,3 +944,91 @@ def embedding_cosine_dedup(
                              "b": pd.Series([], dtype="int64"),
                              "cosine": pd.Series([], dtype="float64")})
     return pdf.sort_values(["a", "b"]).reset_index(drop=True)
+
+
+# ----------------------------------------------------------------------
+# cross-document duplicated-span detection (token-level exact
+# substring dedup, the Lee et al. 2022 "Deduplicating Training Data
+# Makes Language Models Better" shape)
+# ----------------------------------------------------------------------
+
+
+def duplicated_spans(ds: ray.data.Dataset, *, col: str = "text",
+                     key: str = "doc_id", k: int = 8,
+                     num_buckets: int = 64) -> ray.data.Dataset:
+    """Per-document duplicated k-token span counts → ``(key, spans,
+    dup_spans)``: ``spans`` is the number of DISTINCT sliding windows
+    of ``k`` consecutive token hashes in the document (short docs
+    contribute one window over all their tokens; empty docs the single
+    0 window — the data/hashing.py window semantics, bit-exactly
+    replayed in SQL by oracle_sql.span_dedup_sql), and ``dup_spans``
+    counts how many of them also occur in at least one OTHER document.
+    Exact substring duplication at token granularity — the signal the
+    Lee et al. exact-substring dedup pass thresholds on (a doc with a
+    high dup_spans/spans ratio is a copy-heavy document even when no
+    whole-document near-dup fires).
+
+    100 TB shape: only 16-byte (key, span-hash) pairs leave the hash
+    stage — never text. Exchange 1 groups by a coarse ``hash %
+    num_buckets`` route and one vectorized multi-group kernel marks
+    hashes seen in ≥ 2 docs (grouping stays on the full 64-bit hash;
+    the bucket only routes — the per-distinct-hash map_groups dispatch
+    would cost ~100 µs/group, see pipelines/partgraph.py). Exchange 2
+    sums the per-(bucket, doc) partials by ``key % 32``. No driver
+    materialization at any size."""
+
+    def span_rows(df: pd.DataFrame) -> pd.DataFrame:
+        texts = df[col].fillna("").tolist()
+        tok_doc, tok_hash = batch_token_hashes(texts)
+        wd, wh = windowed_hashes(tok_doc, tok_hash, k, len(texts))
+        order = np.lexsort((wh, wd))
+        wd, wh = wd[order], wh[order]
+        keep = np.empty(len(wd), dtype=bool)
+        if len(wd):
+            keep[0] = True
+            keep[1:] = (wd[1:] != wd[:-1]) | (wh[1:] != wh[:-1])
+        wd, wh = wd[keep], wh[keep]
+        return pd.DataFrame({
+            key: df[key].to_numpy()[wd],
+            "_wh": wh.astype(np.int64),  # two's-complement view
+            "_cb": (wh % np.uint64(num_buckets)).astype(np.int64),
+        })
+
+    hashed = ds.select_columns([key, col]).map_batches(
+        span_rows, batch_format="pandas")
+
+    empty = pd.DataFrame({key: pd.Series([], dtype="int64"),
+                          "spans": pd.Series([], dtype="int64"),
+                          "dup_spans": pd.Series([], dtype="int64")})
+
+    def mark_dups(g: pd.DataFrame) -> pd.DataFrame:
+        """One coarse bucket: rows are distinct (doc, hash) pairs, so
+        the per-hash row count IS the distinct-doc count."""
+        if not len(g):
+            return empty.assign(_db=pd.Series([], dtype="int64"))
+        wh = g["_wh"].to_numpy()
+        ky = g[key].to_numpy()
+        order = np.argsort(wh, kind="stable")
+        wh, ky = wh[order], ky[order]
+        starts = np.flatnonzero(np.r_[True, wh[1:] != wh[:-1]])
+        cnt = np.diff(np.r_[starts, len(wh)])
+        dup = np.repeat(cnt >= 2, cnt)
+        uk, inv = np.unique(ky, return_inverse=True)
+        spans = np.bincount(inv).astype(np.int64)
+        dups = np.bincount(inv, weights=dup).astype(np.int64)
+        return pd.DataFrame({key: uk, "spans": spans, "dup_spans": dups,
+                             "_db": np.mod(uk, 32).astype(np.int64)})
+
+    def sum_partials(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty.copy()
+        ky = g[key].to_numpy()
+        uk, inv = np.unique(ky, return_inverse=True)
+        spans = np.bincount(inv, weights=g["spans"].to_numpy())
+        dups = np.bincount(inv, weights=g["dup_spans"].to_numpy())
+        return pd.DataFrame({key: uk, "spans": spans.astype(np.int64),
+                             "dup_spans": dups.astype(np.int64)})
+
+    return (hashed.groupby("_cb").map_groups(mark_dups,
+                                             batch_format="pandas")
+            .groupby("_db").map_groups(sum_partials, batch_format="pandas"))

@@ -390,3 +390,45 @@ SELECT d.doc_id, COALESCE(hits.c, 0)::BIGINT AS n_hits,
        (COALESCE(hits.c, 0) > 0)::BIGINT AS contaminated
 FROM documents d LEFT JOIN hits ON hits.doc_id = d.doc_id
 ORDER BY d.doc_id"""
+
+
+def span_dedup_sql(k: int = 8) -> str:
+    """Replay of data/dedup.duplicated_spans: distinct per-doc k-token
+    window hashes (the _windows_cte semantics — short docs one window,
+    empty docs the [0] window); a span is duplicated iff its hash is
+    held by >= 2 distinct documents."""
+    return f"""
+WITH {token_hash_ctes()},
+{_windows_cte(k)},
+wd AS (SELECT DISTINCT doc_id, wh
+       FROM (SELECT doc_id, unnest(wins) AS wh FROM w)),
+d AS (SELECT wh FROM wd GROUP BY wh HAVING count(*) >= 2)
+SELECT wd.doc_id,
+       count(*)::BIGINT AS spans,
+       coalesce(sum(CASE WHEN d.wh IS NOT NULL THEN 1 ELSE 0 END),
+                0)::BIGINT AS dup_spans
+FROM wd LEFT JOIN d ON wd.wh = d.wh
+GROUP BY wd.doc_id ORDER BY wd.doc_id"""
+
+
+def domain_mixture_sql(rates: dict, default_rate: float = 1.0,
+                       seed: int = 5) -> str:
+    """Twin of data/curate.domain_mixture over documents(source)."""
+    h = _row_hash_sql(seed)
+    whens = " ".join(
+        f"WHEN '{d}' THEN {min(int(round(r * 1_000_000)), 1_000_000)}"
+        for d, r in rates.items())
+    dflt = min(int(round(default_rate * 1_000_000)), 1_000_000)
+    return f"""
+SELECT doc_id, source FROM documents
+WHERE ({h}) % 1000000 < (CASE source {whens} ELSE {dflt} END)
+ORDER BY doc_id"""
+
+
+def training_order_sql(seed: int = 11) -> str:
+    """Twin of data/curate.training_order: the stamped two's-complement
+    ord column (the sort key itself is the result — equal values, hence
+    equal order, on both sides)."""
+    h = wrap_int64(f"({_row_hash_sql(seed)})")
+    return f"""
+SELECT doc_id, {h} AS ord FROM documents ORDER BY ord"""
