@@ -419,9 +419,10 @@ def domain_mixture_sql(rates: dict, default_rate: float = 1.0,
         f"WHEN '{d}' THEN {min(int(round(r * 1_000_000)), 1_000_000)}"
         for d, r in rates.items())
     dflt = min(int(round(default_rate * 1_000_000)), 1_000_000)
+    case = f"(CASE source {whens} ELSE {dflt} END)" if rates else str(dflt)
     return f"""
 SELECT doc_id, source FROM documents
-WHERE ({h}) % 1000000 < (CASE source {whens} ELSE {dflt} END)
+WHERE ({h}) % 1000000 < {case}
 ORDER BY doc_id"""
 
 
