@@ -1594,6 +1594,52 @@ def _q_emb_ivf_ann(sf_dir):
     return ivf_ann_topk(emb, queries, k=5, num_centroids=8, nprobe=2)
 
 
+def _q_emb_knn_wcc(sf_dir):
+    """Composed pipeline: exact cosine kNN graph (chunked broadcast
+    matmul, no shuffle) over the embeddings table → BSP graph-engine
+    WCC over the symmetrized edge list → (vec_id, comp) single-link
+    clusters (data/similarity.knn_graph). k=1 (mutual
+    nearest-neighbor chains) keeps the oracle discriminating: at this
+    sf it yields 138 components, so any wrong edge moves comp labels;
+    k ≥ 2 collapses to one component and the hash would only check
+    the vertex set."""
+    from graphscope_ray.data.similarity import knn_graph
+    from graphscope_ray.graph.api import Graph
+    from graphscope_ray.util import rename
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    edges = knn_graph(emb, k=1).select_columns(["src", "dst"])
+    g = Graph.from_edges(edges, symmetrize=True)
+    try:
+        out = g.to_oid(g.wcc(), vid_cols=("vid", "comp"))
+        return rename(out, {"vid": "vec_id"}).materialize()
+    finally:
+        g.close()
+
+
+_KNN_WCC_SQL = """
+WITH RECURSIVE
+ev AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS emb
+                    FROM embeddings),
+s AS MATERIALIZED (
+  SELECT a.vec_id AS src, b.vec_id AS dst,
+         round(list_cosine_similarity(a.emb, b.emb), 6) AS c
+  FROM ev a JOIN ev b ON a.vec_id <> b.vec_id),
+rk AS (SELECT src, dst, row_number() OVER (
+         PARTITION BY src ORDER BY c DESC, dst) AS rnk FROM s),
+e0 AS MATERIALIZED (SELECT src, dst FROM rk WHERE rnk <= 1),
+e AS MATERIALIZED (SELECT src AS s, dst AS t FROM e0
+                   UNION SELECT dst, src FROM e0),
+v AS MATERIALIZED (SELECT DISTINCT s AS v FROM e),
+r AS (
+  SELECT v, v AS l FROM v
+  UNION
+  SELECT e.t, r.l FROM r JOIN e ON e.s = r.v WHERE r.l < e.t
+)
+SELECT v AS vec_id, min(l) AS comp FROM r GROUP BY v ORDER BY vec_id
+"""
+
+
 def _q_emb_cosine_dups(sf_dir):
     from graphscope_ray.data.dedup import embedding_cosine_dedup
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
@@ -1784,6 +1830,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
+        "emb_knn_wcc": _q_emb_knn_wcc,
         "events_window": _q_events_window,
         "events_session": _q_events_session,
         "events_hopping": _q_events_hopping,
@@ -1999,6 +2046,7 @@ r AS (SELECT *, row_number() OVER (PARTITION BY query_id
       FROM s)
 SELECT query_id, vec_id, cosine, rank FROM r WHERE rank <= 5
 ORDER BY query_id, rank""",
+        "emb_knn_wcc": _KNN_WCC_SQL,
         "emb_cosine_dups": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings)
 SELECT a.vec_id AS a, b.vec_id AS b,

@@ -245,3 +245,201 @@ def lsh_ann_topk(
     if cand_ds.count() == 0:
         return pd.DataFrame(columns=["query_id", key, "cosine", "rank"])
     return ann_topk(cand_ds, queries, k=k, key=key, col=col)
+
+
+# ----------------------------------------------------------------------
+# k-nearest-neighbor graph (embedding clustering substrate)
+# ----------------------------------------------------------------------
+
+
+def knn_graph(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 5,
+    key: str = "vec_id",
+    col: str = "embedding",
+    broadcast_limit: int = 200_000,
+    chunk_cols: int = 65_536,
+    num_planes: int = 12,
+    num_tables: int = 4,
+    seed: int = 42,
+) -> ray.data.Dataset:
+    """Cosine k-nearest-neighbor graph over an embedding column →
+    ``(src, dst, cosine, rank)`` edge Dataset — the substrate for
+    kNN-graph clustering (WCC over it = single-link clusters truncated
+    at top-k; see the ``emb_knn_wcc`` driver pipeline, which feeds the
+    edges straight into the BSP graph engine).
+
+    Exact path (≤ ``broadcast_limit`` vectors): the id-sorted
+    normalized matrix is ``ray.put`` ONCE; each batch runs one
+    (B×D)·(D×N) matmul per ``chunk_cols`` candidate block with a
+    running top-k merge — no shuffle at all, temporaries stay
+    ≤ B×chunk_cols (first-touch-fault-friendly; see BASELINE.md), and
+    only N·k edge rows come out. Ranking is by 6-dp-rounded cosine
+    then lower dst id (both sides of the SQL twin, so near-ties can't
+    flip the oracle). Self edges are excluded.
+
+    Above the limit it warns and routes to random-hyperplane LSH
+    bucketing with exact within-bucket rerank (approximate — recall
+    < 1 by design; a vector's k list may miss true neighbors that
+    share no bucket), the same scale shape as lsh_ann_topk: nothing
+    ever materializes N×N."""
+    n_total = emb.count()
+    if n_total > broadcast_limit:
+        import warnings
+        warnings.warn(
+            f"knn_graph: {n_total} vectors exceed broadcast_limit "
+            f"({broadcast_limit}); routing to LSH-bucketed approximate "
+            "kNN (recall < 1 by design)", stacklevel=2)
+        return _knn_graph_lsh(emb, k=k, key=key, col=col,
+                              num_planes=num_planes,
+                              num_tables=num_tables, seed=seed)
+
+    side = emb.select_columns([key, col]).to_pandas()
+    all_ids = side[key].to_numpy()
+    order = np.argsort(all_ids, kind="stable")
+    all_ids = all_ids[order]
+    all_mat = _normalize(np.stack(side[col].to_numpy()).astype(
+        np.float64))[order]
+    ref = ray.put((all_ids, all_mat))
+
+    def block(t: pa.Table) -> pa.Table:
+        ids_s, mat_s = ray.get(ref)
+        n = len(ids_s)
+        ids = t[key].to_numpy()
+        m = _normalize(np.stack(t[col].to_numpy(
+            zero_copy_only=False)).astype(np.float64))
+        kk = min(k, n - 1)
+        if kk <= 0:
+            return pa.table({"src": pa.array([], pa.int64()),
+                             "dst": pa.array([], pa.int64()),
+                             "cosine": pa.array([], pa.float64()),
+                             "rank": pa.array([], pa.int64())})
+        from graphscope_ray.util import round_half_away
+        self_pos = np.searchsorted(ids_s, ids)  # column of each row's self
+        cand_sc, cand_j = [], []
+        for lo in range(0, n, chunk_cols):
+            hi = min(lo + chunk_cols, n)
+            ikey = np.rint(round_half_away(m @ mat_s[lo:hi].T, 6)
+                           * 1e6).astype(np.int64)
+            # composite int64 key: rounded-cosine desc, then position
+            # (== id order: mat_s is id-sorted) asc; unique per column
+            sc = ikey * np.int64(n) + np.int64(n - 1) - np.arange(
+                lo, hi, dtype=np.int64)
+            sm = (self_pos >= lo) & (self_pos < hi)
+            # min+1, not min: argpartition works on -sc and -INT64_MIN
+            # wraps back to INT64_MIN, which would rank the self FIRST
+            sc[np.flatnonzero(sm), self_pos[sm] - lo] = np.int64(
+                np.iinfo(np.int64).min + 1)
+            cc = min(kk, hi - lo)
+            part = np.argpartition(-sc, cc - 1, axis=1)[:, :cc]
+            cand_sc.append(np.take_along_axis(sc, part, axis=1))
+            cand_j.append(part + lo)
+        sc = np.concatenate(cand_sc, axis=1)
+        j = np.concatenate(cand_j, axis=1)
+        top = np.argpartition(-sc, kk - 1, axis=1)[:, :kk]
+        sc = np.take_along_axis(sc, top, axis=1)
+        j = np.take_along_axis(j, top, axis=1)
+        ord2 = np.argsort(-sc, axis=1)  # exact order within the k list
+        sc = np.take_along_axis(sc, ord2, axis=1)
+        j = np.take_along_axis(j, ord2, axis=1)
+        cos = (sc - (np.int64(n - 1) - j)) / np.int64(n) / 1e6
+        return pa.table({
+            "src": pa.array(np.repeat(ids, kk)),
+            "dst": pa.array(ids_s[j.ravel()]),
+            "cosine": pa.array(cos.ravel()),
+            "rank": pa.array(np.tile(np.arange(1, kk + 1, dtype=np.int64),
+                                     len(ids))),
+        })
+
+    return emb.select_columns([key, col]).map_batches(
+        block, batch_format="pyarrow")
+
+
+def _knn_graph_lsh(emb: ray.data.Dataset, *, k, key, col, num_planes,
+                   num_tables, seed) -> ray.data.Dataset:
+    """Approximate kNN-graph scale route: every vector lands in
+    ``num_tables`` hyperplane buckets; one coarse-bucket vectorized
+    kernel emits within-bucket top-k candidates per src; a final
+    groupby(src % 32) kernel merges table candidates to the global
+    top-k. Only candidate edges (≤ N·k·num_tables rows) shuffle."""
+    from graphscope_ray.util import round_half_away
+    rng = np.random.default_rng(seed)
+    # dim probed from one row (cheap: a single-block take)
+    d = len(emb.take(1)[0][col])
+    planes = rng.standard_normal((num_tables, num_planes, d))
+    pref = ray.put(planes)
+    powers = (1 << np.arange(num_planes)).astype(np.int64)
+
+    def bucketize(t: pa.Table) -> pa.Table:
+        pl = ray.get(pref)
+        ids = t[key].to_numpy()
+        m = _normalize(np.stack(t[col].to_numpy(
+            zero_copy_only=False)).astype(np.float64))
+        out = []
+        for table in range(num_tables):
+            s = (((m @ pl[table].T) > 0).astype(np.int64) @ powers)
+            out.append(pd.DataFrame({
+                key: ids, "bucket": s * num_tables + table,
+                col: list(m)}))
+        df = pd.concat(out, ignore_index=True)
+        df["_cb"] = np.mod(df["bucket"].to_numpy(), 32).astype(np.int64)
+        return pa.Table.from_pandas(df, preserve_index=False)
+
+    bucketed = emb.select_columns([key, col]).map_batches(
+        bucketize, batch_format="pyarrow")
+
+    empty = pd.DataFrame({"src": pd.Series([], dtype="int64"),
+                          "dst": pd.Series([], dtype="int64"),
+                          "cosine": pd.Series([], dtype="float64")})
+
+    def within_bucket_topk(g: pd.DataFrame) -> pd.DataFrame:
+        if len(g) < 2:
+            return empty.copy()
+        bk = g["bucket"].to_numpy()
+        ids = g[key].to_numpy()
+        mat = np.stack(g[col].to_numpy())
+        order = np.lexsort((ids, bk))
+        bk, ids, mat = bk[order], ids[order], mat[order]
+        starts = np.flatnonzero(np.r_[True, bk[1:] != bk[:-1]])
+        ends = np.r_[starts[1:], len(bk)]
+        srcs, dsts, coss = [], [], []
+        for lo, hi in zip(starts, ends):
+            m = hi - lo
+            if m < 2:
+                continue
+            sims = round_half_away(mat[lo:hi] @ mat[lo:hi].T, 6)
+            np.fill_diagonal(sims, -np.inf)
+            kk = min(k, m - 1)
+            part = np.argpartition(-sims, kk - 1, axis=1)[:, :kk]
+            srcs.append(np.repeat(ids[lo:hi], kk))
+            dsts.append(ids[lo:hi][part.ravel()])
+            coss.append(np.take_along_axis(sims, part, axis=1).ravel())
+        if not srcs:
+            return empty.copy()
+        return pd.DataFrame({"src": np.concatenate(srcs),
+                             "dst": np.concatenate(dsts),
+                             "cosine": np.concatenate(coss)})
+
+    cand = bucketed.groupby("_cb").map_groups(
+        within_bucket_topk, batch_format="pandas")
+
+    def add_sb(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_sb"] = np.mod(df["src"].to_numpy(), 32).astype(np.int64)
+        return df
+
+    def merge_per_src(g: pd.DataFrame) -> pd.DataFrame:
+        if not len(g):
+            return empty.assign(rank=pd.Series([], dtype="int64"))
+        g = g.drop_duplicates(subset=["src", "dst"])
+        g = g.sort_values(["src", "cosine", "dst"],
+                          ascending=[True, False, True])
+        r = g.groupby("src", sort=False).cumcount()
+        g = g[r < k].reset_index(drop=True)
+        g["rank"] = (g.groupby("src", sort=False).cumcount()
+                     + 1).astype(np.int64)
+        return g[["src", "dst", "cosine", "rank"]]
+
+    return cand.map_batches(add_sb, batch_format="pandas") \
+        .groupby("_sb").map_groups(merge_per_src, batch_format="pandas")

@@ -1,0 +1,97 @@
+"""knn_graph: exact path vs a brute-force numpy oracle (including
+cosine ties from duplicated vectors), chunking invariance, the n=1
+edge case, and the LSH scale route's semantic guarantees."""
+
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from graphscope_ray.data.similarity import knn_graph, _knn_graph_lsh
+from graphscope_ray.util import round_half_away
+
+
+def _make(n, d, seed, n_dups=0):
+    rng = np.random.default_rng(seed)
+    m = rng.standard_normal((n, d))
+    for t in range(n_dups):  # exact duplicates → rounded-cosine ties
+        m[(2 * t + 1) % n] = m[(2 * t) % n]
+    return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                         "embedding": list(m.astype(np.float32))})
+
+
+def _brute(df, k):
+    ids = df["vec_id"].to_numpy()
+    m = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    m = m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
+    sims = round_half_away(m @ m.T, 6)
+    rows = []
+    for i in range(len(ids)):
+        order = sorted((j for j in range(len(ids)) if j != i),
+                       key=lambda j: (-sims[i, j], ids[j]))[:k]
+        for r, j in enumerate(order, 1):
+            rows.append((ids[i], ids[j], sims[i, j], r))
+    return pd.DataFrame(rows, columns=["src", "dst", "cosine", "rank"])
+
+
+@pytest.mark.parametrize("n,d,k,chunk", [
+    (40, 8, 5, 65536),     # one chunk
+    (40, 8, 5, 7),         # many ragged chunks (chunk < k too)
+    (30, 4, 3, 16),        # chunk boundary mid-matrix
+    (25, 6, 30, 65536),    # k > n-1 → clamps to n-1
+])
+def test_knn_graph_exact_vs_brute(n, d, k, chunk):
+    df = _make(n, d, seed=n + k, n_dups=4)
+    ds = ray.data.from_pandas(df).repartition(3)
+    got = knn_graph(ds, k=k, chunk_cols=chunk).to_pandas() \
+        .sort_values(["src", "rank"]).reset_index(drop=True)
+    want = _brute(df, k).sort_values(["src", "rank"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_knn_graph_single_vector_no_edges():
+    ds = ray.data.from_pandas(_make(1, 4, seed=0))
+    assert knn_graph(ds, k=5).count() == 0
+
+
+def test_knn_graph_lsh_route_semantics():
+    """Scale route: every emitted edge must carry the true rounded
+    cosine, per-src lists are deduped, ≤ k long, rank-consecutive and
+    sorted by (cosine desc, dst asc); on well-separated clusters the
+    route recovers most true neighbors."""
+    rng = np.random.default_rng(7)
+    centers = rng.standard_normal((4, 16)) * 8
+    m = np.concatenate([c + rng.standard_normal((25, 16)) * 0.05
+                        for c in centers])
+    df = pd.DataFrame({"vec_id": np.arange(100, dtype=np.int64),
+                       "embedding": list(m.astype(np.float32))})
+    ds = ray.data.from_pandas(df).repartition(4)
+    got = _knn_graph_lsh(ds, k=5, key="vec_id", col="embedding",
+                         num_planes=8, num_tables=4, seed=42) \
+        .to_pandas().sort_values(["src", "rank"]).reset_index(drop=True)
+    mm = np.stack(df["embedding"].to_numpy()).astype(np.float64)
+    mm = mm / np.linalg.norm(mm, axis=1, keepdims=True)
+    sims = round_half_away(mm @ mm.T, 6)
+    # true cosine values, no self edges, no dup (src, dst)
+    assert (got["src"] != got["dst"]).all()
+    assert not got.duplicated(subset=["src", "dst"]).any()
+    np.testing.assert_allclose(
+        got["cosine"], sims[got["src"], got["dst"]], atol=0)
+    # per-src ordering + rank contract
+    for src, grp in got.groupby("src"):
+        assert len(grp) <= 5
+        assert (grp["rank"].to_numpy() == np.arange(1, len(grp) + 1)).all()
+        key = list(zip(-grp["cosine"], grp["dst"]))
+        assert key == sorted(key)
+    # warn-and-route through the public surface
+    with pytest.warns(UserWarning, match="broadcast_limit"):
+        routed = knn_graph(ds, k=5, broadcast_limit=10, num_planes=8,
+                           num_tables=4).to_pandas()
+    assert len(routed) > 0
+    # recall on separated clusters: compare against exact top-5
+    want = _brute(df, 5)
+    exact_pairs = set(zip(want["src"], want["dst"]))
+    got_pairs = set(zip(got["src"], got["dst"]))
+    recall = len(exact_pairs & got_pairs) / len(exact_pairs)
+    assert recall > 0.6, recall
