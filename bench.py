@@ -175,6 +175,29 @@ def run_bench() -> dict:
         n_docs / max(queries["curation"], 1e-9), 1)
     queries["curation_kept_docs"] = kept_docs
 
+    # cross-document duplicated-span detection (r03 session 3)
+    from graphscope_ray.data.dedup import duplicated_spans
+    t0 = time.perf_counter()
+    sp = duplicated_spans(docs, k=8)
+    span_dup_docs = sp.filter(expr="dup_spans > 0").count()
+    queries["span_dedup"] = round(time.perf_counter() - t0, 3)
+    queries["span_dedup_docs_per_sec"] = round(
+        n_docs / max(queries["span_dedup"], 1e-9), 1)
+    queries["span_dup_docs"] = span_dup_docs
+
+    # exact cosine kNN graph over the embeddings table (k=5)
+    from graphscope_ray.data.similarity import knn_graph
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"]) \
+        .materialize()
+    n_vecs = emb.count()
+    t0 = time.perf_counter()
+    knn_edges = knn_graph(emb, k=5).count()
+    queries["knn_graph"] = round(time.perf_counter() - t0, 3)
+    queries["knn_vecs_per_sec"] = round(
+        n_vecs / max(queries["knn_graph"], 1e-9), 1)
+    assert knn_edges == n_vecs * 5, (knn_edges, n_vecs)
+
     total = (queries["pagerank_tol1e6"] + queries["wcc"]
              + queries["cdlp10"] + queries["triangles"])
     out = {
