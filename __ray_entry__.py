@@ -1476,6 +1476,17 @@ def _q_doc_order(sf_dir):
     return training_order(docs, seed=11)
 
 
+def _q_doc_tfidf(sf_dir):
+    """Sparse hashed TF-IDF rows: slot = fmix64(poly(token)) % dim,
+    smooth idf, 6-dp half-away tfidf (data/text.tfidf_rows; the dense
+    variant tfidf_vectors feeds knn_graph/ann_topk — see
+    tests/test_tfidf.py)."""
+    from graphscope_ray.data.text import tfidf_rows
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return tfidf_rows(docs, dim=128)
+
+
 def _q_doc_split(sf_dir):
     from graphscope_ray.data.curate import split_assign
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1815,6 +1826,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_sample": _q_doc_sample,
         "doc_domain_mix": _q_doc_domain_mix,
         "doc_order": _q_doc_order,
+        "doc_tfidf": _q_doc_tfidf,
         "doc_split": _q_doc_split,
         "doc_normalize": _q_doc_normalize,
         "doc_pii": _q_doc_pii,
@@ -1994,6 +2006,7 @@ FROM documents ORDER BY doc_id""",
         "doc_domain_mix": _osql().domain_mixture_sql(
             _MIX_RATES, default_rate=0.75, seed=5),
         "doc_order": _osql().training_order_sql(seed=11),
+        "doc_tfidf": _osql().tfidf_sql(dim=128),
         "doc_split": _osql().split_assign_sql(seed=7),
         "doc_normalize": _osql().NORMALIZE_SQL,
         "doc_pii": _pii_sql(),

@@ -13,6 +13,8 @@ from graphscope_ray.data.text import (  # noqa: F401
     quality_score,
     lang_id,
     fingerprint,
+    tfidf_rows,
+    tfidf_vectors,
 )
 from graphscope_ray.data.dedup import (  # noqa: F401
     exact_dedup,

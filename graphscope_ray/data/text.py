@@ -192,3 +192,131 @@ def fingerprint(ds: ray.data.Dataset, col: str = "text", key: str = "doc_id",
                 k: int = 5) -> ray.data.Dataset:
     # stateless per worker → task pool (see dedup.minhash_signatures)
     return ds.map_batches(_Fingerprint(col, key, k), batch_format="pandas")
+
+
+# -- hashed TF-IDF (the "hashing trick" vectorizer) ---------------------
+
+class _TFKernel:
+    """Per-batch sparse hashed term frequencies: every whitespace token
+    hashes into one of ``dim`` slots (slot = fmix64(poly(token)) mod
+    dim — the shared hash family, so the SQL twin replays it
+    bit-exactly) and the batch emits one ``(key, slot, tf)`` row per
+    (document, non-empty slot). A document's text is one row, so its
+    counts complete inside the batch — TF needs NO shuffle at any
+    scale."""
+
+    def __init__(self, col: str, key: str, dim: int):
+        self.col, self.key, self.dim = col, key, dim
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from graphscope_ray.data.hashing import batch_token_hashes
+        texts = df[self.col].fillna("").tolist()
+        tok_doc, tok_hash = batch_token_hashes(texts)
+        slot = (tok_hash % np.uint64(self.dim)).astype(np.int64)
+        pk = tok_doc * self.dim + slot
+        uniq, tf = np.unique(pk, return_counts=True)
+        di = uniq // self.dim
+        return pd.DataFrame({
+            self.key: df[self.key].to_numpy()[di],
+            "slot": (uniq % self.dim).astype(np.int64),
+            "tf": tf.astype(np.int64),
+        })
+
+
+def _idf_vector(tf_rows: ray.data.Dataset, n_docs: int, dim: int,
+                smooth: bool = True) -> np.ndarray:
+    """Document frequency per slot → idf = ln((N+1)/(df+1)) + 1
+    (smooth) from the sparse TF rows. Per-batch bincount combiner →
+    a ≤``dim``-row groupby — the only exchange in the whole vectorizer,
+    and it moves at most #batches × dim tiny integer rows."""
+    from ray.data.aggregate import Sum
+
+    def dfp(t: pa.Table) -> pa.Table:
+        c = np.bincount(t["slot"].to_numpy(), minlength=dim)
+        nz = np.flatnonzero(c)
+        return pa.table({"slot": pa.array(nz.astype(np.int64)),
+                         "dfp": pa.array(c[nz].astype(np.int64))})
+
+    parts = tf_rows.map_batches(dfp, batch_format="pyarrow") \
+        .groupby("slot").aggregate(Sum("dfp", alias_name="df")) \
+        .take_all()
+    df = np.zeros(dim, dtype=np.float64)
+    for r in parts:
+        df[r["slot"]] = r["df"]
+    return np.log((n_docs + 1.0) / (df + 1.0)) + 1.0
+
+
+def tfidf_rows(ds: ray.data.Dataset, *, col: str = "text",
+               key: str = "doc_id", dim: int = 1024) -> ray.data.Dataset:
+    """Sparse hashed TF-IDF: ``(key, slot, tf, tfidf)`` rows with
+    ``tfidf = round6(tf · (ln((N+1)/(df+1)) + 1))`` — smooth idf,
+    half-away rounding (the repo's SQL-twin convention; see
+    oracle_sql.tfidf_sql). 100 TB shape: one text pass produces the
+    sparse TF rows (materialized once — integers, far smaller than the
+    corpus), the df reduce is a ≤dim-row exchange, and idf attaches via
+    one ``ray.put`` broadcast — the raw text is never shuffled.
+    Documents with no tokens contribute no rows (both sides)."""
+    n_docs = ds.count()
+    rows = ds.map_batches(_TFKernel(col, key, dim),
+                          batch_format="pandas").materialize()
+    idf = _idf_vector(rows, n_docs, dim)
+    ref = ray.put(idf)
+
+    def attach(t: pa.Table) -> pa.Table:
+        iv = ray.get(ref)
+        s = t["slot"].to_numpy()
+        tf = t["tf"].to_numpy()
+        return t.append_column(
+            "tfidf", pa.array(round_half_away(tf * iv[s], 6)))
+
+    return rows.map_batches(attach, batch_format="pyarrow")
+
+
+class _DenseTFIDF:
+    """Dense hashed TF-IDF embedding per document (idf broadcast via
+    ``ray.put`` once; per-batch one bincount reshape + one row-scale —
+    no np.add.at, no Python loop)."""
+
+    def __init__(self, col, key, dim, idf_ref, l2_normalize):
+        self.col, self.key, self.dim = col, key, dim
+        self.idf_ref, self.l2 = idf_ref, l2_normalize
+
+    def __call__(self, df: pd.DataFrame) -> pd.DataFrame:
+        from graphscope_ray.data.hashing import batch_token_hashes
+        import ray as _ray
+        texts = df[self.col].fillna("").tolist()
+        n = len(texts)
+        tok_doc, tok_hash = batch_token_hashes(texts)
+        slot = (tok_hash % np.uint64(self.dim)).astype(np.int64)
+        cnt = np.bincount(tok_doc * self.dim + slot,
+                          minlength=n * self.dim)
+        m = cnt.reshape(n, self.dim).astype(np.float64)
+        if self.idf_ref is not None:
+            m *= _ray.get(self.idf_ref)
+        if self.l2:
+            norms = np.linalg.norm(m, axis=1, keepdims=True)
+            np.divide(m, norms, out=m, where=norms > 0)
+        return pd.DataFrame({self.key: df[self.key].to_numpy(),
+                             "embedding": list(m)})
+
+
+def tfidf_vectors(ds: ray.data.Dataset, *, col: str = "text",
+                  key: str = "doc_id", dim: int = 256,
+                  use_idf: bool = True,
+                  l2_normalize: bool = True) -> ray.data.Dataset:
+    """Dense hashed TF-IDF embeddings ``(key, embedding: list<f64>)``
+    — the text→vector bridge into the similarity family (ann_topk /
+    knn_graph / embedding_cosine_dedup take this output directly; see
+    tests/test_tfidf.py for the text→tfidf→kNN→WCC composition).
+    Token-less documents embed as the zero vector (L2 of 0 stays 0).
+    Two passes over the text (df reduce, then dense assembly) — both
+    stream; only the dim-length idf vector ever sits on the driver."""
+    idf_ref = None
+    if use_idf:
+        n_docs = ds.count()
+        rows = ds.map_batches(_TFKernel(col, key, dim),
+                              batch_format="pandas")
+        idf_ref = ray.put(_idf_vector(rows, n_docs, dim))
+    return ds.map_batches(_DenseTFIDF(col, key, dim, idf_ref,
+                                      l2_normalize),
+                          batch_format="pandas")

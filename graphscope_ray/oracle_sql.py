@@ -433,3 +433,22 @@ def training_order_sql(seed: int = 11) -> str:
     h = wrap_int64(f"({_row_hash_sql(seed)})")
     return f"""
 SELECT doc_id, {h} AS ord FROM documents ORDER BY ord"""
+
+
+def tfidf_sql(dim: int = 1024) -> str:
+    """Twin of data/text.tfidf_rows: slot = fmix64(poly(token)) % dim
+    over the shared token-hash CTEs; tf per (doc, slot); smooth idf
+    ln((N+1)/(df+1)) + 1; tfidf rounded half-away at 6 dp (DuckDB
+    round())."""
+    return f"""
+WITH {token_hash_ctes()},
+ex AS (SELECT doc_id, unnest(h) AS hh FROM th),
+tf AS (SELECT doc_id, (hh % {dim})::BIGINT AS slot,
+              count(*)::BIGINT AS tf
+       FROM ex GROUP BY 1, 2),
+dfc AS (SELECT slot, count(*)::BIGINT AS df FROM tf GROUP BY 1),
+n AS (SELECT count(*)::DOUBLE AS c FROM documents)
+SELECT tf.doc_id, tf.slot, tf.tf,
+       round(tf.tf * (ln((n.c + 1) / (dfc.df + 1)) + 1), 6) AS tfidf
+FROM tf JOIN dfc USING (slot) CROSS JOIN n
+ORDER BY doc_id, slot"""
