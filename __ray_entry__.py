@@ -1487,6 +1487,19 @@ def _q_doc_tfidf(sf_dir):
     return tfidf_rows(docs, dim=128)
 
 
+def _q_doc_topk_source(sf_dir):
+    """Stratified per-domain selection: top-3 docs per source by
+    quality (curate.topk_per_group — per-block trim combiner + one
+    coarse-bucket exchange; twin: row_number() window)."""
+    from graphscope_ray.data.text import quality_score
+    from graphscope_ray.data.curate import topk_per_group
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    q = quality_score(docs, keep=("source",))
+    return topk_per_group(q, group="source", score="quality",
+                          key="doc_id", k=3)
+
+
 def _q_doc_split(sf_dir):
     from graphscope_ray.data.curate import split_assign
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1827,6 +1840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_domain_mix": _q_doc_domain_mix,
         "doc_order": _q_doc_order,
         "doc_tfidf": _q_doc_tfidf,
+        "doc_topk_source": _q_doc_topk_source,
         "doc_split": _q_doc_split,
         "doc_normalize": _q_doc_normalize,
         "doc_pii": _q_doc_pii,
@@ -2007,6 +2021,19 @@ FROM documents ORDER BY doc_id""",
             _MIX_RATES, default_rate=0.75, seed=5),
         "doc_order": _osql().training_order_sql(seed=11),
         "doc_tfidf": _osql().tfidf_sql(dim=128),
+        "doc_topk_source": r"""
+WITH q AS (SELECT doc_id, source, round(
+  round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+        / greatest(length(text), 1), 6)
+  * least(1.0, len(list_filter(string_split_regex(text, '\s+'),
+                               x -> x <> ''))::DOUBLE / 100.0), 6) AS quality
+  FROM documents),
+r AS (SELECT doc_id, source, quality,
+             row_number() OVER (PARTITION BY source
+                                ORDER BY quality DESC, doc_id) AS rn
+      FROM q)
+SELECT doc_id, source, quality, rn FROM r WHERE rn <= 3
+ORDER BY source, rn""",
         "doc_split": _osql().split_assign_sql(seed=7),
         "doc_normalize": _osql().NORMALIZE_SQL,
         "doc_pii": _pii_sql(),

@@ -377,3 +377,47 @@ def training_order(ds: ray.data.Dataset, *, seed: int = 11,
         return t.append_column("ord", pa.array(h.astype(np.int64)))
 
     return ds.map_batches(stamp, batch_format="pyarrow").sort("ord")
+
+
+def topk_per_group(ds: ray.data.Dataset, *, group: str, score: str,
+                   key: str, k: int, descending: bool = True,
+                   num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-group top-k selection (stratified curation: "keep the k
+    best documents of every domain"): ranks rows within each ``group``
+    by ``score`` (desc by default) with ``key`` asc as the
+    deterministic tie-break, and keeps rank ≤ k — exactly
+    ``row_number() OVER (PARTITION BY group ORDER BY score DESC, key)
+    <= k`` (SQL twin built inline by the driver's doc_topk_source
+    oracle).
+
+    100 TB shape: a per-block trim first (each block keeps ≤ k rows
+    per group it sees — the combiner, so at most k·G·#blocks rows ever
+    shuffle, independent of N), then ONE coarse-bucket exchange
+    (hash(group) % num_buckets) co-locates each group and a vectorized
+    kernel per bucket assigns final ranks — no per-group Python
+    dispatch (the repo-wide coarse-bucket pattern), no global sort, no
+    driver materialization."""
+    asc = [True, not descending, True]
+    by = [group, score, key]
+
+    def local_trim(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc, kind="mergesort")
+        rn = df.groupby(group, sort=False).cumcount()
+        return df[rn.to_numpy() < k]
+
+    def add_bucket(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[group], index=False).to_numpy()
+        return df.assign(
+            _cb=(h % np.uint64(num_buckets)).astype(np.int64))
+
+    def final(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.sort_values(by, ascending=asc, kind="mergesort")
+        rn = df.groupby(group, sort=False).cumcount().to_numpy() + 1
+        out = df[rn <= k].copy(deep=False)
+        out["rn"] = rn[rn <= k]
+        return out.drop(columns=["_cb"])
+
+    return (ds.map_batches(local_trim, batch_format="pandas")
+              .map_batches(add_bucket, batch_format="pandas")
+              .groupby("_cb")
+              .map_groups(final, batch_format="pandas"))

@@ -63,10 +63,11 @@ def bpe_token_count(ds: ray.data.Dataset, col: str = "text",
 
 
 def text_stats(ds: ray.data.Dataset, col: str = "text",
-               key: str = "doc_id") -> ray.data.Dataset:
-    """(key, n_chars, n_tokens, alpha_ratio) — building blocks for
-    quality filtering; each component SQL-replayable. Arrow re2
-    count kernels (no per-row Python)."""
+               key: str = "doc_id", keep: tuple = ()) -> ray.data.Dataset:
+    """(key, *keep, n_chars, n_tokens, alpha_ratio) — building blocks
+    for quality filtering; each component SQL-replayable. Arrow re2
+    count kernels (no per-row Python). ``keep`` columns pass through
+    untouched (e.g. ``source`` for per-domain selection)."""
 
     def f(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
@@ -78,28 +79,35 @@ def text_stats(ds: ray.data.Dataset, col: str = "text",
             pc.count_substring_regex(s, r"[a-zA-Z]"), pa.int64()).to_numpy()
         alpha_ratio = np.where(
             n_chars > 0, n_alpha / np.maximum(n_chars, 1), 0.0)
-        return pa.table({
-            key: t[key],
+        cols = {key: t[key]}
+        for c in keep:
+            cols[c] = t[c]
+        cols.update({
             "n_chars": pa.array(n_chars),
             "n_tokens": n_tokens,
             "alpha_ratio": pa.array(round_half_away(alpha_ratio, 6)),
         })
+        return pa.table(cols)
 
     return ds.map_batches(f, batch_format="pyarrow")
 
 
 def quality_score(ds: ray.data.Dataset, col: str = "text",
-                  key: str = "doc_id") -> ray.data.Dataset:
-    """(key, quality): alpha_ratio × min(1, n_tokens/100) — a simple
-    deterministic quality proxy (length + letter density), rounded to
-    6 dp so the SQL oracle hash-matches."""
-    stats = text_stats(ds, col, key)
+                  key: str = "doc_id", keep: tuple = ()) -> ray.data.Dataset:
+    """(key, *keep, quality): alpha_ratio × min(1, n_tokens/100) — a
+    simple deterministic quality proxy (length + letter density),
+    rounded to 6 dp so the SQL oracle hash-matches."""
+    stats = text_stats(ds, col, key, keep=keep)
 
     def f(t: pa.Table) -> pa.Table:
         nt = t["n_tokens"].to_numpy().astype(np.float64)
         ar = t["alpha_ratio"].to_numpy()
         q = round_half_away(ar * np.minimum(1.0, nt / 100.0), 6)
-        return pa.table({key: t[key], "quality": pa.array(q)})
+        cols = {key: t[key]}
+        for c in keep:
+            cols[c] = t[c]
+        cols["quality"] = pa.array(q)
+        return pa.table(cols)
 
     return stats.map_batches(f, batch_format="pyarrow")
 
