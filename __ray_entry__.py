@@ -1500,6 +1500,18 @@ def _q_doc_topk_source(sf_dir):
                           key="doc_id", k=3)
 
 
+def _q_doc_profile(sf_dir):
+    """Corpus profile of the per-doc token count: exact count / min /
+    max / 6-dp mean / exact discrete quantiles (data/profile
+    .column_profile — per-batch moment combiner + sorted
+    order-statistic block fetch; twin: quantile_disc)."""
+    from graphscope_ray.data.text import token_count
+    from graphscope_ray.data.profile import column_profile
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return column_profile(token_count(docs), "n_tokens")
+
+
 def _q_doc_split(sf_dir):
     from graphscope_ray.data.curate import split_assign
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -1841,6 +1853,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_order": _q_doc_order,
         "doc_tfidf": _q_doc_tfidf,
         "doc_topk_source": _q_doc_topk_source,
+        "doc_profile": _q_doc_profile,
         "doc_split": _q_doc_split,
         "doc_normalize": _q_doc_normalize,
         "doc_pii": _q_doc_pii,
@@ -2006,6 +2019,20 @@ FROM documents GROUP BY text ORDER BY doc_id""",
 SELECT doc_id, len(list_filter(string_split_regex(text, '\s+'),
                                x -> x <> ''))::BIGINT AS n_tokens
 FROM documents ORDER BY doc_id""",
+        "doc_profile": r"""
+WITH tc AS (SELECT len(list_filter(string_split_regex(text, '\s+'),
+                                   x -> x <> ''))::BIGINT AS n_tokens
+            FROM documents)
+SELECT count(*)::BIGINT AS n,
+       (count(*) - count(n_tokens))::BIGINT AS nulls,
+       min(n_tokens) AS min, max(n_tokens) AS max,
+       round(avg(n_tokens), 6) AS mean,
+       quantile_disc(n_tokens, 0.25) AS q25,
+       quantile_disc(n_tokens, 0.50) AS q50,
+       quantile_disc(n_tokens, 0.75) AS q75,
+       quantile_disc(n_tokens, 0.90) AS q90,
+       quantile_disc(n_tokens, 0.99) AS q99
+FROM tc""",
         "doc_quality": r"""
 SELECT doc_id, round(
   round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE

@@ -25,6 +25,7 @@ from graphscope_ray.data.dedup import (  # noqa: F401
     duplicated_spans,
 )
 from graphscope_ray.data.similarity import ann_topk, lsh_ann_topk  # noqa: F401
+from graphscope_ray.data.profile import column_profile  # noqa: F401
 from graphscope_ray.data.curate import (  # noqa: F401
     decontaminate,
     domain_mixture,
