@@ -1728,6 +1728,14 @@ def _q_events_asof(sf_dir):
     return out.map_batches(finish, batch_format="pyarrow")
 
 
+def _q_rel_shipping(sf_dir):
+    """TPC-H Q3-shaped shipping priority: semi-join + broadcast
+    attach + per-order revenue combiner + per-block top-k trim
+    (pipelines/relational.shipping_priority)."""
+    from graphscope_ray.pipelines.relational import shipping_priority
+    return shipping_priority(sf_dir)
+
+
 def _q_rel_pricing(sf_dir):
     """TPC-H Q1-shaped pricing summary: batch-level partial aggregation
     (≤6 rows leave each batch), exact integer-scaled money sums."""
@@ -1876,6 +1884,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_asof": _q_events_asof,
         "orders_range90d": _q_orders_range90d,
         "rel_pricing": _q_rel_pricing,
+        "rel_shipping": _q_rel_shipping,
         "rel_nation_revenue": _q_rel_nation_revenue,
     }
 
@@ -1904,7 +1913,7 @@ def _bpe_tokens_sql() -> str:
 
 def oracle_sql() -> dict[str, str]:
     from graphscope_ray.pipelines.relational import (
-        NATION_REVENUE_SQL, pricing_summary_sql)
+        NATION_REVENUE_SQL, pricing_summary_sql, shipping_priority_sql)
     return {
         "pg_edges": f"""
 WITH {_PRELUDE}
@@ -2155,6 +2164,7 @@ SELECT e.event_id,
 FROM events e LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1
 ORDER BY e.event_id""",
         "rel_pricing": pricing_summary_sql(),
+        "rel_shipping": shipping_priority_sql(),
         "rel_nation_revenue": NATION_REVENUE_SQL,
         "orders_range90d": """
 SELECT l.o_orderkey, count(r.o_orderdate)::BIGINT AS n_orders_90d

@@ -185,6 +185,15 @@ def run_bench() -> dict:
         n_docs / max(queries["span_dedup"], 1e-9), 1)
     queries["span_dup_docs"] = span_dup_docs
 
+    # hashed TF-IDF dense vectorization (r03 session 3)
+    from graphscope_ray.data.text import tfidf_vectors
+    t0 = time.perf_counter()
+    n_vec_docs = tfidf_vectors(docs, dim=256).count()
+    queries["tfidf_vectorize"] = round(time.perf_counter() - t0, 3)
+    queries["tfidf_docs_per_sec"] = round(
+        n_docs / max(queries["tfidf_vectorize"], 1e-9), 1)
+    assert n_vec_docs == n_docs
+
     # exact cosine kNN graph over the embeddings table (k=5)
     from graphscope_ray.data.similarity import knn_graph
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",

@@ -144,7 +144,10 @@ def _attach_lookup_fn(ref, on, value_names, defaults):
             else np.zeros(len(vals), dtype=bool)
         )
         for name in value_names:
-            out = np.where(hit, cols[name][idx], defaults.get(name, 0))
+            if len(keys):
+                out = np.where(hit, cols[name][idx], defaults.get(name, 0))
+            else:  # empty lookup: every row misses → all defaults
+                out = np.full(len(vals), defaults.get(name, 0))
             batch = batch.append_column(name, pa.array(out))
         return batch
 
@@ -168,6 +171,11 @@ def attach_values(
     n = table_count if table_count is not None else table.count()
     if n <= BROADCAST_ROWS:
         pdf = table.select_columns([table_key, *value_names]).to_pandas()
+        if len(pdf) == 0:
+            # to_pandas() of an empty Dataset can drop its columns —
+            # rebuild the empty frame so the lookup maps to all-miss
+            # (every row gets defaults) instead of a KeyError
+            pdf = pd.DataFrame({c: [] for c in (table_key, *value_names)})
         pdf = pdf.sort_values(table_key)
         ref = ray.put(
             (

@@ -194,3 +194,126 @@ FROM orders o
 JOIN customer c ON c.c_custkey = o.o_custkey
 JOIN nation n ON n.n_nationkey = c.c_nationkey
 GROUP BY n.n_name ORDER BY n.n_name"""
+
+
+def shipping_priority(sf_dir: str, *, cutoff: str = "1998-06-01",
+                      segment: str = "BUILDING",
+                      k: int = 10) -> ray.data.Dataset:
+    """Q3-shaped "top unshipped orders": revenue per order for
+    ``segment`` customers, orders placed before ``cutoff`` with
+    lineitems shipping after it; top ``k`` by revenue (desc,
+    date + orderkey tie-break — fully deterministic so the SQL twin
+    hash-matches).
+
+    Shape: segment semi-join and the orderdate attach both go through
+    :func:`attach_values` (broadcast ≤20M keys, hash join above);
+    revenue partials are per-batch integer-e4 bincounts (combiner), so
+    the groupby moves O(orders-per-block) not O(lineitems); the top-k
+    is a per-block trim (≤k rows per block survive) + one-partition
+    final — no global sort."""
+    from graphscope_ray.graph.joins import attach_values
+
+    cut = np.datetime64(cutoff, "us")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_mktsegment"])
+    cust = cust.map_batches(
+        lambda t: (lambda m: pa.table(
+            {"c_custkey": t["c_custkey"].filter(m),
+             "_seg": pa.array(np.ones(m.to_numpy(
+                 zero_copy_only=False).sum(), dtype=np.int64))}))(
+            pc.equal(t["c_mktsegment"], segment)),
+        batch_format="pyarrow")
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    def o_filter(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.less(t["o_orderdate"],
+                             pa.scalar(cut.item(), pa.timestamp("us"))))
+        return pa.table({
+            "o_orderkey": t["o_orderkey"],
+            "o_custkey": t["o_custkey"],
+            "_odate": pa.array(t["o_orderdate"].to_numpy()
+                               .astype("datetime64[us]")
+                               .astype(np.int64)),
+        })
+
+    o = orders.map_batches(o_filter, batch_format="pyarrow")
+    o = attach_values(o, cust, on="o_custkey", table_key="c_custkey",
+                      value_names=["_seg"], defaults={"_seg": 0})
+    o = o.map_batches(
+        lambda t: t.filter(pc.equal(t["_seg"], 1))
+                   .select(["o_orderkey", "_odate"]),
+        batch_format="pyarrow")
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_extendedprice", "l_discount",
+                 "l_shipdate"])
+
+    def rev_partial(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater(t["l_shipdate"],
+                                pa.scalar(cut.item(), pa.timestamp("us"))))
+        ok = t["l_orderkey"].to_numpy()
+        ext = t["l_extendedprice"].to_numpy()
+        disc = t["l_discount"].to_numpy()
+        e4 = round_half_away((ext * (1.0 - disc)) * 10_000.0, 0)
+        uk, inv = np.unique(ok, return_inverse=True)
+        return pa.table({
+            "l_orderkey": pa.array(uk),
+            "_rev_e4": pa.array(
+                np.bincount(inv, weights=e4).astype(np.int64)),
+        })
+
+    from ray.data.aggregate import Sum
+    rev = (li.map_batches(rev_partial, batch_format="pyarrow")
+           .groupby("l_orderkey")
+           .aggregate(Sum("_rev_e4", alias_name="_rev_e4")))
+    rev = attach_values(rev, o, on="l_orderkey", table_key="o_orderkey",
+                        value_names=["_odate"], defaults={"_odate": -1})
+
+    def trim(t: pa.Table) -> pa.Table:
+        t = t.filter(pc.greater_equal(t["_odate"], 0))
+        if len(t) == 0:
+            return t
+        order = np.lexsort((t["l_orderkey"].to_numpy(),
+                            t["_odate"].to_numpy(),
+                            -t["_rev_e4"].to_numpy()))[:k]
+        return t.take(pa.array(order))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "l_orderkey": t["l_orderkey"],
+            "revenue": pa.array(t["_rev_e4"].to_numpy() / 10_000.0),
+            "o_orderdate": pa.array(t["_odate"].to_numpy()
+                                    .astype("datetime64[us]")),
+        })
+
+    return (rev.map_batches(trim, batch_format="pyarrow")
+            .repartition(1)
+            .map_batches(trim, batch_format="pyarrow")
+            .map_batches(finish, batch_format="pyarrow"))
+
+
+def shipping_priority_sql(cutoff: str = "1998-06-01",
+                          segment: str = "BUILDING", k: int = 10) -> str:
+    """DuckDB twin of :func:`shipping_priority` (same e4 integer
+    scaling and full deterministic order, so LIMIT k picks identical
+    rows)."""
+    return f"""
+WITH c AS (SELECT c_custkey FROM customer
+           WHERE c_mktsegment = '{segment}'),
+o AS (SELECT o_orderkey, o_orderdate FROM orders
+      JOIN c ON c_custkey = o_custkey
+      WHERE o_orderdate < TIMESTAMP '{cutoff}'),
+r AS (SELECT l_orderkey,
+             sum(round((l_extendedprice * (1.0 - l_discount))
+                       * 10000)::BIGINT) AS rev_e4
+      FROM lineitem WHERE l_shipdate > TIMESTAMP '{cutoff}'
+      GROUP BY 1)
+SELECT r.l_orderkey, rev_e4 / 10000.0 AS revenue, o.o_orderdate
+FROM r JOIN o ON o.o_orderkey = r.l_orderkey
+ORDER BY rev_e4 DESC, o.o_orderdate, r.l_orderkey
+LIMIT {k}"""

@@ -36,3 +36,19 @@ def test_nation_revenue_matches_sql():
     got = canon(nation_revenue(SF).to_pandas())
     want = canon(_con().execute(NATION_REVENUE_SQL).df())
     pd.testing.assert_frame_equal(got, want.astype(got.dtypes.to_dict()))
+
+
+def test_shipping_priority_matches_sql():
+    from graphscope_ray.pipelines.relational import (
+        shipping_priority, shipping_priority_sql)
+    for cutoff, seg, k in [("1998-06-01", "BUILDING", 10),
+                           ("1997-01-01", "MACHINERY", 5),
+                           ("1995-01-01", "HOUSEHOLD", 3)]:  # empty o side
+        got = canon(shipping_priority(
+            SF, cutoff=cutoff, segment=seg, k=k).to_pandas())
+        want = canon(_con().execute(
+            shipping_priority_sql(cutoff, seg, k)).df())
+        assert len(got) == len(want), (cutoff, seg, k)
+        if len(got):
+            pd.testing.assert_frame_equal(
+                got, want.astype(got.dtypes.to_dict()))
