@@ -1601,6 +1601,34 @@ def _q_doc_jaccard(sf_dir):
     return fingerprint_jaccard_pairs(docs, threshold=0.5)
 
 
+def _q_doc_chunk(sf_dir):
+    """Overlapping fixed-size chunking (context prep) — shuffle-free
+    flat expansion, codepoint-exact vs the DuckDB substr twin."""
+    from graphscope_ray.data.curate import chunk_text
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return chunk_text(docs, size=256, overlap=32)
+
+
+def _q_doc_bigrams(sf_dir):
+    """Corpus top-100 word bigrams — per-batch value_counts combiner
+    before the distinct-bigram groupby."""
+    from graphscope_ray.data.curate import bigram_topk
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return bigram_topk(docs, k=100)
+
+
+def _q_emb_kmeans(sf_dir):
+    """Distributed Lloyd's k-means (k=8, 2 iterations) — broadcast
+    centroids + per-batch partial sums; the SQL twin unrolls both
+    iterations with the shared rounded-argmin tie protocol."""
+    from graphscope_ray.data.similarity import kmeans_assign
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return kmeans_assign(emb, k=8, iters=2)
+
+
 def _q_emb_ann_topk(sf_dir):
     from graphscope_ray.data import ann_topk
     import pyarrow.compute as pc
@@ -1874,6 +1902,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_jaccard": _q_doc_jaccard,
         "doc_span_dedup": _q_doc_span_dedup,
+        "doc_chunk": _q_doc_chunk,
+        "doc_bigrams": _q_doc_bigrams,
+        "emb_kmeans": _q_emb_kmeans,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
@@ -1902,6 +1933,11 @@ def _pii_sql() -> str:
 def _vocab_sql() -> str:
     from graphscope_ray.data.curate import VOCAB_TOKEN_PATTERN
     return _osql().vocab_topk_sql(100, VOCAB_TOKEN_PATTERN)
+
+
+def _bigrams_sql() -> str:
+    from graphscope_ray.data.curate import VOCAB_TOKEN_PATTERN
+    return _osql().bigram_topk_sql(100, VOCAB_TOKEN_PATTERN)
 
 
 def _bpe_tokens_sql() -> str:
@@ -2082,6 +2118,9 @@ ORDER BY source, rn""",
         "doc_simhash_pairs": _osql().simhash_pairs_sql(max_hamming=0),
         "doc_jaccard": _osql().jaccard_pairs_sql(threshold=0.5),
         "doc_span_dedup": _osql().span_dedup_sql(k=8),
+        "doc_chunk": _osql().chunk_text_sql(size=256, overlap=32),
+        "doc_bigrams": _bigrams_sql(),
+        "emb_kmeans": _osql().kmeans_sql(k=8, iters=2, dim=64),
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),

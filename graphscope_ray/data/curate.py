@@ -219,6 +219,93 @@ def vocab_topk(ds: ray.data.Dataset, k: int = 100, col: str = "text",
     return top
 
 
+def chunk_text(ds: ray.data.Dataset, *, size: int = 512,
+               overlap: int = 64, col: str = "text",
+               key: str = "doc_id") -> ray.data.Dataset:
+    """Overlapping fixed-size chunking (RAG / pretraining context
+    prep): chunk ``i`` of a doc covers codepoints
+    ``[i·step, i·step+size)`` with ``step = size − overlap``; empty
+    docs yield no chunks. Emits ``(key, chunk_id, pos, chunk)`` with
+    1-based ``pos`` so the DuckDB ``substr`` twin is literal.
+
+    Shape: embarrassingly parallel flat expansion — no shuffle, no
+    per-row Python. Each batch loops over chunk *indices* (≤
+    ceil(max_len/step) iterations), slicing the whole column per index
+    with Arrow's codepoint-exact ``utf8_slice_codeunits`` kernel."""
+    if overlap >= size:
+        raise ValueError("overlap must be smaller than size")
+    step = size - overlap
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        txt = pc.fill_null(t[col], "")
+        if isinstance(txt, pa.ChunkedArray):
+            txt = txt.combine_chunks()
+        n = pc.utf8_length(txt).to_numpy(zero_copy_only=False)
+        ids = t[key].to_numpy(zero_copy_only=False)
+        keys, cids, poss, chunks = [], [], [], []
+        i = 0
+        while True:
+            start = i * step
+            alive = n > start
+            if not alive.any():
+                break
+            sl = pc.utf8_slice_codeunits(txt, start, start + size)
+            keys.append(ids[alive])
+            cids.append(np.full(int(alive.sum()), i, dtype=np.int64))
+            poss.append(np.full(int(alive.sum()), start + 1,
+                                dtype=np.int64))
+            chunks.append(sl.filter(pa.array(alive)))
+            i += 1
+        if not keys:
+            return pa.table({key: pa.array([], pa.int64()),
+                             "chunk_id": pa.array([], pa.int64()),
+                             "pos": pa.array([], pa.int64()),
+                             "chunk": pa.array([], pa.string())})
+        return pa.table({key: np.concatenate(keys),
+                         "chunk_id": np.concatenate(cids),
+                         "pos": np.concatenate(poss),
+                         "chunk": pa.concat_arrays(
+                             [c.combine_chunks() if isinstance(
+                                 c, pa.ChunkedArray) else c
+                              for c in chunks])})
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def bigram_topk(ds: ray.data.Dataset, k: int = 100, col: str = "text",
+                ) -> ray.data.Dataset:
+    """Global top-k word bigrams (corpus n-gram statistics): tokens
+    are ``[a-z0-9]+`` runs of lower(text) (the vocab_topk tokenizer);
+    a bigram is two consecutive tokens of one doc joined by a space.
+    Per-batch value_counts is the combiner — the groupby shuffle moves
+    O(distinct bigrams per batch), never O(total tokens). Tie-break:
+    cnt desc, bigram asc."""
+    import re
+    pat = re.compile(VOCAB_TOKEN_PATTERN)
+
+    def combiner(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[col].fillna("").str.lower().str.findall(pat)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({"bigram": pd.Series([], dtype=str),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        idx = ex.index.to_numpy()
+        vals = ex.to_numpy(dtype=object)
+        same = idx[1:] == idx[:-1]
+        lhs = vals[:-1][same].astype(str)
+        rhs = vals[1:][same].astype(str)
+        big = np.char.add(np.char.add(lhs, " "), rhs)
+        vc = pd.Series(big).value_counts()
+        return pd.DataFrame({"bigram": vc.index.astype(str),
+                             "cnt": vc.to_numpy().astype(np.int64)})
+
+    from ray.data.aggregate import Sum
+    counts = (ds.map_batches(combiner, batch_format="pandas")
+              .groupby("bigram").aggregate(Sum("cnt", alias_name="cnt")))
+    return counts.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
+
+
 @ray.remote
 def _seq_stamp(tbl: pa.Table, start_tokens: int, budget: int) -> pa.Table:
     n = tbl["n_tokens"].to_numpy()

@@ -443,3 +443,79 @@ def _knn_graph_lsh(emb: ray.data.Dataset, *, k, key, col, num_planes,
 
     return cand.map_batches(add_sb, batch_format="pandas") \
         .groupby("_sb").map_groups(merge_per_src, batch_format="pandas")
+
+
+def kmeans_assign(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    key: str = "vec_id",
+    col: str = "embedding",
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means → final ``(key, cluster)`` rows.
+
+    Reference-class op for embedding-corpus curation (cluster-balanced
+    sampling / dedup). Deterministic end to end so a DuckDB twin can
+    replay it: initial centroids are the vectors of the ``k`` smallest
+    ids; assignment = argmin Euclidean distance **rounded half-away to
+    6 dp**, ties → smallest centroid id (the same ulp-tie protocol as
+    ``ivf_ann_topk``); empty clusters keep their previous centroid.
+
+    100 TB shape: centroids (k×D floats) are broadcast via ``ray.put``
+    each iteration; each batch emits one partial ``(cluster, count,
+    vecsum)`` row per non-empty cluster, so the per-iteration reduce
+    moves O(k × #blocks) rows to the driver — never the embeddings.
+    """
+    from graphscope_ray.util import round_half_away
+
+    init = emb.select_columns([key, col]).sort(key).limit(k).to_pandas()
+    cents = np.stack(init[col].to_numpy()).astype(np.float64)
+
+    def partials_fn(ref):
+        def f(t: pa.Table) -> pa.Table:
+            c = ray.get(ref)
+            m = np.stack(
+                t[col].to_numpy(zero_copy_only=False)).astype(np.float64)
+            d = round_half_away(np.sqrt(
+                ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)), 6)
+            assign = np.argmin(d, axis=1)  # first min = smallest cid
+            uc, inv = np.unique(assign, return_inverse=True)
+            cnt = np.bincount(inv)
+            sums = np.zeros((len(uc), m.shape[1]))
+            np.add.at(sums, inv, m)
+            return pa.table({
+                "cluster": pa.array(uc.astype(np.int64)),
+                "cnt": pa.array(cnt.astype(np.int64)),
+                "vecsum": pa.array(list(sums)),
+            })
+        return f
+
+    for _ in range(iters - 1):
+        ref = ray.put(cents)
+        part = emb.select_columns([key, col]).map_batches(
+            partials_fn(ref), batch_format="pyarrow").to_pandas()
+        cnt = np.zeros(k)
+        sums = np.zeros_like(cents)
+        for cl, n, v in zip(part["cluster"], part["cnt"], part["vecsum"]):
+            cnt[cl] += n
+            sums[cl] += np.asarray(v, dtype=np.float64)
+        live = cnt > 0
+        cents = cents.copy()
+        cents[live] = sums[live] / cnt[live, None]
+
+    ref = ray.put(cents)
+
+    def assign_final(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = np.stack(
+            t[col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        d = round_half_away(np.sqrt(
+            ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)), 6)
+        return pa.table({
+            key: t[key],
+            "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64)),
+        })
+
+    return emb.select_columns([key, col]).map_batches(
+        assign_final, batch_format="pyarrow").sort(key)

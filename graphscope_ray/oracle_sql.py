@@ -452,3 +452,78 @@ SELECT tf.doc_id, tf.slot, tf.tf,
        round(tf.tf * (ln((n.c + 1) / (dfc.df + 1)) + 1), 6) AS tfidf
 FROM tf JOIN dfc USING (slot) CROSS JOIN n
 ORDER BY doc_id, slot"""
+
+
+def chunk_text_sql(size: int = 512, overlap: int = 64) -> str:
+    """Twin of data/curate.chunk_text: chunk i exists iff i*step <
+    length(text) (codepoints — DuckDB length/substr match Python
+    slicing), pos is 1-based."""
+    step = size - overlap
+    return f"""
+WITH x AS (
+  SELECT doc_id,
+         unnest(generate_series(0,
+             CAST(ceil(length(text)::DOUBLE / {step}) AS BIGINT) - 1))
+           AS chunk_id,
+         text
+  FROM documents WHERE length(text) > 0)
+SELECT doc_id, chunk_id, (chunk_id * {step} + 1)::BIGINT AS pos,
+       substr(text, (chunk_id * {step} + 1)::INT, {size}) AS chunk
+FROM x ORDER BY doc_id, chunk_id"""
+
+
+def bigram_topk_sql(k: int, token_pat: str) -> str:
+    """Twin of data/curate.bigram_topk (same RE2 tokenizer as
+    vocab_topk_sql)."""
+    return f"""
+SELECT bigram, count(*)::BIGINT AS cnt FROM (
+  SELECT unnest(list_transform(generate_series(1, len(l) - 1),
+                               i -> l[i] || ' ' || l[i+1])) AS bigram
+  FROM (SELECT regexp_extract_all(lower(text), '{token_pat}') AS l
+        FROM documents))
+GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT {k}"""
+
+
+def kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled twin of data/similarity.kmeans_assign: init = vectors
+    of the k smallest vec_ids (cid = rank); per iteration assignment =
+    argmin round(list_distance, 6) with ties to the smallest cid (the
+    Python side's rounded-argmin protocol); empty clusters keep the
+    previous centroid; centroids are double-precision means."""
+    ctes = [f"""c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
+         embedding::DOUBLE[] AS c
+  FROM (SELECT vec_id, embedding FROM embeddings
+        ORDER BY vec_id LIMIT {k}))"""]
+    prev = "c0"
+    for it in range(1, iters):
+        ctes.append(f"""d{it} AS (
+  SELECT e.vec_id, c.cid,
+         round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS dd
+  FROM embeddings e CROSS JOIN {prev} c),
+a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn
+    FROM d{it}) WHERE rn = 1),
+m{it} AS (
+  SELECT a.cid, g.i, avg(e.embedding[g.i]::DOUBLE) AS v
+  FROM a{it} a JOIN embeddings e USING (vec_id),
+       generate_series(1, {dim}) g(i)
+  GROUP BY a.cid, g.i),
+c{it} AS (
+  SELECT p.cid, CASE WHEN count(m.i) = 0 THEN p.c
+                ELSE list(m.v ORDER BY m.i) END AS c
+  FROM {prev} p LEFT JOIN m{it} m ON m.cid = p.cid
+  GROUP BY p.cid, p.c)""")
+        prev = f"c{it}"
+    return f"""
+WITH {','.join(ctes)},
+dfin AS (
+  SELECT e.vec_id, c.cid,
+         round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS dd
+  FROM embeddings e CROSS JOIN {prev} c)
+SELECT vec_id, cid::BIGINT AS cluster FROM (
+  SELECT vec_id, cid,
+         row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn
+  FROM dfin) WHERE rn = 1 ORDER BY vec_id"""

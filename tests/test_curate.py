@@ -198,3 +198,64 @@ def test_benchmark_window_hashes_excludes_empty():
         {"doc_id": np.array([0, 1], dtype=np.int64),
          "text": ["", "   "]}))
     assert len(benchmark_window_hashes(ds, 8)) == 0
+
+
+def test_chunk_text_edges(edge_ds, edge_con):
+    from graphscope_ray.data.curate import chunk_text
+    got = chunk_text(edge_ds, size=10, overlap=4).to_pandas()
+    want = edge_con.execute(osql.chunk_text_sql(10, 4)).df()
+    _cmp(got, want, ["doc_id", "chunk_id"])
+    # empty + whitespace docs: chunks exist iff text non-empty
+    assert 0 not in got["doc_id"].to_numpy()
+    # chunks reassemble: stripping overlaps reproduces the doc
+    for did, grp in got.groupby("doc_id"):
+        grp = grp.sort_values("chunk_id")
+        full = "".join([grp["chunk"].iloc[0]]
+                       + [c[4:] for c in grp["chunk"].iloc[1:]])
+        assert full == EDGE_TEXTS[did]
+
+
+def test_chunk_text_rejects_bad_overlap(edge_ds):
+    from graphscope_ray.data.curate import chunk_text
+    with pytest.raises(ValueError):
+        chunk_text(edge_ds, size=8, overlap=8)
+
+
+def test_bigram_topk_edges(edge_ds, edge_con):
+    from graphscope_ray.data.curate import (VOCAB_TOKEN_PATTERN,
+                                            bigram_topk)
+    got = bigram_topk(edge_ds, k=20).to_pandas()
+    want = edge_con.execute(
+        osql.bigram_topk_sql(20, VOCAB_TOKEN_PATTERN)).df()
+    # ordered compare — top-k order is part of the contract
+    _cmp(got.reset_index(drop=True), want.reset_index(drop=True),
+         ["cnt", "bigram"])
+    assert got["bigram"].iloc[0] == "x y"  # the repeated pair wins
+
+
+def test_kmeans_assign_matches_numpy_lloyds():
+    from graphscope_ray.data.similarity import kmeans_assign
+    from graphscope_ray.util import round_half_away
+    rng = np.random.default_rng(7)
+    X = rng.normal(size=(300, 16)).astype(np.float32)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(300, dtype=np.int64),
+        "embedding": list(X),
+    })).repartition(4)
+    got = kmeans_assign(ds, k=5, iters=3).to_pandas()
+    # numpy oracle replaying the exact protocol
+    X64 = X.astype(np.float64)
+    cents = X64[:5].copy()
+    for it in range(3):
+        d = round_half_away(np.sqrt(
+            ((X64[:, None, :] - cents[None]) ** 2).sum(-1)), 6)
+        assign = np.argmin(d, axis=1)
+        if it == 2:
+            break
+        for c in range(5):
+            if (assign == c).any():
+                cents[c] = X64[assign == c].mean(axis=0)
+    assert (got.sort_values("vec_id")["cluster"].to_numpy()
+            == assign).all()
+    # sanity: all clusters non-trivially populated on gaussian data
+    assert got["cluster"].nunique() == 5
