@@ -1730,6 +1730,16 @@ def _q_events_hopping(sf_dir):
                            hop_us=900 * 1_000_000)
 
 
+def _q_events_funnel(sf_dir):
+    """view→click→purchase ordered funnel per user (72 h horizon) —
+    one coarse-bucket shuffle + vectorized per-bucket step walk."""
+    from graphscope_ray.data.temporal import funnel
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["user_id", "ts", "event_type"])
+    return funnel(ev, ["view", "click", "purchase"])
+
+
 def _q_events_asof(sf_dir):
     """As-of join: each event picks the user's most recent order at
     event time (ties → max o_orderkey); unmatched events keep -1."""
@@ -1912,6 +1922,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_window": _q_events_window,
         "events_session": _q_events_session,
         "events_hopping": _q_events_hopping,
+        "events_funnel": _q_events_funnel,
         "events_asof": _q_events_asof,
         "orders_range90d": _q_orders_range90d,
         "rel_pricing": _q_rel_pricing,
@@ -2190,6 +2201,8 @@ SELECT user_id,
        count(*)::BIGINT AS n_events, round(sum(value), 6) AS sum_value
 FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js
 GROUP BY 1, 2 ORDER BY 1, 2""",
+        "events_funnel": _osql().funnel_sql(
+            ["view", "click", "purchase"], horizon_hours=72),
         "events_asof": """
 WITH j AS (
   SELECT e.event_id, o.o_orderkey, o.o_totalprice,

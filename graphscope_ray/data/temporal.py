@@ -317,3 +317,59 @@ def range_join_count(
             .map_groups(count, batch_format="pandas")
             .map_batches(_restore_left_types(lschema),
                          batch_format="pyarrow"))
+
+
+def funnel(
+    ds: ray.data.Dataset,
+    steps: list,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    type_col: str = "event_type",
+    horizon: np.timedelta64 = np.timedelta64(72, "h"),
+    num_buckets: int = _NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Ordered funnel analysis: per key, how many of ``steps`` were
+    completed strictly in order, earliest-first — ``t_0`` = min ts of
+    ``steps[0]``; ``t_k`` = min ts of ``steps[k]`` with ``ts > t_{k-1}``
+    and ``ts <= t_0 + horizon``. → one row ``(key, steps_completed)``
+    per distinct key.
+
+    100 TB shape: one coarse-bucket shuffle co-locates each key's
+    events (the session_windows pattern), then a vectorized pandas
+    kernel walks the steps with groupby-min + inner joins — per-step
+    cost is O(events of that type in bucket), never per-row Python.
+    SQL twin: one chained min-join CTE per step
+    (oracle_sql.funnel_sql)."""
+    if not steps:
+        raise ValueError("funnel needs at least one step")
+    hor = np.timedelta64(horizon)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = t[key].to_numpy() % num_buckets
+        return t.append_column("_b", pa.array(b.astype(np.int64)))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        uniq = np.unique(g[key].to_numpy())
+        done = pd.Series(np.zeros(len(uniq), dtype=np.int64), index=uniq)
+        t0 = g[g[type_col] == steps[0]].groupby(key)[ts].min()
+        done[t0.index] = 1
+        prev = t0
+        for s in steps[1:]:
+            f = g.loc[g[type_col] == s, [key, ts]].copy()
+            f["_prev"] = f[key].map(prev)
+            f["_t0"] = f[key].map(t0)
+            f = f[f["_prev"].notna()
+                  & (f[ts].to_numpy() > f["_prev"].to_numpy())
+                  & (f[ts].to_numpy() <= f["_t0"].to_numpy() + hor)]
+            nxt = f.groupby(key)[ts].min()
+            if not len(nxt):
+                break
+            done[nxt.index] += 1
+            prev = nxt
+        return pd.DataFrame({key: uniq,
+                             "steps_completed": done.to_numpy()})
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(kernel, batch_format="pandas"))

@@ -527,3 +527,30 @@ SELECT vec_id, cid::BIGINT AS cluster FROM (
   SELECT vec_id, cid,
          row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn
   FROM dfin) WHERE rn = 1 ORDER BY vec_id"""
+
+
+def funnel_sql(steps, horizon_hours: int = 72) -> str:
+    """Twin of data/temporal.funnel: chained min-join CTEs, one per
+    step; steps_completed = deepest CTE the key reaches."""
+    esc = [s.replace("'", "''") for s in steps]
+    ctes = [f"""s0 AS (
+  SELECT user_id, min(ts) AS t0, min(ts) AS tp FROM events
+  WHERE event_type = '{esc[0]}' GROUP BY user_id)"""]
+    for i, s in enumerate(esc[1:], start=1):
+        ctes.append(f"""s{i} AS (
+  SELECT e.user_id, s{i-1}.t0 AS t0, min(e.ts) AS tp
+  FROM events e JOIN s{i-1} ON s{i-1}.user_id = e.user_id
+  WHERE e.event_type = '{s}' AND e.ts > s{i-1}.tp
+    AND e.ts <= s{i-1}.t0 + INTERVAL {horizon_hours} HOUR
+  GROUP BY e.user_id, s{i-1}.t0)""")
+    n = len(esc)
+    case = "CASE " + " ".join(
+        f"WHEN s{i}.user_id IS NOT NULL THEN {i + 1}"
+        for i in range(n - 1, -1, -1)) + " ELSE 0 END"
+    joins = " ".join(
+        f"LEFT JOIN s{i} ON s{i}.user_id = u.user_id" for i in range(n))
+    return f"""
+WITH {','.join(ctes)},
+u AS (SELECT DISTINCT user_id FROM events)
+SELECT u.user_id, ({case})::BIGINT AS steps_completed
+FROM u {joins} ORDER BY u.user_id"""

@@ -127,3 +127,38 @@ def test_hopping_windows_rejects_misaligned_hop():
          "value": [1.0]}))
     with pytest.raises(ValueError):
         hopping_windows(ev, size_us=1000, hop_us=300)
+
+
+def test_funnel_matches_sql_on_adversarial_orderings():
+    from graphscope_ray.data.temporal import funnel
+    from graphscope_ray import oracle_sql as osql
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    H = np.timedelta64(1, "h")
+    rows = []
+    # u0: clean a->b->c inside horizon (3 steps)
+    rows += [(0, base, "a"), (0, base + H, "b"), (0, base + 2 * H, "c")]
+    # u1: b before a — b must not count (1 step)
+    rows += [(1, base, "b"), (1, base + H, "a")]
+    # u2: c arrives past the horizon from t0 (2 steps)
+    rows += [(2, base, "a"), (2, base + H, "b"),
+             (2, base + np.timedelta64(80, "h"), "c")]
+    # u3: never does a, plenty of b/c (0 steps)
+    rows += [(3, base, "b"), (3, base + H, "c")]
+    # u4: repeated a's — earliest starts the clock; c ties b's ts
+    #     exactly (strict > means the tie does NOT advance) (2 steps)
+    rows += [(4, base + H, "a"), (4, base, "a"),
+             (4, base + 2 * H, "b"), (4, base + 2 * H, "c")]
+    # u5: a then c with no b (1 step)
+    rows += [(5, base, "a"), (5, base + H, "c")]
+    df = pd.DataFrame(rows, columns=["user_id", "ts", "event_type"])
+    df["ts"] = df["ts"].astype("datetime64[us]")
+    got = (funnel(ray.data.from_pandas(df).repartition(3),
+                  ["a", "b", "c"], horizon=np.timedelta64(72, "h"))
+           .to_pandas().sort_values("user_id").reset_index(drop=True))
+    con = duckdb.connect()
+    con.register("events", df)
+    want = con.execute(osql.funnel_sql(["a", "b", "c"], 72)).df()
+    assert (got["user_id"].to_numpy() == want["user_id"].to_numpy()).all()
+    assert (got["steps_completed"].to_numpy()
+            == want["steps_completed"].to_numpy()).all()
+    assert got["steps_completed"].tolist() == [3, 1, 2, 0, 2, 1]
