@@ -194,6 +194,23 @@ def run_bench() -> dict:
         n_docs / max(queries["tfidf_vectorize"], 1e-9), 1)
     assert n_vec_docs == n_docs
 
+    # overlapping chunking (context prep, r03 session 4)
+    from graphscope_ray.data.curate import chunk_text
+    t0 = time.perf_counter()
+    n_chunks = chunk_text(docs, size=512, overlap=64).count()
+    queries["chunking"] = round(time.perf_counter() - t0, 3)
+    queries["chunking_docs_per_sec"] = round(
+        n_docs / max(queries["chunking"], 1e-9), 1)
+    queries["n_chunks"] = n_chunks
+
+    # corpus bigram statistics (r03 session 4)
+    from graphscope_ray.data.curate import bigram_topk
+    t0 = time.perf_counter()
+    bigram_topk(docs, k=100).count()
+    queries["bigrams_top100"] = round(time.perf_counter() - t0, 3)
+    queries["bigrams_docs_per_sec"] = round(
+        n_docs / max(queries["bigrams_top100"], 1e-9), 1)
+
     # exact cosine kNN graph over the embeddings table (k=5)
     from graphscope_ray.data.similarity import knn_graph
     emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
@@ -206,6 +223,27 @@ def run_bench() -> dict:
     queries["knn_vecs_per_sec"] = round(
         n_vecs / max(queries["knn_graph"], 1e-9), 1)
     assert knn_edges == n_vecs * 5, (knn_edges, n_vecs)
+
+    # distributed k-means over the embeddings (k=8, 3 iterations)
+    from graphscope_ray.data.similarity import kmeans_assign
+    t0 = time.perf_counter()
+    n_assigned = kmeans_assign(emb, k=8, iters=3).count()
+    queries["kmeans"] = round(time.perf_counter() - t0, 3)
+    queries["kmeans_vecs_per_sec"] = round(
+        n_vecs / max(queries["kmeans"], 1e-9), 1)
+    assert n_assigned == n_vecs
+
+    # ordered funnel over the event stream
+    from graphscope_ray.data.temporal import funnel
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts", "event_type"]) \
+        .materialize()
+    n_events = ev.count()
+    t0 = time.perf_counter()
+    funnel(ev, ["view", "click", "purchase"]).count()
+    queries["funnel"] = round(time.perf_counter() - t0, 3)
+    queries["funnel_events_per_sec"] = round(
+        n_events / max(queries["funnel"], 1e-9), 1)
 
     total = (queries["pagerank_tol1e6"] + queries["wcc"]
              + queries["cdlp10"] + queries["triangles"])

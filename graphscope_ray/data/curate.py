@@ -195,13 +195,47 @@ def repetition_stats(ds: ray.data.Dataset, col: str = "text",
                           batch_format="pandas")
 
 
+def _counts_topk(parts: ray.data.Dataset, key_col: str, k: int,
+                 num_buckets: int = 32) -> ray.data.Dataset:
+    """Global top-k over per-batch partial ``(key_col, cnt)`` counts.
+
+    Ray's ``groupby(key).aggregate`` pays ~ms of Python dispatch per
+    DISTINCT key, so a 10^4-group count melts. Shape here: one
+    bucket-by-key-hash shuffle (a bucket owns every partial of its
+    keys, so its local sum IS the global sum), ONE vectorized pandas
+    kernel per bucket that sums and trims to its local top-k (the
+    global top-k is a subset of the per-bucket union), then a ≤
+    num_buckets·k-row final sort. Bucket hash is pd.util.hash_array
+    (fixed-key siphash — stable across worker processes, unlike
+    builtin hash)."""
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        h = pd.util.hash_array(df[key_col].to_numpy(dtype=object))
+        df["_b"] = (h % num_buckets).astype(np.int64)
+        return df
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        t = (g.groupby(key_col, sort=False)["cnt"].sum()
+             .reset_index())
+        t = t.sort_values(["cnt", key_col], ascending=[False, True],
+                          kind="mergesort").head(k)
+        t["cnt"] = t["cnt"].astype(np.int64)
+        return t[[key_col, "cnt"]]
+
+    trimmed = (parts.map_batches(bucket, batch_format="pandas")
+               .groupby("_b").map_groups(kernel, batch_format="pandas"))
+    return trimmed.sort(["cnt", key_col],
+                        descending=[True, False]).limit(k)
+
+
 def vocab_topk(ds: ray.data.Dataset, k: int = 100, col: str = "text",
                ) -> ray.data.Dataset:
     """Global top-k vocabulary (token, cnt): tokens are maximal
     ``[a-z0-9]+`` runs of lower(text). Per-batch value_counts is the
-    combiner — the groupby shuffle moves O(distinct-per-batch) rows,
-    not O(total tokens) — then one small sort + limit. Deterministic
-    tie-break: cnt desc, token asc."""
+    combiner — the shuffle moves O(distinct-per-batch) rows, not
+    O(total tokens) — then the bucketed top-k merge (_counts_topk).
+    Deterministic tie-break: cnt desc, token asc."""
     import re
     pat = re.compile(VOCAB_TOKEN_PATTERN)
 
@@ -212,11 +246,8 @@ def vocab_topk(ds: ray.data.Dataset, k: int = 100, col: str = "text",
         return pd.DataFrame({"token": vc.index.astype(str),
                              "cnt": vc.to_numpy().astype(np.int64)})
 
-    from ray.data.aggregate import Sum
-    counts = (ds.map_batches(combiner, batch_format="pandas")
-              .groupby("token").aggregate(Sum("cnt", alias_name="cnt")))
-    top = counts.sort(["cnt", "token"], descending=[True, False]).limit(k)
-    return top
+    parts = ds.map_batches(combiner, batch_format="pandas")
+    return _counts_topk(parts, "token", k)
 
 
 def chunk_text(ds: ray.data.Dataset, *, size: int = 512,
@@ -300,10 +331,8 @@ def bigram_topk(ds: ray.data.Dataset, k: int = 100, col: str = "text",
         return pd.DataFrame({"bigram": vc.index.astype(str),
                              "cnt": vc.to_numpy().astype(np.int64)})
 
-    from ray.data.aggregate import Sum
-    counts = (ds.map_batches(combiner, batch_format="pandas")
-              .groupby("bigram").aggregate(Sum("cnt", alias_name="cnt")))
-    return counts.sort(["cnt", "bigram"], descending=[True, False]).limit(k)
+    parts = ds.map_batches(combiner, batch_format="pandas")
+    return _counts_topk(parts, "bigram", k)
 
 
 @ray.remote
