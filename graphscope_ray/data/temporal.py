@@ -121,16 +121,18 @@ def hopping_windows(
             value: pa.array(np.repeat(t[value].to_numpy(), k)),
         })
 
-    from ray.data.aggregate import Count, Sum
-    out = (ds.map_batches(expand, batch_format="pyarrow")
-           .groupby([key, "wstart_us"])
-           .aggregate(Count(alias_name="n_events"),
-                      Sum(value, alias_name="sum_value")))
+    from graphscope_ray.util import bucketed_sum
+    out = bucketed_sum(ds.map_batches(expand, batch_format="pyarrow"),
+                       [key, "wstart_us"], value, count_as="n_events")
 
     def rnd(t: pa.Table) -> pa.Table:
-        i = t.schema.get_field_index("sum_value")
-        return t.set_column(i, "sum_value", pa.array(
-            round_half_away(t["sum_value"].to_numpy(), 6)))
+        return pa.table({
+            key: t[key],
+            "wstart_us": t["wstart_us"],
+            "n_events": t["n_events"],
+            "sum_value": pa.array(
+                round_half_away(t[value].to_numpy(), 6)),
+        })
 
     return out.map_batches(rnd, batch_format="pyarrow")
 

@@ -236,8 +236,10 @@ def _idf_vector(tf_rows: ray.data.Dataset, n_docs: int, dim: int,
     """Document frequency per slot → idf = ln((N+1)/(df+1)) + 1
     (smooth) from the sparse TF rows. Per-batch bincount combiner →
     a ≤``dim``-row groupby — the only exchange in the whole vectorizer,
-    and it moves at most #batches × dim tiny integer rows."""
-    from ray.data.aggregate import Sum
+    and it moves at most #batches × dim tiny integer rows. The reduce
+    is util.bucketed_sum (a plain aggregate would pay ~ms of Python
+    dispatch per distinct slot — seconds at dim ≥ 4096)."""
+    from graphscope_ray.util import bucketed_sum
 
     def dfp(t: pa.Table) -> pa.Table:
         c = np.bincount(t["slot"].to_numpy(), minlength=dim)
@@ -245,9 +247,10 @@ def _idf_vector(tf_rows: ray.data.Dataset, n_docs: int, dim: int,
         return pa.table({"slot": pa.array(nz.astype(np.int64)),
                          "dfp": pa.array(c[nz].astype(np.int64))})
 
-    parts = tf_rows.map_batches(dfp, batch_format="pyarrow") \
-        .groupby("slot").aggregate(Sum("dfp", alias_name="df")) \
-        .take_all()
+    parts = bucketed_sum(
+        tf_rows.map_batches(dfp, batch_format="pyarrow"),
+        "slot", "dfp").take_all()
+    parts = [{"slot": r["slot"], "df": r["dfp"]} for r in parts]
     df = np.zeros(dim, dtype=np.float64)
     for r in parts:
         df[r["slot"]] = r["df"]

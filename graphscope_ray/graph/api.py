@@ -384,8 +384,10 @@ class Graph:
 
 def degrees(edges: ray.data.Dataset, *, mode: str = "both") -> ray.data.Dataset:
     """Per-vertex degree over a directed edge table: mode in/out/both.
-    Per-batch partial counts → small groupby (combiner pattern)."""
-    from ray.data.aggregate import Sum
+    Per-batch partial counts → bucketed-sum reduce (combiner pattern;
+    a per-distinct-vid aggregate pays ~ms of Python dispatch per
+    vertex)."""
+    from graphscope_ray.util import bucketed_sum
 
     def partial(t: pa.Table) -> pa.Table:
         parts = []
@@ -395,13 +397,11 @@ def degrees(edges: ray.data.Dataset, *, mode: str = "both") -> ray.data.Dataset:
             parts.append(t["dst"].to_numpy())
         v = np.concatenate(parts) if parts else np.array([], dtype=np.int64)
         vid, cnt = np.unique(v, return_counts=True)
-        return pa.table({"vid": vid, "_d": cnt.astype(np.int64)})
+        return pa.table({"vid": vid, "degree": cnt.astype(np.int64)})
 
-    return (
-        edges.map_batches(partial, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("_d", alias_name="degree"))
-    )
+    return bucketed_sum(
+        edges.map_batches(partial, batch_format="pyarrow"),
+        "vid", "degree")
 
 
 def degree_centrality(
@@ -420,8 +420,10 @@ def degree_centrality(
 
 def canonical_undirected(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Undirected simple edge set: (min, max) per pair, deduped, no
-    self-loops — the input form for triangle counting."""
-    from ray.data.aggregate import Count
+    self-loops — the input form for triangle counting. Dedup is
+    util.bucketed_distinct (O(E) distinct pairs would pay ~ms of
+    Python dispatch each under a Count aggregate)."""
+    from graphscope_ray.util import bucketed_distinct
 
     def canon(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy()
@@ -432,12 +434,9 @@ def canonical_undirected(edges: ray.data.Dataset) -> ray.data.Dataset:
         hi = np.maximum(s, d)
         return pa.table({"src": lo, "dst": hi})
 
-    return (
-        edges.map_batches(canon, batch_format="pyarrow")
-        .groupby(["src", "dst"])
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-    )
+    return bucketed_distinct(
+        edges.map_batches(canon, batch_format="pyarrow"),
+        ["src", "dst"])
 
 
 def _triangles_broadcast(edges_pdf, num_shards: int) -> ray.data.Dataset:
@@ -618,13 +617,12 @@ def triangles(
             [t["a"].to_numpy(), t["b"].to_numpy(), t["c"].to_numpy()]
         )
         vid, cnt = np.unique(v, return_counts=True)
-        return pa.table({"vid": vid, "_t": cnt.astype(np.int64)})
+        return pa.table({"vid": vid, "tri_cnt": cnt.astype(np.int64)})
 
-    per_vertex = (
-        closed.map_batches(corners, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Sum("_t", alias_name="tri_cnt"))
-    )
+    from graphscope_ray.util import bucketed_sum
+    per_vertex = bucketed_sum(
+        closed.map_batches(corners, batch_format="pyarrow"),
+        "vid", "tri_cnt")
     # vertices in no triangle → 0
     allv = deg.select_columns(["vid"])
     out = attach_values(
@@ -693,18 +691,15 @@ def avg_clustering(edges_undirected: ray.data.Dataset, **kw) -> float:
 
 def to_undirected(edges: ray.data.Dataset) -> ray.data.Dataset:
     """TO_UNDIRECTED (`grape_instance.cc:619-658`): union with swapped
-    endpoints, dedup."""
-    from ray.data.aggregate import Count
+    endpoints, dedup (bucketed — see util.bucketed_distinct)."""
+    from graphscope_ray.util import bucketed_distinct
 
     def swap(t: pa.Table) -> pa.Table:
         return pa.table({"src": t["dst"], "dst": t["src"]})
 
     e = edges.select_columns(["src", "dst"])
     both = e.union(e.map_batches(swap, batch_format="pyarrow"))
-    return (
-        both.groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-    )
+    return bucketed_distinct(both, ["src", "dst"])
 
 
 def reverse_edges(edges: ray.data.Dataset) -> ray.data.Dataset:
@@ -874,11 +869,10 @@ def sampling_path_pattern(
     vlab = vertices.select_columns(["vid", label_col])
     for h in range(n_hops):
         e_lab, v_lab = pattern[2 * h + 1], pattern[2 * h + 2]
-        from ray.data.aggregate import Count
-        es = (edges.filter(expr=f"{label_col} == {e_lab!r}")
-              .select_columns(["src", "dst"])
-              .groupby(["src", "dst"]).aggregate(Count(alias_name="_c"))
-              .drop_columns(["_c"]))
+        from graphscope_ray.util import bucketed_distinct
+        es = bucketed_distinct(
+            edges.filter(expr=f"{label_col} == {e_lab!r}")
+            .select_columns(["src", "dst"]), ["src", "dst"])
         es = attach_values(es, rename(vlab, {label_col: "_dlab"}),
                            on="dst", table_key="vid",
                            value_names=["_dlab"], defaults={"_dlab": ""})

@@ -41,8 +41,6 @@ def assign_dense_ids(ds: ray.data.Dataset, col: str = "oid",
     using driver-side prefix sums of block row counts — only O(#blocks)
     metadata touches the driver, never the rows.
     """
-    from ray.data.aggregate import Count
-
     def batch_unique(t: pa.Table) -> pa.Table:
         import pyarrow.compute as pc
         return pa.table({col: pc.unique(t[col])})
@@ -75,8 +73,12 @@ def assign_dense_ids(ds: ray.data.Dataset, col: str = "oid",
             for lo in range(0, len(vals), chunk)
         ])
 
-    distinct = pre.groupby(col).aggregate(Count(alias_name="_c"))
-    distinct = distinct.drop_columns(["_c"]).sort(col)
+    from graphscope_ray.util import bucketed_distinct
+    distinct = bucketed_distinct(pre, col).sort(col)
+    # bucketed_distinct emits pandas blocks (map_groups); _stamp_block
+    # expects Arrow — normalize the block type, preserving sort order
+    # (map_batches keeps block order)
+    distinct = distinct.map_batches(lambda t: t, batch_format="pyarrow")
     mat = distinct.materialize()
 
     blocks = []  # [(block_ref, num_rows)] in global sorted order

@@ -42,7 +42,7 @@ import ray.data
 
 def _sym_rows(edges: ray.data.Dataset, weight_col: Optional[str]):
     """→ driver arrays (src, dst, w) in symmetric-row convention."""
-    from ray.data.aggregate import Sum
+    from graphscope_ray.util import bucketed_sum
 
     cols = ["src", "dst"] + ([weight_col] if weight_col else [])
     e = edges.select_columns(cols)
@@ -57,8 +57,8 @@ def _sym_rows(edges: ray.data.Dataset, weight_col: Optional[str]):
             "s": np.r_[s, d], "t": np.r_[d, s], "w": np.r_[w, w],
         })
 
-    agg = (e.map_batches(sym, batch_format="pyarrow")
-           .groupby(["s", "t"]).aggregate(Sum("w", alias_name="w")))
+    agg = bucketed_sum(e.map_batches(sym, batch_format="pyarrow"),
+                       ["s", "t"], "w")
     pdf = agg.to_pandas()
     return (pdf["s"].to_numpy(np.int64), pdf["t"].to_numpy(np.int64),
             pdf["w"].to_numpy(np.float64))

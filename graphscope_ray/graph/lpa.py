@@ -33,15 +33,19 @@ import numpy as np
 import pyarrow as pa
 
 import ray.data
-from ray.data.aggregate import Sum
 
 from graphscope_ray.graph.joins import attach_values
+from graphscope_ray.util import bucketed_sum
 
 
 def _weighted_scatter(edges, labels, *, key_from, key_to, prop_cols,
                       weight_col):
     """Σ over edges of label[key_from] · w, grouped by key_to →
-    Dataset (vid=key_to, prop_cols...)."""
+    Dataset (vid=key_to, prop_cols...). Per-batch np.add.at is the
+    combiner (the exchange moves O(distinct vid per batch) rows, not
+    O(E)); the global reduce is util.bucketed_sum (a plain
+    per-distinct-vid aggregate pays ~ms of Python dispatch per
+    vertex)."""
     e2 = attach_values(edges, labels, on=key_from, table_key="vid",
                        value_names=list(prop_cols),
                        defaults={p: 0.0 for p in prop_cols})
@@ -49,14 +53,16 @@ def _weighted_scatter(edges, labels, *, key_from, key_to, prop_cols,
     def mult(t: pa.Table) -> pa.Table:
         w = (t[weight_col].to_numpy().astype(np.float64)
              if weight_col else np.ones(len(t)))
-        cols = {"vid": t[key_to]}
+        v, inv = np.unique(t[key_to].to_numpy(), return_inverse=True)
+        cols = {"vid": pa.array(v)}
         for p in prop_cols:
-            cols[p] = pa.array(t[p].to_numpy().astype(np.float64) * w)
+            acc = np.zeros(len(v))
+            np.add.at(acc, inv, t[p].to_numpy().astype(np.float64) * w)
+            cols[p] = pa.array(acc)
         return pa.table(cols)
 
-    return (e2.map_batches(mult, batch_format="pyarrow")
-            .groupby("vid")
-            .aggregate(*[Sum(p, alias_name=p) for p in prop_cols]))
+    return bucketed_sum(e2.map_batches(mult, batch_format="pyarrow"),
+                        "vid", list(prop_cols))
 
 
 def lpa_u2i(
@@ -81,9 +87,9 @@ def lpa_u2i(
     def deg_of(col):
         def f(t: pa.Table) -> pa.Table:
             v, c = np.unique(t[col].to_numpy(), return_counts=True)
-            return pa.table({"vid": v, "_d": c.astype(np.int64)})
-        return (edges.map_batches(f, batch_format="pyarrow")
-                .groupby("vid").aggregate(Sum("_d", alias_name="deg")))
+            return pa.table({"vid": v, "deg": c.astype(np.int64)})
+        return bucketed_sum(
+            edges.map_batches(f, batch_format="pyarrow"), "vid", "deg")
 
     out_deg = deg_of(src).materialize()
     in_deg = deg_of(dst).materialize()
@@ -97,11 +103,11 @@ def lpa_u2i(
         v, inv = np.unique(s, return_inverse=True)
         acc = np.zeros(len(v), dtype=np.int64)
         np.add.at(acc, inv, d)
-        return pa.table({"vid": v, "_s": acc})
+        return pa.table({"vid": v, "nsum": acc})
 
-    nbr_ind_sum = (e_ind.map_batches(per_src, batch_format="pyarrow")
-                   .groupby("vid").aggregate(Sum("_s", alias_name="nsum"))
-                   ).materialize()
+    nbr_ind_sum = bucketed_sum(
+        e_ind.map_batches(per_src, batch_format="pyarrow"),
+        "vid", "nsum").materialize()
 
     u_lab = user_labels.materialize()
     i_lab = None

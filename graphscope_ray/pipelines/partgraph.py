@@ -114,15 +114,10 @@ def partgraph_edges(sf_dir: str, *, num_partitions: int = 16) -> ray.data.Datase
 
 def partgraph_vertices(edges: ray.data.Dataset) -> ray.data.Dataset:
     """Distinct endpoints (vid) of the undirected edge set."""
-    from ray.data.aggregate import Count
-
     def ends(t: pa.Table) -> pa.Table:
         v = np.unique(np.r_[t["src"].to_numpy(), t["dst"].to_numpy()])
         return pa.table({"vid": v})
 
-    return (
-        edges.map_batches(ends, batch_format="pyarrow")
-        .groupby("vid")
-        .aggregate(Count(alias_name="_c"))
-        .drop_columns(["_c"])
-    )
+    from graphscope_ray.util import bucketed_distinct
+    return bucketed_distinct(
+        edges.map_batches(ends, batch_format="pyarrow"), "vid")

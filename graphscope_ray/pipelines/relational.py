@@ -267,10 +267,9 @@ def shipping_priority(sf_dir: str, *, cutoff: str = "1998-06-01",
                 np.bincount(inv, weights=e4).astype(np.int64)),
         })
 
-    from ray.data.aggregate import Sum
-    rev = (li.map_batches(rev_partial, batch_format="pyarrow")
-           .groupby("l_orderkey")
-           .aggregate(Sum("_rev_e4", alias_name="_rev_e4")))
+    from graphscope_ray.util import bucketed_sum
+    rev = bucketed_sum(li.map_batches(rev_partial, batch_format="pyarrow"),
+                       "l_orderkey", "_rev_e4")
     rev = attach_values(rev, o, on="l_orderkey", table_key="o_orderkey",
                         value_names=["_odate"], defaults={"_odate": -1})
 

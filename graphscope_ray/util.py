@@ -45,3 +45,76 @@ def rename(ds: ray.data.Dataset, mapping: dict) -> ray.data.Dataset:
         return t.rename_columns([mapping.get(c, c) for c in t.column_names])
 
     return ds.map_batches(do, batch_format="pyarrow")
+
+
+def bucketed_sum(ds: ray.data.Dataset, keys, vals=None, *,
+                 count_as=None, num_buckets: int = 32,
+                 ) -> ray.data.Dataset:
+    """Distributed ``SELECT keys, sum(vals), count(*) GROUP BY keys``
+    that stays vectorized at ANY key cardinality.
+
+    Ray 2.49's ``groupby(keys).aggregate(...)`` pays ~0.8 ms of Python
+    dispatch per DISTINCT key (measured: 100k keys = 80 s), so any
+    high-cardinality aggregate melts. Shape here: stamp a coarse
+    bucket from a stable hash of the key columns (fixed-key siphash —
+    identical on every worker), ``groupby(bucket)`` (num_buckets
+    groups, constant dispatch), and ONE pandas groupby-sum kernel per
+    bucket. A bucket owns every row of its keys, so its local sums are
+    the global sums. Returns one row per distinct key combination.
+
+    ``vals=None`` with ``count_as`` gives a pure COUNT(*); both give
+    sums + count."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    vals = [] if vals is None else (
+        [vals] if isinstance(vals, str) else list(vals))
+    if not vals and count_as is None:
+        raise ValueError("need vals and/or count_as")
+    import pandas as pd
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keys + vals].copy(deep=False)
+        h = np.zeros(len(df), dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(1099511628211) ^ pd.util.hash_array(
+                df[k].to_numpy())
+        df["_b"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return df
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False)
+        if vals:
+            out = gb[vals].sum()
+            if count_as is not None:
+                out[count_as] = gb.size()
+        else:
+            out = gb.size().rename(count_as).to_frame()
+        return out.reset_index()
+
+    return (ds.map_batches(bucket, batch_format="pandas")
+            .groupby("_b").map_groups(kernel, batch_format="pandas"))
+
+
+def bucketed_distinct(ds: ray.data.Dataset, keys,
+                      num_buckets: int = 32) -> ray.data.Dataset:
+    """Distinct rows over the key columns at ANY cardinality — the
+    dedup twin of bucketed_sum (groupby(keys).aggregate(Count) pays
+    ~0.8 ms of Python dispatch per distinct row). One stable-hash
+    bucket shuffle + a vectorized drop_duplicates per bucket."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    import pandas as pd
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[keys].drop_duplicates()  # per-batch combiner
+        h = np.zeros(len(df), dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(1099511628211) ^ pd.util.hash_array(
+                df[k].to_numpy())
+        df = df.copy(deep=False)
+        df["_b"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return df
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        return g[keys].drop_duplicates()
+
+    return (ds.map_batches(bucket, batch_format="pandas")
+            .groupby("_b").map_groups(kernel, batch_format="pandas"))
