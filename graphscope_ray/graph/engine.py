@@ -519,6 +519,30 @@ class BSPEngine:
         self.supersteps += rnd
         return self._result_ds("sssp_result", "dist")
 
+    def wcc_incremental(self, seed_vids, *, max_iter: int = 10_000
+                        ) -> ray.data.Dataset:
+        """Resume a previously computed WCC after append_edges.
+        Min-label propagation is monotone under edge insertion, so
+        warm-starting from the carried-over labels with the appended
+        endpoints as the frontier reaches the full-recompute fixpoint
+        — only the merged components' vertices ever re-exchange (the
+        WCC analogue of apps/property/sssp_property_append.h)."""
+        ray.get([a.wcc_seed.remote(np.asarray(seed_vids, dtype=np.int64))
+                 for a in self.actors])
+        rnd = 0
+        t0 = time.perf_counter()
+        while rnd < max_iter:
+            rnd += 1
+            changed = self._exchange(
+                "wcc_scatter", "wcc_apply",
+                hub_method="wcc_get_hub_vals" if self.has_hubs else None,
+            )
+            if int(sum(changed)) == 0:
+                break
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rnd
+        return self._result_ds("wcc_result", "comp")
+
     # -- full dynamic mutation (MODIFY_EDGES / MODIFY_VERTICES) --------
     #
     # The reference's DynamicFragment surface (core/fragment/

@@ -333,6 +333,23 @@ class GraphPartition:
         s["frontier"] = frontier
         return int(frontier.sum())
 
+    def wcc_seed(self, vids):
+        """Incremental-WCC warm start after append_edges: mark owned
+        appended-edge endpoints as frontier; labels carry over from
+        the prior run. Min-label propagation is monotone under edge
+        insertion, so this converges to the full-recompute fixpoint
+        (the WCC analogue of sssp_property_append.h — every vertex
+        that decreases re-broadcasts via wcc_apply, and an unchanged
+        endpoint broadcasts across its new edges in round 1 because
+        it IS a seed)."""
+        s = self.state["wcc"]
+        vids = np.asarray(vids, dtype=np.int64)
+        mine = vids[(vids % self.P) == self.p] // self.P
+        frontier = np.zeros(self.nlocal, dtype=bool)
+        frontier[mine] = True
+        s["frontier"] = frontier
+        return int(frontier.sum())
+
     # ------------------------------------------------------------------
     # shared kernels
     # ------------------------------------------------------------------

@@ -107,3 +107,43 @@ def test_report_graph_extended_ops():
     np.testing.assert_array_equal(api.neighbors(ds, 1, mode="succ"), [2])
     np.testing.assert_array_equal(api.neighbors(ds, 1, mode="pred"), [0, 3])
     np.testing.assert_array_equal(api.neighbors(ds, 1, mode="both"), [0, 2, 3])
+
+
+def test_incremental_wcc_matches_full_recompute(tmp_path):
+    e, n = random_graph(seed=44), 60
+    # keep two halves disconnected, then bridge them via append
+    lo = e[(e[:, 0] < 30) & (e[:, 1] < 30)]
+    hi = e[(e[:, 0] >= 30) & (e[:, 1] >= 30)]
+    base = np.r_[lo, hi]
+    store = build_graph(edges_ds(base), str(tmp_path / "w"),
+                        num_parts=3, num_vertices=n, symmetrize=True)
+    eng = BSPEngine(store)
+    before = collect(eng.wcc(), "comp", n)
+    assert len(np.unique(before)) >= 2
+    new = np.array([[7, 41], [3, 55]])
+    seeds = eng.append_edges(edges_ds(new))
+    got = collect(eng.wcc_incremental(seeds), "comp", n)
+    want = oracle.wcc(np.r_[base, new], n)
+    np.testing.assert_array_equal(got, want)
+    eng.shutdown()
+
+
+def test_incremental_wcc_with_hub_store(tmp_path):
+    e, n = random_graph(seed=55), 60
+    lo = e[(e[:, 0] < 30) & (e[:, 1] < 30)]
+    hi = e[(e[:, 0] >= 30) & (e[:, 1] >= 30)]
+    base = np.r_[lo, hi]
+    store = build_graph(edges_ds(base), str(tmp_path / "wh"),
+                        num_parts=3, num_vertices=n, symmetrize=True,
+                        hub_threshold=3)
+    assert len(store.hubs)
+    eng = BSPEngine(store)
+    eng.wcc()
+    hub = int(store.hubs[0])
+    other = 59 if hub < 30 else 0
+    new = np.array([[hub, other]])
+    seeds = eng.append_edges(edges_ds(new))
+    got = collect(eng.wcc_incremental(seeds), "comp", n)
+    want = oracle.wcc(np.r_[base, new], n)
+    np.testing.assert_array_equal(got, want)
+    eng.shutdown()
