@@ -838,6 +838,15 @@ def _q_pg_tc_total(sf_dir):
     return pd.DataFrame({"total": np.array([t], dtype=np.int64)})
 
 
+def _q_pg_link_features(sf_dir):
+    """Per-edge link-prediction features (common neighbors +
+    neighborhood Jaccard) — wedge expansion bucketed by center,
+    in-bucket semi-join onto the edge set."""
+    from graphscope_ray.graph.api import edge_link_features
+    _, edges = _partgraph(sf_dir)
+    return edge_link_features(edges.select_columns(["src", "dst"]))
+
+
 def _q_pg_clustering(sf_dir):
     from graphscope_ray.graph import api
     _, edges = _partgraph(sf_dir)
@@ -1863,6 +1872,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_triangles": _q_pg_triangles,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
+        "pg_link_features": _q_pg_link_features,
         "pg_avg_clustering": _q_pg_avg_clustering,
         "pg_bfs_tree": _q_pg_bfs_tree,
         "pg_transitivity": _q_pg_transitivity,
@@ -1991,6 +2001,21 @@ ORDER BY vid""",
 WITH {_PRELUDE},
 {_TRI_CTE}
 SELECT count(*)::BIGINT AS total FROM tri""",
+        "pg_link_features": f"""
+WITH {_PRELUDE},
+common AS (
+  SELECT a.t AS x, b.t AS y, count(*)::BIGINT AS c
+  FROM e a JOIN e b ON a.s = b.s AND a.t < b.t
+  GROUP BY a.t, b.t)
+SELECT e0.src, e0.dst,
+  COALESCE(cm.c, 0)::BIGINT AS common_nbrs,
+  round(COALESCE(cm.c, 0)::DOUBLE /
+        (du.d + dv.d - COALESCE(cm.c, 0)), 6) AS jaccard
+FROM e0
+LEFT JOIN common cm ON cm.x = e0.src AND cm.y = e0.dst
+JOIN deg du ON du.v = e0.src
+JOIN deg dv ON dv.v = e0.dst
+ORDER BY e0.src, e0.dst""",
         "pg_clustering": f"""
 WITH {_PRELUDE},
 {_TRI_CTE},

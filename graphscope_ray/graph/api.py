@@ -1025,3 +1025,114 @@ def report_graph(edges: ray.data.Dataset) -> dict:
     n_loops = int(agg.sum("selfloops") or 0)
     n_nodes = degrees(edges, mode="both").count()
     return {"node_num": n_nodes, "edge_num": n_edges, "selfloops_num": n_loops}
+
+
+def edge_link_features(edges: ray.data.Dataset, *,
+                       num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-edge link-prediction features over the undirected simple
+    graph: ``common_nbrs`` = |N(u) ∩ N(v)| and neighborhood Jaccard
+    ``common / (deg(u) + deg(v) − common)`` for every edge (u < v).
+
+    Shape (100 TB): wedge pair expansion bucketed by CENTER vertex
+    (one vectorized kernel per bucket; C(deg, 2) pairs per center —
+    the same hub-skew bound as the reference's clustering app,
+    `apps/clustering/clustering.h`), then ONE co-shuffle of pair
+    partials AND edge keys by pair-key bucket — the semi-join onto
+    the edge set happens inside the bucket kernel, so non-edge wedge
+    pairs never leave their bucket as output. Degrees attach via the
+    broadcast-or-shuffle lookup. Requires vertex ids < 2^32 (packed
+    pair keys; partgraph._pair_key raises beyond)."""
+    import pandas as pd
+
+    from graphscope_ray.pipelines.partgraph import _pair_key, _unpack_key
+    from graphscope_ray.util import round_half_away
+
+    und = canonical_undirected(edges)
+
+    def adj(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        return pa.table({
+            "c": np.r_[s, d], "n": np.r_[d, s],
+            "_b": np.r_[s, d] % num_buckets,
+        })
+
+    _empty = pd.DataFrame({"key": np.array([], np.int64),
+                           "w": np.array([], np.int64),
+                           "kind": np.array([], np.int8),
+                           "b2": np.array([], np.int64)})
+
+    def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        uk = np.unique(_pair_key(g["c"].to_numpy(), g["n"].to_numpy()))
+        ctr, nbr = _unpack_key(uk)
+        _, cnts = np.unique(ctr, return_counts=True)
+        grp_start = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+        elem_start = np.repeat(grp_start, cnts)
+        r = np.arange(len(ctr)) - elem_start
+        second = np.repeat(np.arange(len(ctr)), r)
+        if not len(second):
+            return _empty
+        off = np.cumsum(r) - r
+        first = (np.arange(len(second)) - np.repeat(off, r)
+                 + np.repeat(elem_start, r))
+        key = _pair_key(nbr[first], nbr[second])  # sorted ⇒ x < y
+        pk, inv = np.unique(key, return_inverse=True)
+        return pd.DataFrame({
+            "key": pk, "w": np.bincount(inv).astype(np.int64),
+            "kind": np.ones(len(pk), np.int8),
+            "b2": (pk % num_buckets).astype(np.int64)})
+
+    def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
+        k = _pair_key(df["src"].to_numpy(), df["dst"].to_numpy())
+        # pandas output to match the map_groups side of the union
+        # (mixed block types break the downstream groupby)
+        return pd.DataFrame({
+            "key": k, "w": np.zeros(len(k), np.int64),
+            "kind": np.zeros(len(k), np.int8),
+            "b2": (k % num_buckets).astype(np.int64)})
+
+    pairs = (und.map_batches(adj, batch_format="pyarrow")
+             .groupby("_b").map_groups(wedge_pairs, batch_format="pandas"))
+    both = pairs.union(und.map_batches(edge_keys, batch_format="pandas"))
+
+    def semi(g: pd.DataFrame) -> pd.DataFrame:
+        key = g["key"].to_numpy()
+        kind = g["kind"].to_numpy()
+        ek = np.unique(key[kind == 0])
+        if not len(ek):
+            return pd.DataFrame({"src": np.array([], np.int64),
+                                 "dst": np.array([], np.int64),
+                                 "common_nbrs": np.array([], np.int64)})
+        wk = key[kind == 1]
+        common = np.zeros(len(ek), dtype=np.int64)
+        if len(wk):
+            pk, inv = np.unique(wk, return_inverse=True)
+            tw = np.bincount(inv, weights=g["w"].to_numpy()[kind == 1])
+            idx = np.clip(np.searchsorted(pk, ek), 0, len(pk) - 1)
+            hit = pk[idx] == ek
+            common[hit] = tw[idx[hit]].astype(np.int64)
+        s, d = _unpack_key(ek)
+        return pd.DataFrame({"src": s, "dst": d, "common_nbrs": common})
+
+    out = both.groupby("b2").map_groups(semi, batch_format="pandas")
+    deg = degrees(und, mode="both")
+    from graphscope_ray.graph.joins import attach_values
+    from graphscope_ray.util import rename
+    out = rename(attach_values(out, deg, on="src", table_key="vid",
+                               value_names=["degree"]),
+                 {"degree": "_du"})
+    out = rename(attach_values(out, deg, on="dst", table_key="vid",
+                               value_names=["degree"]),
+                 {"degree": "_dv"})
+
+    def jac(t: pa.Table) -> pa.Table:
+        c = t["common_nbrs"].to_numpy().astype(np.float64)
+        du = t["_du"].to_numpy().astype(np.float64)
+        dv = t["_dv"].to_numpy().astype(np.float64)
+        return pa.table({
+            "src": t["src"], "dst": t["dst"],
+            "common_nbrs": t["common_nbrs"],
+            "jaccard": pa.array(round_half_away(c / (du + dv - c), 6)),
+        })
+
+    return out.map_batches(jac, batch_format="pyarrow")

@@ -110,3 +110,28 @@ def test_graph_management_ops():
         map(tuple, e[:, ::-1]))
     sub = api.induce_subgraph(ds, [0, 1]).to_pandas()
     assert sorted(map(tuple, sub[["src", "dst"]].to_numpy())) == [(0, 1), (1, 0)]
+
+
+def test_edge_link_features_matches_bruteforce():
+    e, n = random_graph(seed=77), 60
+    got = (api.edge_link_features(edges_ds(e)).to_pandas()
+           .sort_values(["src", "dst"]).reset_index(drop=True))
+    # brute-force neighbor sets
+    import collections
+    adj = collections.defaultdict(set)
+    und = set()
+    for a, b in e:
+        if a != b:
+            lo, hi = min(a, b), max(a, b)
+            und.add((lo, hi))
+            adj[a].add(b)
+            adj[b].add(a)
+    assert len(got) == len(und)
+    for _, row in got.iterrows():
+        u, v = int(row["src"]), int(row["dst"])
+        common = len(adj[u] & adj[v])
+        union = len(adj[u] | adj[v])
+        assert row["common_nbrs"] == common, (u, v)
+        np.testing.assert_allclose(row["jaccard"], round(common / union, 6),
+                                   atol=5e-7)
+        assert union == len(adj[u]) + len(adj[v]) - common
