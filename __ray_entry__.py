@@ -847,6 +847,40 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_pg_khop(sf_dir):
+    """Deterministic 2-hop fanout-3 neighbor sampling (GNN mini-batch
+    shape) from the 3 smallest vertices — walk_hash family replayed in
+    SQL."""
+    from graphscope_ray.graph.api import khop_sample
+    from graphscope_ray.pipelines.partgraph import partgraph_vertices
+    _, edges = _partgraph(sf_dir)
+    seeds = [r["vid"] for r in
+             partgraph_vertices(edges).sort("vid").limit(3).take_all()]
+    return khop_sample(edges.select_columns(["src", "dst"]), seeds,
+                       hops=2, fanout=3, seed=5)
+
+
+def _khop_sql(hops: int = 2, fanout: int = 3, seed: int = 5,
+              n_seeds: int = 3) -> str:
+    from graphscope_ray.oracle_sql import walk_hash_sql
+    ctes = [f"f0 AS (SELECT v FROM v ORDER BY v LIMIT {n_seeds})"]
+    sels = []
+    for h in range(1, hops + 1):
+        ctes.append(f"""h{h} AS (
+  SELECT e.s AS src, e.t AS dst,
+         {walk_hash_sql('e.t', 'e.s', h, seed)} AS sc
+  FROM e JOIN f{h-1} f ON f.v = e.s),
+s{h} AS (
+  SELECT src, dst FROM (
+    SELECT src, dst, row_number() OVER (
+      PARTITION BY src ORDER BY sc, dst) AS rn FROM h{h})
+  WHERE rn <= {fanout}),
+f{h} AS (SELECT DISTINCT dst AS v FROM s{h})""")
+        sels.append(f"SELECT {h}::BIGINT AS hop, src, dst FROM s{h}")
+    return (f"WITH {_PRELUDE},{','.join(ctes)}\n"
+            + "\nUNION ALL ".join(sels) + "\nORDER BY hop, src, dst")
+
+
 def _q_pg_clustering(sf_dir):
     from graphscope_ray.graph import api
     _, edges = _partgraph(sf_dir)
@@ -1873,6 +1907,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
+        "pg_khop": _q_pg_khop,
         "pg_avg_clustering": _q_pg_avg_clustering,
         "pg_bfs_tree": _q_pg_bfs_tree,
         "pg_transitivity": _q_pg_transitivity,
@@ -2001,6 +2036,7 @@ ORDER BY vid""",
 WITH {_PRELUDE},
 {_TRI_CTE}
 SELECT count(*)::BIGINT AS total FROM tri""",
+        "pg_khop": _khop_sql(hops=2, fanout=3, seed=5, n_seeds=3),
         "pg_link_features": f"""
 WITH {_PRELUDE},
 common AS (

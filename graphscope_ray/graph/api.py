@@ -1136,3 +1136,84 @@ def edge_link_features(edges: ray.data.Dataset, *,
         })
 
     return out.map_batches(jac, batch_format="pyarrow")
+
+
+def khop_sample(edges: ray.data.Dataset, seeds, *, hops: int = 2,
+                fanout: int = 3, seed: int = 5,
+                num_buckets: int = 32) -> ray.data.Dataset:
+    """Deterministic k-hop neighbor sampling over the undirected graph
+    (the GNN mini-batch / GraphSAGE fan-out shape): per hop, each
+    frontier vertex keeps its ``fanout`` neighbors with the smallest
+    ``(walk_hash(dst, src, hop, seed), dst)`` — the shared
+    SQL-replayable hash family — and the next frontier is the distinct
+    sampled neighbors. → (hop, src, dst) rows.
+
+    Shape: the adjacency is scanned once per hop with a broadcast
+    frontier (``ray.put``; the frontier is bounded by
+    |seeds|·fanout^h — mini-batch-sized by construction, which is also
+    why collecting each hop's sampled endpoints on the driver is
+    sound). Per-batch partial trims keep ≤ fanout rows per (src,
+    batch); a src-bucketed kernel does the global trim."""
+    import pandas as pd
+
+    from graphscope_ray.data.hashing import walk_hash
+
+    und = canonical_undirected(edges)
+
+    def sym(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        return pa.table({"s": np.r_[s, d], "t": np.r_[d, s]})
+
+    adj = und.map_batches(sym, batch_format="pyarrow").materialize()
+
+    def trim(s, d, sc):
+        """Keep the fanout smallest (sc, d) per src; arrays sorted by
+        (s, sc, d) on entry."""
+        starts = np.r_[True, s[1:] != s[:-1]] if len(s) else np.array([], bool)
+        gstart = np.flatnonzero(starts)
+        gid = np.cumsum(starts) - 1
+        rank = np.arange(len(s)) - gstart[gid] if len(s) else gid
+        keep = rank < fanout
+        return s[keep], d[keep], sc[keep]
+
+    results = []
+    frontier = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    for h in range(1, hops + 1):
+        ref = ray.put(frontier)
+
+        def part(t: pa.Table, _h=h, _ref=ref) -> pd.DataFrame:
+            f = ray.get(_ref)  # sorted unique
+            s = t["s"].to_numpy()
+            d = t["t"].to_numpy()
+            idx = np.clip(np.searchsorted(f, s), 0, max(len(f) - 1, 0))
+            m = (f[idx] == s) if len(f) else np.zeros(len(s), bool)
+            s, d = s[m], d[m]
+            sc = walk_hash(d, s, _h, seed)
+            order = np.lexsort((d, sc, s))
+            s, d, sc = trim(s[order], d[order], sc[order])
+            return pd.DataFrame({
+                "src": s, "dst": d, "sc": sc.astype(np.uint64),
+                "_b": (s % num_buckets)})
+
+        def merge(g: pd.DataFrame) -> pd.DataFrame:
+            s = g["src"].to_numpy()
+            d = g["dst"].to_numpy()
+            sc = g["sc"].to_numpy()
+            order = np.lexsort((d, sc, s))
+            s, d, _ = trim(s[order], d[order], sc[order])
+            return pd.DataFrame({"src": s, "dst": d})
+
+        hop_rows = (adj.map_batches(part, batch_format="pyarrow")
+                    .groupby("_b").map_groups(merge, batch_format="pandas")
+                    .to_pandas())
+        hop_rows.insert(0, "hop", np.int64(h))
+        results.append(hop_rows)
+        frontier = np.unique(hop_rows["dst"].to_numpy())
+        if not len(frontier):
+            break
+    out = (pd.concat(results, ignore_index=True)
+           .sort_values(["hop", "src", "dst"]).reset_index(drop=True)
+           if results else
+           pd.DataFrame({"hop": [], "src": [], "dst": []}, dtype=np.int64))
+    return ray.data.from_pandas(out)

@@ -151,3 +151,43 @@ def test_sampling_path_auto_routes_to_partition_walk():
                             broadcast_edge_limit=0)
           .to_pandas().sort_values(cols).reset_index(drop=True))
     assert bc[cols].values.tolist() == pw[cols].values.tolist()
+
+
+def test_khop_sample_matches_python_oracle():
+    import collections
+
+    from graphscope_ray.data.hashing import walk_hash
+    from graphscope_ray.graph.api import khop_sample
+
+    e, n = random_graph(seed=88), 60
+    got = khop_sample(edges_ds(e), [0, 1, 2], hops=2, fanout=3,
+                      seed=5).to_pandas()
+    # python oracle: same hash, same trim rule
+    adj = collections.defaultdict(set)
+    for a, b in e:
+        if a != b:
+            adj[a].add(b)
+            adj[b].add(a)
+    frontier = {0, 1, 2}
+    want = []
+    for h in (1, 2):
+        nxt = set()
+        for u in sorted(frontier):
+            nbrs = np.array(sorted(adj[u]), dtype=np.int64)
+            if not len(nbrs):
+                continue
+            sc = walk_hash(nbrs, np.full(len(nbrs), u, np.int64), h, 5)
+            order = np.lexsort((nbrs, sc))[:3]
+            for v in nbrs[order]:
+                want.append((h, u, int(v)))
+                nxt.add(int(v))
+        frontier = nxt
+    want = sorted(want)
+    assert list(map(tuple, got[["hop", "src", "dst"]].to_numpy())) == want
+    # fanout bound per (hop, src)
+    cnt = got.groupby(["hop", "src"]).size()
+    assert (cnt <= 3).all()
+    # determinism across partitionings
+    got2 = khop_sample(edges_ds(e).repartition(5), [0, 1, 2], hops=2,
+                       fanout=3, seed=5).to_pandas()
+    assert got.equals(got2)
