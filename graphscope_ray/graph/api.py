@@ -1033,36 +1033,54 @@ def edge_link_features(edges: ray.data.Dataset, *,
     graph: ``common_nbrs`` = |N(u) ∩ N(v)| and neighborhood Jaccard
     ``common / (deg(u) + deg(v) − common)`` for every edge (u < v).
 
-    Shape (100 TB): wedge pair expansion bucketed by CENTER vertex
-    (one vectorized kernel per bucket; C(deg, 2) pairs per center —
-    the same hub-skew bound as the reference's clustering app,
-    `apps/clustering/clustering.h`), then ONE co-shuffle of pair
-    partials AND edge keys by pair-key bucket — the semi-join onto
-    the edge set happens inside the bucket kernel, so non-edge wedge
-    pairs never leave their bucket as output. Degrees attach via the
-    broadcast-or-shuffle lookup. Requires vertex ids < 2^32 (packed
-    pair keys; partgraph._pair_key raises beyond)."""
+    A common neighbor w of edge (u, v) IS a triangle {u, v, w}, so the
+    computation is oriented triangle enumeration (the
+    `apps/clustering/triangles.h` (degree, id) orientation — wedge
+    volume Σ C(outdeg⁺, 2) with outdeg⁺ = O(√E), hub-safe, ~4× fewer
+    pairs than unoriented wedges even on degree-uniform graphs): each
+    closed oriented wedge contributes +1 to its THREE edges.
+
+    Shape (100 TB): (1) oriented adjacency bucketed by center — one
+    vectorized wedge kernel per bucket; (2) wedges co-shuffled with
+    edge keys by packed pair key — closure check inside the bucket
+    kernel, which emits 3 increment rows per triangle; (3)
+    bucketed_sum of increments; (4) broadcast-or-shuffle attach onto
+    the edge set (default 0) + degree lookup. Requires vertex ids
+    < 2^32 (packed pair keys)."""
     import pandas as pd
 
     from graphscope_ray.pipelines.partgraph import _pair_key, _unpack_key
-    from graphscope_ray.util import round_half_away
+    from graphscope_ray.util import bucketed_sum, round_half_away
 
-    und = canonical_undirected(edges)
+    und = canonical_undirected(edges).materialize()
+    deg = degrees(und, mode="both").materialize()
 
-    def adj(t: pa.Table) -> pa.Table:
+    # orientation: a → b iff (deg_a, a) < (deg_b, b); ship each edge
+    # to its lower-ordered endpoint as (center, higher-ordered nbr)
+    e2 = attach_values(und, deg, on="src", table_key="vid",
+                       value_names=["degree"])
+    e2 = rename(e2, {"degree": "_ds"})
+    e2 = attach_values(e2, deg, on="dst", table_key="vid",
+                       value_names=["degree"])
+    e2 = rename(e2, {"degree": "_dd"})
+
+    def orient(t: pa.Table) -> pa.Table:
         s = t["src"].to_numpy()
         d = t["dst"].to_numpy()
-        return pa.table({
-            "c": np.r_[s, d], "n": np.r_[d, s],
-            "_b": np.r_[s, d] % num_buckets,
-        })
+        ds_ = t["_ds"].to_numpy()
+        dd = t["_dd"].to_numpy()
+        fwd = (ds_ < dd) | ((ds_ == dd) & (s < d))
+        c = np.where(fwd, s, d)
+        nb = np.where(fwd, d, s)
+        return pa.table({"c": c, "n": nb, "_b": c % num_buckets})
 
-    _empty = pd.DataFrame({"key": np.array([], np.int64),
-                           "w": np.array([], np.int64),
-                           "kind": np.array([], np.int8),
-                           "b2": np.array([], np.int64)})
+    _wempty = pd.DataFrame({"key": np.array([], np.int64),
+                            "c": np.array([], np.int64),
+                            "kind": np.array([], np.int8),
+                            "b2": np.array([], np.int64)})
 
     def wedge_pairs(g: pd.DataFrame) -> pd.DataFrame:
+        # out-lists per center, pairs of out-neighbors keyed (min, max)
         uk = np.unique(_pair_key(g["c"].to_numpy(), g["n"].to_numpy()))
         ctr, nbr = _unpack_key(uk)
         _, cnts = np.unique(ctr, return_counts=True)
@@ -1071,67 +1089,81 @@ def edge_link_features(edges: ray.data.Dataset, *,
         r = np.arange(len(ctr)) - elem_start
         second = np.repeat(np.arange(len(ctr)), r)
         if not len(second):
-            return _empty
+            return _wempty
         off = np.cumsum(r) - r
         first = (np.arange(len(second)) - np.repeat(off, r)
                  + np.repeat(elem_start, r))
-        key = _pair_key(nbr[first], nbr[second])  # sorted ⇒ x < y
-        pk, inv = np.unique(key, return_inverse=True)
+        x, y = nbr[first], nbr[second]  # x < y (sorted within center)
+        key = _pair_key(x, y)
         return pd.DataFrame({
-            "key": pk, "w": np.bincount(inv).astype(np.int64),
-            "kind": np.ones(len(pk), np.int8),
-            "b2": (pk % num_buckets).astype(np.int64)})
+            "key": key, "c": ctr[second],
+            "kind": np.ones(len(key), np.int8),
+            "b2": (key % num_buckets).astype(np.int64)})
 
     def edge_keys(df: pd.DataFrame) -> pd.DataFrame:
         k = _pair_key(df["src"].to_numpy(), df["dst"].to_numpy())
-        # pandas output to match the map_groups side of the union
-        # (mixed block types break the downstream groupby)
         return pd.DataFrame({
-            "key": k, "w": np.zeros(len(k), np.int64),
+            "key": k, "c": np.zeros(len(k), np.int64),
             "kind": np.zeros(len(k), np.int8),
             "b2": (k % num_buckets).astype(np.int64)})
 
-    pairs = (und.map_batches(adj, batch_format="pyarrow")
-             .groupby("_b").map_groups(wedge_pairs, batch_format="pandas"))
-    both = pairs.union(und.map_batches(edge_keys, batch_format="pandas"))
+    wedges = (e2.map_batches(orient, batch_format="pyarrow")
+              .groupby("_b").map_groups(wedge_pairs,
+                                        batch_format="pandas"))
+    both = wedges.union(und.map_batches(edge_keys, batch_format="pandas"))
 
-    def semi(g: pd.DataFrame) -> pd.DataFrame:
+    def close_and_emit(g: pd.DataFrame) -> pd.DataFrame:
+        """Closure check per bucket; 3 increment rows per triangle."""
         key = g["key"].to_numpy()
         kind = g["kind"].to_numpy()
-        ek = np.unique(key[kind == 0])
-        if not len(ek):
-            return pd.DataFrame({"src": np.array([], np.int64),
-                                 "dst": np.array([], np.int64),
-                                 "common_nbrs": np.array([], np.int64)})
+        ek = np.sort(key[kind == 0])
         wk = key[kind == 1]
-        common = np.zeros(len(ek), dtype=np.int64)
-        if len(wk):
-            pk, inv = np.unique(wk, return_inverse=True)
-            tw = np.bincount(inv, weights=g["w"].to_numpy()[kind == 1])
-            idx = np.clip(np.searchsorted(pk, ek), 0, len(pk) - 1)
-            hit = pk[idx] == ek
-            common[hit] = tw[idx[hit]].astype(np.int64)
-        s, d = _unpack_key(ek)
-        return pd.DataFrame({"src": s, "dst": d, "common_nbrs": common})
+        wc = g["c"].to_numpy()[kind == 1]
+        if not len(wk) or not len(ek):
+            return pd.DataFrame({"key": np.array([], np.int64),
+                                 "inc": np.array([], np.int64)})
+        idx = np.clip(np.searchsorted(ek, wk), 0, len(ek) - 1)
+        closed = ek[idx] == wk
+        k_xy = wk[closed]
+        c = wc[closed]
+        x, y = _unpack_key(k_xy)
+        out_keys = np.concatenate([
+            k_xy,
+            _pair_key(np.minimum(c, x), np.maximum(c, x)),
+            _pair_key(np.minimum(c, y), np.maximum(c, y)),
+        ])
+        uk2, inv = np.unique(out_keys, return_inverse=True)
+        return pd.DataFrame({"key": uk2,
+                             "inc": np.bincount(inv).astype(np.int64)})
 
-    out = both.groupby("b2").map_groups(semi, batch_format="pandas")
-    deg = degrees(und, mode="both")
-    from graphscope_ray.graph.joins import attach_values
-    from graphscope_ray.util import rename
-    out = rename(attach_values(out, deg, on="src", table_key="vid",
-                               value_names=["degree"]),
-                 {"degree": "_du"})
-    out = rename(attach_values(out, deg, on="dst", table_key="vid",
-                               value_names=["degree"]),
-                 {"degree": "_dv"})
+    incs = bucketed_sum(
+        both.groupby("b2").map_groups(close_and_emit,
+                                      batch_format="pandas"),
+        "key", "inc", num_buckets=num_buckets)
+
+    def with_key(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["_pk"] = _pair_key(df["src"].to_numpy(), df["dst"].to_numpy())
+        return df
+
+    out = attach_values(und.map_batches(with_key, batch_format="pandas"),
+                        incs, on="_pk", table_key="key",
+                        value_names=["inc"], defaults={"inc": 0})
+    out = attach_values(out, deg, on="src", table_key="vid",
+                        value_names=["degree"])
+    out = rename(out, {"degree": "_du"})
+    out = attach_values(out, deg, on="dst", table_key="vid",
+                        value_names=["degree"])
+    out = rename(out, {"degree": "_dv"})
 
     def jac(t: pa.Table) -> pa.Table:
-        c = t["common_nbrs"].to_numpy().astype(np.float64)
+        c = t["inc"].to_numpy().astype(np.float64)
         du = t["_du"].to_numpy().astype(np.float64)
         dv = t["_dv"].to_numpy().astype(np.float64)
         return pa.table({
             "src": t["src"], "dst": t["dst"],
-            "common_nbrs": t["common_nbrs"],
+            "common_nbrs": pa.array(
+                t["inc"].to_numpy().astype(np.int64)),
             "jaccard": pa.array(round_half_away(c / (du + dv - c), 6)),
         })
 
