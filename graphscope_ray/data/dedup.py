@@ -861,26 +861,41 @@ def _cosine_dedup_lsh(emb, key, col, threshold, *, num_planes=10,
                          "bucket": pa.array(np.concatenate(out_b)),
                          col: pa.array(list(np.concatenate(out_v)))})
 
+    def add_cb(t: pa.Table) -> pa.Table:
+        b = t["bucket"].to_numpy()
+        return t.append_column("_cb", pa.array(
+            (b % 32).astype(np.int64)))
+
     bucketed = emb.select_columns([key, col]).map_batches(
-        bucketize, batch_format="pyarrow")
+        bucketize, batch_format="pyarrow").map_batches(
+        add_cb, batch_format="pyarrow")
 
-    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+    def pairs_coarse(g: pd.DataFrame) -> pd.DataFrame:
+        """All LSH buckets of one coarse route in one task — the
+        per-bucket matmul loop runs in-process (pandas groupby
+        iteration, ~µs per bucket) instead of paying Ray's ~ms
+        per-distinct-key map_groups dispatch."""
         from graphscope_ray.util import round_half_away
-        if len(g) < 2:
-            return pd.DataFrame({"a": pd.Series([], dtype="int64"),
-                                 "b": pd.Series([], dtype="int64"),
-                                 "cosine": pd.Series([], dtype="float64")})
-        g = g.sort_values(key).head(max_bucket)
-        ids = g[key].to_numpy()
-        m = np.stack(g[col].to_numpy())
-        sims = m @ m.T
-        i, j = np.nonzero(np.triu(sims >= threshold, k=1))
-        return pd.DataFrame({
-            "a": ids[i], "b": ids[j],
-            "cosine": round_half_away(sims[i, j], 6)})
+        empty = pd.DataFrame({"a": pd.Series([], dtype="int64"),
+                              "b": pd.Series([], dtype="int64"),
+                              "cosine": pd.Series([], dtype="float64")})
+        outs = []
+        for _, gb in g.groupby("bucket", sort=False):
+            if len(gb) < 2:
+                continue
+            gb = gb.sort_values(key).head(max_bucket)
+            ids = gb[key].to_numpy()
+            m = np.stack(gb[col].to_numpy())
+            sims = m @ m.T
+            i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+            if len(i):
+                outs.append(pd.DataFrame({
+                    "a": ids[i], "b": ids[j],
+                    "cosine": round_half_away(sims[i, j], 6)}))
+        return pd.concat(outs, ignore_index=True) if outs else empty
 
-    out = (bucketed.groupby("bucket")
-           .map_groups(pairs, batch_format="pandas")).to_pandas()
+    out = (bucketed.groupby("_cb")
+           .map_groups(pairs_coarse, batch_format="pandas")).to_pandas()
     if not len(out):
         return pd.DataFrame({"a": pd.Series([], dtype="int64"),
                              "b": pd.Series([], dtype="int64"),
