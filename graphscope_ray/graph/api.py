@@ -1028,7 +1028,9 @@ def report_graph(edges: ray.data.Dataset) -> dict:
 
 
 def edge_link_features(edges: ray.data.Dataset, *,
-                       num_buckets: int = 32) -> ray.data.Dataset:
+                       num_buckets: int = 32,
+                       broadcast_edge_limit: int = 64_000_000
+                       ) -> ray.data.Dataset:
     """Per-edge link-prediction features over the undirected simple
     graph: ``common_nbrs`` = |N(u) ∩ N(v)| and neighborhood Jaccard
     ``common / (deg(u) + deg(v) − common)`` for every edge (u < v).
@@ -1040,13 +1042,16 @@ def edge_link_features(edges: ray.data.Dataset, *,
     pairs than unoriented wedges even on degree-uniform graphs): each
     closed oriented wedge contributes +1 to its THREE edges.
 
-    Shape (100 TB): (1) oriented adjacency bucketed by center — one
-    vectorized wedge kernel per bucket; (2) wedges co-shuffled with
-    edge keys by packed pair key — closure check inside the bucket
-    kernel, which emits 3 increment rows per triangle; (3)
-    bucketed_sum of increments; (4) broadcast-or-shuffle attach onto
-    the edge set (default 0) + degree lookup. Requires vertex ids
-    < 2^32 (packed pair keys)."""
+    Shape: below ``broadcast_edge_limit`` the sorted packed edge-key
+    array is broadcast once (E×8 B — the same route bound as the
+    triangles broadcast path) and every wedge closes INSIDE its
+    center bucket, so only 3×#triangles increment rows ever leave a
+    kernel. Above the limit, wedges co-shuffle with the edge keys by
+    packed pair key and close inside the pair bucket (never on the
+    driver) — the 100 TB route. Both end in a bucketed_sum of
+    increments + a broadcast-or-shuffle attach onto the edge set
+    (default 0) and a degree lookup. Requires vertex ids < 2^32
+    (packed pair keys)."""
     import pandas as pd
 
     from graphscope_ray.pipelines.partgraph import _pair_key, _unpack_key
@@ -1107,25 +1112,11 @@ def edge_link_features(edges: ray.data.Dataset, *,
             "kind": np.zeros(len(k), np.int8),
             "b2": (k % num_buckets).astype(np.int64)})
 
-    wedges = (e2.map_batches(orient, batch_format="pyarrow")
-              .groupby("_b").map_groups(wedge_pairs,
-                                        batch_format="pandas"))
-    both = wedges.union(und.map_batches(edge_keys, batch_format="pandas"))
-
-    def close_and_emit(g: pd.DataFrame) -> pd.DataFrame:
-        """Closure check per bucket; 3 increment rows per triangle."""
-        key = g["key"].to_numpy()
-        kind = g["kind"].to_numpy()
-        ek = np.sort(key[kind == 0])
-        wk = key[kind == 1]
-        wc = g["c"].to_numpy()[kind == 1]
-        if not len(wk) or not len(ek):
+    def _inc_rows(k_xy, c):
+        """3 increment rows per closed wedge (c; x, y)."""
+        if not len(k_xy):
             return pd.DataFrame({"key": np.array([], np.int64),
                                  "inc": np.array([], np.int64)})
-        idx = np.clip(np.searchsorted(ek, wk), 0, len(ek) - 1)
-        closed = ek[idx] == wk
-        k_xy = wk[closed]
-        c = wc[closed]
         x, y = _unpack_key(k_xy)
         out_keys = np.concatenate([
             k_xy,
@@ -1136,10 +1127,64 @@ def edge_link_features(edges: ray.data.Dataset, *,
         return pd.DataFrame({"key": uk2,
                              "inc": np.bincount(inv).astype(np.int64)})
 
-    incs = bucketed_sum(
-        both.groupby("b2").map_groups(close_and_emit,
-                                      batch_format="pandas"),
-        "key", "inc", num_buckets=num_buckets)
+    n_edges = und.count()
+    if n_edges <= broadcast_edge_limit:
+        # broadcast route: close wedges inside the center bucket
+        epdf = und.to_pandas()
+        ek_ref = ray.put(np.sort(_pair_key(epdf["src"].to_numpy(),
+                                           epdf["dst"].to_numpy())))
+        del epdf
+
+        def wedge_close(g: pd.DataFrame) -> pd.DataFrame:
+            ek = ray.get(ek_ref)
+            uk = np.unique(_pair_key(g["c"].to_numpy(),
+                                     g["n"].to_numpy()))
+            ctr, nbr = _unpack_key(uk)
+            _, cnts = np.unique(ctr, return_counts=True)
+            grp_start = np.concatenate(([0], np.cumsum(cnts)[:-1]))
+            elem_start = np.repeat(grp_start, cnts)
+            r = np.arange(len(ctr)) - elem_start
+            second = np.repeat(np.arange(len(ctr)), r)
+            if not len(second):
+                return _inc_rows(np.array([], np.int64),
+                                 np.array([], np.int64))
+            off = np.cumsum(r) - r
+            first = (np.arange(len(second)) - np.repeat(off, r)
+                     + np.repeat(elem_start, r))
+            key = _pair_key(nbr[first], nbr[second])
+            idx = np.clip(np.searchsorted(ek, key), 0, len(ek) - 1)
+            closed = ek[idx] == key
+            return _inc_rows(key[closed], ctr[second[closed]])
+
+        incs = bucketed_sum(
+            e2.map_batches(orient, batch_format="pyarrow")
+            .groupby("_b").map_groups(wedge_close, batch_format="pandas"),
+            "key", "inc", num_buckets=num_buckets)
+    else:
+        wedges = (e2.map_batches(orient, batch_format="pyarrow")
+                  .groupby("_b").map_groups(wedge_pairs,
+                                            batch_format="pandas"))
+        both = wedges.union(
+            und.map_batches(edge_keys, batch_format="pandas"))
+
+        def close_and_emit(g: pd.DataFrame) -> pd.DataFrame:
+            """Closure check per pair bucket; 3 increments/triangle."""
+            key = g["key"].to_numpy()
+            kind = g["kind"].to_numpy()
+            ek = np.sort(key[kind == 0])
+            wk = key[kind == 1]
+            wc = g["c"].to_numpy()[kind == 1]
+            if not len(wk) or not len(ek):
+                return _inc_rows(np.array([], np.int64),
+                                 np.array([], np.int64))
+            idx = np.clip(np.searchsorted(ek, wk), 0, len(ek) - 1)
+            closed = ek[idx] == wk
+            return _inc_rows(wk[closed], wc[closed])
+
+        incs = bucketed_sum(
+            both.groupby("b2").map_groups(close_and_emit,
+                                          batch_format="pandas"),
+            "key", "inc", num_buckets=num_buckets)
 
     def with_key(df: pd.DataFrame) -> pd.DataFrame:
         df = df.copy(deep=False)

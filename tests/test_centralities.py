@@ -135,3 +135,12 @@ def test_edge_link_features_matches_bruteforce():
         np.testing.assert_allclose(row["jaccard"], round(common / union, 6),
                                    atol=5e-7)
         assert union == len(adj[u]) + len(adj[v]) - common
+
+
+def test_edge_link_features_routes_agree():
+    e = random_graph(seed=99)
+    a = (api.edge_link_features(edges_ds(e)).to_pandas()
+         .sort_values(["src", "dst"]).reset_index(drop=True))
+    b = (api.edge_link_features(edges_ds(e), broadcast_edge_limit=0)
+         .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True))
+    assert a.equals(b)
