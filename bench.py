@@ -224,13 +224,18 @@ def run_bench() -> dict:
         n_vecs / max(queries["knn_graph"], 1e-9), 1)
     assert knn_edges == n_vecs * 5, (knn_edges, n_vecs)
 
-    # per-edge link-prediction features over the partgraph edges
+    # per-edge link-prediction features: resident-pool route (default)
+    # + the Dataset broadcast route for path-ordering evidence
     from graphscope_ray.graph.api import edge_link_features
     t0 = time.perf_counter()
-    n_lf = edge_link_features(edges.select_columns(["src", "dst"])).count()
+    n_lf = g.engine.link_features().count()
     queries["link_features"] = round(time.perf_counter() - t0, 3)
     queries["link_features_edges_per_sec"] = round(
         n_lf / max(queries["link_features"], 1e-9), 1)
+    t0 = time.perf_counter()
+    edge_link_features(edges.select_columns(["src", "dst"])).count()
+    queries["link_features_dataset_path"] = round(
+        time.perf_counter() - t0, 3)
 
     # distributed k-means over the embeddings (k=8, 3 iterations)
     from graphscope_ray.data.similarity import kmeans_assign

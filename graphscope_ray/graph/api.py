@@ -303,6 +303,16 @@ class Graph:
         see BSPEngine.triangles. Store must be symmetrized."""
         return self.engine.triangles(**kw)
 
+    def link_features(self, **kw) -> ray.data.Dataset:
+        """Per-edge common-neighbor count + neighborhood Jaccard on
+        the resident pool (oid-space src/dst) — see
+        BSPEngine.link_features; the Dataset-level twin is
+        graph.api.edge_link_features. Store must be symmetrized."""
+        out = self.engine.link_features(**kw)
+        if self.idmap is not None:
+            out = self.to_oid(out, vid_cols=("src", "dst"))
+        return out
+
     # -- dynamic mutation (MODIFY_EDGES / MODIFY_VERTICES) -------------
     #
     # oid-space wrappers over BSPEngine's in-place surface (reference:

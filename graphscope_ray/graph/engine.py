@@ -894,6 +894,73 @@ class BSPEngine:
         self.superstep_seconds += time.perf_counter() - t0
         return self._result_ds("tri_result", "tri_cnt")
 
+    def link_features(self, *, local_keys_limit: int = 64_000_000,
+                      local_chunk: int = 262_144) -> ray.data.Dataset:
+        """Per-edge link-prediction features (common neighbors +
+        neighborhood Jaccard) on the resident pool — the local-closing
+        triangles machinery with per-EDGE credits (a common neighbor w
+        of (u, v) IS a triangle {u, v, w}). Returns vid-space
+        (src, dst, common_nbrs, jaccard), src < dst. Above
+        ``local_keys_limit`` oriented edges, use
+        ``graph.api.edge_link_features``'s pair-key co-shuffle route
+        instead (this route merges all key shards per actor)."""
+        if not self.store.meta.get("symmetrized"):
+            raise ValueError(
+                "link_features needs build_graph(symmetrize=True)")
+        oriented_e = self.store.meta["num_edges"] // 2
+        if oriented_e > local_keys_limit:
+            raise ValueError(
+                "oriented edge count exceeds local_keys_limit; use "
+                "graph.api.edge_link_features (co-shuffle scale route)")
+        t0 = time.perf_counter()
+        deg_parts = [a.tri_deg_part.remote() for a in self.actors]
+        blocks = [a.tri_ingest.remote(*deg_parts) for a in self.actors]
+        ray.get([a.tri_adopt.remote(*blocks) for a in self.actors])
+        key_refs = [a.tri_keys.remote() for a in self.actors]
+        ray.get([a.tri_merge_keys.remote(*key_refs)
+                 for a in self.actors])
+        tables = [a.tri_edge_local.remote(local_chunk)
+                  for a in self.actors]
+        counts = ray.data.from_arrow_refs(tables)
+        from graphscope_ray.util import bucketed_sum
+        counts = bucketed_sum(counts, "key", "cnt")
+        V = np.int64(self.store.num_vertices)
+
+        def unpack(t: pa.Table) -> pa.Table:
+            k = t["key"].to_numpy()
+            return pa.table({
+                "src": pa.array(k // V), "dst": pa.array(k % V),
+                "common_nbrs": pa.array(
+                    t["cnt"].to_numpy().astype(np.int64))})
+
+        out = counts.map_batches(unpack, batch_format="pyarrow")
+        deg_ds = ray.data.from_arrow_refs(
+            [a.tri_deg_table.remote() for a in self.actors])
+        from graphscope_ray.graph.joins import attach_values
+        from graphscope_ray.util import rename, round_half_away
+        out = rename(attach_values(out, deg_ds, on="src",
+                                   table_key="vid",
+                                   value_names=["degree"]),
+                     {"degree": "_du"})
+        out = rename(attach_values(out, deg_ds, on="dst",
+                                   table_key="vid",
+                                   value_names=["degree"]),
+                     {"degree": "_dv"})
+
+        def jac(t: pa.Table) -> pa.Table:
+            c = t["common_nbrs"].to_numpy().astype(np.float64)
+            du = t["_du"].to_numpy().astype(np.float64)
+            dv = t["_dv"].to_numpy().astype(np.float64)
+            return pa.table({
+                "src": t["src"], "dst": t["dst"],
+                "common_nbrs": t["common_nbrs"],
+                "jaccard": pa.array(
+                    round_half_away(c / (du + dv - c), 6))})
+
+        out = out.map_batches(jac, batch_format="pyarrow")
+        self.superstep_seconds += time.perf_counter() - t0
+        return out
+
     # -- user vertex programs ------------------------------------------
 
     def run_program(self, program, *, max_round: int = 100,

@@ -28,6 +28,7 @@ import os
 from typing import Optional
 
 import numpy as np
+import pyarrow as pa
 import pyarrow.parquet as pq
 
 INT_SENTINEL = np.iinfo(np.int64).max
@@ -1519,6 +1520,60 @@ class GraphPartition:
         s["n_probe_rows"] += total
         s["t_wedge"] += _time.perf_counter() - _t0
         return hits
+
+    def tri_deg_table(self) -> pa.Table:
+        """Owned (vid, degree) rows as Arrow (for Dataset-side joins)."""
+        return pa.table({"vid": pa.array(self.local_vids()),
+                         "degree": pa.array(self.out_deg)})
+
+    def tri_edge_local(self, chunk: int = 262_144) -> pa.Table:
+        """Per-EDGE triangle counts for this partition's wedges — the
+        link-features kernel. Same local-closing loop (and scratch
+        discipline) as ``tri_count_local``, but each closed wedge
+        credits its THREE edges, keyed ``min·V + max`` (canonical vid
+        order). The accumulator is seeded with this actor's owned
+        oriented edges at 0 so zero-triangle edges appear exactly once
+        across the pool. Returns a local-partial (key, cnt) table —
+        callers sum partials across actors (an increment can land on a
+        different owner than the edge's seed)."""
+        import time as _time
+        _t0 = _time.perf_counter()
+        s = self.state["tri"]
+        gk = s["gkeys"]
+        total = int(s["wc_cum"][-1]) if len(s["wc_cum"]) else 0
+        V = np.int64(self.V)
+        al = np.repeat(np.arange(self.nlocal, dtype=np.int64),
+                       s["outdeg"])
+        a = al * self.P + self.p
+        b = s["nbr"]
+        acc_k = [np.minimum(a, b) * V + np.maximum(a, b)]
+        acc_c = [np.zeros(len(b), dtype=np.int64)]
+        for lo in range(0, total, chunk):
+            enum = self._tri_enum(lo, min(lo + chunk, total))
+            if enum is None:
+                continue
+            u, v, w = enum
+            key = v * V + w
+            if len(gk):
+                pos = np.clip(np.searchsorted(gk, key), 0, len(gk) - 1)
+                closed = gk[pos] == key
+            else:
+                closed = np.zeros(len(key), dtype=bool)
+            if closed.any():
+                u2, v2, w2 = u[closed], v[closed], w[closed]
+                allk = np.concatenate((
+                    np.minimum(u2, v2) * V + np.maximum(u2, v2),
+                    np.minimum(u2, w2) * V + np.maximum(u2, w2),
+                    np.minimum(v2, w2) * V + np.maximum(v2, w2)))
+                uk, cc = np.unique(allk, return_counts=True)
+                acc_k.append(uk)
+                acc_c.append(cc.astype(np.int64))
+        k = np.concatenate(acc_k)
+        c = np.concatenate(acc_c)
+        uk, inv = np.unique(k, return_inverse=True)
+        cc = np.bincount(inv, weights=c).astype(np.int64)
+        s["t_wedge"] += _time.perf_counter() - _t0
+        return pa.table({"key": pa.array(uk), "cnt": pa.array(cc)})
 
     def tri_probe(self, *blocks):
         """Close wedges against the local key set; credit all three

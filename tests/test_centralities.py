@@ -144,3 +144,23 @@ def test_edge_link_features_routes_agree():
     b = (api.edge_link_features(edges_ds(e), broadcast_edge_limit=0)
          .to_pandas().sort_values(["src", "dst"]).reset_index(drop=True))
     assert a.equals(b)
+
+
+def test_link_features_pool_route_matches_dataset_route(tmp_path):
+    from graphscope_ray.graph.api import Graph
+    e = random_graph(seed=111)
+    g = Graph.from_edges(edges_ds(e), symmetrize=True,
+                         workdir=str(tmp_path / "lf"), num_parts=3)
+    try:
+        pool = (g.link_features().to_pandas()
+                .sort_values(["src", "dst"]).reset_index(drop=True))
+        dset = (api.edge_link_features(edges_ds(e)).to_pandas()
+                .sort_values(["src", "dst"]).reset_index(drop=True))
+        assert (pool["src"].to_numpy() == dset["src"].to_numpy()).all()
+        assert (pool["dst"].to_numpy() == dset["dst"].to_numpy()).all()
+        assert (pool["common_nbrs"].to_numpy()
+                == dset["common_nbrs"].to_numpy()).all()
+        np.testing.assert_allclose(pool["jaccard"], dset["jaccard"],
+                                   atol=0)
+    finally:
+        g.close()
