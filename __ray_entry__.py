@@ -83,6 +83,33 @@ def _pagerank_sql(rounds: int, delta: float) -> str:
             f"SELECT v AS vid, round(r, 6) AS rank FROM r{rounds} ORDER BY vid")
 
 
+def _ppr_sql(rounds: int, delta: float, n_seeds: int = 3) -> str:
+    """Unrolled personalized-PageRank twin: restart mass (1−δ)/n_seeds
+    on the n_seeds smallest vertices, dangling out-mass dropped (the
+    engine.ppr convention; the partgraph has no dangling vertices)."""
+    parts = [f"WITH {_PRELUDE},"]
+    parts.append(f"sd AS MATERIALIZED (SELECT v FROM v ORDER BY v "
+                 f"LIMIT {n_seeds})")
+    parts.append(f"""r0 AS MATERIALIZED (
+  SELECT v.v, CASE WHEN sd.v IS NOT NULL THEN 1.0 / {n_seeds}
+              ELSE 0.0 END AS r
+  FROM v LEFT JOIN sd ON sd.v = v.v)""")
+    for k in range(1, rounds + 1):
+        parts.append(f"""r{k} AS MATERIALIZED (
+  SELECT v.v,
+         CASE WHEN sd.v IS NOT NULL THEN {1 - delta} / {n_seeds}
+              ELSE 0.0 END
+           + {delta} * COALESCE(m.s, 0) AS r
+  FROM v LEFT JOIN sd ON sd.v = v.v LEFT JOIN (
+    SELECT e.t AS v, sum(r{k-1}.r / deg.d) AS s
+    FROM e JOIN r{k-1} ON r{k-1}.v = e.s JOIN deg ON deg.v = e.s
+    GROUP BY e.t) m ON m.v = v.v)""")
+    body = ",\n".join(parts[1:])
+    return (f"{parts[0]}\n{body}\n"
+            f"SELECT v AS vid, round(r, 6) AS rank FROM r{rounds} "
+            f"ORDER BY vid")
+
+
 def _cdlp_sql(rounds: int) -> str:
     parts = [f"WITH {_PRELUDE},"]
     parts.append("l0 AS MATERIALIZED (SELECT v AS v, v AS lab FROM v)")
@@ -793,6 +820,17 @@ def _q_pg_degree_centrality(sf_dir):
 def _q_pg_pagerank(sf_dir):
     g, _ = _partgraph(sf_dir)
     pr = g.pagerank(delta=DELTA, max_round=PR_ROUNDS)
+    return _round_col(g.to_oid(pr), "rank")
+
+
+def _q_pg_ppr(sf_dir):
+    """Personalized PageRank (4 rounds) from the 3 smallest vertices —
+    the seed-restart variant of the pr superstep loop."""
+    from graphscope_ray.pipelines.partgraph import partgraph_vertices
+    g, edges = _partgraph(sf_dir)
+    seeds = [r["vid"] for r in
+             partgraph_vertices(edges).sort("vid").limit(3).take_all()]
+    pr = g.ppr(seeds, delta=DELTA, max_round=4)
     return _round_col(g.to_oid(pr), "rank")
 
 
@@ -1900,6 +1938,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_degree": _q_pg_degree,
         "pg_degree_centrality": _q_pg_degree_centrality,
         "pg_pagerank": _q_pg_pagerank,
+        "pg_ppr": _q_pg_ppr,
         "pg_wcc": _q_pg_wcc,
         "pg_cdlp": _q_pg_cdlp,
         "pg_bfs": _q_pg_bfs,
@@ -2019,6 +2058,7 @@ SELECT v AS vid,
        round(d::DOUBLE / ((SELECT c FROM n) - 1), 6) AS centrality
 FROM deg ORDER BY vid""",
         "pg_pagerank": _pagerank_sql(PR_ROUNDS, DELTA),
+        "pg_ppr": _ppr_sql(4, DELTA, n_seeds=3),
         "pg_wcc": _WCC_SQL,
         "pg_cdlp": _cdlp_sql(CDLP_ROUNDS),
         "pg_bfs": _BFS_SQL,

@@ -241,6 +241,10 @@ class Graph:
         (defaults per `python/graphscope/analytical/app/pagerank.py:29`)."""
         return self.engine.pagerank(delta=delta, max_round=max_round, tol=tol, **kw)
 
+    def ppr(self, seeds, **kw) -> ray.data.Dataset:
+        """Personalized PageRank from oid seeds — see BSPEngine.ppr."""
+        return self.engine.ppr(self._oids_to_vids(seeds), **kw)
+
     def wcc(self, **kw) -> ray.data.Dataset:
         """WCC, min-oid component labels — `benchmarks/apps/wcc/wcc.h:58-169`
         with the SURVEY §5 min-oid labeling convention."""

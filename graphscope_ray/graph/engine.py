@@ -347,6 +347,34 @@ class BSPEngine:
         self.supersteps += rnd - start_round
         return self._result_ds("pr_result", "rank")
 
+    def ppr(self, seeds, *, delta: float = 0.85, max_round: int = 10,
+            tol: Optional[float] = None, max_iter: int = 1000
+            ) -> ray.data.Dataset:
+        """Personalized PageRank from a seed set: ``r = (1−δ)·e_S +
+        δ·Aᵀ r`` with a uniform restart over ``seeds``; dangling
+        out-mass is dropped (both oracle sides share the convention).
+        Not a reference app — the GLE-adjacent seed-biased relevance
+        op; same superstep exchange as PageRank (pr_scatter reused)."""
+        seeds = np.asarray(list(seeds), dtype=np.int64)
+        if not len(seeds):
+            raise ValueError("ppr needs at least one seed")
+        ray.get([a.ppr_init.remote(seeds, len(seeds), delta)
+                 for a in self.actors])
+        limit = max_iter if tol is not None else max_round
+        rnd = 0
+        t0 = time.perf_counter()
+        while rnd < limit:
+            rnd += 1
+            deltas = self._exchange(
+                "pr_scatter", "ppr_apply", apply_args=(delta,),
+                hub_method="pr_get_hub_vals" if self.has_hubs else None,
+            )
+            if tol is not None and max(deltas) < tol:
+                break
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rnd
+        return self._result_ds("pr_result", "rank")
+
     # -- WCC -----------------------------------------------------------
 
     def wcc(

@@ -523,6 +523,32 @@ class GraphPartition:
         }
         return int(dangling.sum())
 
+    def ppr_init(self, seeds, n_seeds: int, delta: float):
+        """Personalized PageRank state: rank starts as the uniform
+        seed-indicator distribution; the per-vertex restart base
+        ``(1−δ)·e_S`` replaces PageRank's scalar base. Reuses the pr
+        scatter/result surface (same rank/inv_deg layout)."""
+        self.pr_init()
+        s = self.state["pr"]
+        base = np.zeros(self.nlocal)
+        seeds = np.asarray(seeds, dtype=np.int64)
+        mine = seeds[(seeds % self.P) == self.p] // self.P
+        if len(mine):
+            base[mine] = 1.0 / float(n_seeds)
+        s["rank"] = base.copy()
+        s["ppr_base"] = (1.0 - delta) * base
+
+    def ppr_apply(self, delta: float, *msgs):
+        """r ← (1−δ)·e_S + δ·Aᵀr. Dangling out-mass is dropped (their
+        inv_deg is 0 in pr_scatter) — the documented convention the
+        SQL twin shares."""
+        s = self.state["pr"]
+        inc = self._apply_sum(msgs)
+        new = delta * inc + s["ppr_base"]
+        dmax = float(np.max(np.abs(new - s["rank"]))) if self.nlocal else 0.0
+        s["rank"] = new
+        return dmax
+
     def pr_scatter(self, *hub_parts):
         hub_vals = self._norm_hub(hub_parts)
         s = self.state["pr"]

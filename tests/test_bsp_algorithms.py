@@ -190,3 +190,28 @@ def test_pagerank_checkpoint_resume(tmp_path):
     )
     np.testing.assert_allclose(got, full, atol=1e-14)
     eng2.shutdown()
+
+
+def test_ppr_matches_numpy_power_iteration(tmp_path):
+    e, n = random_graph(seed=17), 60
+    eng = make_engine(tmp_path, e, n, 3, symmetrize=True)
+    seeds = [0, 5, 9]
+    got = collect(eng.ppr(seeds, delta=0.85, max_round=6), "rank", n)
+    # numpy oracle on the symmetrized simple graph
+    und = set()
+    for a, b in e:
+        if a != b:
+            und.add((a, b)); und.add((b, a))
+    A = np.zeros((n, n))
+    for a, b in und:
+        A[a, b] = 1.0
+    outdeg = A.sum(axis=1)
+    P = np.divide(A, outdeg[:, None], out=np.zeros_like(A),
+                  where=outdeg[:, None] > 0)
+    base = np.zeros(n)
+    base[seeds] = 1.0 / len(seeds)
+    r = base.copy()
+    for _ in range(6):
+        r = 0.15 * base + 0.85 * (P.T @ r)
+    np.testing.assert_allclose(got, r, atol=1e-12)
+    eng.shutdown()
