@@ -1710,6 +1710,15 @@ def _q_emb_kmeans(sf_dir):
     return kmeans_assign(emb, k=8, iters=2)
 
 
+def _q_emb_cluster_sample(sf_dir):
+    """Cluster-balanced sampling: k-means (k=8, 2 iters) + keep the 10
+    rows of each cluster with the smallest fmix64 coin."""
+    from graphscope_ray.data.similarity import cluster_sample
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return cluster_sample(emb, k=8, iters=2, m=10, seed=3)
+
+
 def _q_emb_ann_topk(sf_dir):
     from graphscope_ray.data import ann_topk
     import pyarrow.compute as pc
@@ -1999,6 +2008,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk": _q_doc_chunk,
         "doc_bigrams": _q_doc_bigrams,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_cluster_sample": _q_emb_cluster_sample,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
@@ -2233,6 +2243,8 @@ ORDER BY source, rn""",
         "doc_chunk": _osql().chunk_text_sql(size=256, overlap=32),
         "doc_bigrams": _bigrams_sql(),
         "emb_kmeans": _osql().kmeans_sql(k=8, iters=2, dim=64),
+        "emb_cluster_sample": _osql().cluster_sample_sql(
+            k=8, iters=2, m=10, seed=3, dim=64),
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),

@@ -519,3 +519,36 @@ def kmeans_assign(
 
     return emb.select_columns([key, col]).map_batches(
         assign_final, batch_format="pyarrow").sort(key)
+
+
+def cluster_sample(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    m: int = 10,
+    seed: int = 3,
+    key: str = "vec_id",
+    col: str = "embedding",
+) -> ray.data.Dataset:
+    """Cluster-balanced (diversity-preserving) sampling: k-means
+    assignment, then keep the ``m`` rows of each cluster with the
+    smallest ``(fmix64(id·B+seed) % 1e6, id)`` — the embedding-space
+    stratified-subset pattern of corpus curation. Deterministic end
+    to end; composes kmeans_assign with the per-group top-k trim
+    (curate.topk_per_group), so nothing beyond k·m·#blocks rows ever
+    moves after assignment."""
+    from graphscope_ray.data.curate import _row_hash
+    from graphscope_ray.data.curate import topk_per_group
+
+    assign = kmeans_assign(emb, k=k, iters=iters, key=key, col=col)
+
+    def coin(t: pa.Table) -> pa.Table:
+        ids = t[key].to_numpy()
+        h = (_row_hash(ids, seed) % np.uint64(1_000_000)).astype(np.int64)
+        return pa.table({key: t[key], "cluster": t["cluster"],
+                         "coin": pa.array(h)})
+
+    scored = assign.map_batches(coin, batch_format="pyarrow")
+    return topk_per_group(scored, group="cluster", score="coin",
+                          key=key, k=m, descending=False)

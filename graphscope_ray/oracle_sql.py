@@ -554,3 +554,19 @@ WITH {','.join(ctes)},
 u AS (SELECT DISTINCT user_id FROM events)
 SELECT u.user_id, ({case})::BIGINT AS steps_completed
 FROM u {joins} ORDER BY u.user_id"""
+
+
+def cluster_sample_sql(k: int = 8, iters: int = 2, m: int = 10,
+                       seed: int = 3, dim: int = 64) -> str:
+    """Twin of data/similarity.cluster_sample: the kmeans_sql
+    assignment as a nested CTE + the shared fmix64 row coin + a
+    row_number per-cluster trim."""
+    coin = f"({_row_hash_sql(seed, 'vec_id')}) % 1000000"
+    return f"""
+WITH asg AS ({kmeans_sql(k, iters, dim)})
+SELECT cluster, coin, vec_id, rn FROM (
+  SELECT cluster, vec_id, ({coin})::BIGINT AS coin,
+         row_number() OVER (PARTITION BY cluster
+                            ORDER BY ({coin}), vec_id) AS rn
+  FROM asg)
+WHERE rn <= {m} ORDER BY cluster, rn"""
