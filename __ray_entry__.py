@@ -1682,6 +1682,15 @@ def _q_doc_jaccard(sf_dir):
     return fingerprint_jaccard_pairs(docs, threshold=0.5)
 
 
+def _q_doc_classifier(sf_dir):
+    """Frozen-weight logistic quality classifier — the model-inference
+    stage shape; features + double-precision logistic replayed in SQL."""
+    from graphscope_ray.data.text import quality_classifier
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return quality_classifier(docs)
+
+
 def _q_doc_chunk(sf_dir):
     """Overlapping fixed-size chunking (context prep) — shuffle-free
     flat expansion, codepoint-exact vs the DuckDB substr twin."""
@@ -2006,6 +2015,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_jaccard": _q_doc_jaccard,
         "doc_span_dedup": _q_doc_span_dedup,
         "doc_chunk": _q_doc_chunk,
+        "doc_classifier": _q_doc_classifier,
         "doc_bigrams": _q_doc_bigrams,
         "emb_kmeans": _q_emb_kmeans,
         "emb_cluster_sample": _q_emb_cluster_sample,
@@ -2241,6 +2251,7 @@ ORDER BY source, rn""",
         "doc_jaccard": _osql().jaccard_pairs_sql(threshold=0.5),
         "doc_span_dedup": _osql().span_dedup_sql(k=8),
         "doc_chunk": _osql().chunk_text_sql(size=256, overlap=32),
+        "doc_classifier": _osql().quality_classifier_sql(),
         "doc_bigrams": _bigrams_sql(),
         "emb_kmeans": _osql().kmeans_sql(k=8, iters=2, dim=64),
         "emb_cluster_sample": _osql().cluster_sample_sql(

@@ -331,3 +331,51 @@ def tfidf_vectors(ds: ray.data.Dataset, *, col: str = "text",
     return ds.map_batches(_DenseTFIDF(col, key, dim, idf_ref,
                                       l2_normalize),
                           batch_format="pandas")
+
+
+QUALITY_LOGIT_WEIGHTS = {
+    "bias": -3.8,
+    "log_tokens": 0.5,
+    "alpha_ratio": 2.0,
+    "len_sat": 1.0,
+    "digit_ratio": -3.0,
+}
+
+
+def quality_classifier(ds: ray.data.Dataset, col: str = "text",
+                       key: str = "doc_id",
+                       weights: dict = None) -> ray.data.Dataset:
+    """Frozen-weight logistic quality classifier — the model-inference
+    stage shape (vectorized featurize → dot → sigmoid per batch; the
+    weight vector rides the task closure; swap in learned weights for
+    a real fastText-style gate). Features: ln(1+n_tokens),
+    alpha_ratio, min(1, n_tokens/100), digit_ratio — every one an RE2
+    count shared verbatim with the SQL twin
+    (oracle_sql.quality_classifier_sql). → (key, score[6dp],
+    keep∈{0,1})."""
+    w = dict(QUALITY_LOGIT_WEIGHTS, **(weights or {}))
+
+    def f(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        s = pc.fill_null(t[col], "")
+        n_chars = pc.cast(pc.utf8_length(s), pa.int64()).to_numpy()
+        nt = pc.cast(pc.count_substring_regex(s, r"\S+"),
+                     pa.int64()).to_numpy().astype(np.float64)
+        na = pc.cast(pc.count_substring_regex(s, r"[a-zA-Z]"),
+                     pa.int64()).to_numpy().astype(np.float64)
+        nd = pc.cast(pc.count_substring_regex(s, r"[0-9]"),
+                     pa.int64()).to_numpy().astype(np.float64)
+        denom = np.maximum(n_chars, 1).astype(np.float64)
+        logit = (w["bias"]
+                 + w["log_tokens"] * np.log(1.0 + nt)
+                 + w["alpha_ratio"] * (na / denom)
+                 + w["len_sat"] * np.minimum(1.0, nt / 100.0)
+                 + w["digit_ratio"] * (nd / denom))
+        score = 1.0 / (1.0 + np.exp(-logit))
+        return pa.table({
+            key: t[key],
+            "score": pa.array(round_half_away(score, 6)),
+            "keep": pa.array((score >= 0.5).astype(np.int64)),
+        })
+
+    return ds.map_batches(f, batch_format="pyarrow")

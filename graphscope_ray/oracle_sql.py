@@ -570,3 +570,28 @@ SELECT cluster, coin, vec_id, rn FROM (
                             ORDER BY ({coin}), vec_id) AS rn
   FROM asg)
 WHERE rn <= {m} ORDER BY cluster, rn"""
+
+
+def quality_classifier_sql(weights: dict = None) -> str:
+    """Twin of data/text.quality_classifier (same RE2 counts, same
+    double-precision logistic)."""
+    w = {"bias": -3.8, "log_tokens": 0.5, "alpha_ratio": 2.0,
+         "len_sat": 1.0, "digit_ratio": -3.0, **(weights or {})}
+    logit = (f"({w['bias']}) "
+             f"+ ({w['log_tokens']}) * ln(1.0 + nt) "
+             f"+ ({w['alpha_ratio']}) * (na / denom) "
+             f"+ ({w['len_sat']}) * least(1.0, nt / 100.0) "
+             f"+ ({w['digit_ratio']}) * (nd / denom)")
+    return rf"""
+WITH f AS (
+  SELECT doc_id,
+         len(regexp_extract_all(COALESCE(text, ''), '\S+'))::DOUBLE AS nt,
+         len(regexp_extract_all(COALESCE(text, ''),
+                                '[a-zA-Z]'))::DOUBLE AS na,
+         len(regexp_extract_all(COALESCE(text, ''), '[0-9]'))::DOUBLE AS nd,
+         greatest(length(COALESCE(text, '')), 1)::DOUBLE AS denom
+  FROM documents)
+SELECT doc_id,
+       round(1.0 / (1.0 + exp(-({logit}))), 6) AS score,
+       (1.0 / (1.0 + exp(-({logit}))) >= 0.5)::BIGINT AS keep
+FROM f ORDER BY doc_id"""

@@ -259,3 +259,15 @@ def test_kmeans_assign_matches_numpy_lloyds():
             == assign).all()
     # sanity: all clusters non-trivially populated on gaussian data
     assert got["cluster"].nunique() == 5
+
+
+def test_quality_classifier_edges(edge_ds, edge_con):
+    from graphscope_ray.data.text import quality_classifier
+    got = (quality_classifier(edge_ds).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    want = edge_con.execute(osql.quality_classifier_sql()).df()
+    _cmp(got, want, ["doc_id"])
+    # empty/whitespace docs score sigmoid(bias) and are dropped
+    import math
+    assert abs(got["score"][0] - round(1 / (1 + math.exp(3.8)), 6)) < 1e-9
+    assert got["keep"][0] == 0
