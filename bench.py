@@ -331,6 +331,55 @@ def run_scaling_job() -> dict:
     return out
 
 
+def run_scaling_data_job() -> dict:
+    """The data-pipeline scaling child: fused curation + MinHash-LSH
+    dedup over a deterministic synthetic corpus (~108k docs from
+    corpus.synth_corpus_table — no external data), docs/sec at this
+    process's parallelism level. Generation time is excluded."""
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+    # big enough that per-stage fixed costs (~1-2 s of task spin-up)
+    # do not drown the parallel fraction at the high level
+    n_files = int(os.environ.get("GRAFT_SCALE_DOCS", "150000"))
+    import numpy as np
+    import pyarrow as pa
+    import ray
+    import ray.data
+    if not ray.is_initialized():
+        ray.init(address="local", num_cpus=num_cpus,
+                 include_dashboard=False, logging_level="ERROR")
+    ray.data.DataContext.get_current().enable_progress_bars = False
+    from graphscope_ray.corpus import synth_corpus_table
+    from graphscope_ray.data import minhash_lsh_dedup
+    from graphscope_ray.pipelines.curation import curate
+
+    tab = synth_corpus_table(n_files, seed=9)
+    docs = ray.data.from_arrow(pa.table({
+        "doc_id": pa.array(np.arange(tab.num_rows, dtype=np.int64)),
+        "text": tab["content"],
+    })).repartition(num_cpus * 2).materialize()
+    n_docs = docs.count()
+
+    t0 = time.perf_counter()
+    curate(docs, lang="en", min_quality=0.1).count()
+    cur_sec = time.perf_counter() - t0
+
+    t0 = time.perf_counter()
+    res = minhash_lsh_dedup(docs, threshold=0.9)
+    # pandas below the row cap, Dataset on the scale route
+    _ = len(res) if hasattr(res, "index") else res.count()
+    mh_sec = time.perf_counter() - t0
+
+    out = {
+        "num_cpus": num_cpus, "n_docs": n_docs,
+        "curation_sec": round(cur_sec, 3),
+        "curation_docs_per_sec": round(n_docs / max(cur_sec, 1e-9), 1),
+        "minhash_sec": round(mh_sec, 3),
+        "minhash_docs_per_sec": round(n_docs / max(mh_sec, 1e-9), 1),
+    }
+    ray.shutdown()
+    return out
+
+
 def run_child(ncpu: int, extra=()) -> dict:
     """Fresh process at the given parallelism level. ``ray.init(
     num_cpus=N)`` only gates Ray's scheduler bookkeeping — resident
@@ -342,14 +391,20 @@ def run_child(ncpu: int, extra=()) -> dict:
     import shutil as _sh
     if _sh.which("taskset"):
         cmd = ["taskset", "-c", f"0-{ncpu - 1}"] + cmd
-    proc = subprocess.run(cmd, env=env, capture_output=True, text=True,
-                          check=True)
+    proc = subprocess.run(cmd, env=env, capture_output=True, text=True)
+    if proc.returncode != 0:
+        raise RuntimeError(
+            f"scaling child {extra} at {ncpu} CPUs failed "
+            f"(rc={proc.returncode}): {proc.stderr[-2000:]}")
     return json.loads(proc.stdout.strip().splitlines()[-1])
 
 
 def main():
     if "--scaling-child" in sys.argv:
         print(json.dumps(run_scaling_job()))
+        return
+    if "--scaling-data-child" in sys.argv:
+        print(json.dumps(run_scaling_data_job()))
         return
     if "--scaling" in sys.argv:
         # N and 4N CPUs, both physically pinned (taskset). Default 2→8:
@@ -363,6 +418,20 @@ def main():
         eps_lo = r_lo["edges_per_sec"]
         eps_hi = r_hi["edges_per_sec"]
         eff = (eps_hi / eps_lo) / (hi / lo) if eps_lo else 0.0
+        # second scaling datum: the data-pipeline shape (fused
+        # curation + minhash dedup docs/sec) at the same two levels.
+        # A child failure must not discard the pagerank datum above.
+        try:
+            d_lo = run_child(lo, ["--scaling-data-child"])
+            d_hi = run_child(hi, ["--scaling-data-child"])
+        except Exception as e:  # noqa: BLE001 — report, keep pagerank row
+            print(f"scaling-data child failed: {e}", file=sys.stderr)
+            d_lo = d_hi = {"n_docs": 0, "curation_docs_per_sec": 0,
+                           "minhash_docs_per_sec": 0}
+
+        def _eff(a, b):
+            return round((b / a) / (hi / lo), 3) if a else 0.0
+
         print(json.dumps({
             "metric": f"pagerank edges/sec scaling {lo}→{hi} CPUs "
                       "(P=num_cpus, synthetic graph)",
@@ -372,6 +441,17 @@ def main():
             "superstep_sec_hi": r_hi["superstep_sec"],
             "V": r_hi["V"], "E": r_hi["E"], "rounds": r_hi["rounds"],
             "scaling_efficiency": round(eff, 3),
+            "data_n_docs": d_hi["n_docs"],
+            "curation_docs_per_sec_lo": d_lo["curation_docs_per_sec"],
+            "curation_docs_per_sec_hi": d_hi["curation_docs_per_sec"],
+            "curation_scaling_efficiency": _eff(
+                d_lo["curation_docs_per_sec"],
+                d_hi["curation_docs_per_sec"]),
+            "minhash_docs_per_sec_lo": d_lo["minhash_docs_per_sec"],
+            "minhash_docs_per_sec_hi": d_hi["minhash_docs_per_sec"],
+            "minhash_scaling_efficiency": _eff(
+                d_lo["minhash_docs_per_sec"],
+                d_hi["minhash_docs_per_sec"]),
         }))
         return
     print(json.dumps(run_bench()))

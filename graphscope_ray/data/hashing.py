@@ -247,21 +247,47 @@ def minhash_perm_params(num_perm: int, seed: int):
     return a, b
 
 
+_SIG_CHUNK = 131_072
+_SIG_BUFS: dict = {}  # worker-process cache: num_perm -> scratch matrix
+
+
 def minhash_sigs(win_doc: np.ndarray, win_hash: np.ndarray, n_docs: int,
                  a: np.ndarray, b: np.ndarray) -> np.ndarray:
     """(n_docs × num_perm) signature matrix: per permutation p, min
     over the doc's window hashes of ``(a_p·x + b_p) mod 2^64 mod M61``
-    (wrap-then-mod, matching the SQL twin exactly)."""
+    (wrap-then-mod, matching the SQL twin exactly).
+
+    Runs in ~128k-window chunks over a worker-cached scratch matrix
+    with in-place mul/add/mod: the straight-line version materialized
+    three fresh windows×num_perm temporaries per batch (~1.3 GB at
+    900k windows), and first-touch page faults on those dominated the
+    whole dedup pipeline (43 ns/element measured ≈ fault, not
+    arithmetic — the triangles lesson, BASELINE.md)."""
     num_perm = len(a)
     if len(win_doc) == 0:
         return np.zeros((n_docs, num_perm), dtype=np.uint64)
-    vals = (win_hash[:, None] * a[None, :] + b[None, :]) % MERSENNE61
-    starts = np.zeros(n_docs, dtype=np.int64)
     cnt = np.bincount(win_doc, minlength=n_docs)
-    np.cumsum(cnt[:-1], out=starts[1:])
     # docs are contiguous runs in win_doc; reduceat needs non-empty runs
     assert (cnt > 0).all(), "every doc must have >= 1 window"
-    return np.minimum.reduceat(vals, starts, axis=0)
+    out = np.full((n_docs, num_perm), np.uint64(0xFFFFFFFFFFFFFFFF),
+                  dtype=np.uint64)
+    buf = _SIG_BUFS.get(num_perm)
+    if buf is None or len(buf) < _SIG_CHUNK:
+        buf = _SIG_BUFS[num_perm] = np.empty((_SIG_CHUNK, num_perm),
+                                             dtype=np.uint64)
+    for lo in range(0, len(win_hash), _SIG_CHUNK):
+        hi = min(lo + _SIG_CHUNK, len(win_hash))
+        v = buf[: hi - lo]
+        np.multiply(win_hash[lo:hi, None], a[None, :], out=v)
+        v += b[None, :]
+        v %= MERSENNE61
+        docs = win_doc[lo:hi]
+        st = np.flatnonzero(np.r_[True, docs[1:] != docs[:-1]])
+        mins = np.minimum.reduceat(v, st, axis=0)
+        seg = docs[st]  # unique within the chunk (contiguous runs)
+        np.minimum(out[seg], mins, out=mins)
+        out[seg] = mins
+    return out
 
 
 def simhash_from_tokens(tok_doc: np.ndarray, tok_hash: np.ndarray,
