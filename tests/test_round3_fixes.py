@@ -163,3 +163,46 @@ def test_dedup_pair_rows_first_per_pair():
                          "b": np.array([5, 6, 7, 9], dtype=np.int64),
                          "hamming": np.array([0, 1, 2, 3], dtype=np.int64)})
     assert out[["a", "b", "hamming"]].equals(want)
+
+
+def test_minhash_sigs_chunk_boundaries_match_straightline():
+    # The chunked minhash_sigs must equal the one-shot reduceat version
+    # for every alignment of doc runs vs chunk edges: docs spanning a
+    # chunk boundary contribute partial minima from BOTH chunks.
+    from graphscope_ray.data import hashing as H
+
+    rng = np.random.default_rng(7)
+    a, b = H.minhash_perm_params(16, seed=3)
+
+    def straightline(win_doc, win_hash, n_docs):
+        vals = (win_hash[:, None] * a[None, :] + b[None, :]) % H.MERSENNE61
+        starts = np.zeros(n_docs, dtype=np.int64)
+        cnt = np.bincount(win_doc, minlength=n_docs)
+        np.cumsum(cnt[:-1], out=starts[1:])
+        return np.minimum.reduceat(vals, starts, axis=0)
+
+    old_chunk = H._SIG_CHUNK
+    try:
+        H._SIG_CHUNK = 64  # force many boundaries
+        H._SIG_BUFS.clear()
+        for trial in range(20):
+            n_docs = int(rng.integers(1, 40))
+            # run lengths 1..~200 so some docs span several 64-chunks
+            # and some chunks hold many whole docs
+            cnt = rng.integers(1, 200, size=n_docs)
+            win_doc = np.repeat(np.arange(n_docs, dtype=np.int64), cnt)
+            win_hash = rng.integers(0, 2**63, size=len(win_doc),
+                                    dtype=np.int64).astype(np.uint64)
+            got = H.minhash_sigs(win_doc, win_hash, n_docs, a, b)
+            want = straightline(win_doc, win_hash, n_docs)
+            assert (got == want).all(), f"trial {trial} mismatch"
+        # exact-boundary alignment: one doc ends exactly at a chunk edge
+        cnt = np.array([64, 64, 1], dtype=np.int64)
+        win_doc = np.repeat(np.arange(3, dtype=np.int64), cnt)
+        win_hash = rng.integers(0, 2**63, size=len(win_doc),
+                                dtype=np.int64).astype(np.uint64)
+        assert (H.minhash_sigs(win_doc, win_hash, 3, a, b)
+                == straightline(win_doc, win_hash, 3)).all()
+    finally:
+        H._SIG_CHUNK = old_chunk
+        H._SIG_BUFS.clear()
