@@ -1630,6 +1630,17 @@ def _q_doc_vocab(sf_dir):
     return vocab_topk(docs, k=100)
 
 
+def _q_doc_hll(sf_dir):
+    """HyperLogLog distinct-token sketch (p=10): per-block register
+    folds tree-merged through ONE native global aggregate — 1 KiB
+    accumulators are all that move; the oracle replays the register
+    table bit-exactly from the shared token-hash family."""
+    from graphscope_ray.data.sketch import hll_register_rows
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return hll_register_rows(docs, p=10)
+
+
 def _q_doc_packing(sf_dir):
     """Fixed-token-budget sequence packing — global sort + distributed
     prefix sum (O(#blocks) scalars on the driver)."""
@@ -2007,6 +2018,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii": _q_doc_pii,
         "doc_repetition": _q_doc_repetition,
         "doc_vocab": _q_doc_vocab,
+        "doc_hll": _q_doc_hll,
         "doc_packing": _q_doc_packing,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2243,6 +2255,7 @@ ORDER BY source, rn""",
         "doc_pii": _pii_sql(),
         "doc_repetition": _osql().REPETITION_SQL,
         "doc_vocab": _vocab_sql(),
+        "doc_hll": _osql().hll_registers_sql(10),
         "doc_packing": _osql().pack_sequences_sql(2048),
         "doc_decontaminate": _osql().decontaminate_sql(n=8, bench_mod=20),
         "doc_fingerprint": _osql().fingerprint_sql(k=5),

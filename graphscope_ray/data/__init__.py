@@ -38,3 +38,10 @@ from graphscope_ray.data.curate import (  # noqa: F401
     training_order,
     vocab_topk,
 )
+from graphscope_ray.data.sketch import (  # noqa: F401
+    hll_distinct,
+    hll_estimate,
+    hll_fold,
+    hll_register_rows,
+    hll_registers,
+)

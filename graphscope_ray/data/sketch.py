@@ -1,0 +1,127 @@
+"""Mergeable sketches over a Dataset — the approximate-at-scale
+answers a 100 TB corpus needs when the exact reduce is unaffordable.
+
+HyperLogLog distinct count (Flajolet et al. 2007, the trailing-zero
+Flajolet–Martin rank variant): every batch folds its token hashes into
+a 2^p-register vector (``np.maximum.at`` — one pass, no Python loop),
+and the vectors tree-merge through a native ``Dataset.aggregate``
+elementwise max. Nothing but O(2^p)-byte accumulators ever move — no
+shuffle, no driver materialization — and the register table is a pure
+function of the shared ``fmix64(poly(token))`` hash family
+(data/hashing.py), so a DuckDB twin replays it BIT-EXACTLY:
+
+    idx = h & (2^p - 1)            -- low p bits pick the register
+    w   = h >> p                   -- remaining 64-p bits
+    rho = tz(w) + 1                -- trailing zeros, capped at 64-p+1
+    reg[idx] = max(rho)
+
+``tz`` is exact integer arithmetic on both sides (numpy SWAR popcount
+of ``(w & -w) - 1``; DuckDB ``bit_count``) — no float in the sketch
+itself. The float estimator runs on the final 2^p-vector only.
+
+Reference scope: GraphScope's Communicator global aggregates
+(grape/communication) cover exact sums/min/max; the sketch extends the
+same mergeable-reduce shape to distinct counting for the LLM-data
+pipeline (vocabulary size, per-source cardinality) where exact
+``bucketed_distinct`` would shuffle every token.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray.data
+from ray.data.aggregate import AggregateFn
+
+from graphscope_ray.data.hashing import batch_token_hashes
+
+U64 = np.uint64
+
+
+def _popcount64(x: np.ndarray) -> np.ndarray:
+    # SWAR popcount (same kernel as dedup._popcount64, local to keep
+    # the sketch module dependency-free)
+    x = x.astype(np.uint64, copy=True)
+    x -= (x >> U64(1)) & U64(0x5555555555555555)
+    x = (x & U64(0x3333333333333333)) + ((x >> U64(2)) & U64(0x3333333333333333))
+    x = (x + (x >> U64(4))) & U64(0x0F0F0F0F0F0F0F0F)
+    return (x * U64(0x0101010101010101)) >> U64(56)
+
+
+def hll_fold(hashes: np.ndarray, p: int, regs: np.ndarray | None = None,
+             ) -> np.ndarray:
+    """Fold uint64 hashes into a 2^p register vector (max of ranks).
+
+    rho = trailing zeros of (h >> p) + 1; h >> p == 0 (probability
+    2^-(64-p)) saturates at the cap 64 - p + 1.
+    """
+    m = 1 << p
+    if regs is None:
+        regs = np.zeros(m, dtype=np.uint8)
+    if len(hashes) == 0:
+        return regs
+    idx = (hashes & U64(m - 1)).astype(np.int64)
+    w = hashes >> U64(p)
+    low = w & (~w + U64(1))          # isolate lowest set bit (0 if w==0)
+    rho = _popcount64(low - U64(1)) + U64(1)   # w==0 → popcount(~0)+1 = 65
+    np.minimum(rho, U64(64 - p + 1), out=rho)
+    np.maximum.at(regs, idx, rho.astype(np.uint8))
+    return regs
+
+
+def hll_estimate(regs: np.ndarray) -> float:
+    """Bias-corrected HLL estimate with the small-range linear-counting
+    correction (large-range correction is unnecessary at 64-bit)."""
+    m = len(regs)
+    alpha = (0.673 if m == 16 else 0.697 if m == 32
+             else 0.709 if m == 64 else 0.7213 / (1.0 + 1.079 / m))
+    est = alpha * m * m / np.sum(np.ldexp(1.0, -regs.astype(np.int64)))
+    zeros = int(np.count_nonzero(regs == 0))
+    if est <= 2.5 * m and zeros:
+        est = m * np.log(m / zeros)
+    return float(est)
+
+
+def hll_registers(ds: ray.data.Dataset, *, col: str = "text",
+                  p: int = 12) -> np.ndarray:
+    """Distributed register computation: one native global aggregate,
+    accumulators are 2^p bytes, blocks never leave their workers."""
+    m = 1 << p
+
+    def accumulate_block(acc: np.ndarray, block) -> np.ndarray:
+        if isinstance(block, pa.Table):
+            texts = block[col].to_pylist()
+        else:
+            texts = block[col].fillna("").tolist()
+        texts = ["" if t is None else t for t in texts]
+        _, tok_hash = batch_token_hashes(texts)
+        return hll_fold(tok_hash, p, acc.copy())
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros(m, dtype=np.uint8),
+        merge=lambda a, b: np.maximum(a, b),
+        accumulate_block=accumulate_block,
+        name="hll_regs",
+    )
+    out = ds.aggregate(agg)
+    return np.asarray(out["hll_regs"], dtype=np.uint8)
+
+
+def hll_distinct(ds: ray.data.Dataset, *, col: str = "text",
+                 p: int = 12) -> float:
+    """Approximate distinct whitespace-token count (standard error
+    ≈ 1.04/sqrt(2^p))."""
+    return hll_estimate(hll_registers(ds, col=col, p=p))
+
+
+def hll_register_rows(ds: ray.data.Dataset, *, col: str = "text",
+                      p: int = 12) -> pd.DataFrame:
+    """Dense (reg_idx, reg) table of the sketch — the driver-row /
+    oracle-compare form (2^p rows of exact integers)."""
+    regs = hll_registers(ds, col=col, p=p)
+    return pd.DataFrame({
+        "reg_idx": np.arange(len(regs), dtype=np.int64),
+        "reg": regs.astype(np.int64),
+    })

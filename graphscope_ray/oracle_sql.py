@@ -352,6 +352,32 @@ FROM documents d LEFT JOIN la ON la.doc_id = d.doc_id
 LEFT JOIN ta ON ta.doc_id = d.doc_id ORDER BY d.doc_id"""
 
 
+def hll_registers_sql(p: int = 10, source: str = "documents") -> str:
+    """Bit-exact twin of data/sketch.hll_register_rows: the full dense
+    (reg_idx, reg) HyperLogLog register table over the corpus's
+    whitespace-token hashes. idx = low p bits; rho = trailing zeros of
+    the remaining 64-p bits + 1 (``bit_count((w & -w) - 1)`` — exact
+    integer arithmetic, no floats), saturating at 64-p+1 when they are
+    all zero. ``(h >> p)::BIGINT`` is safe: the shifted value is below
+    2^(64-p) < 2^63 for any p ≥ 2."""
+    m, cap = 1 << p, 64 - p + 1
+    w = f"((h >> {p})::BIGINT)"
+    return f"""
+WITH {token_hash_ctes(source=source)},
+tok AS (SELECT unnest(h) AS h FROM th),
+rr AS (SELECT (h % {m})::BIGINT AS idx,
+       CASE WHEN (h >> {p}) = 0 THEN {cap}
+            ELSE least(bit_count(({w} & (-{w})) - 1) + 1, {cap})
+       END AS rho
+       FROM tok),
+regs AS (SELECT idx, max(rho) AS reg FROM rr GROUP BY idx),
+grid AS (SELECT unnest(range({m})) AS reg_idx)
+SELECT grid.reg_idx::BIGINT AS reg_idx,
+       coalesce(regs.reg, 0)::BIGINT AS reg
+FROM grid LEFT JOIN regs ON regs.idx = grid.reg_idx
+ORDER BY reg_idx"""
+
+
 def vocab_topk_sql(k: int, token_pat: str) -> str:
     return f"""
 SELECT tok AS token, count(*)::BIGINT AS cnt FROM (

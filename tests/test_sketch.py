@@ -1,0 +1,99 @@
+"""HyperLogLog sketch: fold/merge algebra, estimator accuracy at high
+cardinality (the regime the sf testdata's 31-token vocabulary never
+reaches), saturation, and the distributed-aggregate path."""
+
+import numpy as np
+import pandas as pd
+
+import ray.data
+
+from graphscope_ray.data.sketch import (
+    hll_distinct,
+    hll_estimate,
+    hll_fold,
+    hll_register_rows,
+    hll_registers,
+)
+from graphscope_ray.data.hashing import batch_token_hashes, fmix64
+
+
+def _uniform_hashes(n: int, seed: int) -> np.ndarray:
+    # fmix64 of a counter = high-quality uniform 64-bit stream, and
+    # distinct inputs stay distinct (fmix64 is a bijection)
+    rng_base = np.arange(n, dtype=np.uint64) + np.uint64(seed) * np.uint64(0x9E3779B97F4A7C15)
+    return fmix64(rng_base)
+
+
+def test_estimate_accuracy_high_cardinality():
+    for p, n in [(10, 50_000), (12, 200_000)]:
+        h = _uniform_hashes(n, seed=p)
+        est = hll_estimate(hll_fold(h, p))
+        se = 1.04 / np.sqrt(1 << p)
+        assert abs(est - n) / n < 5 * se, (p, n, est)
+
+
+def test_fold_merge_associative():
+    h = _uniform_hashes(30_000, seed=3)
+    whole = hll_fold(h, 10)
+    parts = [hll_fold(c, 10) for c in np.array_split(h, 7)]
+    merged = parts[0]
+    for q in parts[1:]:
+        merged = np.maximum(merged, q)
+    assert (whole == merged).all()
+    # folding into an existing accumulator is the same merge
+    acc = hll_fold(h[15_000:], 10, hll_fold(h[:15_000], 10))
+    assert (whole == acc).all()
+
+
+def test_saturation_when_high_bits_zero():
+    p = 10
+    # h >> p == 0  →  rho saturates at 64 - p + 1
+    h = np.array([0, 1, 5, (1 << p) - 1], dtype=np.uint64)
+    regs = hll_fold(h, p)
+    assert regs.max() == 64 - p + 1
+    idx = (h & np.uint64((1 << p) - 1)).astype(int)
+    assert (regs[idx] == 64 - p + 1).all()
+
+
+def test_rho_matches_naive_trailing_zeros():
+    p = 10
+    rng = np.random.default_rng(5)
+    h = rng.integers(0, 2**63, size=2000, dtype=np.int64).astype(np.uint64)
+    regs = hll_fold(h, p)
+    naive = np.zeros(1 << p, dtype=np.int64)
+    for x in h.tolist():
+        idx = x & ((1 << p) - 1)
+        w = x >> p
+        if w == 0:
+            rho = 64 - p + 1
+        else:
+            rho = 1
+            while (w & 1) == 0:
+                rho += 1
+                w >>= 1
+        naive[idx] = max(naive[idx], rho)
+    assert (regs.astype(np.int64) == naive).all()
+
+
+def test_dataset_path_equals_single_fold(ray_session):
+    texts = [f"tok{i} tok{i % 7} shared word" for i in range(300)] + ["", "   "]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = ray.data.from_pandas([df.iloc[:100], df.iloc[100:200], df.iloc[200:]])
+    regs = hll_registers(ds, p=10)
+    _, th = batch_token_hashes(texts)
+    want = hll_fold(th, 10)
+    assert (regs == want).all()
+    rows = hll_register_rows(ds, p=10)
+    assert list(rows.columns) == ["reg_idx", "reg"]
+    assert len(rows) == 1024 and (rows["reg"].to_numpy() == want.astype(np.int64)).all()
+    # ~304 distinct tokens (300 unique + 7 + 2 shared); estimate close
+    est = hll_distinct(ds, p=10)
+    exact = len(np.unique(th))
+    assert abs(est - exact) / exact < 0.2
+
+
+def test_null_text_ignored(ray_session):
+    df = pd.DataFrame({"doc_id": [0, 1, 2], "text": ["a b c", None, "a"]})
+    regs = hll_registers(ray.data.from_pandas(df), p=10)
+    _, th = batch_token_hashes(["a b c", "", "a"])
+    assert (regs == hll_fold(th, 10)).all()
