@@ -1641,6 +1641,17 @@ def _q_doc_hll(sf_dir):
     return hll_register_rows(docs, p=10)
 
 
+def _q_doc_cms(sf_dir):
+    """Count-min frequency sketch (d=4, w=1024): per-block count folds
+    tree-merged by elementwise sum through ONE native global aggregate
+    — 32 KiB accumulators are the only traffic; the oracle replays the
+    dense count table bit-exactly from the shared rehash family."""
+    from graphscope_ray.data.sketch import cms_rows
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return cms_rows(docs, d=4, w=1024)
+
+
 def _q_doc_packing(sf_dir):
     """Fixed-token-budget sequence packing — global sort + distributed
     prefix sum (O(#blocks) scalars on the driver)."""
@@ -2019,6 +2030,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_vocab": _q_doc_vocab,
         "doc_hll": _q_doc_hll,
+        "doc_cms": _q_doc_cms,
         "doc_packing": _q_doc_packing,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2256,6 +2268,7 @@ ORDER BY source, rn""",
         "doc_repetition": _osql().REPETITION_SQL,
         "doc_vocab": _vocab_sql(),
         "doc_hll": _osql().hll_registers_sql(10),
+        "doc_cms": _osql().cms_rows_sql(4, 1024),
         "doc_packing": _osql().pack_sequences_sql(2048),
         "doc_decontaminate": _osql().decontaminate_sql(n=8, bench_mod=20),
         "doc_fingerprint": _osql().fingerprint_sql(k=5),

@@ -45,3 +45,9 @@ from graphscope_ray.data.sketch import (  # noqa: F401
     hll_register_rows,
     hll_registers,
 )
+from graphscope_ray.data.sketch import (  # noqa: F401
+    cms_counts,
+    cms_fold,
+    cms_lookup,
+    cms_rows,
+)

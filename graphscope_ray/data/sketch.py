@@ -35,7 +35,7 @@ import pyarrow as pa
 import ray.data
 from ray.data.aggregate import AggregateFn
 
-from graphscope_ray.data.hashing import batch_token_hashes
+from graphscope_ray.data.hashing import batch_token_hashes, fmix64
 
 U64 = np.uint64
 
@@ -124,4 +124,77 @@ def hll_register_rows(ds: ray.data.Dataset, *, col: str = "text",
     return pd.DataFrame({
         "reg_idx": np.arange(len(regs), dtype=np.int64),
         "reg": regs.astype(np.int64),
+    })
+
+
+# -- count-min sketch (frequency twin of the HLL) -----------------------
+
+_CMS_SALT = U64(2685821657736338717)  # oracle_sql.C1 — shared constant
+
+
+def cms_cols(hashes: np.ndarray, d: int, w: int) -> np.ndarray:
+    """(d × n) column indices: row r rehashes every token hash through
+    fmix64((h + r·C1) mod 2^64) mod w — the d pairwise-independent-ish
+    hash rows, each SQL-replayable through oracle_sql.fmix_u64_sql."""
+    return np.stack([
+        (fmix64(hashes + U64(r) * _CMS_SALT) % U64(w)).astype(np.int64)
+        for r in range(d)
+    ])
+
+
+def cms_fold(hashes: np.ndarray, d: int, w: int,
+             counts: np.ndarray | None = None) -> np.ndarray:
+    """Fold token hashes into a (d × w) count matrix (mergeable by +)."""
+    if counts is None:
+        counts = np.zeros((d, w), dtype=np.int64)
+    if len(hashes) == 0:
+        return counts
+    cols = cms_cols(hashes, d, w)
+    for r in range(d):
+        np.add.at(counts[r], cols[r], 1)
+    return counts
+
+
+def cms_counts(ds: ray.data.Dataset, *, col: str = "text",
+               d: int = 4, w: int = 1024) -> np.ndarray:
+    """Distributed count-min sketch: per-block folds tree-merged by
+    elementwise sum through one native global aggregate — d·w int64
+    accumulators are the only traffic (32 KiB at the defaults)."""
+
+    def accumulate_block(acc: np.ndarray, block) -> np.ndarray:
+        if isinstance(block, pa.Table):
+            texts = block[col].to_pylist()
+        else:
+            texts = block[col].fillna("").tolist()
+        texts = ["" if t is None else t for t in texts]
+        _, tok_hash = batch_token_hashes(texts)
+        return cms_fold(tok_hash, d, w, acc.copy())
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros((d, w), dtype=np.int64),
+        merge=lambda a, b: a + b,
+        accumulate_block=accumulate_block,
+        name="cms",
+    )
+    return np.asarray(ds.aggregate(agg)["cms"], dtype=np.int64)
+
+
+def cms_lookup(counts: np.ndarray, hashes: np.ndarray) -> np.ndarray:
+    """Point frequency estimates: min over the d rows — always ≥ the
+    true count, ≤ true + ε·N with prob 1-δ (ε = e/w, δ = e^-d)."""
+    d, w = counts.shape
+    cols = cms_cols(hashes, d, w)
+    return np.min(
+        np.stack([counts[r, cols[r]] for r in range(d)]), axis=0)
+
+
+def cms_rows(ds: ray.data.Dataset, *, col: str = "text",
+             d: int = 4, w: int = 1024) -> pd.DataFrame:
+    """Dense (row_idx, col_idx, cnt) table — the driver-row /
+    oracle-compare form (d·w rows of exact integers)."""
+    c = cms_counts(ds, col=col, d=d, w=w)
+    return pd.DataFrame({
+        "row_idx": np.repeat(np.arange(d, dtype=np.int64), c.shape[1]),
+        "col_idx": np.tile(np.arange(c.shape[1], dtype=np.int64), d),
+        "cnt": c.reshape(-1),
     })

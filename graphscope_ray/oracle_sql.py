@@ -378,6 +378,34 @@ FROM grid LEFT JOIN regs ON regs.idx = grid.reg_idx
 ORDER BY reg_idx"""
 
 
+def cms_rows_sql(d: int = 4, w: int = 1024,
+                 source: str = "documents") -> str:
+    """Bit-exact twin of data/sketch.cms_rows: the dense (row_idx,
+    col_idx, cnt) count-min table over the corpus's whitespace-token
+    hashes. Row r's column is fmix64((h + r·C1) mod 2^64) mod w — the
+    same rehash family as the Python side (sketch._CMS_SALT == C1)."""
+    branches = []
+    for r in range(d):
+        x = f"((h::HUGEINT + {r}::HUGEINT * {C1}) % {M64})::UBIGINT"
+        branches.append(
+            f"SELECT {r}::BIGINT AS row_idx, "
+            f"({fmix_u64_sql(x)} % {w})::BIGINT AS col_idx FROM tok")
+    un = "\nUNION ALL\n".join(branches)
+    return f"""
+WITH {token_hash_ctes(source=source)},
+tok AS (SELECT unnest(h) AS h FROM th),
+hits AS ({un}),
+cnts AS (SELECT row_idx, col_idx, count(*)::BIGINT AS cnt
+         FROM hits GROUP BY row_idx, col_idx),
+grid AS (SELECT r AS row_idx, c AS col_idx
+         FROM unnest(range({d})) t1(r), unnest(range({w})) t2(c))
+SELECT grid.row_idx::BIGINT AS row_idx, grid.col_idx::BIGINT AS col_idx,
+       coalesce(cnts.cnt, 0)::BIGINT AS cnt
+FROM grid LEFT JOIN cnts
+  ON cnts.row_idx = grid.row_idx AND cnts.col_idx = grid.col_idx
+ORDER BY row_idx, col_idx"""
+
+
 def vocab_topk_sql(k: int, token_pat: str) -> str:
     return f"""
 SELECT tok AS token, count(*)::BIGINT AS cnt FROM (

@@ -97,3 +97,46 @@ def test_null_text_ignored(ray_session):
     regs = hll_registers(ray.data.from_pandas(df), p=10)
     _, th = batch_token_hashes(["a b c", "", "a"])
     assert (regs == hll_fold(th, 10)).all()
+
+
+def test_cms_overcounts_never_undercounts():
+    from graphscope_ray.data.sketch import cms_fold, cms_lookup
+
+    # tiny width forces collisions: estimates must stay >= truth and
+    # at least one must strictly overcount
+    h = _uniform_hashes(5_000, seed=11)
+    stream = np.repeat(h, np.arange(len(h)) % 5 + 1)  # skewed counts
+    c = cms_fold(stream, d=4, w=64)
+    uniq, true_cnt = np.unique(stream, return_counts=True)
+    est = cms_lookup(c, uniq)
+    assert (est >= true_cnt).all()
+    assert (est > true_cnt).any()
+    # total mass per row is exact
+    assert (c.sum(axis=1) == len(stream)).all()
+
+
+def test_cms_merge_is_sum():
+    from graphscope_ray.data.sketch import cms_fold
+
+    h = _uniform_hashes(8_000, seed=13)
+    whole = cms_fold(h, d=4, w=256)
+    parts = [cms_fold(c, d=4, w=256) for c in np.array_split(h, 5)]
+    assert (whole == sum(parts)).all()
+    acc = cms_fold(h[4_000:], 4, 256, cms_fold(h[:4_000], 4, 256))
+    assert (whole == acc).all()
+
+
+def test_cms_dataset_path_equals_single_fold(ray_session):
+    from graphscope_ray.data.sketch import cms_counts, cms_fold, cms_rows
+
+    texts = [f"w{i % 50} common" for i in range(400)] + [None, ""]
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = ray.data.from_pandas([df.iloc[:150], df.iloc[150:]])
+    c = cms_counts(ds, d=4, w=512)
+    _, th = batch_token_hashes([t or "" for t in texts])
+    want = cms_fold(th, 4, 512)
+    assert (c == want).all()
+    rows = cms_rows(ds, d=4, w=512)
+    assert list(rows.columns) == ["row_idx", "col_idx", "cnt"]
+    assert len(rows) == 4 * 512
+    assert (rows["cnt"].to_numpy() == want.reshape(-1)).all()
