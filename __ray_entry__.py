@@ -1641,6 +1641,15 @@ def _q_doc_hll(sf_dir):
     return hll_register_rows(docs, p=10)
 
 
+def _q_doc_hll_by_source(sf_dir):
+    """Per-source HLL registers — groupby(source).aggregate with the
+    same fold/merge; one 1 KiB vector per source is the group state."""
+    from graphscope_ray.data.sketch import hll_register_rows_by_key
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["source", "text"])
+    return hll_register_rows_by_key(docs, key="source", p=10)
+
+
 def _q_doc_cms(sf_dir):
     """Count-min frequency sketch (d=4, w=1024): per-block count folds
     tree-merged by elementwise sum through ONE native global aggregate
@@ -2031,6 +2040,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab": _q_doc_vocab,
         "doc_hll": _q_doc_hll,
         "doc_cms": _q_doc_cms,
+        "doc_hll_by_source": _q_doc_hll_by_source,
         "doc_packing": _q_doc_packing,
         "doc_decontaminate": _q_doc_decontaminate,
         "doc_fingerprint": _q_doc_fingerprint,
@@ -2269,6 +2279,7 @@ ORDER BY source, rn""",
         "doc_vocab": _vocab_sql(),
         "doc_hll": _osql().hll_registers_sql(10),
         "doc_cms": _osql().cms_rows_sql(4, 1024),
+        "doc_hll_by_source": _osql().hll_registers_by_key_sql(10, "source"),
         "doc_packing": _osql().pack_sequences_sql(2048),
         "doc_decontaminate": _osql().decontaminate_sql(n=8, bench_mod=20),
         "doc_fingerprint": _osql().fingerprint_sql(k=5),

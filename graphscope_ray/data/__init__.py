@@ -51,3 +51,4 @@ from graphscope_ray.data.sketch import (  # noqa: F401
     cms_lookup,
     cms_rows,
 )
+from graphscope_ray.data.sketch import hll_register_rows_by_key  # noqa: F401

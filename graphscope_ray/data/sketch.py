@@ -127,6 +127,43 @@ def hll_register_rows(ds: ray.data.Dataset, *, col: str = "text",
     })
 
 
+def hll_register_rows_by_key(ds: ray.data.Dataset, *, key: str,
+                             col: str = "text", p: int = 10,
+                             ) -> pd.DataFrame:
+    """Per-group HLL registers: ``groupby(key).aggregate`` with the
+    same fold/merge — one register vector per distinct group value
+    (meant for LOW-cardinality keys like a source/domain column; a
+    high-cardinality key would hit Ray 2.49's per-distinct-key
+    dispatch cost, see util.bucketed_sum). Returns the dense
+    (key, reg_idx, reg) table, key-then-index ordered."""
+    m = 1 << p
+
+    def accumulate_block(acc: np.ndarray, block) -> np.ndarray:
+        if isinstance(block, pa.Table):
+            texts = block[col].to_pylist()
+        else:
+            texts = block[col].fillna("").tolist()
+        texts = ["" if t is None else t for t in texts]
+        _, tok_hash = batch_token_hashes(texts)
+        return hll_fold(tok_hash, p, acc.copy())
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros(m, dtype=np.uint8),
+        merge=lambda a, b: np.maximum(a, b),
+        accumulate_block=accumulate_block,
+        name="hll_regs",
+    )
+    rows = ds.groupby(key).aggregate(agg).take_all()
+    rows.sort(key=lambda r: r[key])
+    return pd.DataFrame({
+        key: np.repeat([r[key] for r in rows], m),
+        "reg_idx": np.tile(np.arange(m, dtype=np.int64), len(rows)),
+        "reg": np.concatenate([
+            np.asarray(r["hll_regs"], dtype=np.int64) for r in rows])
+        if rows else np.array([], dtype=np.int64),
+    })
+
+
 # -- count-min sketch (frequency twin of the HLL) -----------------------
 
 _CMS_SALT = U64(2685821657736338717)  # oracle_sql.C1 — shared constant

@@ -378,6 +378,31 @@ FROM grid LEFT JOIN regs ON regs.idx = grid.reg_idx
 ORDER BY reg_idx"""
 
 
+def hll_registers_by_key_sql(p: int = 10, key: str = "source",
+                             source: str = "documents") -> str:
+    """Per-group twin of hll_registers_sql: one dense register table
+    per distinct value of ``key`` (the token_hash_ctes doc_id slot
+    carries the group key through the hash chain)."""
+    m, cap = 1 << p, 64 - p + 1
+    w = f"((h >> {p})::BIGINT)"
+    return f"""
+WITH {token_hash_ctes(source=source, key=key)},
+tok AS (SELECT doc_id AS k, unnest(h) AS h FROM th),
+rr AS (SELECT k, (h % {m})::BIGINT AS idx,
+       CASE WHEN (h >> {p}) = 0 THEN {cap}
+            ELSE least(bit_count(({w} & (-{w})) - 1) + 1, {cap})
+       END AS rho
+       FROM tok),
+regs AS (SELECT k, idx, max(rho) AS reg FROM rr GROUP BY k, idx),
+keys AS (SELECT DISTINCT {key} AS k FROM {source}),
+grid AS (SELECT k, reg_idx FROM keys, unnest(range({m})) t(reg_idx))
+SELECT grid.k AS {key}, grid.reg_idx::BIGINT AS reg_idx,
+       coalesce(regs.reg, 0)::BIGINT AS reg
+FROM grid LEFT JOIN regs
+  ON regs.k = grid.k AND regs.idx = grid.reg_idx
+ORDER BY {key}, reg_idx"""
+
+
 def cms_rows_sql(d: int = 4, w: int = 1024,
                  source: str = "documents") -> str:
     """Bit-exact twin of data/sketch.cms_rows: the dense (row_idx,

@@ -140,3 +140,20 @@ def test_cms_dataset_path_equals_single_fold(ray_session):
     assert list(rows.columns) == ["row_idx", "col_idx", "cnt"]
     assert len(rows) == 4 * 512
     assert (rows["cnt"].to_numpy() == want.reshape(-1)).all()
+
+
+def test_hll_by_key_matches_per_group_fold(ray_session):
+    from graphscope_ray.data.sketch import hll_register_rows_by_key
+
+    texts = {"a": ["x y z", "x q"], "b": ["m n", "m n o p"], "c": [""]}
+    recs = [(k, t) for k, ts in texts.items() for t in ts]
+    df = pd.DataFrame({"source": [r[0] for r in recs],
+                       "text": [r[1] for r in recs]})
+    rows = hll_register_rows_by_key(ray.data.from_pandas(df),
+                                    key="source", p=10)
+    assert len(rows) == 3 * 1024
+    for k, ts in texts.items():
+        _, th = batch_token_hashes(ts)
+        want = hll_fold(th, 10).astype(np.int64)
+        got = rows[rows["source"] == k].sort_values("reg_idx")["reg"].to_numpy()
+        assert (got == want).all(), k
