@@ -258,6 +258,44 @@ def run_bench() -> dict:
     queries["funnel_events_per_sec"] = round(
         n_events / max(queries["funnel"], 1e-9), 1)
 
+    # personalized PageRank (seed-restart on the superstep engine);
+    # seeds = real oids from the edge table
+    seed_oids = [r["src"] for r in edges.take(3)]
+    t0 = time.perf_counter()
+    g.ppr(seed_oids, max_round=10).count()
+    queries["ppr10"] = round(time.perf_counter() - t0, 3)
+    queries["ppr_edges_per_sec"] = round(
+        10 * E / max(queries["ppr10"], 1e-9), 1)
+
+    # deterministic k-hop fanout sampling (GNN mini-batch shape)
+    from graphscope_ray.graph.api import khop_sample
+    kh_seeds = sorted({r["src"] for r in edges.take(200)})
+    t0 = time.perf_counter()
+    n_kh = khop_sample(edges.select_columns(["src", "dst"]),
+                       seeds=kh_seeds, hops=2, fanout=10).count()
+    queries["khop"] = round(time.perf_counter() - t0, 3)
+    queries["khop_rows"] = n_kh
+
+    # frozen-weight logistic quality classifier (model-inference shape)
+    from graphscope_ray.data.text import quality_classifier
+    t0 = time.perf_counter()
+    n_cls = quality_classifier(docs).count()
+    queries["classifier"] = round(time.perf_counter() - t0, 3)
+    queries["classifier_docs_per_sec"] = round(
+        n_cls / max(queries["classifier"], 1e-9), 1)
+
+    # mergeable sketches: global HLL registers + count-min counts
+    from graphscope_ray.data.sketch import cms_counts, hll_registers
+    t0 = time.perf_counter()
+    hll_registers(docs, p=12)
+    queries["hll_p12"] = round(time.perf_counter() - t0, 3)
+    t0 = time.perf_counter()
+    cms_counts(docs, d=4, w=4096)
+    queries["cms_4x4096"] = round(time.perf_counter() - t0, 3)
+    queries["sketch_docs_per_sec"] = round(
+        2 * n_docs / max(queries["hll_p12"] + queries["cms_4x4096"],
+                         1e-9), 1)
+
     total = (queries["pagerank_tol1e6"] + queries["wcc"]
              + queries["cdlp10"] + queries["triangles"])
     out = {
@@ -269,7 +307,12 @@ def run_bench() -> dict:
         "num_cpus": num_cpus,
         "num_vertices": g.store.num_vertices,
         "num_edges_directed": E,
+        # start AND end sentinels: the host's degraded page-fault
+        # windows can open or close mid-run, so a single healthy probe
+        # does not certify the whole record (observed 2026-08-19: start
+        # sentinel 0.056 s yet build/PR stages ran ~6x slow).
         "page_fault_sentinel_sec": sentinel,
+        "page_fault_sentinel_end_sec": _page_fault_sentinel(),
     }
     g.close()
     ray.shutdown()
