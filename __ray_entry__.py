@@ -1650,6 +1650,25 @@ def _q_doc_hll_by_source(sf_dir):
     return hll_register_rows_by_key(docs, key="source", p=10)
 
 
+def _q_doc_bloom(sf_dir):
+    """Bloom-filter decontamination scale path: build an OR-merged
+    bitset over the benchmark carve's tokens (one native aggregate),
+    broadcast it once, probe every doc vectorized. The oracle replays
+    membership — including false positives — from the distinct
+    set-bit positions."""
+    import pyarrow as _pa
+    from graphscope_ray.data.sketch import bloom_build, bloom_probe
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+
+    def carve(t: _pa.Table) -> _pa.Table:
+        return t.filter(_pa.array((t["doc_id"].to_numpy() % 20) == 0))
+
+    words = bloom_build(docs.map_batches(carve, batch_format="pyarrow"),
+                        k=3, m_bits=1 << 16)
+    return bloom_probe(docs, words, k=3, m_bits=1 << 16)
+
+
 def _q_doc_cms(sf_dir):
     """Count-min frequency sketch (d=4, w=1024): per-block count folds
     tree-merged by elementwise sum through ONE native global aggregate
@@ -2040,6 +2059,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_vocab": _q_doc_vocab,
         "doc_hll": _q_doc_hll,
         "doc_cms": _q_doc_cms,
+        "doc_bloom": _q_doc_bloom,
         "doc_hll_by_source": _q_doc_hll_by_source,
         "doc_packing": _q_doc_packing,
         "doc_decontaminate": _q_doc_decontaminate,
@@ -2279,6 +2299,7 @@ ORDER BY source, rn""",
         "doc_vocab": _vocab_sql(),
         "doc_hll": _osql().hll_registers_sql(10),
         "doc_cms": _osql().cms_rows_sql(4, 1024),
+        "doc_bloom": _osql().bloom_probe_sql(3, 1 << 16, 20),
         "doc_hll_by_source": _osql().hll_registers_by_key_sql(10, "source"),
         "doc_packing": _osql().pack_sequences_sql(2048),
         "doc_decontaminate": _osql().decontaminate_sql(n=8, bench_mod=20),

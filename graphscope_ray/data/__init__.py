@@ -52,3 +52,9 @@ from graphscope_ray.data.sketch import (  # noqa: F401
     cms_rows,
 )
 from graphscope_ray.data.sketch import hll_register_rows_by_key  # noqa: F401
+from graphscope_ray.data.sketch import (  # noqa: F401
+    bloom_build,
+    bloom_contains,
+    bloom_fold,
+    bloom_probe,
+)

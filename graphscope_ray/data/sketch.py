@@ -164,6 +164,99 @@ def hll_register_rows_by_key(ds: ray.data.Dataset, *, key: str,
     })
 
 
+# -- Bloom filter (broadcast-membership scale path) ----------------------
+
+_BLOOM_SALT = U64(6364136223846793005)  # oracle_sql.C2 — shared constant
+
+
+def bloom_positions(hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
+    """(k × n) bit positions: probe i rehashes through
+    fmix64((h + i·C2) mod 2^64) mod m_bits (SQL-replayable)."""
+    return np.stack([
+        (fmix64(hashes + U64(i) * _BLOOM_SALT) % U64(m_bits)).astype(np.int64)
+        for i in range(k)
+    ])
+
+
+def bloom_fold(hashes: np.ndarray, k: int, m_bits: int,
+               words: np.ndarray | None = None) -> np.ndarray:
+    """Fold token hashes into an m_bits bitset (uint64 words,
+    mergeable by |)."""
+    if words is None:
+        words = np.zeros((m_bits + 63) // 64, dtype=np.uint64)
+    if len(hashes) == 0:
+        return words
+    pos = bloom_positions(hashes, k, m_bits).reshape(-1)
+    np.bitwise_or.at(words, pos // 64, U64(1) << (pos % 64).astype(np.uint64))
+    return words
+
+
+def bloom_build(ds: ray.data.Dataset, *, col: str = "text",
+                k: int = 3, m_bits: int = 1 << 16) -> np.ndarray:
+    """Distributed Bloom filter over the corpus's token hashes: per-
+    block bitset folds tree-merge by elementwise OR through one native
+    global aggregate — m_bits/8 bytes of accumulator is all that moves.
+    The result broadcasts via one ``ray.put`` to any number of probe
+    tasks: the no-shuffle scale path for decontamination / blocklist
+    membership at 100 TB (the exact n-gram join in data/curate.
+    decontaminate stays the bit-exact small/medium route)."""
+
+    def accumulate_block(acc: np.ndarray, block) -> np.ndarray:
+        if isinstance(block, pa.Table):
+            texts = block[col].to_pylist()
+        else:
+            texts = block[col].fillna("").tolist()
+        texts = ["" if t is None else t for t in texts]
+        _, tok_hash = batch_token_hashes(texts)
+        return bloom_fold(tok_hash, k, m_bits, acc.copy())
+
+    agg = AggregateFn(
+        init=lambda key: np.zeros((m_bits + 63) // 64, dtype=np.uint64),
+        merge=lambda a, b: a | b,
+        accumulate_block=accumulate_block,
+        name="bloom",
+    )
+    return np.asarray(ds.aggregate(agg)["bloom"], dtype=np.uint64)
+
+
+def bloom_contains(words: np.ndarray, hashes: np.ndarray, *, k: int,
+                   m_bits: int) -> np.ndarray:
+    """Membership test per hash: True iff ALL k probe bits are set
+    (no false negatives; false positives at the usual Bloom rate)."""
+    if len(hashes) == 0:
+        return np.zeros(0, dtype=bool)
+    pos = bloom_positions(hashes, k, m_bits)
+    hit = np.ones(len(hashes), dtype=bool)
+    for i in range(k):
+        bits = (words[pos[i] // 64] >> (pos[i] % 64).astype(np.uint64)) & U64(1)
+        hit &= bits.astype(bool)
+    return hit
+
+
+def bloom_probe(ds: ray.data.Dataset, words: np.ndarray, *,
+                col: str = "text", key: str = "doc_id",
+                k: int = 3, m_bits: int = 1 << 16) -> ray.data.Dataset:
+    """Per-doc contamination counts against a built filter:
+    (key, n_tokens, n_hits) — the filter ships once via ``ray.put``
+    and every batch probes it vectorized."""
+    import ray as _ray
+    ref = _ray.put(words)
+
+    def probe(df: pd.DataFrame) -> pd.DataFrame:
+        w = _ray.get(ref)
+        texts = ["" if t is None else t for t in df[col].tolist()]
+        tok_doc, tok_hash = batch_token_hashes(texts)
+        hits = bloom_contains(w, tok_hash, k=k, m_bits=m_bits)
+        n_tok = np.zeros(len(df), dtype=np.int64)
+        n_hit = np.zeros(len(df), dtype=np.int64)
+        np.add.at(n_tok, tok_doc, 1)
+        np.add.at(n_hit, tok_doc, hits.astype(np.int64))
+        return pd.DataFrame({key: df[key].to_numpy(),
+                             "n_tokens": n_tok, "n_hits": n_hit})
+
+    return ds.map_batches(probe, batch_format="pandas")
+
+
 # -- count-min sketch (frequency twin of the HLL) -----------------------
 
 _CMS_SALT = U64(2685821657736338717)  # oracle_sql.C1 — shared constant

@@ -403,6 +403,38 @@ FROM grid LEFT JOIN regs
 ORDER BY {key}, reg_idx"""
 
 
+def bloom_probe_sql(k: int = 3, m_bits: int = 1 << 16,
+                    bench_mod: int = 20,
+                    source: str = "documents") -> str:
+    """Bit-exact twin of data/sketch.bloom_build + bloom_probe with
+    the filter built over the ``doc_id % bench_mod == 0`` carve (the
+    decontaminate_sql convention): a token is a member iff ALL k of
+    its probe positions appear in the distinct set-bit positions of
+    the carve's tokens — identical semantics to the bit array,
+    INCLUDING false positives. Probe i's position is
+    fmix64((h + i·C2) mod 2^64) mod m_bits (sketch._BLOOM_SALT == C2)."""
+    def pos(i: int) -> str:
+        x = f"((h::HUGEINT + {i}::HUGEINT * {C2}) % {M64})::UBIGINT"
+        return f"({fmix_u64_sql(x)} % {m_bits})::BIGINT"
+
+    set_union = "\nUNION\n".join(
+        f"SELECT {pos(i)} AS p FROM tok WHERE doc_id % {bench_mod} = 0"
+        for i in range(k))
+    member = " AND ".join(
+        f"({pos(i)} IN (SELECT p FROM pos))" for i in range(k))
+    return f"""
+WITH {token_hash_ctes(source=source)},
+tok AS (SELECT doc_id, unnest(h) AS h FROM th),
+pos AS ({set_union}),
+probed AS (SELECT doc_id, ({member})::BIGINT AS hit FROM tok),
+agg AS (SELECT doc_id, count(*)::BIGINT AS n_tokens,
+               sum(hit)::BIGINT AS n_hits FROM probed GROUP BY doc_id)
+SELECT d.doc_id, COALESCE(agg.n_tokens, 0)::BIGINT AS n_tokens,
+       COALESCE(agg.n_hits, 0)::BIGINT AS n_hits
+FROM {source} d LEFT JOIN agg ON agg.doc_id = d.doc_id
+ORDER BY d.doc_id"""
+
+
 def cms_rows_sql(d: int = 4, w: int = 1024,
                  source: str = "documents") -> str:
     """Bit-exact twin of data/sketch.cms_rows: the dense (row_idx,

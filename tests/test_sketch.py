@@ -157,3 +157,58 @@ def test_hll_by_key_matches_per_group_fold(ray_session):
         want = hll_fold(th, 10).astype(np.int64)
         got = rows[rows["source"] == k].sort_values("reg_idx")["reg"].to_numpy()
         assert (got == want).all(), k
+
+
+def test_bloom_no_false_negatives_and_fp_rate():
+    from graphscope_ray.data.sketch import bloom_contains, bloom_fold
+
+    members = _uniform_hashes(2_000, seed=21)
+    others = _uniform_hashes(20_000, seed=22)[5_000:]  # disjoint w.h.p.
+    others = others[~np.isin(others, members)]
+    k, m = 5, 1 << 15
+    words = bloom_fold(members, k, m)
+    assert bloom_contains(words, members, k=k, m_bits=m).all()
+    fp = bloom_contains(words, others, k=k, m_bits=m).mean()
+    # theoretical fp ≈ (1 - e^{-kn/m})^k ≈ 0.6% here; allow 4x
+    assert fp < 0.025, fp
+
+
+def test_bloom_fold_merge_is_or():
+    from graphscope_ray.data.sketch import bloom_fold
+
+    h = _uniform_hashes(3_000, seed=23)
+    whole = bloom_fold(h, 3, 1 << 12)
+    parts = [bloom_fold(c, 3, 1 << 12) for c in np.array_split(h, 4)]
+    merged = parts[0]
+    for q in parts[1:]:
+        merged = merged | q
+    assert (whole == merged).all()
+
+
+def test_bloom_dataset_build_and_probe(ray_session):
+    from graphscope_ray.data.sketch import (bloom_build, bloom_contains,
+                                            bloom_fold, bloom_probe)
+
+    bench_texts = ["secret alpha beta", "gamma delta"]
+    clean_texts = [f"clean{i} words only" for i in range(50)]
+    dirty_texts = ["alpha gamma mix", "secret secret"]
+    texts = bench_texts + clean_texts + dirty_texts
+    df = pd.DataFrame({"doc_id": np.arange(len(texts)), "text": texts})
+    ds = ray.data.from_pandas([df.iloc[:20], df.iloc[20:]])
+
+    bench = ray.data.from_pandas(df.iloc[:2])
+    k, m = 3, 1 << 14
+    words = bloom_build(bench, k=k, m_bits=m)
+    _, bh = batch_token_hashes(bench_texts)
+    assert (words == bloom_fold(bh, k, m)).all()
+
+    out = (bloom_probe(ds, words, k=k, m_bits=m).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert (out.loc[:1, "n_hits"].to_numpy()
+            == out.loc[:1, "n_tokens"].to_numpy()).all()  # bench docs all-hit
+    dirty = out.iloc[-2:]
+    assert (dirty["n_hits"].to_numpy() == [2, 2]).all()
+    # clean docs: unique tokens, tiny fp chance at this m; allow <= 1 hit
+    clean = out.iloc[2:-2]
+    assert (clean["n_hits"].to_numpy() <= 1).all()
+    assert (out["n_tokens"].to_numpy() >= out["n_hits"].to_numpy()).all()
