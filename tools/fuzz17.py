@@ -16,12 +16,15 @@ ray.init(address="local", num_cpus=8, include_dashboard=False,
 ray.data.DataContext.get_current().enable_progress_bars = False
 
 from graphscope_ray.data.hashing import batch_token_hashes  # noqa: E402
-from graphscope_ray.data.sketch import (cms_counts, cms_fold,  # noqa: E402
+from graphscope_ray.data.sketch import (bloom_build,  # noqa: E402
+                                        bloom_contains, bloom_fold,
+                                        bloom_probe, cms_counts, cms_fold,
                                         cms_lookup, hll_estimate, hll_fold,
                                         hll_register_rows,
                                         hll_register_rows_by_key,
                                         hll_registers)
-from graphscope_ray.oracle_sql import (cms_rows_sql,  # noqa: E402
+from graphscope_ray.oracle_sql import (bloom_probe_sql,  # noqa: E402
+                                       cms_rows_sql,
                                        hll_registers_by_key_sql,
                                        hll_registers_sql)
 
@@ -97,6 +100,30 @@ for trial in range(1, 41):
                 fails.append((tag, "cms undercounts")); continue
             if not (c.sum(axis=1) == len(th)).all():
                 fails.append((tag, "cms row mass")); continue
+        # --- Bloom: dataset build == single fold == SQL twin; bounds
+        bk = int(rng.integers(1, 5))
+        bm = int(rng.choice([1 << 8, 1 << 12, 1 << 16]))
+        bmod = int(rng.choice([2, 5, 20]))
+        import pyarrow as pa
+
+        def carve(t: pa.Table, _m=bmod) -> pa.Table:
+            return t.filter(pa.array((t["doc_id"].to_numpy() % _m) == 0))
+
+        words = bloom_build(ds.map_batches(carve, batch_format="pyarrow"),
+                            k=bk, m_bits=bm)
+        mask = (docs["doc_id"].to_numpy() % bmod) == 0
+        _, ch = batch_token_hashes([t for t, km in zip(texts, mask) if km])
+        if not (words == bloom_fold(ch, bk, bm)).all():
+            fails.append((tag, "bloom dataset vs single fold")); continue
+        got_b = (bloom_probe(ds, words, k=bk, m_bits=bm).to_pandas()
+                 .sort_values("doc_id").reset_index(drop=True))
+        want_b = con.execute(bloom_probe_sql(bk, bm, bmod)).df()
+        if not all((got_b[c].to_numpy() == want_b[c].to_numpy()).all()
+                   for c in ["doc_id", "n_tokens", "n_hits"]):
+            fails.append((tag, "bloom vs sql")); continue
+        # no false negatives: every carve token is a member
+        if len(ch) and not bloom_contains(words, ch, k=bk, m_bits=bm).all():
+            fails.append((tag, "bloom false negative")); continue
     except Exception as ex:
         fails.append((tag, f"EXC {type(ex).__name__}: {ex}"))
     if len(fails) > 4:
