@@ -1889,6 +1889,16 @@ def _q_events_funnel(sf_dir):
     return funnel(ev, ["view", "click", "purchase"])
 
 
+def _q_events_retention(sf_dir):
+    """Weekly cohort retention matrix — per-key cohort/offset dedup
+    completes inside one coarse-bucket shuffle; the (cohort, offset)
+    reduce is the house bucketed_sum."""
+    from graphscope_ray.data.temporal import retention
+    ev = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                               columns=["user_id", "ts"])
+    return retention(ev, unit_days=7)
+
+
 def _q_events_asof(sf_dir):
     """As-of join: each event picks the user's most recent order at
     event time (ties → max o_orderkey); unmatched events keep -1."""
@@ -2081,6 +2091,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_session": _q_events_session,
         "events_hopping": _q_events_hopping,
         "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
         "events_asof": _q_events_asof,
         "orders_range90d": _q_orders_range90d,
         "rel_pricing": _q_rel_pricing,
@@ -2385,6 +2396,7 @@ FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j) js
 GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_funnel": _osql().funnel_sql(
             ["view", "click", "purchase"], horizon_hours=72),
+        "events_retention": _osql().retention_sql(7),
         "events_asof": """
 WITH j AS (
   SELECT e.event_id, o.o_orderkey, o.o_totalprice,

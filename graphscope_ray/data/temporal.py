@@ -375,3 +375,48 @@ def funnel(
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_b")
             .map_groups(kernel, batch_format="pandas"))
+
+
+def retention(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    unit_days: int = 7,
+    num_buckets: int = _NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Cohort retention matrix: cohort = the ``unit_days``-period of a
+    key's FIRST event (periods are epoch-day // unit_days); one output
+    row ``(cohort, offset_p, n_users)`` counts the distinct keys of
+    that cohort active ``offset_p`` periods later.
+
+    100 TB shape: one coarse-bucket shuffle co-locates each key's
+    events (the funnel/session pattern) — first-event period, offsets
+    and the per-key dedup all complete inside the bucket with
+    vectorized pandas groupbys, so each bucket emits exact partial
+    counts for its keys. The final (cohort, offset) reduce is
+    util.bucketed_sum over a #cohorts × #offsets-sized table (a plain
+    aggregate would pay per-distinct-key Python dispatch). SQL twin:
+    oracle_sql.retention_sql."""
+    from graphscope_ray.util import bucketed_sum
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = t[key].to_numpy() % num_buckets
+        return t.append_column("_b", pa.array(b.astype(np.int64)))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        per = (g[ts].to_numpy().astype("datetime64[D]").astype(np.int64)
+               // unit_days)
+        df = pd.DataFrame({key: g[key].to_numpy(), "_per": per})
+        first = df.groupby(key)["_per"].transform("min")
+        df["cohort"] = first
+        df["offset_p"] = df["_per"] - first
+        d = df[[key, "cohort", "offset_p"]].drop_duplicates()
+        out = (d.groupby(["cohort", "offset_p"], sort=False).size()
+               .rename("n_users").reset_index())
+        out["n_users"] = out["n_users"].astype(np.int64)
+        return out
+
+    parts = (ds.map_batches(bucket, batch_format="pyarrow")
+             .groupby("_b").map_groups(kernel, batch_format="pandas"))
+    return bucketed_sum(parts, ["cohort", "offset_p"], "n_users")

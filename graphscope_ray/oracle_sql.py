@@ -706,3 +706,19 @@ SELECT doc_id,
        round(1.0 / (1.0 + exp(-({logit}))), 6) AS score,
        (1.0 / (1.0 + exp(-({logit}))) >= 0.5)::BIGINT AS keep
 FROM f ORDER BY doc_id"""
+
+
+def retention_sql(unit_days: int = 7) -> str:
+    """Twin of data/temporal.retention: period = epoch-day //
+    unit_days (date_diff from the epoch matches numpy's
+    datetime64[D] truncation for post-epoch timestamps)."""
+    per = (f"(date_diff('day', DATE '1970-01-01', ts::DATE)"
+           f" // {unit_days})")
+    return f"""
+WITH ev AS (SELECT user_id, {per}::BIGINT AS per FROM events),
+f AS (SELECT user_id, min(per) AS cohort FROM ev GROUP BY user_id),
+d AS (SELECT DISTINCT ev.user_id, f.cohort,
+             (ev.per - f.cohort) AS offset_p
+      FROM ev JOIN f ON f.user_id = ev.user_id)
+SELECT cohort, offset_p, count(*)::BIGINT AS n_users
+FROM d GROUP BY cohort, offset_p ORDER BY cohort, offset_p"""

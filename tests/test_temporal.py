@@ -162,3 +162,38 @@ def test_funnel_matches_sql_on_adversarial_orderings():
     assert (got["steps_completed"].to_numpy()
             == want["steps_completed"].to_numpy()).all()
     assert got["steps_completed"].tolist() == [3, 1, 2, 0, 2, 1]
+
+
+def test_retention_matches_python_oracle(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.data.temporal import retention
+
+    rng = np.random.default_rng(9)
+    n = 600
+    users = rng.integers(0, 40, size=n)
+    base = np.datetime64("2024-01-01T00:00:00", "us")
+    offs = rng.integers(0, 90 * 86400, size=n).astype("timedelta64[s]")
+    df = pd.DataFrame({"user_id": users.astype(np.int64),
+                       "ts": base + offs.astype("timedelta64[us]")})
+    got = (retention(ray.data.from_pandas(
+        np.array_split(df, 4)), unit_days=7).to_pandas()
+        .sort_values(["cohort", "offset_p"]).reset_index(drop=True))
+
+    per = df["ts"].to_numpy().astype("datetime64[D]").astype(np.int64) // 7
+    o = pd.DataFrame({"user_id": df["user_id"], "per": per})
+    first = o.groupby("user_id")["per"].transform("min")
+    o["cohort"], o["offset_p"] = first, o["per"] - first
+    want = (o[["user_id", "cohort", "offset_p"]].drop_duplicates()
+            .groupby(["cohort", "offset_p"]).size().rename("n_users")
+            .reset_index().sort_values(["cohort", "offset_p"])
+            .reset_index(drop=True))
+    assert got.shape == want.shape
+    for c in ["cohort", "offset_p", "n_users"]:
+        assert (got[c].to_numpy() == want[c].to_numpy()).all(), c
+    # offset 0 of every cohort counts the whole cohort (every user is
+    # active in their own first period)
+    z = got[got["offset_p"] == 0]
+    cohort_sizes = o.drop_duplicates("user_id").groupby("cohort").size()
+    assert (z.set_index("cohort")["n_users"] == cohort_sizes).all()
