@@ -1899,6 +1899,17 @@ def _q_events_retention(sf_dir):
     return retention(ev, unit_days=7)
 
 
+def _q_events_rolling(sf_dir):
+    """7-day trailing window count + exact e6-scaled sum per event —
+    segment-offset-adjusted single searchsorted per bucket; the SQL
+    RANGE frame replays it bit-for-bit."""
+    from graphscope_ray.data.temporal import rolling_window
+    ev = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "ts", "value"])
+    return rolling_window(ev, window=np.timedelta64(7, "D"))
+
+
 def _q_events_asof(sf_dir):
     """As-of join: each event picks the user's most recent order at
     event time (ties → max o_orderkey); unmatched events keep -1."""
@@ -2092,6 +2103,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_hopping": _q_events_hopping,
         "events_funnel": _q_events_funnel,
         "events_retention": _q_events_retention,
+        "events_rolling": _q_events_rolling,
         "events_asof": _q_events_asof,
         "orders_range90d": _q_orders_range90d,
         "rel_pricing": _q_rel_pricing,
@@ -2397,6 +2409,7 @@ GROUP BY 1, 2 ORDER BY 1, 2""",
         "events_funnel": _osql().funnel_sql(
             ["view", "click", "purchase"], horizon_hours=72),
         "events_retention": _osql().retention_sql(7),
+        "events_rolling": _osql().rolling_window_sql(7),
         "events_asof": """
 WITH j AS (
   SELECT e.event_id, o.o_orderkey, o.o_totalprice,

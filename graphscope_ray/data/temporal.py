@@ -420,3 +420,87 @@ def retention(
     parts = (ds.map_batches(bucket, batch_format="pyarrow")
              .groupby("_b").map_groups(kernel, batch_format="pandas"))
     return bucketed_sum(parts, ["cohort", "offset_p"], "n_users")
+
+
+def rolling_window(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    value: str = "value",
+    order_col: str = "event_id",
+    window: np.timedelta64 = np.timedelta64(7, "D"),
+    num_buckets: int = _NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-event trailing window aggregate: for every event, the count
+    and sum of ``value`` over that key's events in ``[t - window, t]``
+    (closed frame, matching SQL ``RANGE ... PRECEDING``); ties on ts
+    are all included regardless of order (peer semantics). → one row per event:
+    (order_col, key, ts, w_count, w_sum_e6).
+
+    Sums are exact: values are scaled to e6 integers with half-away
+    rounding BEFORE aggregation (both sides compute round(value·1e6)
+    from the same IEEE product), so the integer prefix-sum differences
+    here equal DuckDB's window sum bit-for-bit — no float-order drift.
+
+    100 TB shape: one coarse-bucket shuffle co-locates each key's
+    events; per bucket, one (key, ts) mergesort + integer cumsum + a
+    single np.searchsorted over each key segment finds every left
+    boundary — O(n log n) per bucket, no per-row Python. SQL twin:
+    ``RANGE BETWEEN <window> PRECEDING AND CURRENT ROW``
+    (oracle_sql.rolling_window_sql)."""
+    w64 = np.timedelta64(window)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = t[key].to_numpy() % num_buckets
+        return t.append_column("_b", pa.array(b.astype(np.int64)))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order_col], kind="mergesort")
+        k = g[key].to_numpy()
+        t = g[ts].to_numpy()
+        v_e6 = np.asarray(
+            round_half_away(g[value].to_numpy() * 1e6, 0),
+        ).astype(np.int64)
+        n = len(g)
+        if n == 0:
+            return pd.DataFrame({order_col: [], key: [], ts: [],
+                                 "w_count": pd.Series([], dtype=np.int64),
+                                 "w_sum_e6": pd.Series([], dtype=np.int64)})
+        cum_cnt = np.arange(1, n + 1, dtype=np.int64)
+        cum_sum = np.cumsum(v_e6)
+        brk = np.r_[True, k[1:] != k[:-1]]
+        # boundary search: shift each key segment's int64-us times into
+        # disjoint ascending ranges, so ONE global searchsorted answers
+        # every per-key query (left edge: first idx with t >= t_i - w —
+        # the closed SQL RANGE frame; right edge: past ALL ts-peers)
+        t_us = t.astype("datetime64[us]").astype(np.int64)
+        w_us = np.timedelta64(w64, "us").astype(np.int64)
+        seg_id = np.cumsum(brk) - 1
+        span = int(t_us.max()) - int(t_us.min()) + w_us + 2
+        if int(seg_id[-1] + 1) * span < 2**62:
+            t_adj = (t_us - t_us.min()) + seg_id * span
+            lo = np.searchsorted(t_adj, t_adj - w_us, side="left")
+            hi = np.searchsorted(t_adj, t_adj, side="right")
+        else:  # degenerate span × segment-count overflow: per-segment
+            lo = np.empty(n, dtype=np.int64)
+            hi = np.empty(n, dtype=np.int64)
+            starts = np.flatnonzero(brk)
+            ends = np.r_[starts[1:], n]
+            for s, e in zip(starts, ends):
+                lo[s:e] = s + np.searchsorted(t_us[s:e], t_us[s:e] - w_us,
+                                              side="left")
+                hi[s:e] = s + np.searchsorted(t_us[s:e], t_us[s:e],
+                                              side="right")
+        w_cnt = cum_cnt[hi - 1] - np.where(lo > 0, cum_cnt[lo - 1], 0)
+        w_sum = cum_sum[hi - 1] - np.where(lo > 0, cum_sum[lo - 1], 0)
+        return pd.DataFrame({
+            order_col: g[order_col].to_numpy(),
+            key: k, ts: t,
+            "w_count": w_cnt.astype(np.int64),
+            "w_sum_e6": w_sum.astype(np.int64),
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(kernel, batch_format="pandas"))

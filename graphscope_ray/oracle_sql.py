@@ -722,3 +722,18 @@ d AS (SELECT DISTINCT ev.user_id, f.cohort,
       FROM ev JOIN f ON f.user_id = ev.user_id)
 SELECT cohort, offset_p, count(*)::BIGINT AS n_users
 FROM d GROUP BY cohort, offset_p ORDER BY cohort, offset_p"""
+
+
+def rolling_window_sql(window_days: int = 7) -> str:
+    """Twin of data/temporal.rolling_window: the SQL RANGE frame with
+    the e6-integer-scaled exact sum (both sides round the same IEEE
+    product value*1e6 half-away before aggregating)."""
+    return f"""
+SELECT event_id, user_id, ts,
+  count(*) OVER w AS w_count,
+  sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS w_sum_e6
+FROM events
+WINDOW w AS (PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL {window_days} DAY PRECEDING
+                       AND CURRENT ROW)
+ORDER BY event_id"""

@@ -197,3 +197,68 @@ def test_retention_matches_python_oracle(ray_session):
     z = got[got["offset_p"] == 0]
     cohort_sizes = o.drop_duplicates("user_id").groupby("cohort").size()
     assert (z.set_index("cohort")["n_users"] == cohort_sizes).all()
+
+
+def test_rolling_window_matches_python_oracle(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.data.temporal import rolling_window
+
+    rng = np.random.default_rng(31)
+    n = 500
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 25, size=n).astype(np.int64),
+        # coarse grid forces exact ts ties within users
+        "ts": base + (rng.integers(0, 40, size=n) * 43_200_000_000
+                      ).astype("timedelta64[us]"),
+        "value": np.round(rng.normal(10, 5, size=n), 3),
+    })
+    w = np.timedelta64(7, "D")
+    got = (rolling_window(ray.data.from_pandas(np.array_split(df, 3)),
+                          window=w).to_pandas()
+           .sort_values("event_id").reset_index(drop=True))
+
+    # brute-force oracle: closed frame [t-w, t], all ts peers included
+    e6 = np.floor(np.abs(df["value"].to_numpy() * 1e6) + 0.5).astype(np.int64) \
+        * np.sign(df["value"].to_numpy()).astype(np.int64)
+    cnt = np.zeros(n, dtype=np.int64)
+    sm = np.zeros(n, dtype=np.int64)
+    u = df["user_id"].to_numpy()
+    t = df["ts"].to_numpy()
+    for i in range(n):
+        m = (u == u[i]) & (t >= t[i] - w) & (t <= t[i])
+        cnt[i] = m.sum()
+        sm[i] = e6[m].sum()
+    assert (got["w_count"].to_numpy() == cnt).all()
+    assert (got["w_sum_e6"].to_numpy() == sm).all()
+
+
+def test_rolling_window_bucket_invariance(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.data import temporal as T
+
+    rng = np.random.default_rng(33)
+    n = 300
+    base = np.datetime64("2024-03-01T00:00:00", "us")
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 50, size=n).astype(np.int64),
+        "ts": base + rng.integers(0, 10**9, size=n).astype("timedelta64[us]"),
+        "value": rng.normal(size=n),
+    })
+    w = np.timedelta64(1, "h")
+    fast = (T.rolling_window(ray.data.from_pandas(df), window=w,
+                             num_buckets=4).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    # bucket-count invariance: one bucket co-locates every key, so any
+    # fast-path-vs-layout discrepancy would show as a diff here
+    slow = (T.rolling_window(ray.data.from_pandas(df), window=w,
+                             num_buckets=1).to_pandas()
+            .sort_values("event_id").reset_index(drop=True))
+    for c in ["w_count", "w_sum_e6"]:
+        assert (fast[c].to_numpy() == slow[c].to_numpy()).all()
