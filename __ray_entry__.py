@@ -885,6 +885,72 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_pg_feature_prop(sf_dir):
+    """2-round GNN feature smoothing (self-loop neighborhood mean,
+    weighted) over the symmetric partgraph with deterministic seed
+    features f0 = oid%7, f1 = oid%11 — each round is one SpMV
+    (np.add.at combiner + bucketed_sum) and two joins."""
+    from graphscope_ray.graph.api import feature_propagate
+
+    _, edges = _partgraph(sf_dir)
+
+    def both_dirs(t: pa.Table) -> pa.Table:
+        import pyarrow as _pa
+        return _pa.table({
+            "src": _pa.concat_arrays([t["src"].combine_chunks(),
+                                      t["dst"].combine_chunks()]),
+            "dst": _pa.concat_arrays([t["dst"].combine_chunks(),
+                                      t["src"].combine_chunks()]),
+            "weight": _pa.concat_arrays([t["weight"].combine_chunks()] * 2),
+        })
+
+    # partgraph edges are unique src<dst pairs, so both directions are
+    # distinct — the weighted symmetric table needs no dedup
+    und = edges.map_batches(both_dirs, batch_format="pyarrow").materialize()
+
+    from graphscope_ray.util import bucketed_distinct
+    verts = bucketed_distinct(
+        und.select_columns(["src"]).map_batches(
+            lambda t: pa.table({"vid": t["src"]}), batch_format="pyarrow"),
+        "vid")
+
+    def feats(t: pa.Table) -> pa.Table:
+        v = t["vid"].to_numpy()
+        return pa.table({"vid": t["vid"],
+                         "f0": pa.array((v % 7).astype(np.float64)),
+                         "f1": pa.array((v % 11).astype(np.float64))})
+
+    x0 = verts.map_batches(feats, batch_format="pyarrow")
+    return feature_propagate(und, x0, feat_cols=["f0", "f1"], rounds=2,
+                             weight_col="weight")
+
+
+def _feature_prop_sql(rounds: int = 2) -> str:
+    """Unrolled twin of _q_pg_feature_prop over the shared partgraph
+    prelude: per round, (x + Σ w·x_nbr) / (1 + Σ w); final 6dp round
+    (the pagerank protocol — intermediates full precision)."""
+    parts = [f"WITH {_PRELUDE},",
+             "wd AS MATERIALIZED (SELECT t AS v, sum(w)::DOUBLE AS wd "
+             "FROM e GROUP BY t)",
+             "x0 AS MATERIALIZED (SELECT v.v, (v.v % 7)::DOUBLE AS f0, "
+             "(v.v % 11)::DOUBLE AS f1 FROM v)"]
+    for k in range(1, rounds + 1):
+        parts.append(f"""x{k} AS MATERIALIZED (
+  SELECT v.v,
+    (x.f0 + COALESCE(m.s0, 0)) / (1 + COALESCE(wd.wd, 0)) AS f0,
+    (x.f1 + COALESCE(m.s1, 0)) / (1 + COALESCE(wd.wd, 0)) AS f1
+  FROM v JOIN x{k-1} x ON x.v = v.v
+  LEFT JOIN (SELECT e.t AS v, sum(e.w * p.f0) AS s0,
+                    sum(e.w * p.f1) AS s1
+             FROM e JOIN x{k-1} p ON p.v = e.s GROUP BY e.t) m
+    ON m.v = v.v
+  LEFT JOIN wd ON wd.v = v.v)""")
+    body = ",\n".join(parts[1:])
+    return (f"{parts[0]}\n{body}\n"
+            f"SELECT v AS vid, round(f0, 6) AS f0, round(f1, 6) AS f1 "
+            f"FROM x{rounds} ORDER BY vid")
+
+
 def _q_pg_khop(sf_dir):
     """Deterministic 2-hop fanout-3 neighbor sampling (GNN mini-batch
     shape) from the 3 smallest vertices — walk_hash family replayed in
@@ -2035,6 +2101,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
+        "pg_feature_prop": _q_pg_feature_prop,
         "pg_khop": _q_pg_khop,
         "pg_avg_clustering": _q_pg_avg_clustering,
         "pg_bfs_tree": _q_pg_bfs_tree,
@@ -2173,6 +2240,7 @@ ORDER BY vid""",
 WITH {_PRELUDE},
 {_TRI_CTE}
 SELECT count(*)::BIGINT AS total FROM tri""",
+        "pg_feature_prop": _feature_prop_sql(2),
         "pg_khop": _khop_sql(hops=2, fanout=3, seed=5, n_seeds=3),
         "pg_link_features": f"""
 WITH {_PRELUDE},

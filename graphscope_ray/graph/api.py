@@ -1308,3 +1308,82 @@ def khop_sample(edges: ray.data.Dataset, seeds, *, hops: int = 2,
            if results else
            pd.DataFrame({"hop": [], "src": [], "dst": []}, dtype=np.int64))
     return ray.data.from_pandas(out)
+
+
+def feature_propagate(edges: ray.data.Dataset, feats: ray.data.Dataset,
+                      *, feat_cols, rounds: int = 2,
+                      weight_col: str | None = "weight",
+                      src: str = "src", dst: str = "dst",
+                      round_to: int | None = 6) -> ray.data.Dataset:
+    """GNN-preprocessing feature smoothing (the SGC / GraphSAGE-mean
+    aggregation shape): per round, every vertex's feature vector
+    becomes the self-loop-weighted neighborhood mean
+
+        X_v ← (X_v + Σ_{(u,v)∈E} w·X_u) / (1 + Σ_{(u,v)∈E} w)
+
+    over the DIRECTED edge table (pass a symmetrized table for the
+    undirected semantics). Vertices with no in-edges keep their
+    feature (the unit self-loop).
+
+    100 TB shape: each round is one SpMV — lpa._weighted_scatter's
+    per-batch ``np.add.at`` combiner + bucketed_sum reduce (the
+    exchange moves O(distinct dst per batch) rows, never O(E)) — plus
+    two broadcast-or-shuffle joins back onto the feature table; the
+    weighted in-degree is computed once. Feature state lives in the
+    Dataset, so rounds materialize a (V × d) table, not driver memory.
+    ``round_to`` half-away-rounds the FINAL table (the pagerank driver
+    protocol); intermediates stay full precision on both oracle sides.
+
+    Not a reference app — the GLE-adjacent feature-diffusion
+    capability; SQL twin: __ray_entry__._feature_prop_sql."""
+    from graphscope_ray.graph.lpa import _weighted_scatter
+    from graphscope_ray.util import bucketed_sum, rename, round_half_away
+
+    feat_cols = list(feat_cols)
+    edges = edges.materialize()
+
+    def wdeg(t: pa.Table) -> pa.Table:
+        d = t[dst].to_numpy()
+        w = (t[weight_col].to_numpy().astype(np.float64)
+             if weight_col else np.ones(len(t)))
+        v, inv = np.unique(d, return_inverse=True)
+        acc = np.zeros(len(v))
+        np.add.at(acc, inv, w)
+        return pa.table({"vid": pa.array(v), "wd": pa.array(acc)})
+
+    indeg = bucketed_sum(edges.map_batches(wdeg, batch_format="pyarrow"),
+                         "vid", "wd").materialize()
+
+    cur = feats.materialize()
+    for _ in range(rounds):
+        scat = _weighted_scatter(edges, cur, key_from=src, key_to=dst,
+                                 prop_cols=feat_cols,
+                                 weight_col=weight_col)
+        tmp = rename(cur, {p: "_cur_" + p for p in feat_cols})
+        tmp = attach_values(tmp, scat, on="vid", table_key="vid",
+                            value_names=feat_cols,
+                            defaults={p: 0.0 for p in feat_cols})
+        tmp = attach_values(tmp, indeg, on="vid", table_key="vid",
+                            value_names=["wd"], defaults={"wd": 0.0})
+
+        def step(t: pa.Table) -> pa.Table:
+            denom = 1.0 + t["wd"].to_numpy().astype(np.float64)
+            cols = {"vid": t["vid"]}
+            for p in feat_cols:
+                x = t["_cur_" + p].to_numpy().astype(np.float64)
+                s = t[p].to_numpy().astype(np.float64)
+                cols[p] = pa.array((x + s) / denom)
+            return pa.table(cols)
+
+        cur = tmp.map_batches(step, batch_format="pyarrow").materialize()
+
+    if round_to is None:
+        return cur
+
+    def rnd(t: pa.Table) -> pa.Table:
+        cols = {"vid": t["vid"]}
+        for p in feat_cols:
+            cols[p] = pa.array(round_half_away(t[p].to_numpy(), round_to))
+        return pa.table(cols)
+
+    return cur.map_batches(rnd, batch_format="pyarrow")

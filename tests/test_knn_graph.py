@@ -95,3 +95,46 @@ def test_knn_graph_lsh_route_semantics():
     got_pairs = set(zip(got["src"], got["dst"]))
     recall = len(exact_pairs & got_pairs) / len(exact_pairs)
     assert recall > 0.6, recall
+
+
+def test_feature_propagate_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.graph.api import feature_propagate
+
+    rng = np.random.default_rng(12)
+    n, m = 30, 120
+    e = rng.integers(0, n, size=(m, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    w = rng.integers(1, 5, size=len(e)).astype(np.int64)
+    edf = pd.DataFrame({"src": e[:, 0].astype(np.int64),
+                        "dst": e[:, 1].astype(np.int64), "weight": w})
+    X = rng.normal(size=(n, 3))
+    feats = pd.DataFrame({"vid": np.arange(n, dtype=np.int64),
+                          "a": X[:, 0], "b": X[:, 1], "c": X[:, 2]})
+
+    got = (feature_propagate(
+        ray.data.from_pandas(np.array_split(edf, 3)),
+        ray.data.from_pandas(feats), feat_cols=["a", "b", "c"],
+        rounds=3, weight_col="weight").to_pandas()
+        .sort_values("vid").reset_index(drop=True))
+
+    # numpy oracle: X <- (X + A_w^T X) / (1 + indeg_w), 3 rounds
+    A = np.zeros((n, n))
+    for (s, d), wt in zip(e, w):
+        A[s, d] += wt
+    indeg = A.sum(axis=0)
+    Y = X.copy()
+    for _ in range(3):
+        Y = (Y + A.T @ Y) / (1 + indeg)[:, None]
+    want = np.sign(Y) * np.floor(np.abs(Y) * 1e6 + 0.5) / 1e6
+    np.testing.assert_allclose(
+        got[["a", "b", "c"]].to_numpy(), want, atol=2e-6)
+    # no-in-edge vertices keep their feature exactly (unit self-loop)
+    iso = np.flatnonzero(indeg == 0)
+    if len(iso):
+        np.testing.assert_allclose(
+            got.loc[iso, ["a", "b", "c"]].to_numpy(),
+            np.sign(X[iso]) * np.floor(np.abs(X[iso]) * 1e6 + 0.5) / 1e6,
+            atol=2e-6)
