@@ -39,22 +39,18 @@ from graphscope_ray.data.curate import (  # noqa: F401
     vocab_topk,
 )
 from graphscope_ray.data.sketch import (  # noqa: F401
-    hll_distinct,
-    hll_estimate,
-    hll_fold,
-    hll_register_rows,
-    hll_registers,
-)
-from graphscope_ray.data.sketch import (  # noqa: F401
-    cms_counts,
-    cms_fold,
-    cms_lookup,
-    cms_rows,
-)
-from graphscope_ray.data.sketch import hll_register_rows_by_key  # noqa: F401
-from graphscope_ray.data.sketch import (  # noqa: F401
     bloom_build,
     bloom_contains,
     bloom_fold,
     bloom_probe,
+    cms_counts,
+    cms_fold,
+    cms_lookup,
+    cms_rows,
+    hll_distinct,
+    hll_estimate,
+    hll_fold,
+    hll_register_rows,
+    hll_register_rows_by_key,
+    hll_registers,
 )
