@@ -951,6 +951,41 @@ def _feature_prop_sql(rounds: int = 2) -> str:
             f"FROM x{rounds} ORDER BY vid")
 
 
+KTRUSS_K = 5
+KTRUSS_ROUNDS = 6  # sf0.01 fixpoint = 3 peels; margin asserted in tests
+
+
+def _q_pg_ktruss(sf_dir):
+    """Edges of the 5-truss (support-peeling to fixpoint on the
+    oriented wedge kernel; only a COUNT scalar reaches the driver per
+    round)."""
+    from graphscope_ray.graph.api import ktruss
+    _, edges = _partgraph(sf_dir)
+    return ktruss(edges.select_columns(["src", "dst"]), KTRUSS_K)
+
+
+def _ktruss_sql(k: int = KTRUSS_K, rounds: int = KTRUSS_ROUNDS) -> str:
+    """Unrolled twin of _q_pg_ktruss: per round, common-neighbor
+    support within the SURVIVING subgraph via the wedge pair-join;
+    edges sharing no neighbor drop through the inner join (support 0 <
+    k−2 for k ≥ 3)."""
+    parts = [f"WITH {_PRELUDE},",
+             "t0 AS MATERIALIZED (SELECT src AS a, dst AS b FROM e0)"]
+    for r in range(1, rounds + 1):
+        parts.append(
+            f"y{r - 1} AS MATERIALIZED (SELECT a AS s, b AS t FROM t{r - 1} "
+            f"UNION ALL SELECT b, a FROM t{r - 1})")
+        parts.append(f"""t{r} AS MATERIALIZED (
+  SELECT t.a, t.b FROM t{r - 1} t JOIN (
+    SELECT p.t AS x, q.t AS y, count(*) AS c
+    FROM y{r - 1} p JOIN y{r - 1} q ON p.s = q.s AND p.t < q.t
+    GROUP BY p.t, q.t) c ON c.x = t.a AND c.y = t.b
+  WHERE c.c >= {k - 2})""")
+    body = ",\n".join(parts[1:])
+    return (f"{parts[0]}\n{body}\n"
+            f"SELECT a AS src, b AS dst FROM t{rounds} ORDER BY src, dst")
+
+
 def _q_pg_khop(sf_dir):
     """Deterministic 2-hop fanout-3 neighbor sampling (GNN mini-batch
     shape) from the 3 smallest vertices — walk_hash family replayed in
@@ -2102,6 +2137,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
         "pg_feature_prop": _q_pg_feature_prop,
+        "pg_ktruss": _q_pg_ktruss,
         "pg_khop": _q_pg_khop,
         "pg_avg_clustering": _q_pg_avg_clustering,
         "pg_bfs_tree": _q_pg_bfs_tree,
@@ -2241,6 +2277,7 @@ WITH {_PRELUDE},
 {_TRI_CTE}
 SELECT count(*)::BIGINT AS total FROM tri""",
         "pg_feature_prop": _feature_prop_sql(2),
+        "pg_ktruss": _ktruss_sql(),
         "pg_khop": _khop_sql(hops=2, fanout=3, seed=5, n_seeds=3),
         "pg_link_features": f"""
 WITH {_PRELUDE},

@@ -1387,3 +1387,39 @@ def feature_propagate(edges: ray.data.Dataset, feats: ray.data.Dataset,
         return pa.table(cols)
 
     return cur.map_batches(rnd, batch_format="pyarrow")
+
+
+def ktruss(edges: ray.data.Dataset, k: int, *,
+           max_round: int = 200) -> ray.data.Dataset:
+    """Edges of the k-truss (maximal subgraph where every edge closes
+    ≥ k−2 triangles): iterative support peeling — per round, per-edge
+    triangle support comes from the oriented wedge kernel
+    (edge_link_features' common-neighbor count, hub-safe O(√E)
+    orientation), edges below k−2 drop, repeat to fixpoint. Returns
+    canonical (src < dst) surviving edges.
+
+    Classic cohesive-subgraph mining (Cohen 2008); not a reference
+    app — rounds-to-fixpoint is data-dependent, so the driver loop
+    checks only the per-round COUNT (one scalar), never edge content.
+    SQL twin: __ray_entry__._ktruss_sql (unrolled with the SSSP-style
+    fixpoint-margin assertion)."""
+    if k < 3:
+        raise ValueError("k-truss needs k >= 3")
+    cur = canonical_undirected(edges).materialize()
+    n = cur.count()
+    for _ in range(max_round):
+        if n == 0:
+            break
+        lf = edge_link_features(cur)
+        keep = (lf.filter(expr=f"common_nbrs >= {k - 2}")
+                .select_columns(["src", "dst"]).materialize())
+        n2 = keep.count()
+        if n2 == n:
+            break
+        cur, n = keep, n2
+    if n == 0:  # keep the (src, dst) schema on an empty truss
+        import pandas as pd
+        return ray.data.from_pandas(pd.DataFrame(
+            {"src": np.array([], dtype=np.int64),
+             "dst": np.array([], dtype=np.int64)}))
+    return cur

@@ -230,3 +230,27 @@ def test_entry_smoke():
     assert len(df) > 0
     assert {"vid", "rank"} <= set(df.columns)
     assert np.isfinite(df["rank"]).all()
+
+
+def test_ktruss_unroll_margin(con):
+    """The unrolled k-truss oracle needs KTRUSS_ROUNDS to exceed the
+    peel rounds-to-fixpoint at the sf0.01 gate; assert a >= 2-round
+    margin with an independent python check."""
+    import collections
+    e = con.sql(f"""
+WITH {entrymod._PRELUDE}
+SELECT src, dst FROM e0""").df()
+    E = {tuple(x) for x in e.to_numpy().tolist()}
+    k = entrymod.KTRUSS_K
+    rounds = 0
+    while True:
+        adj = collections.defaultdict(set)
+        for a, b in E:
+            adj[a].add(b)
+            adj[b].add(a)
+        drop = {(a, b) for (a, b) in E if len(adj[a] & adj[b]) < k - 2}
+        if not drop:
+            break
+        E -= drop
+        rounds += 1
+    assert rounds + 2 <= entrymod.KTRUSS_ROUNDS, rounds

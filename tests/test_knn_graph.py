@@ -138,3 +138,40 @@ def test_feature_propagate_matches_numpy(ray_session):
             got.loc[iso, ["a", "b", "c"]].to_numpy(),
             np.sign(X[iso]) * np.floor(np.abs(X[iso]) * 1e6 + 0.5) / 1e6,
             atol=2e-6)
+
+
+def test_ktruss_matches_bruteforce(ray_session):
+    import collections
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.graph.api import ktruss
+
+    rng = np.random.default_rng(14)
+    for trial in range(4):
+        n = int(rng.integers(8, 40))
+        m = int(rng.integers(n, n * 4))
+        e = rng.integers(0, n, size=(m, 2))
+        e = e[e[:, 0] != e[:, 1]]
+        canon = {(min(a, b), max(a, b)) for a, b in e.tolist()}
+        k = int(rng.integers(3, 6))
+
+        E = set(canon)
+        while True:
+            adj = collections.defaultdict(set)
+            for a, b in E:
+                adj[a].add(b)
+                adj[b].add(a)
+            drop = {(a, b) for (a, b) in E if len(adj[a] & adj[b]) < k - 2}
+            if not drop:
+                break
+            E -= drop
+
+        edf = pd.DataFrame({"src": e[:, 0].astype(np.int64),
+                            "dst": e[:, 1].astype(np.int64)})
+        got = ktruss(ray.data.from_pandas(edf), k).to_pandas()
+        # Ray 2.49 to_pandas drops columns on fully-empty datasets
+        got_set = (set() if len(got) == 0 else
+                   {(min(a, b), max(a, b))
+                    for a, b in got[["src", "dst"]].to_numpy().tolist()})
+        assert got_set == E, (trial, k, len(got_set), len(E))
