@@ -834,6 +834,51 @@ def _q_pg_ppr(sf_dir):
     return _round_col(g.to_oid(pr), "rank")
 
 
+def _q_pg_closeness(sf_dir):
+    """Landmark closeness from the 3 smallest vertices — one
+    multi-source BFS sweep + a per-partition vectorized reduce; the
+    (V × k) distance matrix never leaves its owners."""
+    from graphscope_ray.pipelines.partgraph import partgraph_vertices
+    g, edges = _partgraph(sf_dir)
+    lms = [r["vid"] for r in
+           partgraph_vertices(edges).sort("vid").limit(3).take_all()]
+    res = g.closeness_landmarks(lms, unit=True)
+    return g.to_oid(res)
+
+
+def _closeness_sql(rounds: int, n_landmarks: int = 3) -> str:
+    """Unrolled twin of _q_pg_closeness: multi-source unit BFS from
+    the n smallest vertices carried as (landmark, v, d) rows; the
+    closeness division is the same integer pair on both sides, so 6dp
+    rounding is exact."""
+    parts = [f"WITH {_PRELUDE},",
+             f"lm AS MATERIALIZED (SELECT v AS l FROM v "
+             f"ORDER BY v LIMIT {n_landmarks})",
+             "b0 AS MATERIALIZED (SELECT lm.l, v.v, "
+             "CASE WHEN v.v = lm.l THEN 0.0 END AS d "
+             "FROM lm CROSS JOIN v)"]
+    for r in range(1, rounds + 1):
+        parts.append(f"""b{r} AS MATERIALIZED (
+  SELECT a.l, a.v,
+         CASE WHEN m.md IS NULL THEN a.d
+              WHEN a.d IS NULL OR m.md < a.d THEN m.md
+              ELSE a.d END AS d
+  FROM b{r-1} a LEFT JOIN (
+    SELECT p.l, e.t AS v, min(p.d + 1.0) AS md
+    FROM e JOIN b{r-1} p ON p.v = e.s WHERE p.d IS NOT NULL
+    GROUP BY p.l, e.t) m ON m.l = a.l AND m.v = a.v)""")
+    parts.append(f"""agg AS (
+  SELECT v, count(d)::BIGINT AS reached,
+         COALESCE(sum(d), 0.0) AS dist_sum
+  FROM b{rounds} GROUP BY v)""")
+    body = ",\n".join(parts[1:])
+    return (f"{parts[0]}\n{body}\n"
+            f"SELECT v AS vid, reached, round(dist_sum, 6) AS dist_sum,\n"
+            f"  round(CASE WHEN dist_sum > 0 THEN reached / dist_sum\n"
+            f"        ELSE 0.0 END, 6) AS closeness\n"
+            f"FROM agg ORDER BY vid")
+
+
 def _q_pg_wcc(sf_dir):
     g, _ = _partgraph(sf_dir)
     return g.to_oid(g.wcc(), vid_cols=("vid", "comp"))
@@ -2138,6 +2183,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_link_features": _q_pg_link_features,
         "pg_feature_prop": _q_pg_feature_prop,
         "pg_ktruss": _q_pg_ktruss,
+        "pg_closeness": _q_pg_closeness,
         "pg_khop": _q_pg_khop,
         "pg_avg_clustering": _q_pg_avg_clustering,
         "pg_bfs_tree": _q_pg_bfs_tree,
@@ -2278,6 +2324,7 @@ WITH {_PRELUDE},
 SELECT count(*)::BIGINT AS total FROM tri""",
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
+        "pg_closeness": _closeness_sql(SSSP_ROUNDS),
         "pg_khop": _khop_sql(hops=2, fanout=3, seed=5, n_seeds=3),
         "pg_link_features": f"""
 WITH {_PRELUDE},

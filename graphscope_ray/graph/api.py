@@ -245,6 +245,13 @@ class Graph:
         """Personalized PageRank from oid seeds — see BSPEngine.ppr."""
         return self.engine.ppr(self._oids_to_vids(seeds), **kw)
 
+    def closeness_landmarks(self, landmarks=None, **kw
+                            ) -> ray.data.Dataset:
+        """Landmark closeness from oid landmarks — see
+        BSPEngine.closeness_landmarks."""
+        lm = None if landmarks is None else self._oids_to_vids(landmarks)
+        return self.engine.closeness_landmarks(lm, **kw)
+
     def wcc(self, **kw) -> ray.data.Dataset:
         """WCC, min-oid component labels — `benchmarks/apps/wcc/wcc.h:58-169`
         with the SURVEY §5 min-oid labeling convention."""

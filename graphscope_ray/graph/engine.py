@@ -47,6 +47,19 @@ def _pair_to_table(pair, name: str, dtype=None) -> pa.Table:
 
 
 @ray.remote
+def _closeness_table(trip, round_to: int = 6) -> pa.Table:
+    from graphscope_ray.util import round_half_away
+    vids, cnt, sm = trip
+    clo = np.zeros(len(vids))
+    nz = sm > 0
+    clo[nz] = cnt[nz] / sm[nz]
+    return pa.table({"vid": pa.array(vids),
+                     "reached": pa.array(cnt),
+                     "dist_sum": pa.array(round_half_away(sm, round_to)),
+                     "closeness": pa.array(round_half_away(clo, round_to))})
+
+
+@ray.remote
 def _nth(lst, i):
     return lst[i]
 
@@ -760,6 +773,39 @@ class BSPEngine:
         # finite self-distances (the diagonal zeros) are excluded
         count -= len(sources)
         return total / count if count > 0 else 0.0
+
+    def closeness_landmarks(self, landmarks=None, *, k: int = 3,
+                            unit: bool = True, max_iter: int = 10_000
+                            ) -> ray.data.Dataset:
+        """Landmark (pivot) closeness centrality: one multi-source
+        sweep from ``landmarks`` (default: the k smallest vids — the
+        ppr seed convention), then per vertex
+        ``closeness = n_landmarks_reached / Σ finite dist`` (0 when no
+        positive distance mass). The classic scalable approximation of
+        closeness (Indyk pivoting); exact closeness is all-pairs and
+        intentionally not offered as a driver surface.
+
+        Shape: the msssp superstep exchange (O(distinct dst) combined
+        messages per round) + ONE per-partition vectorized reduce —
+        the (V × k) distance matrix never leaves its owners."""
+        if landmarks is None:
+            landmarks = np.arange(min(k, self.V), dtype=np.int64)
+        landmarks = np.asarray(list(landmarks), dtype=np.int64)
+        if not len(landmarks):
+            raise ValueError("closeness needs at least one landmark")
+        ray.get([a.msssp_init.remote(landmarks, unit)
+                 for a in self.actors])
+        rnd = 0
+        t0 = time.perf_counter()
+        while rnd < max_iter:
+            rnd += 1
+            changed = self._exchange("msssp_scatter", "msssp_apply")
+            if int(sum(changed)) == 0:
+                break
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rnd
+        trips = [a.msssp_closeness.remote() for a in self.actors]
+        return self._finish_ds([_closeness_table.remote(t) for t in trips])
 
     def bfs_generic(self, source: int, *, output_format: str = "edges",
                     depth_limit: Optional[int] = None) -> ray.data.Dataset:

@@ -911,6 +911,15 @@ class GraphPartition:
         finite = np.isfinite(d)
         return float(d[finite].sum()), int(finite.sum())
 
+    def msssp_closeness(self):
+        """Per-owned-vertex (vids, n_reached, dist_sum) over the
+        current multi-source state — the landmark-closeness reduce
+        (finite entries only; self-distances contribute 0)."""
+        d = self.state["msssp"]["dist"]
+        fin = np.isfinite(d)
+        return (self.local_vids(), fin.sum(axis=1).astype(np.int64),
+                np.where(fin, d, 0.0).sum(axis=1))
+
     # ------------------------------------------------------------------
     # k-core peeling (apps/kcore/kcore.h:31-129): iteratively drop
     # vertices with degree < k; messages are degree decrements.

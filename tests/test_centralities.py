@@ -164,3 +164,56 @@ def test_link_features_pool_route_matches_dataset_route(tmp_path):
                                    atol=0)
     finally:
         g.close()
+
+
+def test_closeness_landmarks_matches_numpy(ray_session):
+    import collections
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.graph.build import build_graph
+    from graphscope_ray.graph.engine import BSPEngine
+
+    rng = np.random.default_rng(21)
+    n = 40
+    e = rng.integers(0, n, size=(140, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    eds = ray.data.from_pandas(pd.DataFrame(
+        {"src": e[:, 0].astype(np.int64), "dst": e[:, 1].astype(np.int64)}))
+    lms = [0, 3, 7]
+    with tempfile.TemporaryDirectory() as td:
+        store = build_graph(eds, td + "/s", num_parts=3, num_vertices=n,
+                            symmetrize=True)
+        eng = BSPEngine(store)
+        got = (eng.closeness_landmarks(np.array(lms), unit=True)
+               .to_pandas().sort_values("vid").reset_index(drop=True))
+        eng.shutdown()
+
+    # numpy BFS oracle over the symmetric graph
+    adj = collections.defaultdict(set)
+    for a, b in e.tolist():
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt = np.zeros(n, dtype=np.int64)
+    sm = np.zeros(n)
+    for l in lms:
+        dist = np.full(n, np.inf)
+        dist[l] = 0
+        frontier = [l]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if dist[w] == np.inf:
+                        dist[w] = dist[u] + 1
+                        nxt.append(w)
+            frontier = nxt
+        fin = np.isfinite(dist)
+        cnt[fin] += 1
+        sm[fin] += dist[fin]
+    clo = np.where(sm > 0, cnt / np.maximum(sm, 1e-300), 0.0)
+    assert (got["reached"].to_numpy() == cnt).all()
+    np.testing.assert_allclose(got["dist_sum"].to_numpy(), sm, atol=2e-6)
+    np.testing.assert_allclose(got["closeness"].to_numpy(), clo, atol=2e-6)
