@@ -541,7 +541,10 @@ def simhash_pairs_from_sigs(sigs: ray.data.Dataset, *, key="doc_id",
             "of a pandas frame (scale route)", stacklevel=2)
         return dedup_pair_rows(out)
     pdf = out.to_pandas()
-    return pdf.drop_duplicates(subset=["a", "b"]).reset_index(drop=True)
+    # bucket emission order is layout-dependent; sort for a
+    # deterministic driver-route result
+    return (pdf.drop_duplicates(subset=["a", "b"])
+            .sort_values(["a", "b"]).reset_index(drop=True))
 
 
 def simhash_dedup(ds: ray.data.Dataset, *, col="text", key="doc_id",

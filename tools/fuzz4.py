@@ -51,8 +51,12 @@ while time.time() - t0 < 360:
             fails.append((tag, "fingerprint"))
         got = simhash_dedup(ds, max_hamming=0)
         want = con.execute(osql.simhash_pairs_sql()).df()
-        ga = got[["a","b"]].to_numpy() if len(got) else np.empty((0,2))
-        wa = want[["a","b"]].to_numpy() if len(want) else np.empty((0,2))
+        # compare as SETS of pairs: bucket emission order is
+        # layout-dependent (t461/t470 at seed 13 were order-only diffs)
+        ga = (got[["a","b"]].sort_values(["a","b"]).to_numpy()
+              if len(got) else np.empty((0,2)))
+        wa = (want[["a","b"]].sort_values(["a","b"]).to_numpy()
+              if len(want) else np.empty((0,2)))
         if not np.array_equal(ga, wa): fails.append((tag, "simhash"))
     except Exception as ex:
         fails.append((tag, f"EXC {type(ex).__name__}: {ex}"))
