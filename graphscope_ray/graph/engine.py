@@ -177,11 +177,17 @@ class BSPEngine:
     # -- plumbing ------------------------------------------------------
 
     def _hub_ref(self, method: str, margs=()):
-        """Gather split-hub owners' values → one broadcast array ref."""
+        """Gather split-hub owners' values → one broadcast array ref.
+        Values may be per-hub scalars (1-D) or per-hub vectors (2-D,
+        e.g. the msssp K-source distance rows); every hub position has
+        exactly one owner, so all rows get written."""
         if not self.has_hubs:
             return None
         parts = ray.get([getattr(a, method).remote(*margs) for a in self.actors])
-        arr = np.zeros(self.n_hubs)
+        first = next((v for p, v in parts if len(p)), None)
+        shape = ((self.n_hubs,) if first is None or first.ndim == 1
+                 else (self.n_hubs,) + first.shape[1:])
+        arr = np.zeros(shape)
         for pos, vals in parts:
             if len(pos):
                 arr[pos] = vals
@@ -760,9 +766,11 @@ class BSPEngine:
             batch = sources[i: i + batch_k]
             ray.get([a.msssp_init.remote(batch, unit) for a in self.actors])
             rnd = 0
+            hub = "msssp_get_hub_vals" if self.has_hubs else None
             while rnd < max_iter:
                 rnd += 1
-                changed = self._exchange("msssp_scatter", "msssp_apply")
+                changed = self._exchange("msssp_scatter", "msssp_apply",
+                                         hub_method=hub)
                 if int(sum(changed)) == 0:
                     break
             self.supersteps += rnd
@@ -797,9 +805,11 @@ class BSPEngine:
                  for a in self.actors])
         rnd = 0
         t0 = time.perf_counter()
+        hub = "msssp_get_hub_vals" if self.has_hubs else None
         while rnd < max_iter:
             rnd += 1
-            changed = self._exchange("msssp_scatter", "msssp_apply")
+            changed = self._exchange("msssp_scatter", "msssp_apply",
+                                     hub_method=hub)
             if int(sum(changed)) == 0:
                 break
         self.superstep_seconds += time.perf_counter() - t0

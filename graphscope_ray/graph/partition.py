@@ -865,13 +865,25 @@ class GraphPartition:
             "frontier": np.isfinite(dist).any(axis=1),
         }
 
-    def msssp_scatter(self, hub_vals=None):
+    def msssp_scatter(self, *hub_parts):
+        hub_vals = self._norm_hub(hub_parts)
         s = self.state["msssp"]
         if self.E == 0:
             return self._empty_msgs()
-        dmat = s["dist"][self.src_local]  # E × K (hub split unsupported)
+        dmat = s["dist"][self.src_local]  # E × K (fancy-index copy)
         if len(self.foreign_idx):
-            raise NotImplementedError("msssp does not support split hubs")
+            # split hubs: foreign-source rows resolve their K-vector
+            # from the per-round (n_hubs × K) broadcast
+            if hub_vals is None:
+                raise RuntimeError("hub values required but not provided")
+            if isinstance(hub_vals, (list, tuple)):
+                arr = np.full((len(self.hubs), s["dist"].shape[1]),
+                              FLT_SENTINEL)
+                for pos, vals in hub_vals:
+                    if len(pos):
+                        arr[pos] = vals
+                hub_vals = arr
+            dmat[self.foreign_idx] = hub_vals[self.foreign_hub_pos]
         step = (np.ones(self.E) if (s["unit"] or self.w is None)
                 else self.w)[:, None]
         cand = np.where(np.isfinite(dmat), dmat + step, FLT_SENTINEL)
@@ -889,6 +901,10 @@ class GraphPartition:
             a, b = bounds[q], bounds[q + 1]
             msgs.append(None if a == b else (dstl[a:b], minl[a:b]))
         return msgs
+
+    def msssp_get_hub_vals(self):
+        s = self.state["msssp"]
+        return self.hub_own_pos, s["dist"][self.hub_own_local]
 
     def msssp_apply(self, *msgs):
         s = self.state["msssp"]
