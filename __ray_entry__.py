@@ -879,6 +879,63 @@ def _closeness_sql(rounds: int, n_landmarks: int = 3) -> str:
             f"FROM agg ORDER BY vid")
 
 
+BETWEENNESS_DEPTH = 6  # sf0.01 source eccentricity = 3; margin asserted
+
+
+def _q_pg_betweenness(sf_dir):
+    """Sampled Brandes betweenness from the 2 smallest vertices —
+    forward multi-source BFS with path counts, then level-descending
+    dependency back-propagation on the superstep exchange."""
+    from graphscope_ray.pipelines.partgraph import partgraph_vertices
+    g, edges = _partgraph(sf_dir)
+    srcs = [r["vid"] for r in
+            partgraph_vertices(edges).sort("vid").limit(2).take_all()]
+    return _round_col(g.to_oid(g.betweenness_sources(srcs)),
+                      "betweenness")
+
+
+def _betweenness_sql(depth: int = BETWEENNESS_DEPTH,
+                     n_sources: int = 2) -> str:
+    """Unrolled twin of _q_pg_betweenness: forward BFS levels + sigma
+    per (source, vertex), then delta back-propagation from the depth
+    bound down; sigma values are exact integers in double on both
+    sides, delta is 6dp-rounded at the end (pagerank protocol)."""
+    parts = [f"WITH {_PRELUDE},",
+             f"lm AS MATERIALIZED (SELECT v AS l FROM v "
+             f"ORDER BY v LIMIT {n_sources})",
+             "f0 AS MATERIALIZED (SELECT lm.l, v.v, "
+             "CASE WHEN v.v = lm.l THEN 0 END AS lvl, "
+             "CASE WHEN v.v = lm.l THEN 1.0 ELSE 0.0 END AS sig "
+             "FROM lm CROSS JOIN v)"]
+    for r in range(1, depth + 1):
+        parts.append(f"""f{r} AS MATERIALIZED (
+  SELECT a.l, a.v,
+    CASE WHEN a.lvl IS NOT NULL THEN a.lvl
+         WHEN m.s IS NOT NULL THEN {r} END AS lvl,
+    CASE WHEN a.lvl IS NULL AND m.s IS NOT NULL THEN m.s
+         ELSE a.sig END AS sig
+  FROM f{r-1} a LEFT JOIN (
+    SELECT p.l, e.t AS v, sum(p.sig) AS s
+    FROM e JOIN f{r-1} p ON p.v = e.s WHERE p.lvl = {r-1}
+    GROUP BY p.l, e.t) m ON m.l = a.l AND m.v = a.v)""")
+    parts.append(f"b{depth} AS MATERIALIZED "
+                 f"(SELECT l, v, lvl, sig, 0.0 AS delta FROM f{depth})")
+    for lv in range(depth, 0, -1):
+        parts.append(f"""b{lv-1} AS MATERIALIZED (
+  SELECT a.l, a.v, a.lvl, a.sig,
+    a.delta + CASE WHEN a.lvl = {lv-1} AND m.s IS NOT NULL
+                   THEN m.s * a.sig ELSE 0.0 END AS delta
+  FROM b{lv} a LEFT JOIN (
+    SELECT p.l, e.t AS v, sum((1.0 + p.delta) / p.sig) AS s
+    FROM e JOIN b{lv} p ON p.v = e.s WHERE p.lvl = {lv}
+    GROUP BY p.l, e.t) m ON m.l = a.l AND m.v = a.v)""")
+    body = ",\n".join(parts[1:])
+    return (f"{parts[0]}\n{body}\n"
+            f"SELECT v AS vid, round(sum(CASE WHEN v = l THEN 0.0 "
+            f"ELSE delta END), 6) AS betweenness\n"
+            f"FROM b0 GROUP BY v ORDER BY vid")
+
+
 def _q_pg_wcc(sf_dir):
     g, _ = _partgraph(sf_dir)
     return g.to_oid(g.wcc(), vid_cols=("vid", "comp"))
@@ -2184,6 +2241,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_feature_prop": _q_pg_feature_prop,
         "pg_ktruss": _q_pg_ktruss,
         "pg_closeness": _q_pg_closeness,
+        "pg_betweenness": _q_pg_betweenness,
         "pg_khop": _q_pg_khop,
         "pg_avg_clustering": _q_pg_avg_clustering,
         "pg_bfs_tree": _q_pg_bfs_tree,
@@ -2325,6 +2383,7 @@ SELECT count(*)::BIGINT AS total FROM tri""",
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),
+        "pg_betweenness": _betweenness_sql(),
         "pg_khop": _khop_sql(hops=2, fanout=3, seed=5, n_seeds=3),
         "pg_link_features": f"""
 WITH {_PRELUDE},

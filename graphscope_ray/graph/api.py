@@ -252,6 +252,13 @@ class Graph:
         lm = None if landmarks is None else self._oids_to_vids(landmarks)
         return self.engine.closeness_landmarks(lm, **kw)
 
+    def betweenness_sources(self, sources=None, **kw
+                            ) -> ray.data.Dataset:
+        """Sampled Brandes betweenness from oid sources — see
+        BSPEngine.betweenness_sources."""
+        src = None if sources is None else self._oids_to_vids(sources)
+        return self.engine.betweenness_sources(src, **kw)
+
     def wcc(self, **kw) -> ray.data.Dataset:
         """WCC, min-oid component labels — `benchmarks/apps/wcc/wcc.h:58-169`
         with the SURVEY §5 min-oid labeling convention."""

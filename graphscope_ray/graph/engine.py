@@ -817,6 +817,52 @@ class BSPEngine:
         trips = [a.msssp_closeness.remote() for a in self.actors]
         return self._finish_ds([_closeness_table.remote(t) for t in trips])
 
+    def betweenness_sources(self, sources=None, *, k: int = 3,
+                            max_iter: int = 10_000) -> ray.data.Dataset:
+        """Sampled Brandes betweenness over unit shortest paths:
+        forward multi-source BFS accumulating path counts sigma, then
+        level-descending dependency back-propagation; result is the
+        per-vertex dependency sum over the source sample (Brandes
+        2001 / Brandes-Pich pivot sampling — exact betweenness is V
+        BFS sweeps and intentionally not a driver surface; sources
+        default to the k smallest vids).
+
+        Shape: the same (V x K)-state superstep exchange as msssp —
+        pre-combined per-destination sums per round, per-round packed
+        hub broadcasts of (lvl, sigma[, delta]) for split hubs, one
+        per-partition reduce at the end."""
+        if sources is None:
+            sources = np.arange(min(k, self.V), dtype=np.int64)
+        sources = np.asarray(list(sources), dtype=np.int64)
+        if not len(sources):
+            raise ValueError("betweenness needs at least one source")
+        ray.get([a.brandes_init.remote(sources) for a in self.actors])
+        hub_f = "brandes_fwd_hub_vals" if self.has_hubs else None
+        hub_b = "brandes_back_hub_vals" if self.has_hubs else None
+        t0 = time.perf_counter()
+        rnd = 0
+        level = 0
+        while rnd < max_iter:
+            rnd += 1
+            changed = self._exchange(
+                "brandes_fwd_scatter", "brandes_fwd_apply",
+                scatter_args=(level,), apply_args=(level,),
+                hub_method=hub_f)
+            if int(sum(changed)) == 0:
+                break
+            level += 1
+        max_lv = max(ray.get(
+            [a.brandes_max_level.remote() for a in self.actors]))
+        ray.get([a.brandes_back_init.remote() for a in self.actors])
+        for lv in range(max_lv, 0, -1):
+            rnd += 1
+            self._exchange(
+                "brandes_back_scatter", "brandes_back_apply",
+                scatter_args=(lv,), apply_args=(lv,), hub_method=hub_b)
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rnd
+        return self._result_ds("brandes_result", "betweenness")
+
     def bfs_generic(self, source: int, *, output_format: str = "edges",
                     depth_limit: Optional[int] = None) -> ray.data.Dataset:
         """BFS tree outputs — apps/bfs/bfs_generic.h:36-199: formats

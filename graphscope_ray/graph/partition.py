@@ -937,6 +937,144 @@ class GraphPartition:
                 np.where(fin, d, 0.0).sum(axis=1))
 
     # ------------------------------------------------------------------
+    # Sampled Brandes betweenness (unit shortest paths from K sources):
+    # forward BFS levels + path counts sigma, then level-descending
+    # dependency back-propagation. All state is (nlocal x K); hub-split
+    # foreign rows resolve (lvl, sigma[, delta]) from per-round packed
+    # broadcasts.
+    # ------------------------------------------------------------------
+
+    def brandes_init(self, sources: np.ndarray):
+        K = len(sources)
+        lvl = np.full((self.nlocal, K), -1, dtype=np.int64)
+        sig = np.zeros((self.nlocal, K))
+        owned = sources % self.P == self.p
+        lvl[sources[owned] // self.P, np.flatnonzero(owned)] = 0
+        sig[sources[owned] // self.P, np.flatnonzero(owned)] = 1.0
+        self.state["brandes"] = {"lvl": lvl, "sig": sig, "delta": None,
+                                 "sources": np.asarray(sources)}
+
+    def _brandes_gather(self, names, hub_vals):
+        """Edge-source rows of the named (nlocal x K) state matrices,
+        with foreign (split-hub) rows resolved from the packed
+        (n_hubs x len(names)*K) broadcast."""
+        s = self.state["brandes"]
+        K = s["sig"].shape[1]
+        mats = [s[n][self.src_local].astype(np.float64) for n in names]
+        if len(self.foreign_idx):
+            if hub_vals is None:
+                raise RuntimeError("hub values required but not provided")
+            if isinstance(hub_vals, (list, tuple)):
+                arr = np.zeros((len(self.hubs), len(names) * K))
+                for pos, vals in hub_vals:
+                    if len(pos):
+                        arr[pos] = vals
+                hub_vals = arr
+            for i, m in enumerate(mats):
+                m[self.foreign_idx] = hub_vals[
+                    self.foreign_hub_pos, i * K:(i + 1) * K]
+        return mats
+
+    def brandes_fwd_hub_vals(self):
+        s = self.state["brandes"]
+        return self.hub_own_pos, np.concatenate(
+            [s["lvl"][self.hub_own_local].astype(np.float64),
+             s["sig"][self.hub_own_local]], axis=1)
+
+    def brandes_fwd_scatter(self, cur_level: int, *hub_parts):
+        hub_vals = self._norm_hub(hub_parts)
+        if self.E == 0:
+            return self._empty_msgs()
+        lvl, sig = self._brandes_gather(["lvl", "sig"], hub_vals)
+        cand = np.where(lvl == cur_level, sig, 0.0)
+        sums = np.add.reduceat(cand, self.grp_start, axis=0)
+        live = (sums > 0).any(axis=1)
+        if self.packed:
+            bounds = np.searchsorted(self.part_of_grp[live],
+                                     np.arange(self.P + 1))
+            return ("P", bounds, self.uniq_dst[live], sums[live])
+        dstl = self.uniq_dst[live]
+        suml = sums[live]
+        bounds = np.searchsorted(dstl % self.P, np.arange(self.P + 1))
+        return [None if bounds[q] == bounds[q + 1] else
+                (dstl[bounds[q]:bounds[q + 1]],
+                 suml[bounds[q]:bounds[q + 1]])
+                for q in range(self.P)]
+
+    def brandes_fwd_apply(self, cur_level: int, *msgs):
+        s = self.state["brandes"]
+        msgs = self._unpack(msgs)
+        parts = [m for m in msgs if m is not None and len(m[0])]
+        if not parts:
+            return 0
+        tmp = np.zeros_like(s["sig"])
+        for dst, vals in parts:
+            np.add.at(tmp, dst // self.P, vals)
+        newly = (s["lvl"] == -1) & (tmp > 0)
+        s["sig"][newly] = tmp[newly]
+        s["lvl"][newly] = cur_level + 1
+        return int(newly.sum())
+
+    def brandes_back_init(self):
+        s = self.state["brandes"]
+        s["delta"] = np.zeros_like(s["sig"])
+
+    def brandes_back_hub_vals(self):
+        s = self.state["brandes"]
+        return self.hub_own_pos, np.concatenate(
+            [s["lvl"][self.hub_own_local].astype(np.float64),
+             s["sig"][self.hub_own_local],
+             s["delta"][self.hub_own_local]], axis=1)
+
+    def brandes_back_scatter(self, cur_level: int, *hub_parts):
+        hub_vals = self._norm_hub(hub_parts)
+        if self.E == 0:
+            return self._empty_msgs()
+        lvl, sig, delta = self._brandes_gather(
+            ["lvl", "sig", "delta"], hub_vals)
+        on = lvl == cur_level
+        cand = np.zeros_like(sig)
+        cand[on] = (1.0 + delta[on]) / sig[on]
+        sums = np.add.reduceat(cand, self.grp_start, axis=0)
+        live = (sums > 0).any(axis=1)
+        if self.packed:
+            bounds = np.searchsorted(self.part_of_grp[live],
+                                     np.arange(self.P + 1))
+            return ("P", bounds, self.uniq_dst[live], sums[live])
+        dstl = self.uniq_dst[live]
+        suml = sums[live]
+        bounds = np.searchsorted(dstl % self.P, np.arange(self.P + 1))
+        return [None if bounds[q] == bounds[q + 1] else
+                (dstl[bounds[q]:bounds[q + 1]],
+                 suml[bounds[q]:bounds[q + 1]])
+                for q in range(self.P)]
+
+    def brandes_back_apply(self, cur_level: int, *msgs):
+        s = self.state["brandes"]
+        msgs = self._unpack(msgs)
+        parts = [m for m in msgs if m is not None and len(m[0])]
+        if not parts:
+            return 0
+        tmp = np.zeros_like(s["sig"])
+        for dst, vals in parts:
+            np.add.at(tmp, dst // self.P, vals)
+        pred = s["lvl"] == cur_level - 1
+        s["delta"][pred] += tmp[pred] * s["sig"][pred]
+        return int(pred.any(axis=1).sum())
+
+    def brandes_max_level(self) -> int:
+        lv = self.state["brandes"]["lvl"]
+        return int(lv.max(initial=-1))
+
+    def brandes_result(self):
+        s = self.state["brandes"]
+        delta = s["delta"].copy()
+        src = s["sources"]
+        owned = src % self.P == self.p
+        delta[src[owned] // self.P, np.flatnonzero(owned)] = 0.0
+        return self.local_vids(), delta.sum(axis=1)
+
+    # ------------------------------------------------------------------
     # k-core peeling (apps/kcore/kcore.h:31-129): iteratively drop
     # vertices with degree < k; messages are degree decrements.
     # ------------------------------------------------------------------

@@ -217,3 +217,76 @@ def test_closeness_landmarks_matches_numpy(ray_session):
     assert (got["reached"].to_numpy() == cnt).all()
     np.testing.assert_allclose(got["dist_sum"].to_numpy(), sm, atol=2e-6)
     np.testing.assert_allclose(got["closeness"].to_numpy(), clo, atol=2e-6)
+
+
+def test_betweenness_sources_matches_brandes(ray_session):
+    import collections
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.graph.build import build_graph
+    from graphscope_ray.graph.engine import BSPEngine
+
+    rng = np.random.default_rng(29)
+    for trial in range(3):
+        n = int(rng.integers(8, 45))
+        m = int(rng.integers(n, n * 4))
+        e = rng.integers(0, n, size=(m, 2))
+        e = e[e[:, 0] != e[:, 1]]
+        if not len(e):
+            continue
+        eds = ray.data.from_pandas(pd.DataFrame(
+            {"src": e[:, 0].astype(np.int64),
+             "dst": e[:, 1].astype(np.int64)}))
+        adj = collections.defaultdict(set)
+        for a, b in e.tolist():
+            adj[a].add(b)
+            adj[b].add(a)
+        srcs = sorted(rng.choice(n, size=int(rng.integers(1, 4)),
+                                 replace=False).tolist())
+        P = int(rng.integers(1, 5))
+        hub = int(rng.choice([0, 4])) or None
+        with tempfile.TemporaryDirectory() as td:
+            store = build_graph(eds, td + "/s", num_parts=P,
+                                num_vertices=n, symmetrize=True,
+                                hub_threshold=hub)
+            eng = BSPEngine(store)
+            got = (eng.betweenness_sources(np.array(srcs)).to_pandas()
+                   .sort_values("vid").reset_index(drop=True))
+            eng.shutdown()
+
+        # classic per-source Brandes oracle
+        bc = np.zeros(n)
+        for s in srcs:
+            lvl = np.full(n, -1)
+            lvl[s] = 0
+            fr = [s]
+            while fr:
+                nxt = []
+                for u in fr:
+                    for w in adj[u]:
+                        if lvl[w] == -1:
+                            lvl[w] = lvl[u] + 1
+                            nxt.append(w)
+                fr = nxt
+            sig = np.zeros(n)
+            sig[s] = 1.0
+            for L in range(0, max(lvl.max(), 0)):
+                for u in range(n):
+                    if lvl[u] == L:
+                        for w in adj[u]:
+                            if lvl[w] == L + 1:
+                                sig[w] += sig[u]
+            delta = np.zeros(n)
+            for L in range(max(lvl.max(), 0), 0, -1):
+                for v in range(n):
+                    if lvl[v] == L:
+                        for u in adj[v]:
+                            if lvl[u] == L - 1:
+                                delta[u] += sig[u] / sig[v] * (1 + delta[v])
+            delta[s] = 0.0
+            bc += delta
+        np.testing.assert_allclose(got["betweenness"].to_numpy(), bc,
+                                   atol=1e-9, err_msg=str((trial, srcs, P)))

@@ -254,3 +254,32 @@ SELECT src, dst FROM e0""").df()
         E -= drop
         rounds += 1
     assert rounds + 2 <= entrymod.KTRUSS_ROUNDS, rounds
+
+
+def test_betweenness_unroll_depth_margin(con):
+    """BETWEENNESS_DEPTH must exceed the source eccentricities at the
+    sf0.01 gate by >= 2 rounds."""
+    import collections
+    e = con.sql(f"""
+WITH {entrymod._PRELUDE}
+SELECT src, dst FROM e0""").df()
+    adj = collections.defaultdict(set)
+    for a, b in e.to_numpy().tolist():
+        adj[a].add(b)
+        adj[b].add(a)
+    srcs = sorted(adj)[:2]
+    for s in srcs:
+        dist = {s: 0}
+        fr = [s]
+        ecc = 0
+        while fr:
+            nxt = []
+            for u in fr:
+                for w in adj[u]:
+                    if w not in dist:
+                        dist[w] = dist[u] + 1
+                        nxt.append(w)
+            if nxt:
+                ecc += 1
+            fr = nxt
+        assert ecc + 2 <= entrymod.BETWEENNESS_DEPTH, (s, ecc)
