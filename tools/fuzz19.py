@@ -90,6 +90,45 @@ for trial in range(1, 31):
                 and np.allclose(gc["dist_sum"].to_numpy(), sm, atol=2e-6)):
             fails.append((tag, "closeness")); continue
 
+        # --- sampled Brandes betweenness vs classic per-source oracle
+        with tempfile.TemporaryDirectory() as td:
+            store = build_graph(eds, td + "/s", num_parts=P,
+                                num_vertices=n, symmetrize=True,
+                                hub_threshold=hub)
+            eng = BSPEngine(store)
+            gb = (eng.betweenness_sources(np.array(lms)).to_pandas()
+                  .sort_values("vid").reset_index(drop=True))
+            eng.shutdown()
+        bc = np.zeros(n)
+        for s0 in lms:
+            lvl = np.full(n, -1); lvl[s0] = 0
+            fr = [s0]
+            while fr:
+                nxt = []
+                for u in fr:
+                    for w2 in adj[u]:
+                        if lvl[w2] == -1:
+                            lvl[w2] = lvl[u] + 1; nxt.append(w2)
+                fr = nxt
+            sig = np.zeros(n); sig[s0] = 1.0
+            for L in range(0, max(lvl.max(), 0)):
+                for u in range(n):
+                    if lvl[u] == L:
+                        for w2 in adj[u]:
+                            if lvl[w2] == L + 1:
+                                sig[w2] += sig[u]
+            dl = np.zeros(n)
+            for L in range(max(lvl.max(), 0), 0, -1):
+                for v2 in range(n):
+                    if lvl[v2] == L:
+                        for u in adj[v2]:
+                            if lvl[u] == L - 1:
+                                dl[u] += sig[u] / sig[v2] * (1 + dl[v2])
+            dl[s0] = 0.0
+            bc += dl
+        if not np.allclose(gb["betweenness"].to_numpy(), bc, atol=1e-9):
+            fails.append((tag, "betweenness")); continue
+
         # --- feature propagation vs dense numpy
         d = int(rng.integers(1, 4))
         rounds = int(rng.integers(1, 4))
