@@ -47,11 +47,17 @@ class Graph:
     def __init__(self, store: GraphStore,
                  idmap: Optional[ray.data.Dataset] = None,
                  idmap_count: Optional[int] = None,
-                 oid_broadcast_rows: int = OID_BROADCAST_ROWS):
+                 oid_broadcast_rows: int = OID_BROADCAST_ROWS,
+                 engine_num_cpus: Optional[float] = None):
         self.store = store
         self.idmap = idmap  # Dataset (oid, vid), or None for vid-space
         self.idmap_count = idmap_count
         self.oid_broadcast_rows = oid_broadcast_rows
+        # per-actor CPU reservation for the resident pool (None =
+        # BSPEngine's budget-aware default; tiny values let many small
+        # graphs coexist without starving Ray Data tasks — the nx
+        # facade's case)
+        self.engine_num_cpus = engine_num_cpus
         self._oid_array: Optional[np.ndarray] = None
         self._engine: Optional[BSPEngine] = None
 
@@ -94,6 +100,7 @@ class Graph:
         num_vertices: Optional[int] = None,
         hub_threshold: Optional[int] = None,
         directions: str = "forward",
+        engine_num_cpus: Optional[float] = None,
     ) -> "Graph":
         """Build from an edge Dataset with columns ``src``/``dst`` (+
         optional weight). ``oid_space=True`` runs dense-id assignment
@@ -133,12 +140,13 @@ class Graph:
             hub_threshold=hub_threshold,
             directions=directions,
         )
-        return cls(store, idmap, n_ids)
+        return cls(store, idmap, n_ids, engine_num_cpus=engine_num_cpus)
 
     @property
     def engine(self) -> BSPEngine:
         if self._engine is None:
-            self._engine = BSPEngine(self.store)
+            self._engine = BSPEngine(
+                self.store, num_cpus_per_actor=self.engine_num_cpus)
         return self._engine
 
     def close(self):

@@ -1,0 +1,439 @@
+"""Builtin-algorithm bridge for the NetworkX facade.
+
+The engine's counterpart of the reference's
+``python/graphscope/nx/algorithms/builtin.py:33-720``: each function
+takes a :class:`graphscope_ray.nx.Graph` / ``DiGraph`` and delegates
+to the distributed engine (resident actor pool / Dataset kernels).
+Unlike the reference bridge — which returns DataFrames
+(``builtin.py:102-133``) — these return the networkx-native types
+(dicts, lists, facade subgraphs), so code written against networkx
+runs unchanged; ``tests/test_nx.py`` compares every function
+differentially against the real ``networkx`` package.
+
+Driver-size note: the *returns* (one dict entry per vertex) are
+driver-materialized by definition of the networkx API; the *compute*
+is distributed. Pipelines that need the result as data use the
+``graphscope_ray.graph`` API, which returns Datasets.
+"""
+from typing import Optional
+
+import numpy as np
+
+__all__ = [
+    "pagerank", "hits", "degree_centrality", "in_degree_centrality",
+    "out_degree_centrality", "eigenvector_centrality", "katz_centrality",
+    "has_path", "shortest_path", "single_source_dijkstra_path_length",
+    "average_shortest_path_length", "bfs_edges", "bfs_predecessors",
+    "bfs_successors", "bfs_tree", "k_core", "core_number", "clustering",
+    "triangles", "transitivity", "average_clustering",
+    "connected_components", "number_connected_components", "is_connected",
+    "weakly_connected_components", "number_weakly_connected_components",
+    "is_weakly_connected",
+]
+
+
+# ----------------------------------------------------------------------
+# helpers
+# ----------------------------------------------------------------------
+
+def _pynodes(G) -> list:
+    """Sorted node ids as native Python objects (vid = list index)."""
+    return [n.item() if hasattr(n, "item") else n
+            for n in G._sorted_nodes()]
+
+
+def _to_map(G, ds, col, cast=float) -> dict:
+    """(vid, value) Dataset → {node: value} via the facade's sorted-node
+    vid convention."""
+    nodes = _pynodes(G)
+    out = {}
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        vids = t["vid"].to_numpy()
+        vals = t[col].to_numpy(zero_copy_only=False)
+        for i, v in zip(vids, vals):
+            out[nodes[int(i)]] = cast(v)
+    return out
+
+
+def _require_undirected(G, what: str) -> None:
+    if G.is_directed():
+        raise NotImplementedError(
+            f"{what} is implemented for undirected graphs; "
+            "convert with G.to_undirected()")
+
+
+def _vid(G, n) -> int:
+    nodes = G._sorted_nodes()
+    i = int(np.searchsorted(nodes, n))
+    if i >= len(nodes) or nodes[i] != n:
+        raise KeyError(f"node {n!r} not in graph")
+    return i
+
+
+# ----------------------------------------------------------------------
+# centrality / ranking
+# ----------------------------------------------------------------------
+
+def pagerank(G, alpha: float = 0.85, max_iter: int = 100,
+             tol: float = 1.0e-6) -> dict:
+    """PageRank with uniform dangling redistribution (reference
+    semantics SURVEY §2.2; nx bridge signature ``builtin.py:48``).
+    Stops at ``max|Δr| < tol`` or ``max_iter`` rounds."""
+    if len(G) == 0:
+        return {}
+    ds = G._backing("main").pagerank(delta=alpha, max_round=max_iter,
+                                     tol=tol)
+    return _to_map(G, ds, "rank")
+
+
+def hits(G, max_iter: int = 100, tol: float = 1.0e-8,
+         normalized: bool = True):
+    """→ (hubs, authorities) dicts — bridge of ``builtin.py:53-60``
+    onto the engine's HITS (`apps/hits/hits.h:35-204`)."""
+    if len(G) == 0:
+        return {}, {}
+    ds = G._backing("both").engine.hits(
+        tolerance=tol, max_round=max_iter, normalized=normalized)
+    return _to_map(G, ds, "hub"), _to_map(G, ds, "auth")
+
+
+def degree_centrality(G) -> dict:
+    """deg/(n−1) — ``builtin.py:102-133`` /
+    `apps/centrality/degree/degree_centrality.h`."""
+    return _deg_centrality(G, "both")
+
+
+def in_degree_centrality(G) -> dict:
+    if not G.is_directed():
+        raise NotImplementedError("in_degree_centrality: directed only")
+    return _deg_centrality(G, "in")
+
+
+def out_degree_centrality(G) -> dict:
+    if not G.is_directed():
+        raise NotImplementedError("out_degree_centrality: directed only")
+    return _deg_centrality(G, "out")
+
+
+def _deg_centrality(G, mode: str) -> dict:
+    from graphscope_ray.graph.api import degrees
+
+    n = len(G)
+    if n == 0:
+        return {}
+    if n == 1:
+        return {next(iter(G)): 0.0}
+    _, ds = G._vid_edge_ds()
+    nodes = _pynodes(G)
+    scale = 1.0 / (n - 1)
+    out = {nd: 0.0 for nd in nodes}
+    for t in degrees(ds, mode=mode).iter_batches(batch_format="pyarrow"):
+        for i, d in zip(t["vid"].to_numpy(), t["degree"].to_numpy()):
+            out[nodes[int(i)]] = d * scale
+    return out
+
+
+def eigenvector_centrality(G, max_iter: int = 100, tol: float = 1e-06,
+                           weight: Optional[str] = None) -> dict:
+    """L2-normalized principal eigenvector of Aᵀ —
+    `apps/centrality/eigenvector/eigenvector_centrality.h` via the
+    engine's power iteration (``builtin.py:204`` bridge)."""
+    if weight is not None:
+        raise NotImplementedError(
+            "weighted eigenvector centrality is not supported")
+    if len(G) == 0:
+        return {}
+    ds = G._backing("main").engine.eigenvector_centrality(
+        tol=tol, max_round=max_iter)
+    return _to_map(G, ds, "centrality")
+
+
+def katz_centrality(G, alpha: float = 0.1, beta: float = 1.0,
+                    max_iter: int = 100, tol: float = 1e-06,
+                    normalized: bool = True) -> dict:
+    """x = α·Aᵀx + β, optionally L2-normalized —
+    `apps/centrality/katz/katz_centrality.h` (``builtin.py:255``)."""
+    if len(G) == 0:
+        return {}
+    ds = G._backing("main").engine.katz_centrality(
+        alpha=alpha, beta=beta, tol=tol, max_round=max_iter,
+        normalized=normalized)
+    return _to_map(G, ds, "centrality")
+
+
+# ----------------------------------------------------------------------
+# paths
+# ----------------------------------------------------------------------
+
+def has_path(G, source, target) -> bool:
+    """``builtin.py:344-360`` → `apps/sssp/sssp_has_path.h`."""
+    return bool(G._backing("main").engine.sssp_has_path(
+        _vid(G, source), _vid(G, target)))
+
+
+def single_source_dijkstra_path_length(G, source,
+                                       weight: str = "weight") -> dict:
+    """{node: distance} over reachable nodes — ``builtin.py:373-410``
+    → the engine's weighted SSSP (`apps/projected/sssp_projected.h`).
+    Missing edge weights default to 1."""
+    ds = G._backing("main", weight=weight).engine.sssp(_vid(G, source))
+    full = _to_map(G, ds, "dist")
+    return {n: d for n, d in full.items() if np.isfinite(d)}
+
+
+def shortest_path(G, source, weight: Optional[str] = None) -> dict:
+    """{node: path list} from ``source`` over reachable nodes —
+    ``builtin.py:361-371`` → `apps/sssp/sssp_path.h` predecessors,
+    reconstructed driver-side (paths are driver-sized by contract)."""
+    svid = _vid(G, source)
+    ds = G._backing("main", weight=weight).engine.sssp_path(
+        svid, unit=weight is None)
+    nodes = _pynodes(G)
+    dist = np.full(len(nodes), np.inf)
+    pred = np.full(len(nodes), -1, dtype=np.int64)
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        v = t["vid"].to_numpy()
+        dist[v] = t["dist"].to_numpy()
+        pred[v] = t["pred"].to_numpy()
+    paths = {}
+    for v in range(len(nodes)):
+        if not np.isfinite(dist[v]):
+            continue
+        path, cur = [], v
+        while cur != svid:
+            path.append(cur)
+            cur = int(pred[cur])
+        path.append(svid)
+        paths[nodes[v]] = [nodes[i] for i in reversed(path)]
+    return paths
+
+
+def average_shortest_path_length(G, weight: Optional[str] = None) -> float:
+    """``builtin.py:412-444`` → `apps/sssp/sssp_average_length.h`:
+    mean distance over ordered reachable pairs (s ≠ t). Raises on a
+    disconnected undirected graph (networkx convention); on digraphs
+    it follows the reference app and averages the reachable pairs."""
+    n = len(G)
+    if n < 2:
+        return 0.0
+    if not G.is_directed() and not is_connected(G):
+        raise ValueError("Graph is not connected")
+    return float(G._backing("main", weight=weight)
+                 .engine.sssp_average_length(unit=weight is None))
+
+
+def bfs_edges(G, source, depth_limit: Optional[int] = None) -> list:
+    """BFS tree edges, parents before children (ordered by depth, then
+    node id) — ``builtin.py:446-483`` → `apps/bfs/bfs_generic.h`.
+    The tree matches networkx's depths; tie-broken by min node id."""
+    svid = _vid(G, source)
+    ds = G._backing("main").engine.sssp_path(svid, unit=True)
+    nodes = _pynodes(G)
+    rows = []
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        v = t["vid"].to_numpy()
+        d = t["dist"].to_numpy()
+        p = t["pred"].to_numpy()
+        keep = np.isfinite(d) & (v != svid)
+        if depth_limit is not None:
+            keep &= d <= depth_limit
+        rows.append((v[keep], d[keep], p[keep]))
+    if not rows:
+        return []
+    v = np.concatenate([r[0] for r in rows])
+    d = np.concatenate([r[1] for r in rows])
+    p = np.concatenate([r[2] for r in rows])
+    order = np.lexsort((v, d))
+    return [(nodes[int(p[i])], nodes[int(v[i])]) for i in order]
+
+
+def bfs_predecessors(G, source, depth_limit: Optional[int] = None) -> list:
+    """[(node, predecessor)] — ``builtin.py:484-488``."""
+    return [(v, u) for u, v in bfs_edges(G, source, depth_limit)]
+
+
+def bfs_successors(G, source, depth_limit: Optional[int] = None) -> list:
+    """[(node, [children])] in BFS order — ``builtin.py:490-493``."""
+    out: dict = {}
+    for u, v in bfs_edges(G, source, depth_limit):
+        out.setdefault(u, []).append(v)
+    return list(out.items())
+
+
+def bfs_tree(G, source, depth_limit: Optional[int] = None):
+    """Oriented BFS tree as a facade DiGraph — ``builtin.py:495-530``
+    (the reference builds an nx.DiGraph from bfs_edges the same way)."""
+    from graphscope_ray.nx.classes import DiGraph
+
+    T = DiGraph(num_parts=G._num_parts)
+    T.add_node(source)
+    T.add_edges_from(bfs_edges(G, source, depth_limit))
+    return T
+
+
+# ----------------------------------------------------------------------
+# cores / clustering
+# ----------------------------------------------------------------------
+
+def k_core(G, k: Optional[int] = None):
+    """k-core subgraph (max-k main core when ``k`` is None) —
+    ``builtin.py:532-559`` → `apps/kcore/kcore.h:31-129`. Returns a
+    facade subgraph (networkx-typed; the reference returns flags)."""
+    _require_undirected(G, "k_core")
+    if len(G) == 0:
+        return G.copy()
+    eng = G._backing("main").engine
+    nodes = _pynodes(G)
+
+    def members(kk: int) -> np.ndarray:
+        ds = eng.kcore(kk)
+        keep = []
+        for t in ds.iter_batches(batch_format="pyarrow"):
+            v = t["vid"].to_numpy()
+            f = t["in_core"].to_numpy()
+            keep.append(v[f.astype(bool)])
+        return np.concatenate(keep) if keep else np.array([], dtype=np.int64)
+
+    if k is not None:
+        m = members(k)
+    else:
+        m = np.arange(len(nodes))
+        kk = 1
+        while True:
+            nxt = members(kk)
+            if len(nxt) == 0:
+                break
+            m = nxt
+            kk += 1
+    return G.subgraph([nodes[int(i)] for i in m])
+
+
+def core_number(G) -> dict:
+    """{node: core number} via iterated peeling (k-shell sweep —
+    `apps/kshell/kshell.h` semantics)."""
+    _require_undirected(G, "core_number")
+    out = {n: 0 for n in G}
+    if len(G) == 0:
+        return out
+    eng = G._backing("main").engine
+    nodes = _pynodes(G)
+    kk = 1
+    while True:
+        ds = eng.kcore(kk)
+        any_in = False
+        for t in ds.iter_batches(batch_format="pyarrow"):
+            v = t["vid"].to_numpy()
+            f = t["in_core"].to_numpy().astype(bool)
+            for i in v[f]:
+                out[nodes[int(i)]] = kk
+                any_in = True
+        if not any_in:
+            return out
+        kk += 1
+
+
+def triangles(G, nodes=None) -> dict:
+    """Per-vertex triangle counts — ``builtin.py:635-661`` →
+    `apps/clustering/triangles.h` on the resident pool. Self-loops
+    are ignored (both conventions agree)."""
+    _require_undirected(G, "triangles")
+    if len(G) == 0:
+        return {}
+    ds = G._backing("main").triangles()
+    full = _to_map(G, ds, "tri_cnt", cast=int)
+    # engine covers every vertex of the store (vid space = all nodes)
+    if nodes is None:
+        return full
+    if not isinstance(nodes, (list, tuple, set, frozenset, np.ndarray)):
+        return full[nodes]  # single node, networkx-style
+    return {n: full[n] for n in nodes}
+
+
+def clustering(G) -> dict:
+    """Local clustering coefficient — ``builtin.py:561-634`` →
+    `apps/clustering/clustering.h` (0 for degree < 2)."""
+    _require_undirected(G, "clustering")
+    from graphscope_ray.graph.api import clustering as _cc
+
+    out = {n: 0.0 for n in G}
+    if G.number_of_edges() == 0:
+        return out
+    _, ds = G._vid_edge_ds(drop_self_loops=True)
+    nodes = _pynodes(G)
+    for t in _cc(ds).iter_batches(batch_format="pyarrow"):
+        for i, c in zip(t["vid"].to_numpy(), t["clustering"].to_numpy()):
+            out[nodes[int(i)]] = float(c)
+    return out
+
+
+def transitivity(G) -> float:
+    """3·triangles / wedges — ``builtin.py:663-668`` →
+    `apps/clustering/transitivity.h`."""
+    _require_undirected(G, "transitivity")
+    from graphscope_ray.graph.api import transitivity as _t
+
+    if G.number_of_edges() == 0:
+        return 0.0
+    _, ds = G._vid_edge_ds(drop_self_loops=True)
+    return float(_t(ds))
+
+
+def average_clustering(G, nodes=None, count_zeros: bool = True) -> float:
+    """Mean local clustering — ``builtin.py:670-717`` →
+    `apps/clustering/avg_clustering.h`, with networkx's ``nodes`` /
+    ``count_zeros`` options applied to the distributed result."""
+    cc = clustering(G)
+    vals = [cc[n] for n in (nodes if nodes is not None else cc)]
+    if not count_zeros:
+        vals = [v for v in vals if v > 0]
+    return float(np.mean(vals)) if vals else 0.0
+
+
+# ----------------------------------------------------------------------
+# connectivity
+# ----------------------------------------------------------------------
+
+def _components(G, mode: str):
+    eng_graph = G._backing(mode)
+    ds = eng_graph.wcc()
+    comp = _to_map(G, ds, "comp", cast=int)
+    groups: dict = {}
+    for n, c in comp.items():
+        groups.setdefault(c, set()).add(n)
+    for c in sorted(groups):
+        yield groups[c]
+
+
+def connected_components(G):
+    """Generator of node sets, ordered by min member id (components of
+    the undirected graph; ``builtin.py:719`` twin for Graph)."""
+    _require_undirected(G, "connected_components")
+    return _components(G, "main")
+
+
+def weakly_connected_components(G):
+    """``builtin.py:719`` — weak components of a DiGraph."""
+    if not G.is_directed():
+        return _components(G, "main")
+    return _components(G, "sym")
+
+
+def number_connected_components(G) -> int:
+    return sum(1 for _ in connected_components(G))
+
+
+def number_weakly_connected_components(G) -> int:
+    return sum(1 for _ in weakly_connected_components(G))
+
+
+def is_connected(G) -> bool:
+    _require_undirected(G, "is_connected")
+    if len(G) == 0:
+        raise ValueError("connectivity is undefined for the null graph")
+    return number_connected_components(G) == 1
+
+
+def is_weakly_connected(G) -> bool:
+    if len(G) == 0:
+        raise ValueError("connectivity is undefined for the null graph")
+    return number_weakly_connected_components(G) == 1

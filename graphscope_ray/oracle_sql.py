@@ -731,7 +731,8 @@ def rolling_window_sql(window_days: int = 7) -> str:
     return f"""
 SELECT event_id, user_id, ts,
   count(*) OVER w AS w_count,
-  sum(CAST(round(value * 1000000) AS BIGINT)) OVER w AS w_sum_e6
+  CAST(sum(CAST(round(value * 1000000) AS BIGINT)) OVER w
+       AS BIGINT) AS w_sum_e6
 FROM events
 WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL {window_days} DAY PRECEDING
