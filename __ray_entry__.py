@@ -941,6 +941,33 @@ def _q_pg_wcc(sf_dir):
     return g.to_oid(g.wcc(), vid_cols=("vid", "comp"))
 
 
+def _q_pg_nx_wcc(sf_dir):
+    """NetworkX-facade bridge row: the same partgraph components
+    computed through graphscope_ray.nx (facade Graph → distributed
+    engine → networkx-typed component sets), proving the NX emulation
+    layer (reference python/graphscope/nx/algorithms/builtin.py:719)
+    against the same DuckDB twin as pg_wcc."""
+    import pandas as pd
+
+    import graphscope_ray.nx as gnx
+
+    _, edges = _partgraph(sf_dir)
+    G = gnx.Graph()
+    for t in edges.select_columns(["src", "dst"]).iter_batches(
+            batch_format="pyarrow"):
+        G.add_edges_from(zip(t["src"].to_numpy().tolist(),
+                             t["dst"].to_numpy().tolist()))
+    try:
+        rows = []
+        for comp in gnx.connected_components(G):
+            c = min(comp)
+            rows.extend((n, c) for n in comp)
+    finally:
+        G.close()
+    rows.sort()
+    return pd.DataFrame(rows, columns=["vid", "comp"])
+
+
 def _q_pg_cdlp(sf_dir):
     g, _ = _partgraph(sf_dir)
     return g.to_oid(g.cdlp(max_round=CDLP_ROUNDS), vid_cols=("vid", "label"))
@@ -1521,7 +1548,7 @@ ev AS MATERIALIZED (
     FROM p{hop-1} p JOIN ev ON ev.s = p.vid) WHERE rn = 1)""")
     body = ",\n".join(parts[1:])
     selects = "\nUNION ALL ".join(
-        f"SELECT path_id, {hop} AS hop, vid FROM p{hop}"
+        f"SELECT path_id, {hop}::BIGINT AS hop, vid FROM p{hop}"
         for hop in range(0, length + 1))
     return (f"{parts[0]}\n{body}\n"
             f"SELECT u.path_id, u.hop, vm.v AS vid\n"
@@ -2232,6 +2259,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_pagerank": _q_pg_pagerank,
         "pg_ppr": _q_pg_ppr,
         "pg_wcc": _q_pg_wcc,
+        "pg_nx_wcc": _q_pg_nx_wcc,
         "pg_cdlp": _q_pg_cdlp,
         "pg_bfs": _q_pg_bfs,
         "pg_triangles": _q_pg_triangles,
@@ -2364,6 +2392,7 @@ FROM deg ORDER BY vid""",
         "pg_pagerank": _pagerank_sql(PR_ROUNDS, DELTA),
         "pg_ppr": _ppr_sql(4, DELTA, n_seeds=3),
         "pg_wcc": _WCC_SQL,
+        "pg_nx_wcc": _WCC_SQL,
         "pg_cdlp": _cdlp_sql(CDLP_ROUNDS),
         "pg_bfs": _BFS_SQL,
         "pg_triangles": f"""
