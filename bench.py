@@ -423,6 +423,57 @@ def run_scaling_data_job() -> dict:
     return out
 
 
+def run_scaling_tri_job() -> dict:
+    """Triangles scaling child — the COMPUTE-BOUND counterpoint to the
+    DRAM-bandwidth-bound superstep loop: wedge intersection does O(Σd²)
+    integer work per byte moved, so it keeps scaling past the ~8-core
+    memory-system ceiling that flattens PageRank edges/sec on one box
+    (BASELINE.md "DRAM ceiling"). Times the SECOND run (per-actor
+    scratch already faulted; warm ≈ compute — the first-touch
+    protocol in README "performance shape")."""
+    import ray
+    import ray.data
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+    V = int(os.environ.get("GRAFT_SCALE_TRI_V", 200_000))
+    E = int(os.environ.get("GRAFT_SCALE_TRI_E", 16_000_000))
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from graphscope_ray.graph.api import Graph
+    from graphscope_ray.synth import synth_edge_dataset
+
+    edges = synth_edge_dataset(V, E)
+    g = Graph.from_edges(
+        edges,
+        workdir=f"/tmp/gsr-scale-tri-{num_cpus}",
+        oid_space=False,
+        num_vertices=V,
+        num_parts=num_cpus,
+        symmetrize=True,
+        hub_threshold=1_000_000,
+    )
+    eng = g.engine
+    total0 = int(eng.triangles().sum("tri_cnt"))  # warm scratch + cache
+    t0 = time.perf_counter()
+    total = int(eng.triangles().sum("tri_cnt"))
+    sec = time.perf_counter() - t0
+    assert total == total0
+    out = {
+        "num_cpus": num_cpus, "V": V,
+        "E_undirected": g.store.meta["num_edges"] // 2,
+        "triangles_sec": round(sec, 3),
+        "triangle_total": total // 3,
+        "tri_per_sec": round(total / 3 / max(sec, 1e-9), 1),
+    }
+    g.close()
+    ray.shutdown()
+    return out
+
+
 def run_child(ncpu: int, extra=()) -> dict:
     """Fresh process at the given parallelism level. ``ray.init(
     num_cpus=N)`` only gates Ray's scheduler bookkeeping — resident
@@ -449,6 +500,9 @@ def main():
     if "--scaling-data-child" in sys.argv:
         print(json.dumps(run_scaling_data_job()))
         return
+    if "--scaling-tri-child" in sys.argv:
+        print(json.dumps(run_scaling_tri_job()))
+        return
     if "--scaling" in sys.argv:
         # N and 4N CPUs, both physically pinned (taskset). Default 2→8:
         # the superstep loop is DRAM-bandwidth-bound above ~8 cores on a
@@ -471,6 +525,15 @@ def main():
             print(f"scaling-data child failed: {e}", file=sys.stderr)
             d_lo = d_hi = {"n_docs": 0, "curation_docs_per_sec": 0,
                            "minhash_docs_per_sec": 0}
+        # third scaling datum: triangles — compute-bound, shows the
+        # engine keeps scaling where the superstep loop hits the
+        # single-box DRAM ceiling.
+        try:
+            t_lo = run_child(lo, ["--scaling-tri-child"])
+            t_hi = run_child(hi, ["--scaling-tri-child"])
+        except Exception as e:  # noqa: BLE001
+            print(f"scaling-tri child failed: {e}", file=sys.stderr)
+            t_lo = t_hi = {"tri_per_sec": 0, "triangles_sec": 0.0}
 
         def _eff(a, b):
             return round((b / a) / (hi / lo), 3) if a else 0.0
@@ -495,6 +558,10 @@ def main():
             "minhash_scaling_efficiency": _eff(
                 d_lo["minhash_docs_per_sec"],
                 d_hi["minhash_docs_per_sec"]),
+            "triangles_sec_lo": t_lo["triangles_sec"],
+            "triangles_sec_hi": t_hi["triangles_sec"],
+            "triangles_scaling_efficiency": _eff(
+                t_lo["tri_per_sec"], t_hi["tri_per_sec"]),
         }))
         return
     print(json.dumps(run_bench()))
