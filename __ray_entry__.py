@@ -38,6 +38,7 @@ import ray.data
 
 DELTA = 0.85
 PR_ROUNDS = 10
+PR_PREGEL_ROUNDS = 5
 CDLP_ROUNDS = 5
 # BFS depth cap applied symmetrically: the SQL oracle's recursive CTE
 # stops at this depth AND the Ray query passes max_iter=BFS_CAP, so both
@@ -821,6 +822,64 @@ def _q_pg_pagerank(sf_dir):
     g, _ = _partgraph(sf_dir)
     pr = g.pagerank(delta=DELTA, max_round=PR_ROUNDS)
     return _round_col(g.to_oid(pr), "rank")
+
+
+def _q_pg_pagerank_pregel(sf_dir):
+    """The reference's SECOND in-repo PageRank — the Pregel variant
+    (apps/pregel/pagerank_pregel.h:43-94: textbook
+    value = δ·Σmsgs + (1−δ)/N, NO dangling redistribution) — run
+    through the vectorized VertexProgram surface over the DIRECTED
+    co-occurrence graph (src < dst), where dangling sinks exist and
+    the two semantics genuinely differ (SURVEY §2.2; the symmetrized
+    pg_pagerank graph has no dangling vertices, so only this row
+    separates them). Transient single-consumer pool."""
+    from graphscope_ray.graph.api import Graph
+    from graphscope_ray.graph.program import PageRankProgram
+    from graphscope_ray.pipelines.partgraph import partgraph_edges
+
+    edges = partgraph_edges(sf_dir).select_columns(["src", "dst"])
+    g = Graph.from_edges(
+        edges,
+        workdir=f"/tmp/gsr-pregelpr-{abs(hash(sf_dir)) % 10**8}",
+    )
+    try:
+        out = g.engine.run_program(PageRankProgram(DELTA),
+                                   max_round=PR_PREGEL_ROUNDS)
+        return _round_col(g.to_oid(out), "rank").materialize()
+    finally:
+        g.close()
+
+
+def _pregel_pagerank_sql(rounds: int, delta: float) -> str:
+    """Unrolled twin of _q_pg_pagerank_pregel: directed edges only,
+    dangling out-mass simply lost (pagerank_pregel.h semantics)."""
+    pre = """
+occ AS MATERIALIZED (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+ed AS MATERIALIZED (SELECT a.l_partkey AS src, b.l_partkey AS dst
+       FROM occ a JOIN occ b
+         ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+       GROUP BY 1, 2),
+vd AS MATERIALIZED (SELECT DISTINCT v FROM
+      (SELECT src AS v FROM ed UNION ALL SELECT dst FROM ed)),
+odeg AS MATERIALIZED (SELECT src AS v, count(*)::BIGINT AS d
+      FROM ed GROUP BY src),
+nd AS MATERIALIZED (SELECT count(*) AS c FROM vd)"""
+    parts = [f"WITH {pre},",
+             "p0 AS MATERIALIZED (SELECT vd.v, "
+             "1.0 / (SELECT c FROM nd) AS r FROM vd)"]
+    for k in range(1, rounds + 1):
+        parts.append(f"""p{k} AS MATERIALIZED (
+  SELECT vd.v,
+         {delta} * COALESCE(m.s, 0) + {1 - delta} / (SELECT c FROM nd) AS r
+  FROM vd LEFT JOIN (
+    SELECT ed.dst AS v, sum(p{k-1}.r / odeg.d) AS s
+    FROM ed JOIN p{k-1} ON p{k-1}.v = ed.src
+            JOIN odeg ON odeg.v = ed.src
+    GROUP BY ed.dst) m ON m.v = vd.v)""")
+    body = ",\n".join(parts[1:])
+    return (f"{parts[0]}\n{body}\n"
+            f"SELECT v AS vid, round(r, 6) AS rank FROM p{rounds} "
+            f"ORDER BY vid")
 
 
 def _q_pg_ppr(sf_dir):
@@ -2257,6 +2316,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_degree": _q_pg_degree,
         "pg_degree_centrality": _q_pg_degree_centrality,
         "pg_pagerank": _q_pg_pagerank,
+        "pg_pagerank_pregel": _q_pg_pagerank_pregel,
         "pg_ppr": _q_pg_ppr,
         "pg_wcc": _q_pg_wcc,
         "pg_nx_wcc": _q_pg_nx_wcc,
@@ -2390,6 +2450,7 @@ SELECT v AS vid,
        round(d::DOUBLE / ((SELECT c FROM n) - 1), 6) AS centrality
 FROM deg ORDER BY vid""",
         "pg_pagerank": _pagerank_sql(PR_ROUNDS, DELTA),
+        "pg_pagerank_pregel": _pregel_pagerank_sql(PR_PREGEL_ROUNDS, DELTA),
         "pg_ppr": _ppr_sql(4, DELTA, n_seeds=3),
         "pg_wcc": _WCC_SQL,
         "pg_nx_wcc": _WCC_SQL,
