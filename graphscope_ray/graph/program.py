@@ -137,6 +137,52 @@ class PageRankProgram(VertexProgram):
         return delta_max, 0.0
 
 
+class NXPageRankProgram(VertexProgram):
+    """networkx-exact PageRank (uniform personalization): dangling
+    vertices KEEP their incoming mass and their mass is redistributed
+    uniformly each round via a global ``sum`` aggregator —
+    ``x' = δ·(xP + D(x)/N·1) + (1−δ)/N·1`` with ``D(x) = Σ_dangling x``.
+
+    This is deliberately NOT the reference benchmark PageRank
+    (``benchmarks/apps/pagerank/pagerank.h:160-170`` stores only
+    ``base`` on dangling vertices, ignoring their in-mass), which is
+    why the reference's nx bridge leaves ``pagerank`` unimplemented
+    (``nx/algorithms/builtin.py:48-50``). The nx facade
+    (graphscope_ray.nx) uses this program to close that gap.
+
+    Round 1 only publishes the initial dangling mass (state unchanged);
+    updates run from round 2 — callers add one to ``max_round``."""
+
+    combine = "sum"
+    result_columns = ("rank",)
+    aggregators = {"dangling": "sum"}
+
+    def __init__(self, delta: float = 0.85):
+        self.delta = delta
+
+    def init(self, ctx):
+        return {"rank": np.full(ctx.nlocal, 1.0 / ctx.num_vertices)}
+
+    def message(self, ctx, state):
+        if ctx.round == 1:
+            return None  # publish-only round
+        out = np.zeros(ctx.nlocal)
+        nz = ctx.out_deg > 0
+        out[nz] = state["rank"][nz] / ctx.out_deg[nz]
+        return out
+
+    def apply(self, ctx, state, incoming, agg):
+        dang = ctx.out_deg == 0
+        if ctx.round == 1:
+            return 1.0, {"dangling": float(state["rank"][dang].sum())}
+        d_mass = agg["dangling"] if agg else 0.0
+        new = (self.delta * (incoming + d_mass / ctx.num_vertices)
+               + (1 - self.delta) / ctx.num_vertices)
+        delta_max = float(np.abs(new - state["rank"]).max(initial=0.0))
+        state["rank"] = new
+        return delta_max, {"dangling": float(new[dang].sum())}
+
+
 class GlobalStatsProgram(VertexProgram):
     """Example exercising the aggregator zoo: round 1 publishes each
     partition's local-vid sum plus two flags; round 2 writes the

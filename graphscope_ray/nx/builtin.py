@@ -76,13 +76,18 @@ def _vid(G, n) -> int:
 
 def pagerank(G, alpha: float = 0.85, max_iter: int = 100,
              tol: float = 1.0e-6) -> dict:
-    """PageRank with uniform dangling redistribution (reference
-    semantics SURVEY §2.2; nx bridge signature ``builtin.py:48``).
-    Stops at ``max|Δr| < tol`` or ``max_iter`` rounds."""
+    """networkx-exact PageRank (nx bridge signature ``builtin.py:48``
+    — left NotImplementedError in the reference because the benchmark
+    PageRank treats dangling in-mass differently; here closed with
+    :class:`NXPageRankProgram`, which redistributes dangling mass the
+    way nx.pagerank does). Stops at ``Σ_P max|Δr| < tol`` or
+    ``max_iter`` update rounds."""
     if len(G) == 0:
         return {}
-    ds = G._backing("main").pagerank(delta=alpha, max_round=max_iter,
-                                     tol=tol)
+    from graphscope_ray.graph.program import NXPageRankProgram
+
+    ds = G._backing("main").engine.run_program(
+        NXPageRankProgram(alpha), max_round=max_iter + 1, tol=tol)
     return _to_map(G, ds, "rank")
 
 

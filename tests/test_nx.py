@@ -108,6 +108,24 @@ def test_pagerank(und, dig):
         assert _close(a, b, 1e-8)
 
 
+def test_pagerank_dangling():
+    """Directed sinks: nx redistributes dangling in-mass uniformly
+    (NXPageRankProgram), unlike the GAE benchmark PageRank which is
+    why the reference nx bridge leaves pagerank unimplemented
+    (nx/algorithms/builtin.py:48-50)."""
+    h = nx.DiGraph([(0, 1), (0, 2), (1, 2), (3, 2), (2, 4)])
+    h.add_node(5)  # isolated = dangling too
+    g = gnx.DiGraph(num_parts=2)
+    g.add_nodes_from(h.nodes)
+    g.add_edges_from(h.edges)
+    try:
+        a = gnx.pagerank(g, tol=1e-12, max_iter=300)
+        b = _pagerank_python(h, tol=1e-13, max_iter=600)
+        assert _close(a, b, 1e-8)
+    finally:
+        g.close()
+
+
 def test_hits(dig):
     g, h = dig
     hub_g, auth_g = gnx.hits(g, tol=1e-13, max_iter=1000)
