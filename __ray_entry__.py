@@ -747,6 +747,180 @@ JOIN (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem) l
 ORDER BY v0, v1, v2"""
 
 
+# ----------------------------------------------------------------------
+# GIE-lite traversal rows (graphscope_ray/gie/): Gremlin-style steps
+# over the natural TPC-H labeled property graph. Reference surface:
+# interactive_engine query_flow.proto:65-116 operator enum.
+# ----------------------------------------------------------------------
+
+
+def _gie_graph(sf_dir: str):
+    """customer -[places]-> order -[contains {qty}]-> part, labeled
+    property graph for the GIE traversal rows. Vertex ids namespaced
+    key*4+typecode (0=customer, 1=order, 2=part) so the three key
+    spaces cannot collide — SQL twins decode with integer divide."""
+    key = ("gie", sf_dir)
+    if key in _CACHE:
+        return _CACHE[key]
+    from graphscope_ray.gie import PropertyGraph
+    import pyarrow.compute as pc
+
+    def enc(col, code):
+        return pc.add(pc.multiply(col, 4), code)
+
+    cust = ray.data.read_parquet(f"{sf_dir}/customer.parquet",
+                                 columns=["c_custkey", "c_acctbal"])
+    orders = ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                                   columns=["o_orderkey", "o_custkey",
+                                            "o_totalprice"])
+    li = ray.data.read_parquet(f"{sf_dir}/lineitem.parquet",
+                               columns=["l_orderkey", "l_partkey",
+                                        "l_quantity"])
+    part = ray.data.read_parquet(f"{sf_dir}/part.parquet",
+                                 columns=["p_partkey", "p_retailprice"])
+
+    def v_cust(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": enc(t["c_custkey"], 0),
+            "label": pa.array(["customer"] * len(t), pa.string()),
+            "acctbal": t["c_acctbal"],
+            "totalprice": pa.nulls(len(t), pa.float64()),
+            "retailprice": pa.nulls(len(t), pa.float64())})
+
+    def v_ord(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": enc(t["o_orderkey"], 1),
+            "label": pa.array(["order"] * len(t), pa.string()),
+            "acctbal": pa.nulls(len(t), pa.float64()),
+            "totalprice": t["o_totalprice"],
+            "retailprice": pa.nulls(len(t), pa.float64())})
+
+    def v_part(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "id": enc(t["p_partkey"], 2),
+            "label": pa.array(["part"] * len(t), pa.string()),
+            "acctbal": pa.nulls(len(t), pa.float64()),
+            "totalprice": pa.nulls(len(t), pa.float64()),
+            "retailprice": t["p_retailprice"]})
+
+    verts = (cust.map_batches(v_cust, batch_format="pyarrow")
+             .union(orders.select_columns(["o_orderkey", "o_totalprice"])
+                    .map_batches(v_ord, batch_format="pyarrow"))
+             .union(part.map_batches(v_part, batch_format="pyarrow")))
+
+    def e_places(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": enc(t["o_custkey"], 0),
+            "dst": enc(t["o_orderkey"], 1),
+            "label": pa.array(["places"] * len(t), pa.string()),
+            "qty": pa.nulls(len(t), pa.float64())})
+
+    def e_contains(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": enc(t["l_orderkey"], 1),
+            "dst": enc(t["l_partkey"], 2),
+            "label": pa.array(["contains"] * len(t), pa.string()),
+            "qty": t["l_quantity"]})
+
+    edges = (orders.select_columns(["o_orderkey", "o_custkey"])
+             .map_batches(e_places, batch_format="pyarrow")
+             .union(li.map_batches(e_contains, batch_format="pyarrow")))
+    g = PropertyGraph(verts.materialize(), edges.materialize())
+    _CACHE[key] = g
+    return g
+
+
+def _gie_decode(ds, mapping):
+    """Decode namespaced vids back to raw TPC-H keys (// 4) and rename
+    for the SQL twin; non-vid columns pass through under new names."""
+    import pyarrow.compute as pc
+
+    def f(t: pa.Table) -> pa.Table:
+        cols = {}
+        for src_col, (out_col, is_vid) in mapping.items():
+            c = t[src_col]
+            cols[out_col] = pc.divide(c, 4) if is_vid else c
+        return pa.table(cols)
+
+    return ds.map_batches(f, batch_format="pyarrow")
+
+
+def _q_gie_part_reach(sf_dir):
+    """V('customer').has(acctbal>0).out('places').out('contains')
+    .group_count() — parts reached from in-credit customers, bag
+    semantics (one count per lineitem row). Ops: V/HAS/OUT/
+    GROUP_COUNT (query_flow.proto ops 0/20/2/19)."""
+    from graphscope_ray.gie import P
+    g = _gie_graph(sf_dir)
+    gc = (g.V("customer").has("acctbal", P.gt(0.0))
+          .out("places").out("contains").group_count())
+    return _gie_decode(gc, {"t": ("partkey", True),
+                            "count": ("n_reach", False)})
+
+
+_GIE_PART_REACH_SQL = """
+SELECT l.l_partkey AS partkey, count(*)::BIGINT AS n_reach
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_acctbal > 0
+GROUP BY 1 ORDER BY partkey"""
+
+
+def _q_gie_heavy_parts(sf_dir):
+    """V('order').outE('contains').has(qty>=48).inV().dedup() — the
+    distinct parts that ever ship in near-full quantity. Ops:
+    OUT_E/HAS(edge prop)/IN_V/DEDUP (ops 5/20/9/18)."""
+    from graphscope_ray.gie import P
+    g = _gie_graph(sf_dir)
+    t = (g.V("order").outE("contains").has("qty", P.gte(48.0))
+         .inV().dedup())
+    return _gie_decode(t.dataset(), {"t": ("partkey", True)})
+
+
+_GIE_HEAVY_PARTS_SQL = """
+SELECT DISTINCT l_partkey AS partkey FROM lineitem
+WHERE l_quantity >= 48 ORDER BY partkey"""
+
+
+def _q_gie_cust_big_orders(sf_dir):
+    """V('customer').as_('c').out('places').has(totalprice>100000)
+    .select('c').group_count() — big-ticket order counts per customer
+    via tag + jump-back. Ops: AS/SELECT_ONE/HAS/GROUP_COUNT
+    (ops 11/20/19 + tag store)."""
+    from graphscope_ray.gie import P
+    g = _gie_graph(sf_dir)
+    gc = (g.V("customer").as_("c").out("places")
+          .has("totalprice", P.gt(100_000.0))
+          .select("c").group_count())
+    return _gie_decode(gc, {"t": ("custkey", True),
+                            "count": ("n_big", False)})
+
+
+_GIE_CUST_BIG_ORDERS_SQL = """
+SELECT o_custkey AS custkey, count(*)::BIGINT AS n_big
+FROM orders WHERE o_totalprice > 100000
+GROUP BY 1 ORDER BY custkey"""
+
+
+def _q_gie_order_topk(sf_dir):
+    """V('order').order_by('totalprice', desc).limit(10) — ORDER +
+    RANGE (ops 14/15) with the per-block top-n combiner; ties broken
+    by vid (monotone in o_orderkey under the *4+1 encoding, so the
+    SQL twin's o_orderkey tiebreak agrees)."""
+    g = _gie_graph(sf_dir)
+    t = g.V("order").order_by("totalprice", ascending=False, limit=10)
+    return _round_col(
+        _gie_decode(t.dataset(), {"t": ("orderkey", True),
+                                  "totalprice": ("totalprice", False)}),
+        "totalprice")
+
+
+_GIE_ORDER_TOPK_SQL = """
+SELECT o_orderkey AS orderkey, round(o_totalprice, 6) AS totalprice
+FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
+
+
 def _q_pg_labeled_select(sf_dir):
     """LabeledVertexDataContext selector surface (reference
     context.py:305-329): label the partgraph vertices even/odd by oid
@@ -2354,6 +2528,10 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_string_oids": _q_pg_string_oids,
         "pg_labeled_select": _q_pg_labeled_select,
         "pg_pattern_paths": _q_pg_pattern_paths,
+        "gie_part_reach": _q_gie_part_reach,
+        "gie_heavy_parts": _q_gie_heavy_parts,
+        "gie_cust_big_orders": _q_gie_cust_big_orders,
+        "gie_order_topk": _q_gie_order_topk,
         "doc_sha256": _q_doc_sha256,
         "media_pipeline": _q_media_pipeline,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -2547,6 +2725,10 @@ GROUP BY b.v ORDER BY node""",
         "pg_string_oids": _string_oids_sql(PR_ROUNDS, DELTA),
         "pg_labeled_select": _labeled_select_sql(PR_ROUNDS, DELTA),
         "pg_pattern_paths": _PATTERN_PATHS_SQL,
+        "gie_part_reach": _GIE_PART_REACH_SQL,
+        "gie_heavy_parts": _GIE_HEAVY_PARTS_SQL,
+        "gie_cust_big_orders": _GIE_CUST_BIG_ORDERS_SQL,
+        "gie_order_topk": _GIE_ORDER_TOPK_SQL,
         "pg_transitivity": f"""
 WITH {_PRELUDE},
 {_TRI_CTE}

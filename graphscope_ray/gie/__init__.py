@@ -1,0 +1,7 @@
+"""GIE-lite: the reference interactive engine's core Gremlin traversal
+subset (query_flow.proto:65-116) re-expressed as streaming Ray Data
+pipelines. See traversal.py for the operator-by-operator mapping."""
+
+from graphscope_ray.gie.traversal import P, PropertyGraph, Traversal
+
+__all__ = ["P", "PropertyGraph", "Traversal"]

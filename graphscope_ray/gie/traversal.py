@@ -1,0 +1,612 @@
+"""Gremlin-style traversal core compiled to Ray Data (GIE-lite).
+
+The reference's interactive engine (GIE) compiles Gremlin traversals
+to a dataflow of operators — ``interactive_engine/src/common/proto/
+query_flow.proto:65-116`` enumerates V/E/OUT/IN/BOTH/OUT_E/IN_E/
+OUT_V/IN_V/HAS/WHERE/FILTER/DEDUP/COUNT/ORDER/RANGE/UNION/
+GROUP_COUNT/SELECT/PROP_VALUE/REPEAT/SIMPLE_PATH/PATH_OUT — executed
+by a Rust dataflow runtime (``src/executor/runtime/src/dataflow/plan/
+query_plan.rs``). SURVEY.md §2.7 scopes the full Gremlin engine out;
+this module re-expresses the *core traversal subset* Ray-Data-first:
+
+- a **traverser bag is a Dataset**: one row per traverser (Gremlin bag
+  semantics — multiplicities preserved), columns ``t`` (current
+  vertex id), ``tag_<name>`` (``as_`` labels), ``p<i>`` (optional path
+  history), or ``e_src/e_dst/e_<prop>`` for edge traversers;
+- a **hop is one exchange at most**: adjacency ≤ ``broadcast_limit``
+  edges per (direction, label) is broadcast once as a CSR triple
+  (``ray.put``, zero-copy reads in every task) and expanded with
+  ``searchsorted`` + ``np.repeat`` inside ``map_batches`` — zero
+  shuffle; above the limit the hop routes to ``cogroup_join`` (one
+  hash-co-grouping shuffle, never a driver materialization);
+- **dedup / group_count** use the house coarse-bucket kernels
+  (``util.bucketed_distinct`` / ``bucketed_sum``) so any key
+  cardinality stays vectorized;
+- **order().limit(n)** trims top-n per block first (combiner), then
+  performs one small global sort — ≤ n·#blocks rows ever shuffle.
+
+100 TB notes: property lookups ride ``joins.attach_values`` which
+broadcasts small vertex tables and falls back to a hash join above
+``BROADCAST_ROWS``; traverser datasets stream block-by-block through
+every step (no step materializes the bag). Path tracking widens each
+traverser row by one int64 per hop — bound hops when tracking paths.
+"""
+
+from __future__ import annotations
+
+import operator
+from typing import Callable, Optional, Sequence
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+
+import ray
+import ray.data
+
+from graphscope_ray.graph.joins import attach_values, cogroup_join
+from graphscope_ray.util import bucketed_distinct, bucketed_sum
+
+_BROADCAST_EDGES = 20_000_000
+
+
+class P:
+    """Gremlin-style predicate over a property column (HAS=20 /
+    FILTER=30 operands), applied vectorized to a numpy array."""
+
+    def __init__(self, fn: Callable[[np.ndarray], np.ndarray], repr_: str):
+        self._fn = fn
+        self._repr = repr_
+
+    def __call__(self, arr: np.ndarray) -> np.ndarray:
+        return self._fn(arr)
+
+    def __repr__(self) -> str:  # pragma: no cover - debug aid
+        return f"P({self._repr})"
+
+    @staticmethod
+    def eq(v):
+        return P(lambda a: a == v, f"== {v!r}")
+
+    @staticmethod
+    def neq(v):
+        return P(lambda a: a != v, f"!= {v!r}")
+
+    @staticmethod
+    def gt(v):
+        return P(lambda a: a > v, f"> {v!r}")
+
+    @staticmethod
+    def gte(v):
+        return P(lambda a: a >= v, f">= {v!r}")
+
+    @staticmethod
+    def lt(v):
+        return P(lambda a: a < v, f"< {v!r}")
+
+    @staticmethod
+    def lte(v):
+        return P(lambda a: a <= v, f"<= {v!r}")
+
+    @staticmethod
+    def within(*vs):
+        vals = list(vs[0]) if len(vs) == 1 and isinstance(
+            vs[0], (list, tuple, set)) else list(vs)
+        return P(lambda a: np.isin(a, vals), f"within {vals!r}")
+
+    @staticmethod
+    def between(lo, hi):
+        """Inclusive-exclusive, like Gremlin's P.between."""
+        return P(lambda a: (a >= lo) & (a < hi), f"[{lo!r}, {hi!r})")
+
+
+def _as_pred(value) -> P:
+    return value if isinstance(value, P) else P.eq(value)
+
+
+class PropertyGraph:
+    """A labeled property graph over two Datasets.
+
+    ``vertices``: columns ``(id:int64, label:string, <props>...)``.
+    ``edges``: columns ``(src:int64, dst:int64, label:string,
+    <props>...)``.  Vertex ids must be unique ACROSS labels (callers
+    namespace, e.g. ``key * 4 + label_code`` — SQL-replayable).
+
+    Mirrors the loading contract of the reference's interactive graph
+    (vineyard htap fragment: vertex/edge tables per label); here both
+    sides stay Ray Datasets and every traversal step streams.
+    """
+
+    def __init__(self, vertices: ray.data.Dataset,
+                 edges: ray.data.Dataset, *,
+                 broadcast_limit: int = _BROADCAST_EDGES):
+        self.vertices = vertices
+        self.edges = edges
+        self.broadcast_limit = broadcast_limit
+        self._csr_cache: dict = {}
+        self._edge_count: Optional[int] = None
+
+    # -- sources ----------------------------------------------------
+
+    def V(self, *labels: str, track_path: bool = False) -> "Traversal":
+        """V (op 0): one traverser per vertex (of ``labels``, if
+        given)."""
+        ds = self.vertices
+        if labels:
+            labs = list(labels)
+
+            def keep(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                return t.filter(pc.is_in(t["label"],
+                                         value_set=pa.array(labs)))
+
+            ds = ds.map_batches(keep, batch_format="pyarrow")
+
+        def to_trav(t: pa.Table) -> pa.Table:
+            cols = {"t": t["id"]}
+            if track_path:
+                cols["p0"] = t["id"]
+            return pa.table(cols)
+
+        return Traversal(self, ds.map_batches(to_trav,
+                                              batch_format="pyarrow"),
+                         kind="v", path_len=1 if track_path else 0)
+
+    def E(self, *labels: str) -> "Traversal":
+        """E (op 1): one traverser per edge."""
+        ds = self.edges
+        if labels:
+            labs = list(labels)
+
+            def keep(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                return t.filter(pc.is_in(t["label"],
+                                         value_set=pa.array(labs)))
+
+            ds = ds.map_batches(keep, batch_format="pyarrow")
+
+        def to_trav(t: pa.Table) -> pa.Table:
+            cols = {"e_src": t["src"], "e_dst": t["dst"]}
+            for name in t.schema.names:
+                if name not in ("src", "dst", "label"):
+                    cols[f"e_{name}"] = t[name]
+            return pa.table(cols)
+
+        return Traversal(self, ds.map_batches(to_trav,
+                                              batch_format="pyarrow"),
+                         kind="e")
+
+    # -- adjacency routing -------------------------------------------
+
+    def _edges_for(self, direction: str, label: Optional[str]
+                   ) -> ray.data.Dataset:
+        ds = self.edges
+        if label is not None:
+            lab = label
+
+            def keep(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                return t.filter(pc.equal(t["label"], lab))
+
+            ds = ds.map_batches(keep, batch_format="pyarrow")
+        if direction == "in":
+            from graphscope_ray.util import rename
+            ds = rename(ds.select_columns(["src", "dst"]),
+                        {"src": "dst", "dst": "src"})
+        else:
+            ds = ds.select_columns(["src", "dst"])
+        return ds
+
+    def _csr(self, direction: str, label: Optional[str]):
+        """Broadcast CSR for one (direction, label): sorted src array +
+        aligned dst array, put ONCE and probed zero-copy per batch."""
+        key = (direction, label)
+        if key not in self._csr_cache:
+            pdf = self._edges_for(direction, label).to_pandas()
+            if len(pdf) == 0:
+                src = np.empty(0, dtype=np.int64)
+                dst = np.empty(0, dtype=np.int64)
+            else:
+                src = pdf["src"].to_numpy().astype(np.int64, copy=False)
+                dst = pdf["dst"].to_numpy().astype(np.int64, copy=False)
+                order = np.argsort(src, kind="stable")
+                src, dst = src[order], dst[order]
+            self._csr_cache[key] = ray.put((src, dst))
+        return self._csr_cache[key]
+
+    def _use_broadcast(self) -> bool:
+        if self._edge_count is None:
+            self._edge_count = self.edges.count()
+        return self._edge_count <= self.broadcast_limit
+
+
+class Traversal:
+    """A lazy traverser bag. Every step returns a new Traversal; the
+    underlying Dataset executes as one streaming pipeline on the first
+    terminal (``count`` / ``to_pandas`` / ``dataset``)."""
+
+    def __init__(self, graph: PropertyGraph, ds: ray.data.Dataset, *,
+                 kind: str, path_len: int = 0):
+        self.graph = graph
+        self.ds = ds
+        self.kind = kind  # 'v' | 'e' | 'value'
+        self.path_len = path_len
+
+    # -- internals ----------------------------------------------------
+
+    def _require(self, kind: str, step: str) -> None:
+        if self.kind != kind:
+            raise TypeError(
+                f"{step}() needs a {kind!r}-traverser, have {self.kind!r}")
+
+    def _hop(self, direction: str, label: Optional[str]) -> "Traversal":
+        """OUT/IN (ops 2-3): expand each traverser along adjacency.
+        Broadcast-CSR (zero shuffle) or one cogroup_join exchange."""
+        self._require("v", direction)
+        new_p = f"p{self.path_len}" if self.path_len else None
+        if self.graph._use_broadcast():
+            ref = self.graph._csr(direction, label)
+
+            def expand(df: pd.DataFrame) -> pd.DataFrame:
+                src, dst = ray.get(ref)
+                t = df["t"].to_numpy()
+                lo = np.searchsorted(src, t, side="left")
+                hi = np.searchsorted(src, t, side="right")
+                cnt = hi - lo
+                total = int(cnt.sum())
+                rows = np.repeat(np.arange(len(df)), cnt)
+                out = df.iloc[rows].reset_index(drop=True)
+                if total:
+                    offs = np.arange(total) - np.repeat(
+                        np.cumsum(cnt) - cnt, cnt)
+                    nt = dst[np.repeat(lo, cnt) + offs]
+                else:
+                    nt = np.empty(0, dtype=np.int64)
+                out["t"] = nt
+                if new_p:
+                    out[new_p] = nt
+                return out
+
+            nds = self.ds.map_batches(expand, batch_format="pandas")
+        else:
+            edges = self.graph._edges_for(direction, label)
+            joined = cogroup_join(self.ds, edges, on="t",
+                                  right_on="src", value_cols=["dst"])
+
+            def finish(df: pd.DataFrame) -> pd.DataFrame:
+                df = df.drop(columns=["t"]).rename(columns={"dst": "t"})
+                if new_p:
+                    df[new_p] = df["t"].to_numpy()
+                return df
+
+            nds = joined.map_batches(finish, batch_format="pandas")
+        return Traversal(self.graph, nds, kind="v",
+                         path_len=self.path_len + 1 if self.path_len
+                         else 0)
+
+    def _attach_vprops(self, props: Sequence[str],
+                       out_names: Sequence[str]) -> ray.data.Dataset:
+        """Pull vertex properties onto traverser rows (PROP_FILL=42):
+        broadcast-or-join via attach_values."""
+        vt = self.graph.vertices.select_columns(["id", *props])
+        from graphscope_ray.util import rename as _rn
+        if list(props) != list(out_names):
+            vt = _rn(vt, dict(zip(props, out_names)))
+        return attach_values(self.ds, vt, on="t", table_key="id",
+                             value_names=list(out_names))
+
+    # -- steps: movement ---------------------------------------------
+
+    def out(self, label: Optional[str] = None) -> "Traversal":
+        return self._hop("out", label)
+
+    def in_(self, label: Optional[str] = None) -> "Traversal":
+        return self._hop("in", label)
+
+    def both(self, label: Optional[str] = None) -> "Traversal":
+        """BOTH (op 4): one traverser per incident edge in each
+        direction — the union of the out- and in-expansions."""
+        a = self._hop("out", label)
+        b = self._hop("in", label)
+        return Traversal(self.graph, a.ds.union(b.ds), kind="v",
+                         path_len=a.path_len)
+
+    def outE(self, label: Optional[str] = None) -> "Traversal":
+        """OUT_E (op 5): move onto the outgoing edges, carrying edge
+        properties as ``e_<prop>`` columns."""
+        self._require("v", "outE")
+        edges = self.graph.edges
+        if label is not None:
+            lab = label
+
+            def keep(t: pa.Table) -> pa.Table:
+                import pyarrow.compute as pc
+                return t.filter(pc.equal(t["label"], lab))
+
+            edges = edges.map_batches(keep, batch_format="pyarrow")
+        prop_cols = [c for c in edges.schema().names
+                     if c not in ("src", "dst", "label")]
+        from graphscope_ray.util import rename as _rn
+        edges = _rn(edges.drop_columns(["label"]),
+                    {"dst": "e_dst",
+                     **{c: f"e_{c}" for c in prop_cols}})
+        joined = cogroup_join(
+            self.ds, edges, on="t", right_on="src",
+            value_cols=["e_dst"] + [f"e_{c}" for c in prop_cols])
+
+        def finish(df: pd.DataFrame) -> pd.DataFrame:
+            return df.rename(columns={"t": "e_src"})
+
+        return Traversal(self.graph,
+                         joined.map_batches(finish,
+                                            batch_format="pandas"),
+                         kind="e", path_len=0)
+
+    def inV(self) -> "Traversal":
+        """IN_V (op 9): edge traverser → its destination vertex."""
+        self._require("e", "inV")
+
+        def mv(df: pd.DataFrame) -> pd.DataFrame:
+            keep = [c for c in df.columns if not c.startswith("e_")]
+            out = df[keep].copy(deep=False)
+            out["t"] = df["e_dst"].to_numpy()
+            return out
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(mv, batch_format="pandas"),
+                         kind="v")
+
+    def outV(self) -> "Traversal":
+        """OUT_V (op 8): edge traverser → its source vertex."""
+        self._require("e", "outV")
+
+        def mv(df: pd.DataFrame) -> pd.DataFrame:
+            keep = [c for c in df.columns if not c.startswith("e_")]
+            out = df[keep].copy(deep=False)
+            out["t"] = df["e_src"].to_numpy()
+            return out
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(mv, batch_format="pandas"),
+                         kind="v")
+
+    # -- steps: filtering ---------------------------------------------
+
+    def has(self, prop: str, value) -> "Traversal":
+        """HAS (op 20): keep traversers whose element's property
+        satisfies the predicate (``P.*`` or equality literal)."""
+        pred = _as_pred(value)
+        if self.kind == "e":
+            col = f"e_{prop}"
+
+            def keep_e(df: pd.DataFrame) -> pd.DataFrame:
+                return df[pred(df[col].to_numpy())]
+
+            return Traversal(self.graph,
+                             self.ds.map_batches(keep_e,
+                                                 batch_format="pandas"),
+                             kind="e")
+        self._require("v", "has")
+        tmp = "_has_val"
+        withp = self._attach_vprops([prop], [tmp])
+
+        def keep_v(df: pd.DataFrame) -> pd.DataFrame:
+            return df[pred(df[tmp].to_numpy())].drop(columns=[tmp])
+
+        return Traversal(self.graph,
+                         withp.map_batches(keep_v,
+                                           batch_format="pandas"),
+                         kind="v", path_len=self.path_len)
+
+    def has_label(self, *labels: str) -> "Traversal":
+        """WHERE_LABEL (op 27): filter vertex traversers by the vertex
+        table's label column."""
+        return self.has("label", P.within(*labels))
+
+    def has_id(self, *ids) -> "Traversal":
+        self._require("v", "has_id")
+        pred = P.within(*ids)
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[pred(df["t"].to_numpy())]
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(keep,
+                                             batch_format="pandas"),
+                         kind="v", path_len=self.path_len)
+
+    def where(self, tag_a: str, op: str, tag_b: str) -> "Traversal":
+        """WHERE (op 24): compare two tagged positions of each
+        traverser (e.g. ``where('a', '!=', 'b')`` for cycle checks)."""
+        ops = {"==": operator.eq, "!=": operator.ne,
+               "<": operator.lt, "<=": operator.le,
+               ">": operator.gt, ">=": operator.ge}
+        fn = ops[op]
+        ca = "t" if tag_a == "." else f"tag_{tag_a}"
+        cb = "t" if tag_b == "." else f"tag_{tag_b}"
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[fn(df[ca].to_numpy(), df[cb].to_numpy())]
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(keep,
+                                             batch_format="pandas"),
+                         kind=self.kind, path_len=self.path_len)
+
+    def simple_path(self) -> "Traversal":
+        """SIMPLE_PATH (op 32): keep traversers whose tracked path has
+        no repeated vertex (needs ``V(track_path=True)``)."""
+        if not self.path_len:
+            raise ValueError("simple_path() needs V(track_path=True)")
+        k = self.path_len
+        cols = [f"p{i}" for i in range(k)]
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            m = np.column_stack([df[c].to_numpy() for c in cols])
+            m.sort(axis=1)
+            ok = (m[:, 1:] != m[:, :-1]).all(axis=1)
+            return df[ok]
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(keep,
+                                             batch_format="pandas"),
+                         kind=self.kind, path_len=k)
+
+    # -- steps: transformation -----------------------------------------
+
+    def as_(self, name: str) -> "Traversal":
+        """Tag the current position (the SELECT/JOIN_LABEL store).
+        Vertex traversers only — an edge has no single id to tag."""
+        self._require("v", "as_")
+        col = f"tag_{name}"
+
+        def tag(t: pa.Table) -> pa.Table:
+            return t.append_column(col, t["t"])
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(tag,
+                                             batch_format="pyarrow"),
+                         kind=self.kind, path_len=self.path_len)
+
+    def select(self, name: str) -> "Traversal":
+        """SELECT_ONE (op 11): jump back to a tagged position."""
+        col = f"tag_{name}"
+
+        def mv(df: pd.DataFrame) -> pd.DataFrame:
+            keep = [c for c in df.columns
+                    if not c.startswith("e_") and c != "t"]
+            out = df[keep].copy(deep=False)
+            out["t"] = df[col].to_numpy()
+            return out
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(mv, batch_format="pandas"),
+                         kind="v", path_len=self.path_len)
+
+    def values(self, prop: str) -> "Traversal":
+        """PROP_VALUE (op 25): map each traverser to a property value;
+        the bag becomes a value bag (column named ``prop``)."""
+        if self.kind == "e":
+            col = f"e_{prop}"
+            nds = self.ds.select_columns([col])
+            from graphscope_ray.util import rename as _rn
+            nds = _rn(nds, {col: prop})
+        else:
+            self._require("v", "values")
+            withp = self._attach_vprops([prop], [prop])
+            nds = withp.select_columns([prop])
+        return Traversal(self.graph, nds, kind="value")
+
+    def path(self) -> ray.data.Dataset:
+        """PATH_OUT (op 29): the tracked path columns ``p0..pk``."""
+        if not self.path_len:
+            raise ValueError("path() needs V(track_path=True)")
+        return self.ds.select_columns(
+            [f"p{i}" for i in range(self.path_len)])
+
+    # -- steps: bag algebra ---------------------------------------------
+
+    def dedup(self) -> "Traversal":
+        """DEDUP (op 18) by the current element. Tag/path history is
+        dropped (a deterministic choice; Gremlin keeps the first
+        arrival, which is execution-order-dependent)."""
+        keys = (["t"] if self.kind == "v"
+                else ["e_src", "e_dst"] if self.kind == "e"
+                else [self.ds.schema().names[0]])
+        return Traversal(self.graph,
+                         bucketed_distinct(self.ds, keys),
+                         kind=self.kind)
+
+    def union(self, other: "Traversal") -> "Traversal":
+        """UNION (op 17): bag union (schemas must match)."""
+        if other.kind != self.kind:
+            raise TypeError("union of different traverser kinds")
+        return Traversal(self.graph, self.ds.union(other.ds),
+                         kind=self.kind)
+
+    def repeat(self, step: Callable[["Traversal"], "Traversal"],
+               times: int) -> "Traversal":
+        """REPEAT … times(k) (ops 21-22, loop-unrolled)."""
+        t = self
+        for _ in range(times):
+            t = step(t)
+        return t
+
+    # -- steps: ordering / aggregation -----------------------------------
+
+    def order_by(self, key: Optional[str] = None, *,
+                 ascending: bool = True,
+                 limit: Optional[int] = None) -> "Traversal":
+        """ORDER (op 14) + RANGE (op 15). ``key``: a property name
+        (vertex traversers attach it first), an existing column, or
+        None for the current element. With ``limit``, each block trims
+        to its local top-n first, so ≤ n·#blocks rows reach the sort.
+        Ties broken by the current element id for determinism."""
+        if key is None:
+            col, ds = ("t" if self.kind == "v"
+                       else self.ds.schema().names[0]), self.ds
+        elif key in self.ds.schema().names:
+            col, ds = key, self.ds
+        else:
+            self._require("v", "order_by(property)")
+            col, ds = key, self._attach_vprops([key], [key])
+        tie = "t" if self.kind == "v" and col != "t" else None
+        if limit is not None:
+            n = limit
+            asc = ascending
+
+            def trim(df: pd.DataFrame) -> pd.DataFrame:
+                by = [col] + ([tie] if tie else [])
+                df = df.sort_values(by, ascending=[asc] + [True] *
+                                    (len(by) - 1), kind="mergesort")
+                return df.head(n)
+
+            ds = ds.map_batches(trim, batch_format="pandas")
+        sort_keys = [col] + ([tie] if tie else [])
+        ds = ds.sort(sort_keys, descending=[not ascending] +
+                     [False] * (len(sort_keys) - 1))
+        if limit is not None:
+            ds = ds.limit(limit)
+        return Traversal(self.graph, ds, kind=self.kind,
+                         path_len=self.path_len)
+
+    def limit(self, n: int) -> "Traversal":
+        """RANGE (op 15) low=0: an arbitrary-n cut (deterministic only
+        after order_by)."""
+        return Traversal(self.graph, self.ds.limit(n), kind=self.kind,
+                         path_len=self.path_len)
+
+    def group_count(self, by: Optional[str] = None) -> ray.data.Dataset:
+        """GROUP_COUNT (op 19): counts per current element, or per
+        property/tag/value column when ``by`` is given. One
+        coarse-bucket exchange at any key cardinality."""
+        if by is None:
+            keys = (["t"] if self.kind == "v"
+                    else ["e_src", "e_dst"] if self.kind == "e"
+                    else [self.ds.schema().names[0]])
+            ds = self.ds
+        elif by in self.ds.schema().names:
+            keys, ds = [by], self.ds
+        else:
+            self._require("v", "group_count(property)")
+            keys, ds = [by], self._attach_vprops([by], [by])
+        return bucketed_sum(ds.select_columns(keys), keys,
+                            count_as="count")
+
+    # -- terminals --------------------------------------------------------
+
+    def count(self) -> int:
+        """COUNT/FOLD (op 37): bag size."""
+        return self.ds.count()
+
+    def dataset(self) -> ray.data.Dataset:
+        return self.ds
+
+    def to_pandas(self) -> pd.DataFrame:
+        return self.ds.to_pandas()
+
+    def id_values(self) -> pd.DataFrame:
+        """The current element ids as a one-column frame (driver/test
+        convenience)."""
+        self._require("v", "id_values")
+        return self.ds.select_columns(["t"]).to_pandas()

@@ -1,0 +1,136 @@
+"""GIE-lite traversal core (graphscope_ray/gie/) vs pandas oracles.
+
+Every trial runs BOTH adjacency routes (broadcast CSR and the
+cogroup_join shuffle) and demands identical results; fixed fixtures
+pin bag (multiplicity) semantics, path tracking, and the predicate
+surface. Reference scope: query_flow.proto:65-116 operator enum.
+"""
+import numpy as np
+import pandas as pd
+import pytest
+
+import ray.data
+
+from graphscope_ray.gie import P, PropertyGraph
+
+
+def _fixture_graph(broadcast_limit):
+    verts = pd.DataFrame({
+        "id": [1, 2, 3, 10, 11, 12, 20],
+        "label": ["person", "person", "person", "post", "post",
+                  "post", "tag"],
+        "age": [29, 35, 41, 0, 0, 0, 0],
+    })
+    edges = pd.DataFrame({
+        "src": [1, 1, 2, 3, 10, 10, 11, 12, 1],
+        "dst": [10, 11, 11, 12, 20, 20, 20, 20, 2],
+        "label": ["wrote", "wrote", "wrote", "wrote", "tagged",
+                  "tagged", "tagged", "tagged", "knows"],
+        "w": [1.0, 2.0, 1.0, 1.0, 0.5, 0.5, 0.5, 0.5, 9.0],
+    })
+    return PropertyGraph(ray.data.from_pandas(verts),
+                         ray.data.from_pandas(edges),
+                         broadcast_limit=broadcast_limit)
+
+
+@pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
+def test_core_steps(bl):
+    g = _fixture_graph(bl)
+    assert g.V().count() == 7
+    assert g.V("person").count() == 3
+    assert g.E("wrote").count() == 4
+    assert g.V("person").has("age", P.gt(30)).count() == 2
+    assert g.V("person").has("age", 35).count() == 1
+    # bag semantics: post 10 has TWO parallel 'tagged' edges to 20
+    assert g.V("post").out("tagged").count() == 4
+    assert g.V("post").out("tagged").dedup().count() == 1
+    assert sorted(g.V().has_id(11).in_("wrote").id_values()["t"]) == [1, 2]
+    assert g.V().has_id(1).both("knows").id_values()["t"].tolist() == [2]
+    assert sorted(
+        g.V("person").out("wrote").out("tagged").dedup()
+        .id_values()["t"]) == [20]
+    # edge traversers carry properties
+    assert g.V("person").outE("wrote").has("w", P.gte(2.0)).inV() \
+        .id_values()["t"].tolist() == [11]
+    assert sorted(g.E("knows").outV().id_values()["t"]) == [1]
+    assert sorted(g.V("person").values("age").to_pandas()["age"]) == \
+        [29, 35, 41]
+    # tags + where: the only knows-cycle-free pair
+    assert g.V("person").as_("a").out("knows").as_("b") \
+        .where("a", "!=", "b").count() == 1
+    # union preserves bags
+    u = g.V("person").union(g.V("person"))
+    assert u.count() == 6
+    # repeat == manual unroll
+    assert g.V().has_id(1).repeat(lambda t: t.out(), times=2).count() == \
+        g.V().has_id(1).out().out().count()
+
+
+@pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
+def test_path_and_order(bl):
+    g = _fixture_graph(bl)
+    t = g.V("person", track_path=True).out("wrote").out("tagged")
+    paths = t.path().to_pandas().sort_values(["p0", "p1", "p2"])
+    assert paths.values.tolist() == [
+        [1, 10, 20], [1, 10, 20], [1, 11, 20],
+        [2, 11, 20], [3, 12, 20]]
+    assert t.simple_path().count() == t.count()
+    # a cyclic walk is pruned by simple_path
+    c = g.V(track_path=True).has_id(1).out("knows").in_("knows")
+    assert c.count() == 1 and c.simple_path().count() == 0
+    top = g.V("person").order_by("age", ascending=False,
+                                 limit=2).to_pandas()
+    assert top["t"].tolist() == [3, 2]
+    gc = (g.V("person").out("wrote").in_("wrote")
+          .group_count(by="age").to_pandas().sort_values("age"))
+    assert gc.values.tolist() == [[29, 3], [35, 2], [41, 1]]
+    gc2 = g.V("post").out("tagged").group_count().to_pandas()
+    assert gc2.values.tolist() == [[20, 4]]
+
+
+def test_randomized_routes_agree_and_match_pandas():
+    rng = np.random.default_rng(42)
+    for trial in range(4):
+        n = int(rng.integers(20, 80))
+        m = int(rng.integers(n, n * 5))
+        verts = pd.DataFrame({
+            "id": np.arange(n, dtype=np.int64),
+            "label": np.where(np.arange(n) % 3 == 0, "a", "b"),
+            "score": rng.integers(0, 100, n).astype(np.int64)})
+        edges = pd.DataFrame({
+            "src": rng.integers(0, n, m).astype(np.int64),
+            "dst": rng.integers(0, n, m).astype(np.int64),
+            "label": np.where(rng.integers(0, 2, m) == 0, "x", "y"),
+            "w": rng.random(m).round(6)})
+        out = {}
+        for bl in (10**9, 0):
+            g = PropertyGraph(ray.data.from_pandas(verts),
+                              ray.data.from_pandas(edges),
+                              broadcast_limit=bl)
+            t = g.V("a").has("score", P.gte(30)).out("x").out().dedup()
+            out[bl] = sorted(t.id_values()["t"])
+            out[(bl, "cnt")] = g.V().out().in_().count()
+            gc = g.V("b").out("y").group_count(by="score").to_pandas()
+            out[(bl, "gc")] = gc.sort_values("score").reset_index(
+                drop=True)
+        assert out[10**9] == out[0]
+        assert out[(10**9, "cnt")] == out[(0, "cnt")]
+        pd.testing.assert_frame_equal(out[(10**9, "gc")], out[(0, "gc")])
+        # pandas bag oracle for the dedup pipeline
+        ga = verts[(verts.label == "a") & (verts.score >= 30)]["id"]
+        h1 = edges[(edges.label == "x") & edges.src.isin(ga)]
+        merged = h1.merge(edges, left_on="dst", right_on="src")
+        assert out[0] == sorted(set(merged["dst_y"]))
+        # pandas oracle for out().in_() bag size
+        cnt = edges.merge(edges, left_on="dst", right_on="dst")
+        assert out[(0, "cnt")] == len(cnt)
+
+
+def test_errors():
+    g = _fixture_graph(10**9)
+    with pytest.raises(TypeError):
+        g.V().inV()
+    with pytest.raises(TypeError):
+        g.E("wrote").out()
+    with pytest.raises(ValueError):
+        g.V().out().simple_path()
