@@ -166,7 +166,8 @@ class PropertyGraph:
             ds = ds.map_batches(keep, batch_format="pyarrow")
 
         def to_trav(t: pa.Table) -> pa.Table:
-            cols = {"e_src": t["src"], "e_dst": t["dst"]}
+            cols = {"e_src": t["src"], "e_dst": t["dst"],
+                    "e_label": t["label"]}
             for name in t.schema.names:
                 if name not in ("src", "dst", "label"):
                     cols[f"e_{name}"] = t[name]
@@ -311,10 +312,12 @@ class Traversal:
         return Traversal(self.graph, a.ds.union(b.ds), kind="v",
                          path_len=a.path_len)
 
-    def outE(self, label: Optional[str] = None) -> "Traversal":
-        """OUT_E (op 5): move onto the outgoing edges, carrying edge
-        properties as ``e_<prop>`` columns."""
-        self._require("v", "outE")
+    def _edge_move(self, direction: str, label: Optional[str]
+                   ) -> "Traversal":
+        """OUT_E / IN_E (ops 5-6): move onto incident edges, carrying
+        edge properties as ``e_<prop>``, the edge label as ``e_label``
+        and the anchor vertex as ``e_from`` (OTHER_V needs it)."""
+        self._require("v", "outE" if direction == "out" else "inE")
         edges = self.graph.edges
         if label is not None:
             lab = label
@@ -327,19 +330,43 @@ class Traversal:
         prop_cols = [c for c in edges.schema().names
                      if c not in ("src", "dst", "label")]
         from graphscope_ray.util import rename as _rn
-        edges = _rn(edges.drop_columns(["label"]),
-                    {"dst": "e_dst",
-                     **{c: f"e_{c}" for c in prop_cols}})
-        joined = cogroup_join(
-            self.ds, edges, on="t", right_on="src",
-            value_cols=["e_dst"] + [f"e_{c}" for c in prop_cols])
+        far = "dst" if direction == "out" else "src"
+        near = "src" if direction == "out" else "dst"
+        edges = _rn(edges, {far: f"e_{far}", "label": "e_label",
+                            **{c: f"e_{c}" for c in prop_cols}})
+        vals = [f"e_{far}", "e_label"] + [f"e_{c}" for c in prop_cols]
+        joined = cogroup_join(self.ds, edges, on="t", right_on=near,
+                              value_cols=vals)
 
         def finish(df: pd.DataFrame) -> pd.DataFrame:
-            return df.rename(columns={"t": "e_src"})
+            df = df.copy(deep=False)
+            df["e_from"] = df["t"].to_numpy()
+            return df.rename(columns={"t": f"e_{near}"})
 
         return Traversal(self.graph,
                          joined.map_batches(finish,
                                             batch_format="pandas"),
+                         kind="e", path_len=0)
+
+    def outE(self, label: Optional[str] = None) -> "Traversal":
+        """OUT_E (op 5): move onto the outgoing edges."""
+        return self._edge_move("out", label)
+
+    def inE(self, label: Optional[str] = None) -> "Traversal":
+        """IN_E (op 6): move onto the incoming edges."""
+        return self._edge_move("in", label)
+
+    def bothE(self, label: Optional[str] = None) -> "Traversal":
+        """BOTH_E (op 7): incident edges in either direction (an edge
+        whose endpoints are both in the bag appears once per side,
+        Gremlin bag semantics)."""
+        a = self._edge_move("out", label)
+        b = self._edge_move("in", label)
+        # Union needs one column order on both sides.
+        cols = sorted(a.ds.schema().names)
+        return Traversal(self.graph,
+                         a.ds.select_columns(cols).union(
+                             b.ds.select_columns(cols)),
                          kind="e", path_len=0)
 
     def inV(self) -> "Traversal":
@@ -364,6 +391,45 @@ class Traversal:
             keep = [c for c in df.columns if not c.startswith("e_")]
             out = df[keep].copy(deep=False)
             out["t"] = df["e_src"].to_numpy()
+            return out
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(mv, batch_format="pandas"),
+                         kind="v")
+
+    def bothV(self) -> "Traversal":
+        """BOTH_V (op 10): edge traverser → both endpoints (two
+        traversers per edge)."""
+        self._require("e", "bothV")
+
+        def mv(df: pd.DataFrame) -> pd.DataFrame:
+            keep = [c for c in df.columns if not c.startswith("e_")]
+            a = df[keep].copy(deep=False)
+            a["t"] = df["e_src"].to_numpy()
+            b = df[keep].copy(deep=False)
+            b["t"] = df["e_dst"].to_numpy()
+            return pd.concat([a, b], ignore_index=True)
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(mv, batch_format="pandas"),
+                         kind="v")
+
+    def otherV(self) -> "Traversal":
+        """OTHER_V (op 48): edge traverser → the endpoint the
+        traversal did NOT arrive from. Needs the ``e_from`` anchor,
+        i.e. an ``outE``/``inE``/``bothE`` hop (a plain ``E()`` source
+        has no arrival side)."""
+        self._require("e", "otherV")
+        if "e_from" not in self.ds.schema().names:
+            raise ValueError("otherV() needs an outE/inE/bothE hop "
+                             "(E() traversers have no arrival side)")
+
+        def mv(df: pd.DataFrame) -> pd.DataFrame:
+            keep = [c for c in df.columns if not c.startswith("e_")]
+            out = df[keep].copy(deep=False)
+            src = df["e_src"].to_numpy()
+            dst = df["e_dst"].to_numpy()
+            out["t"] = np.where(df["e_from"].to_numpy() == src, dst, src)
             return out
 
         return Traversal(self.graph,
@@ -432,6 +498,173 @@ class Traversal:
                          self.ds.map_batches(keep,
                                              batch_format="pandas"),
                          kind=self.kind, path_len=self.path_len)
+
+    def filter_col(self, name: str, value) -> "Traversal":
+        """FILTER (op 30) on an existing traverser column (a tag, a
+        ``degree_local`` count, a carried ``e_<prop>``)."""
+        pred = _as_pred(value)
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[pred(df[name].to_numpy())]
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(keep,
+                                             batch_format="pandas"),
+                         kind=self.kind, path_len=self.path_len)
+
+    def _elem_hash(self, seed: int) -> Callable[[pd.DataFrame],
+                                                np.ndarray]:
+        """Deterministic per-traverser uint64. Vertex traversers use
+        fmix64(t ^ seed) — SQL-replayable (the pg_sampling recipe);
+        other kinds combine their element columns via the stable
+        pandas hash."""
+        from graphscope_ray.data.hashing import fmix64
+        if self.kind == "v":
+            def h(df: pd.DataFrame) -> np.ndarray:
+                t = df["t"].to_numpy().astype(np.int64, copy=False)
+                return fmix64(t.view(np.uint64) ^ np.uint64(seed))
+            return h
+        cols = (["e_src", "e_dst"] if self.kind == "e"
+                else [self.ds.schema().names[0]])
+
+        def h(df: pd.DataFrame) -> np.ndarray:
+            acc = np.full(len(df), np.uint64(seed))
+            for c in cols:
+                acc = acc * np.uint64(1099511628211) ^ \
+                    pd.util.hash_array(df[c].to_numpy())
+            return fmix64(acc)
+        return h
+
+    def sample(self, n: int, *, seed: int = 1) -> "Traversal":
+        """SAMPLE (op 75), deterministic: the n traversers with the
+        smallest fmix64 hash of their element. Per-block trim first,
+        so ≤ n·#blocks rows reach the one small global sort."""
+        hash_fn = self._elem_hash(seed)
+
+        def trim(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            df["_h"] = hash_fn(df).view(np.int64)
+            return df.nsmallest(n, "_h", keep="first")
+
+        ds = (self.ds.map_batches(trim, batch_format="pandas")
+              .sort("_h").limit(n).drop_columns(["_h"]))
+        return Traversal(self.graph, ds, kind=self.kind,
+                         path_len=self.path_len)
+
+    def coin(self, p: float, *, seed: int = 1) -> "Traversal":
+        """COIN: keep each traverser independently with probability
+        ``p`` (deterministic hash threshold, same datum on replay)."""
+        if p >= 1.0:
+            return self
+        hash_fn = self._elem_hash(seed)
+        # strict < so p=0 keeps nothing even for a zero-valued hash;
+        # clamp the float product into the u64 domain
+        thresh = np.uint64(min(max(int(p * float(2**64)), 0),
+                               2**64 - 1))
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[hash_fn(df) < thresh]
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(keep,
+                                             batch_format="pandas"),
+                         kind=self.kind, path_len=self.path_len)
+
+    def degree_local(self, direction: str = "out",
+                     label: Optional[str] = None, *,
+                     name: str = "deg") -> "Traversal":
+        """OUT_COUNT / IN_COUNT / BOTH_COUNT (ops 66-68): append each
+        vertex traverser's incident-edge count as column ``name``.
+        Broadcast path: two searchsorted probes per batch against the
+        CSR; scale path: one bucketed count + broadcast-or-join
+        attach (missing vertices get 0)."""
+        self._require("v", "degree_local")
+        dirs = ["out", "in"] if direction == "both" else [direction]
+        if self.graph._use_broadcast():
+            refs = [self.graph._csr(d, label) for d in dirs]
+
+            def count(df: pd.DataFrame) -> pd.DataFrame:
+                t = df["t"].to_numpy()
+                deg = np.zeros(len(df), dtype=np.int64)
+                for ref in refs:
+                    src, _ = ray.get(ref)
+                    deg += (np.searchsorted(src, t, side="right")
+                            - np.searchsorted(src, t, side="left"))
+                out = df.copy(deep=False)
+                out[name] = deg
+                return out
+
+            nds = self.ds.map_batches(count, batch_format="pandas")
+        else:
+            parts = [self.graph._edges_for(d, label).select_columns(
+                ["src"]) for d in dirs]
+            allsrc = parts[0] if len(parts) == 1 else \
+                parts[0].union(parts[1])
+            degs = bucketed_sum(allsrc, ["src"], count_as=name)
+            nds = attach_values(self.ds, degs, on="t",
+                                table_key="src", value_names=[name],
+                                defaults={name: 0})
+        return Traversal(self.graph, nds, kind="v",
+                         path_len=self.path_len)
+
+    def _sub_filter(self, fn: Callable[["Traversal"], "Traversal"],
+                    want: bool) -> "Traversal":
+        """JOIN_DIRECT_FILTER / _NEGATE (ops 46/70): keep traversers
+        for which the sub-traversal produces ≥1 result (or none, for
+        the negated form). Each row is keyed by a 64-bit hash of ALL
+        its columns (identical traversers filter identically — bag
+        semantics hold); the sub-traversal must be column-preserving
+        (hops and filters; not values/group_count). Survivor keys
+        dedup via the coarse-bucket kernel, then one
+        broadcast-or-join flag attach — no driver materialization."""
+        cols = list(self.ds.schema().names)
+
+        def stamp(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            h = np.zeros(len(df), dtype=np.uint64)
+            for c in cols:
+                h = h * np.uint64(1099511628211) ^ \
+                    pd.util.hash_array(df[c].to_numpy())
+            df["_wk"] = h.view(np.int64)
+            return df
+
+        keyed = self.ds.map_batches(stamp, batch_format="pandas")
+        base = Traversal(self.graph, keyed, kind=self.kind,
+                         path_len=self.path_len)
+        sub = fn(base)
+        hits = bucketed_distinct(sub.ds.select_columns(["_wk"]),
+                                 ["_wk"])
+
+        def flag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_hit", pa.array(np.ones(len(t), dtype=np.int64)))
+
+        hits = hits.map_batches(flag, batch_format="pyarrow")
+        flagged = attach_values(keyed, hits, on="_wk",
+                                table_key="_wk", value_names=["_hit"],
+                                defaults={"_hit": 0})
+        target = 1 if want else 0
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["_hit"].to_numpy() == target].drop(
+                columns=["_wk", "_hit"])
+
+        return Traversal(self.graph,
+                         flagged.map_batches(keep,
+                                             batch_format="pandas"),
+                         kind=self.kind, path_len=self.path_len)
+
+    def where_exists(self, fn: Callable[["Traversal"], "Traversal"]
+                     ) -> "Traversal":
+        """Gremlin ``where(<traversal>)``: keep traversers whose
+        sub-traversal is non-empty (JOIN_DIRECT_FILTER, op 46)."""
+        return self._sub_filter(fn, want=True)
+
+    def where_not_exists(self, fn: Callable[["Traversal"], "Traversal"]
+                         ) -> "Traversal":
+        """Gremlin ``not(<traversal>)`` (NOT=47 /
+        JOIN_DIRECT_FILTER_NEGATE=70)."""
+        return self._sub_filter(fn, want=False)
 
     def simple_path(self) -> "Traversal":
         """SIMPLE_PATH (op 32): keep traversers whose tracked path has
@@ -592,6 +825,100 @@ class Traversal:
             keys, ds = [by], self._attach_vprops([by], [by])
         return bucketed_sum(ds.select_columns(keys), keys,
                             count_as="count")
+
+    def group_agg(self, by: str, value: str, agg: str, *,
+                  name: Optional[str] = None) -> ray.data.Dataset:
+        """SUM_BY_KEY / MAX_BY_KEY / MIN_BY_KEY (ops 53/56/57) and
+        mean: grouped aggregate of a property/column over a key
+        column (a tag, a property, or the current element via
+        ``by='t'``). One coarse-bucket exchange at any cardinality;
+        mean decomposes into sum+count partials."""
+        from graphscope_ray.util import bucketed_agg
+        name = name or f"{agg}_{value}"
+        have = self.ds.schema().names
+        need_attach = [c for c in (by, value)
+                       if c not in have and c != "t"]
+        ds = self.ds
+        if need_attach:
+            self._require("v", "group_agg(property)")
+            ds = Traversal(self.graph, ds, kind="v",
+                           path_len=self.path_len)._attach_vprops(
+                need_attach, need_attach)
+        if agg == "mean":
+            parts = bucketed_agg(ds, [by], {
+                "_s": (value, "sum"), "_n": (value, "count")})
+
+            def div(df: pd.DataFrame) -> pd.DataFrame:
+                out = df[[by]].copy(deep=False)
+                out[name] = df["_s"].to_numpy() / df["_n"].to_numpy()
+                return out
+
+            return parts.map_batches(div, batch_format="pandas")
+        return bucketed_agg(ds, [by], {name: (value, agg)})
+
+    def sum_(self, prop: Optional[str] = None) -> float:
+        """SUM (op 49) over a value bag (or ``values(prop)`` first)."""
+        t = self if prop is None else self.values(prop)
+        t._require("value", "sum_")
+        return t.ds.sum(t.ds.schema().names[0])
+
+    def max_(self, prop: Optional[str] = None):
+        """MAX (op 54)."""
+        t = self if prop is None else self.values(prop)
+        t._require("value", "max_")
+        return t.ds.max(t.ds.schema().names[0])
+
+    def min_(self, prop: Optional[str] = None):
+        """MIN (op 55)."""
+        t = self if prop is None else self.values(prop)
+        t._require("value", "min_")
+        return t.ds.min(t.ds.schema().names[0])
+
+    def mean_(self, prop: Optional[str] = None) -> float:
+        """FOLDMAP-style mean over a value bag."""
+        t = self if prop is None else self.values(prop)
+        t._require("value", "mean_")
+        return t.ds.mean(t.ds.schema().names[0])
+
+    def value_map(self, *props: str) -> ray.data.Dataset:
+        """PROP_MAP_VALUE (op 33): the current vertices with the named
+        properties as columns (``t`` + one column per property)."""
+        self._require("v", "value_map")
+        withp = self._attach_vprops(list(props), list(props))
+        return withp.select_columns(["t", *props])
+
+    def subgraph(self) -> "PropertyGraph":
+        """SUBGRAPH (op 80): materialize the edge bag as a new
+        PropertyGraph — distinct traversed edges (with their labels
+        and properties) plus the incident vertex rows. Both sides
+        stay Datasets; the vertex cut is one flag attach."""
+        self._require("e", "subgraph")
+        ecols = [c for c in self.ds.schema().names
+                 if c.startswith("e_") and c != "e_from"]
+        eds = bucketed_distinct(self.ds.select_columns(ecols), ecols)
+        from graphscope_ray.util import rename as _rn
+        edges = _rn(eds, {c: c[2:] for c in ecols})
+        ends = bucketed_distinct(
+            edges.select_columns(["src"]).union(
+                _rn(edges.select_columns(["dst"]), {"dst": "src"})),
+            ["src"])
+
+        def flag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_hit", pa.array(np.ones(len(t), dtype=np.int64)))
+
+        ends = ends.map_batches(flag, batch_format="pyarrow")
+        verts = attach_values(self.graph.vertices, ends, on="id",
+                              table_key="src", value_names=["_hit"],
+                              defaults={"_hit": 0})
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["_hit"].to_numpy() == 1].drop(
+                columns=["_hit"])
+
+        verts = verts.map_batches(keep, batch_format="pandas")
+        return PropertyGraph(verts, edges,
+                             broadcast_limit=self.graph.broadcast_limit)
 
     # -- terminals --------------------------------------------------------
 

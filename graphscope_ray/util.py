@@ -94,6 +94,57 @@ def bucketed_sum(ds: ray.data.Dataset, keys, vals=None, *,
             .groupby("_b").map_groups(kernel, batch_format="pandas"))
 
 
+def bucketed_agg(ds: ray.data.Dataset, keys, specs: dict, *,
+                 num_buckets: int = 32) -> ray.data.Dataset:
+    """Generalized grouped aggregate at ANY key cardinality — the
+    sum/min/max/count sibling of ``bucketed_sum`` (same coarse-bucket
+    shape; see that docstring for why Ray 2.49's per-distinct-key
+    dispatch forbids a direct ``groupby(keys).aggregate``).
+
+    ``specs`` maps an OUTPUT column name to ``(value_col, agg)`` with
+    ``agg`` in ``{'sum', 'min', 'max', 'count'}``. Every agg here is
+    decomposable, so each batch pre-aggregates before the one bucket
+    shuffle (count partials re-combine by sum); the per-bucket kernel
+    then finishes the global value. Means are expressed by callers as
+    sum + count."""
+    keys = [keys] if isinstance(keys, str) else list(keys)
+    import pandas as pd
+
+    partial_fn = {}      # out_col -> agg applied per batch
+    final_fn = {}        # out_col -> agg that merges partials
+    val_of = {}
+    for out, (col, agg) in specs.items():
+        if agg not in ("sum", "min", "max", "count"):
+            raise ValueError(f"unsupported agg {agg!r}")
+        partial_fn[out] = agg
+        final_fn[out] = "sum" if agg == "count" else agg
+        val_of[out] = col
+
+    in_cols = sorted({c for c in val_of.values() if c is not None})
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        gb = df[keys + in_cols].groupby(keys, sort=False)
+        pieces = {}
+        for out, agg in partial_fn.items():
+            pieces[out] = gb.size() if agg == "count" \
+                else gb[val_of[out]].agg(agg)
+        part = pd.DataFrame(pieces).reset_index()
+        h = np.zeros(len(part), dtype=np.uint64)
+        for k in keys:
+            h = h * np.uint64(1099511628211) ^ pd.util.hash_array(
+                part[k].to_numpy())
+        part["_b"] = (h % np.uint64(num_buckets)).astype(np.int64)
+        return part
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        gb = g.groupby(keys, sort=False)
+        pieces = {out: gb[out].agg(agg) for out, agg in final_fn.items()}
+        return pd.DataFrame(pieces).reset_index()
+
+    return (ds.map_batches(bucket, batch_format="pandas")
+            .groupby("_b").map_groups(kernel, batch_format="pandas"))
+
+
 def bucketed_distinct(ds: ray.data.Dataset, keys,
                       num_buckets: int = 32) -> ray.data.Dataset:
     """Distinct rows over the key columns at ANY cardinality — the

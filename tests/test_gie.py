@@ -126,6 +126,104 @@ def test_randomized_routes_agree_and_match_pandas():
         assert out[(0, "cnt")] == len(cnt)
 
 
+@pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
+def test_edge_moves_and_other_v(bl):
+    g = _fixture_graph(bl)
+    # inE mirrors outE
+    assert sorted(g.V().has_id(11).inE("wrote").outV()
+                  .id_values()["t"]) == [1, 2]
+    # bothE = incident either way (vertex 2: knows-in from 1,
+    # wrote-out to 11)
+    assert g.V().has_id(2).bothE().count() == 2
+    # otherV always steps AWAY from the anchor
+    assert sorted(g.V().has_id(2).bothE().otherV()
+                  .id_values()["t"]) == [1, 11]
+    assert sorted(g.V().has_id(11).inE("wrote").otherV()
+                  .id_values()["t"]) == [1, 2]
+    # bothV: two traversers per edge
+    assert sorted(g.E("knows").bothV().id_values()["t"]) == [1, 2]
+    # edge traversers expose their label now
+    assert g.V("person").outE().has("label", "knows").inV() \
+        .id_values()["t"].tolist() == [2]
+    with pytest.raises(ValueError):
+        g.E("knows").otherV()
+
+
+@pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
+def test_degree_sample_filters(bl):
+    g = _fixture_graph(bl)
+    d = (g.V("person").degree_local("out", name="deg")
+         .to_pandas().sort_values("t"))
+    assert d[["t", "deg"]].values.tolist() == [[1, 3], [2, 1], [3, 1]]
+    din = (g.V("post").degree_local("in", "wrote", name="k")
+           .filter_col("k", P.gte(2)).id_values())
+    assert din["t"].tolist() == [11]
+    db = (g.V().has_id(2).degree_local("both", name="b").to_pandas())
+    assert db["b"].tolist() == [2]  # out 2→11 plus in 1→2
+    # sample: deterministic, size-capped, subset of the bag
+    s1 = sorted(g.V().sample(3, seed=7).id_values()["t"])
+    s2 = sorted(g.V().sample(3, seed=7).id_values()["t"])
+    assert s1 == s2 and len(s1) == 3
+    assert set(s1) <= set(range(1, 21))
+    full = sorted(g.V().sample(100).id_values()["t"])
+    assert full == [1, 2, 3, 10, 11, 12, 20]
+    # coin: deterministic; p=1 keeps all, p=0 drops all
+    assert g.V().coin(1.0).count() == 7
+    assert g.V().coin(0.0).count() == 0
+
+
+@pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
+def test_where_exists(bl):
+    g = _fixture_graph(bl)
+    # persons who wrote a post that got tagged = 1, 2, 3 minus none;
+    # narrow: persons whose post has >= 2 taggings → post 20's parents
+    has_post = g.V("person").where_exists(lambda t: t.out("wrote"))
+    assert sorted(has_post.id_values()["t"]) == [1, 2, 3]
+    # vertices with NO outgoing edge at all: the tag vertex 20
+    sinks = g.V().where_not_exists(lambda t: t.out())
+    assert sorted(sinks.id_values()["t"]) == [20]
+    # nested predicate inside the sub-traversal
+    heavy = g.V("person").where_exists(
+        lambda t: t.outE("wrote").has("w", P.gte(2.0)))
+    assert heavy.id_values()["t"].tolist() == [1]
+
+
+@pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
+def test_aggregates_and_value_map(bl):
+    g = _fixture_graph(bl)
+    assert g.V("person").sum_("age") == 105
+    assert g.V("person").max_("age") == 41
+    assert g.V("person").min_("age") == 29
+    assert g.V("person").mean_("age") == pytest.approx(35.0)
+    assert g.E("wrote").sum_("w") == pytest.approx(5.0)
+    # grouped aggregates (SUM_BY_KEY family): per-destination tag
+    # weight over the 'tagged' edges
+    gs = (g.E("tagged").group_agg("e_dst", "e_w", "sum", name="tw")
+          .to_pandas())
+    assert gs.values.tolist() == [[20, 2.0]]
+    gm = (g.V("person").group_agg("label", "age", "max", name="m")
+          .to_pandas())
+    assert gm.values.tolist() == [["person", 41]]
+    ga = (g.V().group_agg("label", "age", "mean", name="avg_age")
+          .to_pandas().sort_values("label"))
+    assert ga[ga.label == "person"]["avg_age"].tolist() == [35.0]
+    vm = (g.V("person").value_map("age", "label").to_pandas()
+          .sort_values("t"))
+    assert vm["age"].tolist() == [29, 35, 41]
+
+
+@pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
+def test_subgraph(bl):
+    g = _fixture_graph(bl)
+    sg = g.V("person").outE("wrote").subgraph()
+    assert sg.edges.count() == 4
+    assert sorted(sg.vertices.to_pandas()["id"]) == [1, 2, 3, 10, 11, 12]
+    # the subgraph is itself traversable, labels/props intact
+    assert sg.V("post").count() == 3
+    assert sg.E("wrote").sum_("w") == pytest.approx(5.0)
+    assert sg.V().has_id(1).out("wrote").count() == 2
+
+
 def test_errors():
     g = _fixture_graph(10**9)
     with pytest.raises(TypeError):
