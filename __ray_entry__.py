@@ -921,6 +921,63 @@ SELECT o_orderkey AS orderkey, round(o_totalprice, 6) AS totalprice
 FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""
 
 
+def _q_gie_loyal_custs(sf_dir):
+    """V('customer').degree_local('out','places').filter_col(>=8) —
+    per-traverser neighbor counts (OUT_COUNT op 66) + FILTER (op 30):
+    customers holding at least 8 orders, with the count."""
+    from graphscope_ray.gie import P
+    g = _gie_graph(sf_dir)
+    t = (g.V("customer").degree_local("out", "places", name="n_orders")
+         .filter_col("n_orders", P.gte(8)))
+    return _gie_decode(t.dataset().select_columns(["t", "n_orders"]),
+                       {"t": ("custkey", True),
+                        "n_orders": ("n_orders", False)})
+
+
+_GIE_LOYAL_CUSTS_SQL = """
+SELECT o_custkey AS custkey, count(*)::BIGINT AS n_orders
+FROM orders GROUP BY 1 HAVING count(*) >= 8 ORDER BY custkey"""
+
+
+def _q_gie_part_qty(sf_dir):
+    """E('contains').group_agg(e_dst, e_qty, sum) — SUM_BY_KEY
+    (op 53) over the edge bag: total shipped quantity per part,
+    one coarse-bucket exchange."""
+    g = _gie_graph(sf_dir)
+    agg = g.E("contains").group_agg("e_dst", "e_qty", "sum",
+                                    name="total_qty")
+    return _round_col(
+        _gie_decode(agg, {"e_dst": ("partkey", True),
+                          "total_qty": ("total_qty", False)}),
+        "total_qty")
+
+
+_GIE_PART_QTY_SQL = """
+SELECT l_partkey AS partkey, round(sum(l_quantity), 6) AS total_qty
+FROM lineitem GROUP BY 1 ORDER BY partkey"""
+
+
+def _q_gie_modest_custs(sf_dir):
+    """V('customer').where_not_exists(out('places').has(totalprice >
+    300k)) — the anti-semi-join form (NOT=47 /
+    JOIN_DIRECT_FILTER_NEGATE=70): customers with no big-ticket
+    order. Survivor keys dedup on the coarse-bucket kernel; the
+    flag attach is broadcast-or-join."""
+    from graphscope_ray.gie import P
+    g = _gie_graph(sf_dir)
+    t = g.V("customer").where_not_exists(
+        lambda s: s.out("places").has("totalprice", P.gt(300_000.0)))
+    return _gie_decode(t.dataset(), {"t": ("custkey", True)})
+
+
+_GIE_MODEST_CUSTS_SQL = """
+SELECT c_custkey AS custkey FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 300000)
+ORDER BY custkey"""
+
+
 def _q_pg_labeled_select(sf_dir):
     """LabeledVertexDataContext selector surface (reference
     context.py:305-329): label the partgraph vertices even/odd by oid
@@ -2532,6 +2589,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gie_heavy_parts": _q_gie_heavy_parts,
         "gie_cust_big_orders": _q_gie_cust_big_orders,
         "gie_order_topk": _q_gie_order_topk,
+        "gie_loyal_custs": _q_gie_loyal_custs,
+        "gie_part_qty": _q_gie_part_qty,
+        "gie_modest_custs": _q_gie_modest_custs,
         "doc_sha256": _q_doc_sha256,
         "media_pipeline": _q_media_pipeline,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -2729,6 +2789,9 @@ GROUP BY b.v ORDER BY node""",
         "gie_heavy_parts": _GIE_HEAVY_PARTS_SQL,
         "gie_cust_big_orders": _GIE_CUST_BIG_ORDERS_SQL,
         "gie_order_topk": _GIE_ORDER_TOPK_SQL,
+        "gie_loyal_custs": _GIE_LOYAL_CUSTS_SQL,
+        "gie_part_qty": _GIE_PART_QTY_SQL,
+        "gie_modest_custs": _GIE_MODEST_CUSTS_SQL,
         "pg_transitivity": f"""
 WITH {_PRELUDE},
 {_TRI_CTE}
