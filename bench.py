@@ -296,6 +296,51 @@ def run_bench() -> dict:
         2 * n_docs / max(queries["hll_p12"] + queries["cms_4x4096"],
                          1e-9), 1)
 
+    # GIE-lite traversal: 2-hop + bucketed group_count + grouped sum
+    # over the TPC-H customer→order→part labeled graph
+    from graphscope_ray.gie import PropertyGraph
+    import pyarrow as pa
+    import pyarrow.compute as _pc
+
+    def _enc_ord(t):
+        return pa.table({
+            "src": _pc.add(_pc.multiply(t["o_custkey"], 4), 0),
+            "dst": _pc.add(_pc.multiply(t["o_orderkey"], 4), 1),
+            "label": pa.array(["places"] * len(t), pa.string()),
+            "qty": pa.nulls(len(t), pa.float64())})
+
+    def _enc_li(t):
+        return pa.table({
+            "src": _pc.add(_pc.multiply(t["l_orderkey"], 4), 1),
+            "dst": _pc.add(_pc.multiply(t["l_partkey"], 4), 2),
+            "label": pa.array(["contains"] * len(t), pa.string()),
+            "qty": t["l_quantity"]})
+
+    gie_edges = (
+        ray.data.read_parquet(f"{sf_dir}/orders.parquet",
+                              columns=["o_orderkey", "o_custkey"])
+        .map_batches(_enc_ord, batch_format="pyarrow")
+        .union(ray.data.read_parquet(
+            f"{sf_dir}/lineitem.parquet",
+            columns=["l_orderkey", "l_partkey", "l_quantity"])
+            .map_batches(_enc_li, batch_format="pyarrow"))
+        .materialize())
+    gie_verts = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet", columns=["c_custkey"]) \
+        .map_batches(lambda t: pa.table({
+            "id": _pc.add(_pc.multiply(t["c_custkey"], 4), 0),
+            "label": pa.array(["customer"] * len(t), pa.string())}),
+            batch_format="pyarrow").materialize()
+    n_gie_edges = gie_edges.count()
+    pg = PropertyGraph(gie_verts, gie_edges)
+    t0 = time.perf_counter()
+    pg.V("customer").out("places").out("contains").group_count() \
+        .count()
+    pg.E("contains").group_agg("e_dst", "e_qty", "sum").count()
+    queries["gie_traversal"] = round(time.perf_counter() - t0, 3)
+    queries["gie_edges_per_sec"] = round(
+        2 * n_gie_edges / max(queries["gie_traversal"], 1e-9), 1)
+
     total = (queries["pagerank_tol1e6"] + queries["wcc"]
              + queries["cdlp10"] + queries["triangles"])
     out = {

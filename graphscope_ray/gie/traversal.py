@@ -104,6 +104,21 @@ def _as_pred(value) -> P:
     return value if isinstance(value, P) else P.eq(value)
 
 
+def _names(ds: ray.data.Dataset) -> list:
+    """Column names, [] for a schemaless empty bag. A fully-filtered
+    pandas block chain can lose its schema (Ray 2.49 reports
+    ``PandasBlockSchema(names=[])`` and ``Dataset.schema()`` returns
+    None); every step that inspects the schema must survive that."""
+    sch = ds.schema(fetch_if_missing=False) or ds.schema()
+    return list(sch.names) if sch is not None else []
+
+
+def _empty_v() -> ray.data.Dataset:
+    """A typed empty vertex-traverser bag."""
+    return ray.data.from_pandas(
+        pd.DataFrame({"t": pd.Series([], dtype="int64")}))
+
+
 class PropertyGraph:
     """A labeled property graph over two Datasets.
 
@@ -363,7 +378,10 @@ class Traversal:
         a = self._edge_move("out", label)
         b = self._edge_move("in", label)
         # Union needs one column order on both sides.
-        cols = sorted(a.ds.schema().names)
+        cols = sorted(_names(a.ds) or _names(b.ds))
+        if not cols:  # both sides schemaless-empty
+            return Traversal(self.graph, a.ds.union(b.ds),
+                             kind="e", path_len=0)
         return Traversal(self.graph,
                          a.ds.select_columns(cols).union(
                              b.ds.select_columns(cols)),
@@ -420,7 +438,10 @@ class Traversal:
         i.e. an ``outE``/``inE``/``bothE`` hop (a plain ``E()`` source
         has no arrival side)."""
         self._require("e", "otherV")
-        if "e_from" not in self.ds.schema().names:
+        names = _names(self.ds)
+        if not names:  # schemaless empty bag → empty vertex bag
+            return Traversal(self.graph, _empty_v(), kind="v")
+        if "e_from" not in names:
             raise ValueError("otherV() needs an outE/inE/bothE hop "
                              "(E() traversers have no arrival side)")
 
@@ -521,13 +542,18 @@ class Traversal:
         from graphscope_ray.data.hashing import fmix64
         if self.kind == "v":
             def h(df: pd.DataFrame) -> np.ndarray:
+                if not len(df):  # schemaless empty block
+                    return np.empty(0, dtype=np.uint64)
                 t = df["t"].to_numpy().astype(np.int64, copy=False)
                 return fmix64(t.view(np.uint64) ^ np.uint64(seed))
             return h
+        names = _names(self.ds)
         cols = (["e_src", "e_dst"] if self.kind == "e"
-                else [self.ds.schema().names[0]])
+                else names[:1])
 
         def h(df: pd.DataFrame) -> np.ndarray:
+            if not len(df):  # schemaless empty block
+                return np.empty(0, dtype=np.uint64)
             acc = np.full(len(df), np.uint64(seed))
             for c in cols:
                 acc = acc * np.uint64(1099511628211) ^ \
@@ -617,7 +643,9 @@ class Traversal:
         (hops and filters; not values/group_count). Survivor keys
         dedup via the coarse-bucket kernel, then one
         broadcast-or-join flag attach — no driver materialization."""
-        cols = list(self.ds.schema().names)
+        cols = _names(self.ds)
+        if not cols:  # schemaless empty bag: nothing to filter
+            return self
 
         def stamp(df: pd.DataFrame) -> pd.DataFrame:
             df = df.copy(deep=False)
@@ -719,6 +747,10 @@ class Traversal:
     def values(self, prop: str) -> "Traversal":
         """PROP_VALUE (op 25): map each traverser to a property value;
         the bag becomes a value bag (column named ``prop``)."""
+        if not _names(self.ds):  # schemaless empty bag
+            return Traversal(self.graph, ray.data.from_pandas(
+                pd.DataFrame({prop: pd.Series([], dtype="float64")})),
+                kind="value")
         if self.kind == "e":
             col = f"e_{prop}"
             nds = self.ds.select_columns([col])
@@ -743,9 +775,12 @@ class Traversal:
         """DEDUP (op 18) by the current element. Tag/path history is
         dropped (a deterministic choice; Gremlin keeps the first
         arrival, which is execution-order-dependent)."""
+        names = _names(self.ds)
+        if not names:  # schemaless empty bag: dedup is a no-op
+            return self
         keys = (["t"] if self.kind == "v"
                 else ["e_src", "e_dst"] if self.kind == "e"
-                else [self.ds.schema().names[0]])
+                else names[:1])
         return Traversal(self.graph,
                          bucketed_distinct(self.ds, keys),
                          kind=self.kind)
@@ -775,10 +810,13 @@ class Traversal:
         None for the current element. With ``limit``, each block trims
         to its local top-n first, so ≤ n·#blocks rows reach the sort.
         Ties broken by the current element id for determinism."""
+        names = _names(self.ds)
+        if not names:  # schemaless empty bag: ordering is a no-op
+            return self
         if key is None:
             col, ds = ("t" if self.kind == "v"
-                       else self.ds.schema().names[0]), self.ds
-        elif key in self.ds.schema().names:
+                       else names[0]), self.ds
+        elif key in names:
             col, ds = key, self.ds
         else:
             self._require("v", "order_by(property)")
@@ -813,12 +851,18 @@ class Traversal:
         """GROUP_COUNT (op 19): counts per current element, or per
         property/tag/value column when ``by`` is given. One
         coarse-bucket exchange at any key cardinality."""
+        names = _names(self.ds)
+        if not names:  # schemaless empty bag → typed empty counts
+            key = by or ("t" if self.kind == "v" else "e_src")
+            return ray.data.from_pandas(pd.DataFrame({
+                key: pd.Series([], dtype="int64"),
+                "count": pd.Series([], dtype="int64")}))
         if by is None:
             keys = (["t"] if self.kind == "v"
                     else ["e_src", "e_dst"] if self.kind == "e"
-                    else [self.ds.schema().names[0]])
+                    else names[:1])
             ds = self.ds
-        elif by in self.ds.schema().names:
+        elif by in names:
             keys, ds = [by], self.ds
         else:
             self._require("v", "group_count(property)")
@@ -835,7 +879,11 @@ class Traversal:
         mean decomposes into sum+count partials."""
         from graphscope_ray.util import bucketed_agg
         name = name or f"{agg}_{value}"
-        have = self.ds.schema().names
+        have = _names(self.ds)
+        if not have:  # schemaless empty bag → typed empty aggregate
+            return ray.data.from_pandas(pd.DataFrame({
+                by: pd.Series([], dtype="int64"),
+                name: pd.Series([], dtype="float64")}))
         need_attach = [c for c in (by, value)
                        if c not in have and c != "t"]
         ds = self.ds
@@ -860,25 +908,25 @@ class Traversal:
         """SUM (op 49) over a value bag (or ``values(prop)`` first)."""
         t = self if prop is None else self.values(prop)
         t._require("value", "sum_")
-        return t.ds.sum(t.ds.schema().names[0])
+        return t.ds.sum(_names(t.ds)[0])
 
     def max_(self, prop: Optional[str] = None):
         """MAX (op 54)."""
         t = self if prop is None else self.values(prop)
         t._require("value", "max_")
-        return t.ds.max(t.ds.schema().names[0])
+        return t.ds.max(_names(t.ds)[0])
 
     def min_(self, prop: Optional[str] = None):
         """MIN (op 55)."""
         t = self if prop is None else self.values(prop)
         t._require("value", "min_")
-        return t.ds.min(t.ds.schema().names[0])
+        return t.ds.min(_names(t.ds)[0])
 
     def mean_(self, prop: Optional[str] = None) -> float:
         """FOLDMAP-style mean over a value bag."""
         t = self if prop is None else self.values(prop)
         t._require("value", "mean_")
-        return t.ds.mean(t.ds.schema().names[0])
+        return t.ds.mean(_names(t.ds)[0])
 
     def value_map(self, *props: str) -> ray.data.Dataset:
         """PROP_MAP_VALUE (op 33): the current vertices with the named
@@ -893,7 +941,13 @@ class Traversal:
         and properties) plus the incident vertex rows. Both sides
         stay Datasets; the vertex cut is one flag attach."""
         self._require("e", "subgraph")
-        ecols = [c for c in self.ds.schema().names
+        names = _names(self.ds)
+        if not names:  # schemaless empty bag → empty graph
+            return PropertyGraph(
+                self.graph.vertices.limit(0),
+                self.graph.edges.limit(0),
+                broadcast_limit=self.graph.broadcast_limit)
+        ecols = [c for c in names
                  if c.startswith("e_") and c != "e_from"]
         eds = bucketed_distinct(self.ds.select_columns(ecols), ecols)
         from graphscope_ray.util import rename as _rn
@@ -936,4 +990,9 @@ class Traversal:
         """The current element ids as a one-column frame (driver/test
         convenience)."""
         self._require("v", "id_values")
-        return self.ds.select_columns(["t"]).to_pandas()
+        if not _names(self.ds):  # schemaless empty bag
+            return pd.DataFrame({"t": pd.Series([], dtype="int64")})
+        df = self.ds.select_columns(["t"]).to_pandas()
+        if "t" not in df.columns:  # empty to_pandas drops columns
+            return pd.DataFrame({"t": pd.Series([], dtype="int64")})
+        return df
