@@ -1081,6 +1081,31 @@ def _q_pg_pagerank_pregel(sf_dir):
         g.close()
 
 
+def _q_pg_sssp_pregel(sf_dir):
+    """The reference's SECOND SSSP — the Pregel variant
+    (apps/pregel/sssp_pregel.h:46-85: min over messages, send
+    dist + edge weight) — run through the vectorized VertexProgram
+    surface with use_weight scatter on the shared weighted partgraph.
+    Converged distances equal pg_sssp's relaxation kernel bit-for-bit
+    (both are the Bellman-Ford fixpoint over identical doubles), so the
+    oracle is the same unrolled CTE."""
+    from graphscope_ray.graph.program import SSSPPregelProgram
+
+    g, _ = _partgraph(sf_dir)
+    src_vid = 0  # dense rank of the smallest oid (assign_dense_ids)
+    out = g.engine.run_program(SSSPPregelProgram(src_vid),
+                               max_round=SSSP_ROUNDS, stop_when_zero=True)
+
+    def fin(t: pa.Table) -> pa.Table:
+        from graphscope_ray.util import round_half_away
+        d = t["dist"].to_numpy()
+        keep = np.isfinite(d)
+        return pa.table({"vid": t["vid"].to_numpy()[keep],
+                         "dist": round_half_away(d[keep], 6)})
+
+    return g.to_oid(out).map_batches(fin, batch_format="pyarrow")
+
+
 def _pregel_pagerank_sql(rounds: int, delta: float) -> str:
     """Unrolled twin of _q_pg_pagerank_pregel: directed edges only,
     dangling out-mass simply lost (pagerank_pregel.h semantics)."""
@@ -2548,6 +2573,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_degree_centrality": _q_pg_degree_centrality,
         "pg_pagerank": _q_pg_pagerank,
         "pg_pagerank_pregel": _q_pg_pagerank_pregel,
+        "pg_sssp_pregel": _q_pg_sssp_pregel,
         "pg_ppr": _q_pg_ppr,
         "pg_wcc": _q_pg_wcc,
         "pg_nx_wcc": _q_pg_nx_wcc,
@@ -2689,6 +2715,7 @@ SELECT v AS vid,
 FROM deg ORDER BY vid""",
         "pg_pagerank": _pagerank_sql(PR_ROUNDS, DELTA),
         "pg_pagerank_pregel": _pregel_pagerank_sql(PR_PREGEL_ROUNDS, DELTA),
+        "pg_sssp_pregel": _sssp_sql(SSSP_ROUNDS),
         "pg_ppr": _ppr_sql(4, DELTA, n_seeds=3),
         "pg_wcc": _WCC_SQL,
         "pg_nx_wcc": _WCC_SQL,

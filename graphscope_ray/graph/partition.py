@@ -1226,6 +1226,12 @@ class GraphPartition:
             return self._empty_msgs()
         edge_vals = self._edge_src_vals(np.asarray(vals, np.float64),
                                         hub_vals)
+        if getattr(s["prog"], "use_weight", False):
+            # msg = value(src) + w(edge) — sssp_pregel.h:77-82; unit
+            # weight on unweighted stores (min-plus BFS); in-place on
+            # the reused gather buffer (rewritten next round)
+            np.add(edge_vals, self.w if self.w is not None else 1.0,
+                   out=edge_vals)
         if s["prog"].combine == "min":
             return self._scatter_min(edge_vals, FLT_SENTINEL)
         return self._scatter_sum(edge_vals)

@@ -81,6 +81,13 @@ AGG_OPS = {
 
 class VertexProgram:
     combine: str = "sum"          # "sum" | "min"
+    #: when True, the engine adds the per-edge weight to each gathered
+    #: message before combining (msg = value(src) + w(edge)) — the
+    #: shape of the reference's Pregel SSSP
+    #: (apps/pregel/sssp_pregel.h:77-82: ``v.send(e.vertex(),
+    #: dist + e.get_int(0))``). Unweighted stores use unit weight
+    #: (min-plus BFS, as partition.py's relaxation kernel documents).
+    use_weight: bool = False
     result_columns = ("value",)
     #: optional named global aggregators: {name: op} with op in
     #: AGG_OPS. When non-empty, ``apply`` must return
@@ -211,6 +218,40 @@ class GlobalStatsProgram(VertexProgram):
         local = float(ctx.local_vids.sum())
         return 1, {"mn": local, "mx": local, "sm": local,
                    "al": ctx.part_id % 2 == 0, "an": ctx.part_id == 0}
+
+
+class SSSPPregelProgram(VertexProgram):
+    """The reference's SECOND SSSP — the Pregel variant
+    (``apps/pregel/sssp_pregel.h:46-85``: init MAX, source seeds 0 at
+    superstep 0, min over messages, send ``dist + edge_weight`` along
+    out-edges). Vectorized: every vertex publishes its distance each
+    round (min-combine makes re-sends of already-incorporated values
+    idempotent, so the per-round state matches the reference's
+    updated-only sends exactly); the engine adds the edge weight
+    during the scatter (``use_weight``). Run with
+    ``stop_when_zero=True`` — converged distances are the weighted
+    shortest paths (Bellman-Ford fixpoint)."""
+
+    combine = "min"
+    use_weight = True
+    result_columns = ("dist",)
+
+    def __init__(self, source_vid: int):
+        self.source_vid = int(source_vid)
+
+    def init(self, ctx):
+        d = np.full(ctx.nlocal, np.inf)
+        d[ctx.local_vids == self.source_vid] = 0.0
+        return {"dist": d}
+
+    def message(self, ctx, state):
+        return state["dist"]
+
+    def apply(self, ctx, state, incoming, agg):
+        new = np.minimum(state["dist"], incoming)
+        changed = int((new < state["dist"]).sum())
+        state["dist"] = new
+        return changed, 0.0
 
 
 class MinLabelProgram(VertexProgram):

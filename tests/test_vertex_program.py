@@ -70,6 +70,47 @@ def test_pie_wcc_program(tmp_path, P):
     eng.shutdown()
 
 
+@pytest.mark.parametrize("P", [1, 4])
+def test_sssp_pregel_program(tmp_path, P):
+    """SSSPPregelProgram (sssp_pregel.h twin: min-combine, use_weight
+    scatter) converges to the Bellman-Ford fixpoint on a weighted
+    symmetrized store."""
+    from graphscope_ray.graph.program import SSSPPregelProgram
+    rng = np.random.default_rng(61)
+    e, n = random_graph(seed=61), 60
+    # canonical undirected pairs (a<b), one weight each — otherwise
+    # symmetrize would hold two copies of a directed pair with
+    # different weights (partgraph-shape input)
+    e = np.unique(np.sort(e, axis=1), axis=0)
+    w = rng.integers(1, 9, size=len(e)).astype(np.float64)
+    store = build_graph(edges_ds(e, weights=w), str(tmp_path / f"sp{P}"),
+                        num_parts=P, num_vertices=n, symmetrize=True,
+                        weight_col="weight")
+    eng = BSPEngine(store)
+    out = eng.run_program(SSSPPregelProgram(0), max_round=1000,
+                          stop_when_zero=True)
+    got = collect(out, "dist", n, fill=np.inf)
+    ew = np.concatenate([w, w])
+    want = oracle.sssp(np.concatenate([e, e[:, ::-1]]), n, 0, weights=ew)
+    np.testing.assert_allclose(got, want)
+    eng.shutdown()
+
+
+def test_sssp_pregel_unweighted_is_bfs(tmp_path):
+    """use_weight on an unweighted store = unit weights = BFS depths."""
+    from graphscope_ray.graph.program import SSSPPregelProgram
+    e, n = random_graph(seed=63), 60
+    store = build_graph(edges_ds(e), str(tmp_path / "spu"),
+                        num_parts=3, num_vertices=n, symmetrize=True)
+    eng = BSPEngine(store)
+    out = eng.run_program(SSSPPregelProgram(0), max_round=1000,
+                          stop_when_zero=True)
+    got = collect(out, "dist", n, fill=np.inf)
+    want = oracle.sssp(np.concatenate([e, e[:, ::-1]]), n, 0)
+    np.testing.assert_allclose(got, want)
+    eng.shutdown()
+
+
 def test_program_with_hub_split(tmp_path):
     from conftest import STAR_HUB
     store = build_graph(edges_ds(STAR_HUB), str(tmp_path / "vph"),
