@@ -2314,6 +2314,17 @@ def _q_emb_kmeans(sf_dir):
     return kmeans_assign(emb, k=8, iters=2)
 
 
+def _q_emb_semdedup(sf_dir):
+    """SemDeDup (arXiv:2303.09540): kmeans clusters (k=8, 2 iters) →
+    in-cluster cosine pairs at rounded >= 0.3 → keep the smallest id
+    of each near-dup group. Cluster-bucketed pair kernel; the SQL twin
+    shares the kmeans CTEs with emb_kmeans."""
+    from graphscope_ray.data.similarity import semantic_dedup
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    return semantic_dedup(emb, k=8, iters=2, threshold=0.3)
+
+
 def _q_emb_cluster_sample(sf_dir):
     """Cluster-balanced sampling: k-means (k=8, 2 iters) + keep the 10
     rows of each cluster with the smallest fmix64 coin."""
@@ -2652,6 +2663,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_classifier": _q_doc_classifier,
         "doc_bigrams": _q_doc_bigrams,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_semdedup": _q_emb_semdedup,
         "emb_cluster_sample": _q_emb_cluster_sample,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_ivf_ann": _q_emb_ivf_ann,
@@ -2908,6 +2920,8 @@ ORDER BY source, rn""",
         "doc_classifier": _osql().quality_classifier_sql(),
         "doc_bigrams": _bigrams_sql(),
         "emb_kmeans": _osql().kmeans_sql(k=8, iters=2, dim=64),
+        "emb_semdedup": _osql().semdedup_sql(k=8, iters=2, dim=64,
+                                             threshold=0.3),
         "emb_cluster_sample": _osql().cluster_sample_sql(
             k=8, iters=2, m=10, seed=3, dim=64),
         "emb_ann_topk": """

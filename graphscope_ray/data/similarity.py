@@ -445,28 +445,18 @@ def _knn_graph_lsh(emb: ray.data.Dataset, *, k, key, col, num_planes,
         .groupby("_sb").map_groups(merge_per_src, batch_format="pandas")
 
 
-def kmeans_assign(
+def _kmeans_centroids(
     emb: ray.data.Dataset,
     *,
-    k: int = 8,
-    iters: int = 2,
-    key: str = "vec_id",
-    col: str = "embedding",
-) -> ray.data.Dataset:
-    """Distributed Lloyd's k-means → final ``(key, cluster)`` rows.
-
-    Reference-class op for embedding-corpus curation (cluster-balanced
-    sampling / dedup). Deterministic end to end so a DuckDB twin can
-    replay it: initial centroids are the vectors of the ``k`` smallest
-    ids; assignment = argmin Euclidean distance **rounded half-away to
-    6 dp**, ties → smallest centroid id (the same ulp-tie protocol as
-    ``ivf_ann_topk``); empty clusters keep their previous centroid.
-
-    100 TB shape: centroids (k×D floats) are broadcast via ``ray.put``
-    each iteration; each batch emits one partial ``(cluster, count,
-    vecsum)`` row per non-empty cluster, so the per-iteration reduce
-    moves O(k × #blocks) rows to the driver — never the embeddings.
-    """
+    k: int,
+    iters: int,
+    key: str,
+    col: str,
+) -> np.ndarray:
+    """Lloyd's centroid iteration shared by :func:`kmeans_assign` and
+    :func:`semantic_dedup` — init = vectors of the k smallest ids;
+    per-batch partial (cluster, count, vecsum) rows reduce on the
+    driver (O(k × #blocks), never the embeddings)."""
     from graphscope_ray.util import round_half_away
 
     init = emb.select_columns([key, col]).sort(key).limit(k).to_pandas()
@@ -503,7 +493,34 @@ def kmeans_assign(
         live = cnt > 0
         cents = cents.copy()
         cents[live] = sums[live] / cnt[live, None]
+    return cents
 
+
+def kmeans_assign(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    key: str = "vec_id",
+    col: str = "embedding",
+) -> ray.data.Dataset:
+    """Distributed Lloyd's k-means → final ``(key, cluster)`` rows.
+
+    Reference-class op for embedding-corpus curation (cluster-balanced
+    sampling / dedup). Deterministic end to end so a DuckDB twin can
+    replay it: initial centroids are the vectors of the ``k`` smallest
+    ids; assignment = argmin Euclidean distance **rounded half-away to
+    6 dp**, ties → smallest centroid id (the same ulp-tie protocol as
+    ``ivf_ann_topk``); empty clusters keep their previous centroid.
+
+    100 TB shape: centroids (k×D floats) are broadcast via ``ray.put``
+    each iteration; each batch emits one partial ``(cluster, count,
+    vecsum)`` row per non-empty cluster, so the per-iteration reduce
+    moves O(k × #blocks) rows to the driver — never the embeddings.
+    """
+    from graphscope_ray.util import round_half_away
+
+    cents = _kmeans_centroids(emb, k=k, iters=iters, key=key, col=col)
     ref = ray.put(cents)
 
     def assign_final(t: pa.Table) -> pa.Table:
@@ -519,6 +536,75 @@ def kmeans_assign(
 
     return emb.select_columns([key, col]).map_batches(
         assign_final, batch_format="pyarrow").sort(key)
+
+
+def semantic_dedup(
+    emb: ray.data.Dataset,
+    *,
+    k: int = 8,
+    iters: int = 2,
+    threshold: float = 0.3,
+    key: str = "vec_id",
+    col: str = "embedding",
+    num_buckets: int = 32,
+) -> ray.data.Dataset:
+    """SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning
+    at web-scale through semantic deduplication", arXiv:2303.09540):
+    k-means-cluster the embeddings, then compare pairs ONLY within a
+    cluster — per-cluster pairwise cosine instead of the corpus-wide
+    all-pairs matmul. Returns ``(key, cluster, keep)`` per vector:
+    ``keep`` is False iff the vector is the LARGER id of some
+    in-cluster pair with rounded-6dp cosine >= threshold (so each
+    near-dup group keeps its smallest id — the repo's exact-dedup
+    convention).
+
+    100 TB shape: one kmeans pass (broadcast centroids, partial-sum
+    reduce), one shuffle of (id, vec, cluster) grouped by
+    ``cluster % num_buckets`` — the coarse-bucket pattern, so dispatch
+    stays O(num_buckets) even at k ~ 1e5 — then one vectorized matmul
+    per cluster slice inside the bucket kernel. Pair cost is
+    sum_c |c|^2, not n^2; the embeddings never land on the driver.
+    Deterministic end to end (kmeans protocol above + rounded
+    threshold compare on both engine and SQL sides)."""
+    from graphscope_ray.util import round_half_away
+
+    cents = _kmeans_centroids(emb, k=k, iters=iters, key=key, col=col)
+    ref = ray.put(cents)
+
+    def assign_with_vec(t: pa.Table) -> pa.Table:
+        c = ray.get(ref)
+        m = np.stack(
+            t[col].to_numpy(zero_copy_only=False)).astype(np.float64)
+        d = round_half_away(np.sqrt(
+            ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)), 6)
+        cl = np.argmin(d, axis=1).astype(np.int64)
+        return pa.table({key: t[key], col: t[col],
+                         "cluster": pa.array(cl),
+                         "_b": pa.array(cl % num_buckets)})
+
+    def bucket_kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["cluster", key], kind="stable")
+        ids = g[key].to_numpy(dtype=np.int64)
+        cl = g["cluster"].to_numpy(dtype=np.int64)
+        mat = np.stack(g[col].to_numpy())
+        mat = mat / np.maximum(
+            np.linalg.norm(mat, axis=1, keepdims=True), 1e-12)
+        keep = np.ones(len(g), dtype=bool)
+        bounds = np.flatnonzero(np.r_[True, cl[1:] != cl[:-1], True])
+        for a, b in zip(bounds[:-1], bounds[1:]):
+            if b - a < 2:
+                continue
+            sims = round_half_away(mat[a:b] @ mat[a:b].T, 6)
+            i, j = np.nonzero(np.triu(sims >= threshold, k=1))
+            # ids are sorted within the cluster slice → j is the
+            # larger id of each pair
+            keep[a + np.unique(j)] = False
+        return pd.DataFrame({key: ids, "cluster": cl, "keep": keep})
+
+    return (emb.select_columns([key, col])
+            .map_batches(assign_with_vec, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(bucket_kernel, batch_format="pandas"))
 
 
 def cluster_sample(

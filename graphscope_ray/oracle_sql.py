@@ -595,12 +595,9 @@ SELECT bigram, count(*)::BIGINT AS cnt FROM (
 GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT {k}"""
 
 
-def kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
-    """Unrolled twin of data/similarity.kmeans_assign: init = vectors
-    of the k smallest vec_ids (cid = rank); per iteration assignment =
-    argmin round(list_distance, 6) with ties to the smallest cid (the
-    Python side's rounded-argmin protocol); empty clusters keep the
-    previous centroid; centroids are double-precision means."""
+def _kmeans_ctes(k: int, iters: int, dim: int) -> str:
+    """Shared kmeans CTE chain (kmeans_sql / semdedup_sql): ends with
+    ``afin AS (vec_id, cid)`` — the final assignment."""
     ctes = [f"""c0 AS (
   SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid,
          embedding::DOUBLE[] AS c
@@ -628,16 +625,48 @@ c{it} AS (
   FROM {prev} p LEFT JOIN m{it} m ON m.cid = p.cid
   GROUP BY p.cid, p.c)""")
         prev = f"c{it}"
-    return f"""
-WITH {','.join(ctes)},
-dfin AS (
+    ctes.append(f"""dfin AS (
   SELECT e.vec_id, c.cid,
          round(list_distance(e.embedding::DOUBLE[], c.c), 6) AS dd
-  FROM embeddings e CROSS JOIN {prev} c)
-SELECT vec_id, cid::BIGINT AS cluster FROM (
-  SELECT vec_id, cid,
-         row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn
-  FROM dfin) WHERE rn = 1 ORDER BY vec_id"""
+  FROM embeddings e CROSS JOIN {prev} c),
+afin AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn
+    FROM dfin) WHERE rn = 1)""")
+    return ",".join(ctes)
+
+
+def kmeans_sql(k: int = 8, iters: int = 2, dim: int = 64) -> str:
+    """Unrolled twin of data/similarity.kmeans_assign: init = vectors
+    of the k smallest vec_ids (cid = rank); per iteration assignment =
+    argmin round(list_distance, 6) with ties to the smallest cid (the
+    Python side's rounded-argmin protocol); empty clusters keep the
+    previous centroid; centroids are double-precision means."""
+    return f"""
+WITH {_kmeans_ctes(k, iters, dim)}
+SELECT vec_id, cid::BIGINT AS cluster FROM afin ORDER BY vec_id"""
+
+
+def semdedup_sql(k: int = 8, iters: int = 2, dim: int = 64,
+                 threshold: float = 0.3) -> str:
+    """Twin of data/similarity.semantic_dedup (SemDeDup,
+    arXiv:2303.09540): kmeans assignment (shared CTEs), in-cluster
+    pairs with rounded-6dp cosine >= threshold, keep = NOT the larger
+    id of any such pair."""
+    return f"""
+WITH {_kmeans_ctes(k, iters, dim)},
+ev AS (SELECT e.vec_id, e.embedding::DOUBLE[] AS emb, a.cid
+       FROM embeddings e JOIN afin a USING (vec_id)),
+rm AS (SELECT DISTINCT b.vec_id AS v
+       FROM ev a JOIN ev b
+         ON a.cid = b.cid AND a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(a.emb, b.emb), 6)
+             >= {threshold})
+SELECT ev.vec_id, ev.cid::BIGINT AS cluster,
+       (rm.v IS NULL) AS keep
+FROM ev LEFT JOIN rm ON rm.v = ev.vec_id
+ORDER BY ev.vec_id"""
 
 
 def funnel_sql(steps, horizon_hours: int = 72) -> str:

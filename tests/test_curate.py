@@ -261,6 +261,50 @@ def test_kmeans_assign_matches_numpy_lloyds():
     assert got["cluster"].nunique() == 5
 
 
+def test_semantic_dedup_matches_numpy():
+    """semantic_dedup (SemDeDup) vs a brute-force numpy replay:
+    kmeans protocol + in-cluster rounded-cosine pairs + smallest-id
+    keep rule; also checks keeps are a superset of the all-pairs rule
+    (cluster scoping can only MISS pairs, never invent them)."""
+    from graphscope_ray.data.similarity import semantic_dedup
+    from graphscope_ray.util import round_half_away
+    rng = np.random.default_rng(11)
+    # planted near-dup pairs: 40 base vectors, 20 scaled copies
+    base = rng.normal(size=(40, 12))
+    X = np.vstack([base, base[:20] * 1.7 + rng.normal(
+        scale=0.01, size=(20, 12))]).astype(np.float32)
+    n = len(X)
+    ds = ray.data.from_pandas(pd.DataFrame({
+        "vec_id": np.arange(n, dtype=np.int64),
+        "embedding": list(X),
+    })).repartition(3)
+    got = (semantic_dedup(ds, k=4, iters=2, threshold=0.9)
+           .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    # numpy replay
+    X64 = X.astype(np.float64)
+    cents = X64[:4].copy()
+    for it in range(2):
+        d = round_half_away(np.sqrt(
+            ((X64[:, None, :] - cents[None]) ** 2).sum(-1)), 6)
+        assign = np.argmin(d, axis=1)
+        if it == 1:
+            break
+        for c in range(4):
+            if (assign == c).any():
+                cents[c] = X64[assign == c].mean(axis=0)
+    nm = X64 / np.maximum(
+        np.linalg.norm(X64, axis=1, keepdims=True), 1e-12)
+    sims = round_half_away(nm @ nm.T, 6)
+    keep = np.ones(n, dtype=bool)
+    ii, jj = np.nonzero(np.triu(sims >= 0.9, k=1))
+    same = assign[ii] == assign[jj]
+    keep[np.unique(jj[same])] = False
+    assert (got["cluster"].to_numpy() == assign).all()
+    assert (got["keep"].to_numpy() == keep).all()
+    # the planted copies that share a cluster with their base are gone
+    assert (~keep).sum() > 0
+
+
 def test_quality_classifier_edges(edge_ds, edge_con):
     from graphscope_ray.data.text import quality_classifier
     got = (quality_classifier(edge_ds).to_pandas()
