@@ -978,6 +978,72 @@ WHERE NOT EXISTS (SELECT 1 FROM orders o
 ORDER BY custkey"""
 
 
+def _q_gie_repeat_reach(sf_dir):
+    """V('customer').has(acctbal>5000).repeat(out()).until(
+    has_label('part')).group_count() — the dynamic-termination REPEAT/
+    UNTIL loop (post-check, one driver round per iteration): rich
+    customers walk outward until they stand on a part. On the
+    customer→order→part DAG every traverser exits at round 2, but the
+    until-check runs each round for real."""
+    from graphscope_ray.gie import P
+    g = _gie_graph(sf_dir)
+    t = (g.V("customer").has("acctbal", P.gt(5000.0))
+         .repeat_until(lambda s: s.out(),
+                       lambda s: s.has_label("part"), max_times=4))
+    return _gie_decode(t.group_count(),
+                       {"t": ("partkey", True), "count": ("n_reach", False)})
+
+
+_GIE_REPEAT_REACH_SQL = """
+SELECT l.l_partkey AS partkey, count(*)::BIGINT AS n_reach
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+WHERE c.c_acctbal > 5000
+GROUP BY 1 ORDER BY partkey"""
+
+
+def _q_gie_price_page(sf_dir):
+    """V('part').order_by(retailprice desc).range_(10, 30) — ORDER +
+    the non-zero-low RANGE paging slice (rows 11-30). Block-local
+    top-30 trims feed the global sort; the ≤30 survivors coalesce to
+    drop the first 10."""
+    g = _gie_graph(sf_dir)
+    t = (g.V("part").order_by("retailprice", ascending=False)
+         .range_(10, 30))
+    return _gie_decode(t.dataset().select_columns(["t", "retailprice"]),
+                       {"t": ("partkey", True),
+                        "retailprice": ("retailprice", False)})
+
+
+_GIE_PRICE_PAGE_SQL = """
+SELECT p_partkey AS partkey, p_retailprice AS retailprice
+FROM part ORDER BY p_retailprice DESC, p_partkey
+LIMIT 20 OFFSET 10"""
+
+
+def _q_gie_path_project(sf_dir):
+    """V('customer').as_('c').out('places').as_('o').out('contains')
+    .select_map('c','o',current='p') — the n-ary SELECT projection:
+    one (customer, order, part) row per traverser (bag semantics, one
+    per lineitem edge)."""
+    g = _gie_graph(sf_dir)
+    t = (g.V("customer").as_("c").out("places").as_("o")
+         .out("contains"))
+    return _gie_decode(t.select_map("c", "o", current="p"),
+                       {"c": ("custkey", True), "o": ("orderkey", True),
+                        "p": ("partkey", True)})
+
+
+_GIE_PATH_PROJECT_SQL = """
+SELECT c.c_custkey AS custkey, o.o_orderkey AS orderkey,
+       l.l_partkey AS partkey
+FROM customer c
+JOIN orders o ON o.o_custkey = c.c_custkey
+JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+ORDER BY custkey, orderkey, partkey"""
+
+
 def _q_pg_labeled_select(sf_dir):
     """LabeledVertexDataContext selector surface (reference
     context.py:305-329): label the partgraph vertices even/odd by oid
@@ -2629,6 +2695,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gie_loyal_custs": _q_gie_loyal_custs,
         "gie_part_qty": _q_gie_part_qty,
         "gie_modest_custs": _q_gie_modest_custs,
+        "gie_repeat_reach": _q_gie_repeat_reach,
+        "gie_price_page": _q_gie_price_page,
+        "gie_path_project": _q_gie_path_project,
         "doc_sha256": _q_doc_sha256,
         "media_pipeline": _q_media_pipeline,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -2831,6 +2900,9 @@ GROUP BY b.v ORDER BY node""",
         "gie_loyal_custs": _GIE_LOYAL_CUSTS_SQL,
         "gie_part_qty": _GIE_PART_QTY_SQL,
         "gie_modest_custs": _GIE_MODEST_CUSTS_SQL,
+        "gie_repeat_reach": _GIE_REPEAT_REACH_SQL,
+        "gie_price_page": _GIE_PRICE_PAGE_SQL,
+        "gie_path_project": _GIE_PATH_PROJECT_SQL,
         "pg_transitivity": f"""
 WITH {_PRELUDE},
 {_TRI_CTE}

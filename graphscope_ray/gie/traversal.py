@@ -800,6 +800,93 @@ class Traversal:
             t = step(t)
         return t
 
+    def repeat_until(self, step: Callable[["Traversal"], "Traversal"],
+                     cond: Callable[["Traversal"], "Traversal"],
+                     *, max_times: int = 16) -> "Traversal":
+        """REPEAT … UNTIL (the dynamic-termination loop of the
+        reference's Gremlin surface — interactive_engine repeat/until;
+        the fixed-times form is :meth:`repeat`). Post-check semantics:
+        apply ``step``, traversers for which the ``cond``
+        sub-traversal is non-empty leave the loop, the rest iterate —
+        one driver round (a count) per iteration, exactly a BSP
+        superstep. Traversers still looping after ``max_times`` are
+        kept (Gremlin keeps in-flight traversers when a times-guard
+        fires first). The result bag is the union of every exit
+        round."""
+        t = self
+        done: list[ray.data.Dataset] = []
+        empty = None
+        kind = None
+        for _ in range(max_times):
+            t = step(t)
+            kind = t.kind
+            exited = t.where_exists(cond)
+            t = t.where_not_exists(cond)
+            # pin the frontier: the next round must not re-execute
+            # this round's (lazy) expansion chain per consumer
+            t = Traversal(self.graph, t.ds.materialize(), kind=t.kind,
+                          path_len=t.path_len)
+            # skip empty exit rounds: unioning a schemaless empty
+            # block poisons downstream schema inference
+            if exited.count() > 0:
+                done.append(exited.ds.materialize())
+            else:
+                empty = exited.ds
+            if t.count() == 0:
+                t = None
+                break
+        if t is not None:
+            done.append(t.ds)
+        if not done:
+            return Traversal(self.graph, empty, kind=kind,
+                             path_len=None)
+        out = done[0]
+        for d in done[1:]:
+            out = out.union(d)
+        return Traversal(self.graph, out, kind=kind,
+                         path_len=None)
+
+    def range_(self, lo: int, hi: int) -> "Traversal":
+        """RANGE (op 15) with a non-zero low end — the paging slice
+        ``[lo, hi)`` of the current (ordered) bag. ``hi`` is required
+        (finite): the bag is first cut to ``hi`` rows (block-local
+        trims upstream in order_by keep that cheap), then the ≤ hi
+        survivors coalesce into one block to drop the first ``lo`` —
+        a driver-adjacent step sized by the page, never the corpus."""
+        if not (0 <= lo < hi):
+            raise ValueError("range_ needs 0 <= lo < hi (finite hi)")
+        ds = self.ds.limit(hi)
+        if lo:
+            n = lo
+
+            def drop(df: pd.DataFrame) -> pd.DataFrame:
+                return df.iloc[n:]
+
+            ds = ds.repartition(1).map_batches(drop,
+                                               batch_format="pandas")
+        return Traversal(self.graph, ds, kind=self.kind,
+                         path_len=self.path_len)
+
+    def select_map(self, *names: str,
+                   current: Optional[str] = None) -> ray.data.Dataset:
+        """Multi-tag SELECT (Gremlin ``select('a','b')`` — op 11's
+        n-ary form): project the tagged positions into a Dataset with
+        one column per tag name; ``current=<name>`` additionally emits
+        the current element under that name."""
+        cols = {n: f"tag_{n}" for n in names}
+        missing = [c for c in cols.values() if c not in _names(self.ds)]
+        if missing:
+            raise KeyError(f"unknown tags: {missing}")
+        proj = self.ds.select_columns(list(cols.values()))
+        from graphscope_ray.util import rename as _rn
+        out = _rn(proj, {v: k for k, v in cols.items()})
+        if current is not None:
+            self._require("v", "select_map(current=...)")
+            cur = _rn(self.ds.select_columns(
+                list(cols.values()) + ["t"]), {"t": current})
+            out = _rn(cur, {v: k for k, v in cols.items()})
+        return out
+
     # -- steps: ordering / aggregation -----------------------------------
 
     def order_by(self, key: Optional[str] = None, *,

@@ -189,6 +189,56 @@ def test_where_exists(bl):
 
 
 @pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
+def test_repeat_until(bl):
+    g = _fixture_graph(bl)
+    # persons walk out until they stand on a tag vertex: mixed exit
+    # depths (person-(knows)->person adds a 3-hop route), bag semantics
+    t = g.V("person").repeat_until(lambda s: s.out(),
+                                   lambda s: s.has_label("tag"),
+                                   max_times=5)
+    # pandas oracle: BFS-expand, exit on label == tag
+    got = sorted(t.id_values()["t"])
+    verts = {1: "person", 2: "person", 3: "person", 10: "post",
+             11: "post", 12: "post", 20: "tag"}
+    adj = {1: [10, 11, 2], 2: [11], 3: [12], 10: [20, 20],
+           11: [20], 12: [20], 20: []}
+    frontier = [1, 2, 3]
+    out = []
+    for _ in range(5):
+        nxt = [d for v in frontier for d in adj[v]]
+        out += [v for v in nxt if verts[v] == "tag"]
+        frontier = [v for v in nxt if verts[v] != "tag"]
+        if not frontier:
+            break
+    assert got == sorted(out)
+    # until satisfied immediately after one step for direct tag parents
+    one = g.V("post").repeat_until(lambda s: s.out(),
+                                   lambda s: s.has_label("tag"))
+    assert one.id_values()["t"].tolist() == [20, 20, 20, 20]
+
+
+@pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
+def test_range_and_select_map(bl):
+    g = _fixture_graph(bl)
+    # ordered paging: persons by age desc → [35] is the [1, 2) slice
+    page = g.V("person").order_by("age", ascending=False).range_(1, 2)
+    assert page.dataset().to_pandas()["age"].tolist() == [35]
+    with pytest.raises(ValueError):
+        g.V().range_(3, 3)
+    # n-ary select: (person, post) pairs for each wrote->tagged walk
+    proj = (g.V("person").as_("a").out("wrote").as_("b")
+            .out("tagged").select_map("a", "b", current="c")
+            .to_pandas().sort_values(["a", "b", "c"]))
+    assert proj.columns.tolist() == ["a", "b", "c"]
+    # post 10 double-tags 20 → person 1 contributes (1,10,20)x2,(1,11,20)
+    assert proj.values.tolist() == [
+        [1, 10, 20], [1, 10, 20], [1, 11, 20],
+        [2, 11, 20], [3, 12, 20]]
+    with pytest.raises(KeyError):
+        g.V("person").select_map("missing")
+
+
+@pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
 def test_aggregates_and_value_map(bl):
     g = _fixture_graph(bl)
     assert g.V("person").sum_("age") == 105
