@@ -1044,6 +1044,68 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ORDER BY custkey, orderkey, partkey"""
 
 
+def _q_gie_fold_unfold(sf_dir):
+    """V('customer').as_('c').out('places').fold_by_key(tag_c, t,
+    limit=3) → unfold — FOLD_BY_KEY (op 52) collecting each
+    customer's order ids as a sorted list, RANGE_LOCAL (op 38)
+    keeping the first 3, UNFOLD (op 28) flattening back to rows.
+    Vid order ≡ orderkey order (vid = key*4+1 is monotone), so the
+    SQL twin is a row_number()<=3 window."""
+    from graphscope_ray.gie import unfold
+    g = _gie_graph(sf_dir)
+    t = g.V("customer").as_("c").out("places")
+    folded = t.fold_by_key("tag_c", "t", limit=3, name="o")
+    return _gie_decode(unfold(folded, "o"),
+                       {"tag_c": ("custkey", True),
+                        "o": ("orderkey", True)})
+
+
+_GIE_FOLD_UNFOLD_SQL = """
+SELECT o_custkey AS custkey, o_orderkey AS orderkey
+FROM (SELECT o_custkey, o_orderkey,
+             row_number() OVER (PARTITION BY o_custkey
+                                ORDER BY o_orderkey) AS rn
+      FROM orders)
+WHERE rn <= 3 ORDER BY custkey, orderkey"""
+
+
+def _q_gie_program_wcc(sf_dir):
+    """PropertyGraph.program('wcc') — the PROGRAM_GRAPH_CC bridge
+    (query_flow.proto ops 10000-10001; the reference compiles Gremlin
+    ``program()`` steps to GAE vertex programs): connected components
+    of the customer-order-part graph on the analytical engine's actor
+    pool, vertices absent from the edge table (never-ordered parts,
+    order-less customers) as singletons. Ids stay namespaced
+    (key*4+code) — the SQL twin builds the same id space."""
+    g = _gie_graph(sf_dir)
+    return g.program("wcc")
+
+
+_GIE_PROGRAM_WCC_SQL = """
+WITH RECURSIVE
+v AS MATERIALIZED (
+  SELECT c_custkey*4 AS id FROM customer
+  UNION ALL SELECT o_orderkey*4+1 FROM orders
+  UNION ALL SELECT p_partkey*4+2 FROM part),
+e0 AS MATERIALIZED (
+  SELECT o_custkey*4 AS s, o_orderkey*4+1 AS t FROM orders
+  UNION ALL
+  SELECT DISTINCT l_orderkey*4+1, l_partkey*4+2 FROM lineitem),
+e AS MATERIALIZED (SELECT s, t FROM e0 UNION SELECT t, s FROM e0),
+-- flood only LOCAL-MIN labels: every component's global min is a
+-- local min, so each vertex still receives its component min (other
+-- received labels are larger and fall to the final min()); vertices
+-- no label reaches (incl. edge-less singletons) keep their own id
+r AS (
+  SELECT id AS v, id AS l FROM v
+  WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.s = v.id AND e.t < v.id)
+  UNION
+  SELECT e.t, r.l FROM r JOIN e ON e.s = r.v WHERE r.l < e.t
+)
+SELECT v.id AS id, coalesce(min(r.l), v.id) AS comp
+FROM v LEFT JOIN r ON r.v = v.id GROUP BY v.id ORDER BY id"""
+
+
 def _q_pg_labeled_select(sf_dir):
     """LabeledVertexDataContext selector surface (reference
     context.py:305-329): label the partgraph vertices even/odd by oid
@@ -2698,6 +2760,8 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gie_repeat_reach": _q_gie_repeat_reach,
         "gie_price_page": _q_gie_price_page,
         "gie_path_project": _q_gie_path_project,
+        "gie_fold_unfold": _q_gie_fold_unfold,
+        "gie_program_wcc": _q_gie_program_wcc,
         "doc_sha256": _q_doc_sha256,
         "media_pipeline": _q_media_pipeline,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -2903,6 +2967,8 @@ GROUP BY b.v ORDER BY node""",
         "gie_repeat_reach": _GIE_REPEAT_REACH_SQL,
         "gie_price_page": _GIE_PRICE_PAGE_SQL,
         "gie_path_project": _GIE_PATH_PROJECT_SQL,
+        "gie_fold_unfold": _GIE_FOLD_UNFOLD_SQL,
+        "gie_program_wcc": _GIE_PROGRAM_WCC_SQL,
         "pg_transitivity": f"""
 WITH {_PRELUDE},
 {_TRI_CTE}

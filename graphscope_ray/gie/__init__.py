@@ -2,6 +2,6 @@
 subset (query_flow.proto:65-116) re-expressed as streaming Ray Data
 pipelines. See traversal.py for the operator-by-operator mapping."""
 
-from graphscope_ray.gie.traversal import P, PropertyGraph, Traversal
+from graphscope_ray.gie.traversal import P, PropertyGraph, Traversal, unfold
 
-__all__ = ["P", "PropertyGraph", "Traversal"]
+__all__ = ["P", "PropertyGraph", "Traversal", "unfold"]

@@ -50,6 +50,26 @@ from graphscope_ray.util import bucketed_distinct, bucketed_sum
 _BROADCAST_EDGES = 20_000_000
 
 
+def unfold(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
+    """UNFOLD (op 28): flatten a LIST column (e.g. a
+    :meth:`Traversal.fold_by_key` result) back to one row per element;
+    the other columns repeat per element. Pure Arrow kernel per batch
+    (``list_value_length`` + ``take`` + ``list_flatten``) — zero
+    Python per row, zero shuffle."""
+    import pyarrow.compute as pc
+
+    def flat(t: pa.Table) -> pa.Table:
+        lens = pc.list_value_length(t[col]).combine_chunks()
+        lens_np = lens.fill_null(0).to_numpy(zero_copy_only=False)
+        idx = np.repeat(np.arange(len(t)), lens_np)
+        out = {n: t[n].take(pa.array(idx)) for n in t.schema.names
+               if n != col}
+        out[col] = pc.list_flatten(t[col])
+        return pa.table(out)
+
+    return ds.map_batches(flat, batch_format="pyarrow")
+
+
 class P:
     """Gremlin-style predicate over a property column (HAS=20 /
     FILTER=30 operands), applied vectorized to a numpy array."""
@@ -235,6 +255,72 @@ class PropertyGraph:
             self._edge_count = self.edges.count()
         return self._edge_count <= self.broadcast_limit
 
+    # -- vertex programs ---------------------------------------------
+
+    def program(self, app: str, **kw) -> ray.data.Dataset:
+        """PROGRAM_GRAPH_* (query_flow.proto ops 10000-10007): hand
+        this traversal graph to the analytical engine, the way the
+        reference compiles Gremlin ``program()`` steps to vertex
+        programs (``compiler/tree/PageRankVertexProgramTreeNode.java``,
+        ``LpaVertexProgramTreeNode.java``).
+
+        Builds a ``graph.Graph`` over THIS graph's edge table (vertex
+        ids are the oids), runs the named app on the resident actor
+        pool, decodes vids back to ids, and closes the pool. Apps:
+
+        - ``'wcc'`` (PROGRAM_CC/PROGRAM_GRAPH_CC): min-id component
+          per vertex — INCLUDING edge-less vertices of the vertex
+          table, which become their own singleton component;
+        - ``'pagerank'`` (PROGRAM_GRAPH_PAGERANK): directed
+          benchmark-semantics PageRank over the edge-endpoint vertex
+          set (kw: delta, max_round, tol);
+        - ``'cdlp'`` (PROGRAM_GRAPH_LPA): LDBC label propagation,
+          undirected (kw: max_round);
+        - ``'hits'`` (PROGRAM_GRAPH_HITS): auth/hub scores (kw: tol,
+          max_round, normalized).
+
+        One engine run per call — callers cache the result Dataset,
+        not this method."""
+        from graphscope_ray.graph.api import Graph
+        apps = ("wcc", "pagerank", "cdlp", "hits")
+        if app not in apps:
+            raise ValueError(f"program app must be one of {apps}")
+        edges = self.edges.select_columns(["src", "dst"])
+        g = Graph.from_edges(
+            edges,
+            symmetrize=app in ("wcc", "cdlp"),
+            directions="both" if app == "hits" else "forward")
+        try:
+            if app == "wcc":
+                res = g.to_oid(g.wcc(), vid_cols=("vid", "comp"))
+            elif app == "pagerank":
+                res = g.to_oid(g.pagerank(**kw), vid_cols=("vid",))
+            elif app == "cdlp":
+                res = g.to_oid(g.cdlp(**kw), vid_cols=("vid", "label"))
+            else:
+                res = g.to_oid(g.engine.hits(**kw), vid_cols=("vid",))
+            from graphscope_ray.util import rename as _rn
+            res = _rn(res, {"vid": "id"}).materialize()
+        finally:
+            g.close()
+        if app != "wcc":
+            return res
+        # singleton components for vertices absent from the edge table
+        sent = np.iinfo(np.int64).min
+        withc = attach_values(
+            self.vertices.select_columns(["id"]), res, on="id",
+            table_key="id", value_names=["comp"],
+            defaults={"comp": sent})
+
+        def fix(t: pa.Table) -> pa.Table:
+            ids = t["id"].to_numpy()
+            comp = t["comp"].to_numpy()
+            return pa.table({
+                "id": ids,
+                "comp": pa.array(np.where(comp == sent, ids, comp))})
+
+        return withc.map_batches(fix, batch_format="pyarrow")
+
 
 class Traversal:
     """A lazy traverser bag. Every step returns a new Traversal; the
@@ -259,6 +345,11 @@ class Traversal:
         """OUT/IN (ops 2-3): expand each traverser along adjacency.
         Broadcast-CSR (zero shuffle) or one cogroup_join exchange."""
         self._require("v", direction)
+        if not _names(self.ds):  # schemaless empty bag: propagate it
+            # as-is (cogroup_join can't take a schemaless left side,
+            # and fabricating a typed bag would drop unknowable tag
+            # columns — downstream steps all handle schemaless-empty)
+            return Traversal(self.graph, self.ds, kind="v", path_len=0)
         new_p = f"p{self.path_len}" if self.path_len else None
         if self.graph._use_broadcast():
             ref = self.graph._csr(direction, label)
@@ -333,6 +424,8 @@ class Traversal:
         edge properties as ``e_<prop>``, the edge label as ``e_label``
         and the anchor vertex as ``e_from`` (OTHER_V needs it)."""
         self._require("v", "outE" if direction == "out" else "inE")
+        if not _names(self.ds):  # schemaless empty bag → empty edges
+            return Traversal(self.graph, self.ds, kind="e", path_len=0)
         edges = self.graph.edges
         if label is not None:
             lab = label
@@ -990,6 +1083,66 @@ class Traversal:
 
             return parts.map_batches(div, batch_format="pandas")
         return bucketed_agg(ds, [by], {name: (value, agg)})
+
+    def fold_by_key(self, by: str, value: str, *,
+                    limit: Optional[int] = None,
+                    name: Optional[str] = None,
+                    num_buckets: int = 32) -> ray.data.Dataset:
+        """FOLD_BY_KEY (op 52): group by ``by`` and collect ``value``
+        into a LIST column per key. The list is ascending-sorted
+        (ORDER_LOCAL, op 39 — Gremlin's fold order is execution-order-
+        dependent; sorting makes the fold deterministic and
+        SQL-replayable via ``list(x ORDER BY x)``), and ``limit`` keeps
+        only the first k sorted values (RANGE_LOCAL, op 38).
+
+        Shape: one coarse-bucket exchange (a bucket owns every row of
+        its keys, so in-bucket folds are global), then ONE vectorized
+        kernel per bucket — lexsort + boundary offsets +
+        ``pa.ListArray.from_arrays``; no per-key Python loop at any
+        key cardinality."""
+        name = name or f"fold_{value}"
+        by_c, val_c, out_c, nb = by, value, name, num_buckets
+        have = _names(self.ds)
+        if not have:  # schemaless empty bag → typed empty fold
+            return ray.data.from_arrow(pa.table({
+                by_c: pa.array([], pa.int64()),
+                out_c: pa.array([], pa.list_(pa.int64()))}))
+        need_attach = [c for c in (by, value)
+                       if c not in have and c != "t"]
+        ds = self.ds
+        if need_attach:
+            self._require("v", "fold_by_key(property)")
+            ds = self._attach_vprops(need_attach, need_attach)
+
+        def bucket(df: pd.DataFrame) -> pd.DataFrame:
+            df = df[[by_c, val_c]].copy(deep=False)
+            h = pd.util.hash_array(df[by_c].to_numpy())
+            df["_b"] = (h % np.uint64(nb)).astype(np.int64)
+            return df
+
+        def kernel(g: pd.DataFrame) -> pa.Table:
+            k = g[by_c].to_numpy()
+            v = g[val_c].to_numpy()
+            order = np.lexsort((v, k))
+            k, v = k[order], v[order]
+            bounds = np.flatnonzero(k[1:] != k[:-1]) + 1
+            starts = np.concatenate(([0], bounds))
+            if limit is not None:
+                # rank of each row within its key group, then drop
+                # ranks >= limit (RANGE_LOCAL on the sorted fold)
+                cnt = np.diff(np.concatenate((starts, [len(k)])))
+                rank = np.arange(len(k)) - np.repeat(starts, cnt)
+                keep = rank < limit
+                k, v = k[keep], v[keep]
+                bounds = np.flatnonzero(k[1:] != k[:-1]) + 1
+                starts = np.concatenate(([0], bounds))
+            offsets = np.concatenate((starts, [len(k)])).astype(np.int32)
+            lists = pa.ListArray.from_arrays(pa.array(offsets),
+                                             pa.array(v))
+            return pa.table({by_c: pa.array(k[starts]), out_c: lists})
+
+        return (ds.map_batches(bucket, batch_format="pandas")
+                .groupby("_b").map_groups(kernel, batch_format="pandas"))
 
     def sum_(self, prop: Optional[str] = None) -> float:
         """SUM (op 49) over a value bag (or ``values(prop)`` first)."""

@@ -274,6 +274,65 @@ def test_subgraph(bl):
     assert sg.V().has_id(1).out("wrote").count() == 2
 
 
+@pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
+def test_fold_by_key_and_unfold(bl):
+    from graphscope_ray.gie import unfold
+    g = _fixture_graph(bl)
+    t = g.V("person").as_("p").out("wrote")
+    # fold: sorted post lists per person (10,10 duplicate kept? no —
+    # person 1 wrote 10 and 11; bag has one row per edge)
+    pdf = (t.fold_by_key("tag_p", "t").to_pandas()
+           .sort_values("tag_p").reset_index(drop=True))
+    assert pdf["tag_p"].tolist() == [1, 2, 3]
+    assert [list(x) for x in pdf["fold_t"]] == [[10, 11], [11], [12]]
+    # RANGE_LOCAL: limit=1 keeps the smallest per key
+    lim = (t.fold_by_key("tag_p", "t", limit=1, name="first")
+           .to_pandas().sort_values("tag_p"))
+    assert [list(x) for x in lim["first"]] == [[10], [11], [12]]
+    # duplicate traverser rows stay in the fold (bag semantics):
+    # both(..) reaches 20 twice from post 10
+    bag = g.V().has_id(10).both("tagged").as_("a").select("a")
+    fb = bag.fold_by_key("tag_a", "t").to_pandas()
+    assert [list(x) for x in fb["fold_t"]] == [[20, 20]]
+    # unfold round-trips the fold (minus order within equal rows)
+    flat = (unfold(t.fold_by_key("tag_p", "t"), "fold_t")
+            .to_pandas().sort_values(["tag_p", "fold_t"]))
+    assert list(map(tuple, flat.itertuples(index=False))) == \
+        [(1, 10), (1, 11), (2, 11), (3, 12)]
+    # property-valued fold via attach
+    ages = g.V("person").fold_by_key("label", "age").to_pandas()
+    assert [list(x) for x in ages["fold_age"]] == [[29, 35, 41]]
+    # empty bag → typed empty fold, unfold of it stays empty
+    e = g.V("nope").as_("p").out("wrote").fold_by_key("tag_p", "t")
+    assert e.count() == 0
+    assert unfold(e, "fold_t").count() == 0
+
+
+def test_program_bridge():
+    g = _fixture_graph(10**9)
+    # wcc: {1,2,3,10,11,12,20} all connect (posts→tag 20 bridges the
+    # wrote components; 1-knows-2 too); no singleton in the fixture
+    wcc = g.program("wcc").to_pandas().sort_values("id")
+    assert wcc["comp"].tolist() == [1] * 7
+    # add an isolated vertex → singleton component
+    import pandas as pd
+    iso = PropertyGraph(
+        g.vertices.union(ray.data.from_pandas(pd.DataFrame(
+            {"id": [99], "label": ["tag"], "age": [0]}))),
+        g.edges)
+    wcc2 = iso.program("wcc").to_pandas().sort_values("id")
+    assert wcc2[wcc2["id"] == 99]["comp"].tolist() == [99]
+    # pagerank/cdlp run over edge-endpoint vertices and sum sensibly
+    pr = g.program("pagerank", delta=0.85, max_round=5).to_pandas()
+    assert len(pr) == 7 and (pr["rank"] > 0).all()
+    cd = g.program("cdlp", max_round=4).to_pandas()
+    assert len(cd) == 7
+    ht = g.program("hits", tolerance=0.0, max_round=10).to_pandas()
+    assert {"auth", "hub"} <= set(ht.columns)
+    with pytest.raises(ValueError):
+        g.program("nope")
+
+
 def test_errors():
     g = _fixture_graph(10**9)
     with pytest.raises(TypeError):
