@@ -2432,6 +2432,50 @@ def _q_doc_bigrams(sf_dir):
     return bigram_topk(docs, k=100)
 
 
+def _q_doc_lm_score(sf_dir):
+    """Corpus-trained bigram-LM quality score (CCNet shape, Wenzek et
+    al. 2020): add-one-smoothed per-token NLL of each doc under the
+    corpus's own bigram counts — combiner-reduced count tables +
+    broadcast-or-join attach; the SQL twin recomputes the identical
+    model and formula."""
+    from graphscope_ray.data.text import lm_score
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return lm_score(docs)
+
+
+_DOC_LM_SCORE_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS l
+  FROM documents),
+uni AS MATERIALIZED (
+  SELECT w, count(*)::BIGINT AS c1
+  FROM (SELECT unnest(l) AS w FROM toks) GROUP BY w),
+vv AS MATERIALIZED (SELECT count(*)::DOUBLE AS v FROM uni),
+bg AS MATERIALIZED (
+  SELECT doc_id, w1, bgr, count(*)::BIGINT AS m FROM (
+    SELECT doc_id,
+           unnest(list_transform(generate_series(1, len(l) - 1),
+                                 i -> l[i])) AS w1,
+           unnest(list_transform(generate_series(1, len(l) - 1),
+                                 i -> l[i] || ' ' || l[i + 1])) AS bgr
+    FROM toks)
+  GROUP BY doc_id, w1, bgr),
+c2 AS MATERIALIZED (SELECT bgr, sum(m)::BIGINT AS c2 FROM bg
+                    GROUP BY bgr),
+terms AS (
+  SELECT b.doc_id,
+         sum(b.m * ln((c2.c2 + 1.0) / (u.c1 + (SELECT v FROM vv))))
+           AS s,
+         sum(b.m)::BIGINT AS n
+  FROM bg b JOIN c2 USING (bgr) JOIN uni u ON u.w = b.w1
+  GROUP BY b.doc_id)
+SELECT d.doc_id, coalesce(t.n, 0)::BIGINT AS n_bigrams,
+       round(coalesce(-t.s / t.n, 0.0), 6) AS lm_nll
+FROM documents d LEFT JOIN terms t USING (doc_id) ORDER BY d.doc_id"""
+
+
 def _q_emb_kmeans(sf_dir):
     """Distributed Lloyd's k-means (k=8, 2 iterations) — broadcast
     centroids + per-batch partial sums; the SQL twin unrolls both
@@ -2795,6 +2839,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_chunk": _q_doc_chunk,
         "doc_classifier": _q_doc_classifier,
         "doc_bigrams": _q_doc_bigrams,
+        "doc_lm_score": _q_doc_lm_score,
         "emb_kmeans": _q_emb_kmeans,
         "emb_semdedup": _q_emb_semdedup,
         "emb_cluster_sample": _q_emb_cluster_sample,
@@ -3057,6 +3102,7 @@ ORDER BY source, rn""",
         "doc_chunk": _osql().chunk_text_sql(size=256, overlap=32),
         "doc_classifier": _osql().quality_classifier_sql(),
         "doc_bigrams": _bigrams_sql(),
+        "doc_lm_score": _DOC_LM_SCORE_SQL,
         "emb_kmeans": _osql().kmeans_sql(k=8, iters=2, dim=64),
         "emb_semdedup": _osql().semdedup_sql(k=8, iters=2, dim=64,
                                              threshold=0.3),

@@ -379,3 +379,107 @@ def quality_classifier(ds: ray.data.Dataset, col: str = "text",
         })
 
     return ds.map_batches(f, batch_format="pyarrow")
+
+
+def lm_score(ds: ray.data.Dataset, col: str = "text",
+             key: str = "doc_id") -> ray.data.Dataset:
+    """(key, n_bigrams, lm_nll): corpus-trained bigram language-model
+    quality score — the CCNet-style LM filter shape (Wenzek et al.
+    2020, arXiv:1911.00359): docs whose token sequences the corpus LM
+    finds surprising (high per-token negative log-likelihood) are
+    low-quality / out-of-domain candidates.
+
+    Tokens are ``[a-z0-9]+`` runs of lower(text) (the shared
+    VOCAB_TOKEN_PATTERN tokenizer); the model is trained on the corpus
+    itself in one pass, then every doc is scored
+
+        lm_nll = -( Σ_bigrams m·ln( (c2(w1,w2)+1) / (c1(w1)+V) ) ) / n
+
+    with add-one smoothing: ``c2`` = corpus bigram count, ``c1`` =
+    corpus unigram count (all positions), ``V`` = distinct-unigram
+    count, ``m`` = the bigram's in-doc multiplicity, ``n`` = the doc's
+    bigram total (tokens−1). Per-token mean, so length doesn't
+    dominate; docs with <2 tokens get (0, 0.0).
+
+    100 TB shape: a doc's bigrams never leave their batch un-reduced —
+    per-(doc, bigram) multiplicities are the combiner; the two count
+    tables reduce via ``bucketed_sum`` (O(distinct) rows move) and
+    attach back with ``attach_values`` (broadcast under
+    BROADCAST_ROWS, hash join above — the vocabulary, not the corpus,
+    is what moves). Zero driver materialization of anything
+    corpus-sized."""
+    import re as _re
+
+    from graphscope_ray.data.curate import VOCAB_TOKEN_PATTERN
+    from graphscope_ray.graph.joins import attach_values
+    from graphscope_ray.util import bucketed_sum, round_half_away
+
+    pat = _re.compile(VOCAB_TOKEN_PATTERN)
+
+    def doc_bigrams(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[col].fillna("").str.lower().str.findall(pat)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({
+                key: pd.Series([], dtype=df[key].dtype),
+                "w1": pd.Series([], dtype=str),
+                "bg": pd.Series([], dtype=str),
+                "m": pd.Series([], dtype=np.int64)})
+        idx = ex.index.to_numpy()
+        vals = ex.to_numpy(dtype=object)
+        same = idx[1:] == idx[:-1]
+        lhs = vals[:-1][same].astype(str)
+        rhs = vals[1:][same].astype(str)
+        rows = pd.DataFrame({
+            key: df[key].to_numpy()[idx[:-1][same]],
+            "w1": lhs,
+            "bg": np.char.add(np.char.add(lhs, " "), rhs)})
+        out = rows.groupby([key, "w1", "bg"], sort=False).size()
+        return out.rename("m").reset_index()
+
+    def doc_unigrams(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[col].fillna("").str.lower().str.findall(pat)
+        ex = toks.explode().dropna()
+        vc = pd.Series(ex.to_numpy(dtype=object)).value_counts()
+        return pd.DataFrame({"w": vc.index.astype(str),
+                             "c1": vc.to_numpy().astype(np.int64)})
+
+    bg_rows = ds.map_batches(doc_bigrams,
+                             batch_format="pandas").materialize()
+    c1 = bucketed_sum(ds.map_batches(doc_unigrams,
+                                     batch_format="pandas"),
+                      ["w"], vals=["c1"]).materialize()
+    vocab_v = float(c1.count())
+    c2 = bucketed_sum(bg_rows.select_columns(["bg", "m"]), ["bg"],
+                      vals=["m"])
+    from graphscope_ray.util import rename as _rn
+    c2 = _rn(c2, {"m": "c2"})
+    rows = attach_values(bg_rows, c2, on="bg", table_key="bg",
+                         value_names=["c2"])
+    rows = attach_values(rows, c1, on="w1", table_key="w",
+                         value_names=["c1"])
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["m"].to_numpy().astype(np.float64)
+        s = m * np.log((df["c2"].to_numpy() + 1.0)
+                       / (df["c1"].to_numpy() + vocab_v))
+        return pd.DataFrame({key: df[key], "s": s,
+                             "n": df["m"].to_numpy()})
+
+    agg = bucketed_sum(rows.map_batches(term, batch_format="pandas"),
+                       [key], vals=["s", "n"])
+    keys_ds = ds.select_columns([key])
+    withs = attach_values(keys_ds, agg, on=key, table_key=key,
+                          value_names=["s", "n"],
+                          defaults={"s": 0.0, "n": 0})
+
+    def finish(df: pd.DataFrame) -> pd.DataFrame:
+        n = df["n"].to_numpy().astype(np.int64)
+        s = df["s"].to_numpy()
+        nll = -s / np.maximum(n, 1)
+        return pd.DataFrame({
+            key: df[key], "n_bigrams": n,
+            "lm_nll": round_half_away(nll, 6)})
+
+    return withs.map_batches(finish, batch_format="pandas")

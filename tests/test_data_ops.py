@@ -272,3 +272,46 @@ def test_multimodal_plumbing():
     if vids:
         assert frames["media_id"].nunique() == vids
         assert (frames["ts_ms"] >= 0).all()
+
+
+def test_lm_score_matches_numpy_oracle():
+    from graphscope_ray.data.text import lm_score
+    import itertools
+    import math
+    import re
+
+    docs = pd.DataFrame({
+        "doc_id": [1, 2, 3, 4, 5],
+        "text": ["the cat sat on the mat",
+                 "the cat sat",
+                 "a dog a dog a dog",   # repeated bigrams (m > 1)
+                 "zzz",                  # 1 token → no bigram
+                 None],                  # null text
+    })
+    out = (lm_score(ray.data.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    # independent oracle: pure-python bigram LM with add-one smoothing
+    pat = re.compile(r"[a-z0-9]+")
+    toks = {r.doc_id: pat.findall((r.text or "").lower())
+            for r in docs.itertuples()}
+    uni, bg = {}, {}
+    for ts in toks.values():
+        for w in ts:
+            uni[w] = uni.get(w, 0) + 1
+        for a, b in zip(ts, ts[1:]):
+            bg[(a, b)] = bg.get((a, b), 0) + 1
+    V = len(uni)
+    for r in out.itertuples():
+        ts = toks[r.doc_id]
+        pairs = list(zip(ts, ts[1:]))
+        assert r.n_bigrams == len(pairs)
+        if not pairs:
+            assert r.lm_nll == 0.0
+            continue
+        nll = -sum(math.log((bg[p] + 1) / (uni[p[0]] + V))
+                   for p in pairs) / len(pairs)
+        assert r.lm_nll == pytest.approx(nll, abs=2e-6)
+    # repeated text is less surprising than singleton text
+    assert (out.loc[out.doc_id == 3, "lm_nll"].iloc[0]
+            < out.loc[out.doc_id == 1, "lm_nll"].iloc[0])
