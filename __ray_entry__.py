@@ -1322,6 +1322,34 @@ def _closeness_sql(rounds: int, n_landmarks: int = 3) -> str:
             f"FROM agg ORDER BY vid")
 
 
+def _q_pg_harmonic(sf_dir):
+    """Landmark harmonic centrality from the 3 smallest vertices —
+    the same multi-source BFS sweep as pg_closeness with the Σ 1/d
+    reduce (Boldi & Vigna 2014; unreachable landmarks contribute 0)."""
+    from graphscope_ray.pipelines.partgraph import partgraph_vertices
+    g, edges = _partgraph(sf_dir)
+    lms = [r["vid"] for r in
+           partgraph_vertices(edges).sort("vid").limit(3).take_all()]
+    res = g.harmonic_landmarks(lms, unit=True)
+    return g.to_oid(res)
+
+
+def _harmonic_sql(rounds: int, n_landmarks: int = 3) -> str:
+    """Twin of _q_pg_harmonic: the _closeness_sql BFS chain with the
+    harmonic (Σ 1/d over d > 0) final aggregate."""
+    base = _closeness_sql(rounds, n_landmarks)
+    head, _, _ = base.partition("agg AS (")
+    return (head
+            + "agg AS (\n"
+            + "  SELECT v, count(CASE WHEN d > 0 THEN 1 END)::BIGINT"
+            + " AS reached,\n"
+            + "         COALESCE(sum(CASE WHEN d > 0 THEN 1.0 / d END),"
+            + " 0.0) AS hs\n"
+            + f"  FROM b{rounds} GROUP BY v)\n"
+            + "SELECT v AS vid, reached, round(hs, 6) AS harmonic\n"
+            + "FROM agg ORDER BY vid")
+
+
 BETWEENNESS_DEPTH = 6  # sf0.01 source eccentricity = 3; margin asserted
 
 
@@ -2769,6 +2797,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_feature_prop": _q_pg_feature_prop,
         "pg_ktruss": _q_pg_ktruss,
         "pg_closeness": _q_pg_closeness,
+        "pg_harmonic": _q_pg_harmonic,
         "pg_betweenness": _q_pg_betweenness,
         "pg_khop": _q_pg_khop,
         "pg_avg_clustering": _q_pg_avg_clustering,
@@ -2928,6 +2957,7 @@ SELECT count(*)::BIGINT AS total FROM tri""",
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),
+        "pg_harmonic": _harmonic_sql(SSSP_ROUNDS),
         "pg_betweenness": _betweenness_sql(),
         "pg_khop": _khop_sql(hops=2, fanout=3, seed=5, n_seeds=3),
         "pg_link_features": f"""

@@ -175,6 +175,15 @@ def run_bench() -> dict:
         n_docs / max(queries["curation"], 1e-9), 1)
     queries["curation_kept_docs"] = kept_docs
 
+    # corpus-trained bigram-LM quality score (r03 session 6): two
+    # corpus passes (count tables) + attach + per-doc reduce
+    from graphscope_ray.data.text import lm_score
+    t0 = time.perf_counter()
+    lm_rows = lm_score(docs).count()
+    queries["lm_score"] = round(time.perf_counter() - t0, 3)
+    queries["lm_score_docs_per_sec"] = round(
+        lm_rows / max(queries["lm_score"], 1e-9), 1)
+
     # cross-document duplicated-span detection (r03 session 3)
     from graphscope_ray.data.dedup import duplicated_spans
     t0 = time.perf_counter()

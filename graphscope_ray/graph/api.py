@@ -260,6 +260,13 @@ class Graph:
         lm = None if landmarks is None else self._oids_to_vids(landmarks)
         return self.engine.closeness_landmarks(lm, **kw)
 
+    def harmonic_landmarks(self, landmarks=None, **kw
+                           ) -> ray.data.Dataset:
+        """Landmark harmonic centrality from oid landmarks — see
+        BSPEngine.harmonic_landmarks."""
+        lm = None if landmarks is None else self._oids_to_vids(landmarks)
+        return self.engine.harmonic_landmarks(lm, **kw)
+
     def betweenness_sources(self, sources=None, **kw
                             ) -> ray.data.Dataset:
         """Sampled Brandes betweenness from oid sources — see

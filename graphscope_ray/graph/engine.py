@@ -60,6 +60,15 @@ def _closeness_table(trip, round_to: int = 6) -> pa.Table:
 
 
 @ray.remote
+def _harmonic_table(trip, round_to: int = 6) -> pa.Table:
+    from graphscope_ray.util import round_half_away
+    vids, cnt, hs = trip
+    return pa.table({"vid": pa.array(vids),
+                     "reached": pa.array(cnt),
+                     "harmonic": pa.array(round_half_away(hs, round_to))})
+
+
+@ray.remote
 def _nth(lst, i):
     return lst[i]
 
@@ -796,11 +805,35 @@ class BSPEngine:
         Shape: the msssp superstep exchange (O(distinct dst) combined
         messages per round) + ONE per-partition vectorized reduce —
         the (V × k) distance matrix never leaves its owners."""
+        self._msssp_sweep(landmarks, k, unit, max_iter, "closeness")
+        trips = [a.msssp_closeness.remote() for a in self.actors]
+        return self._finish_ds([_closeness_table.remote(t) for t in trips])
+
+    def harmonic_landmarks(self, landmarks=None, *, k: int = 3,
+                           unit: bool = True, max_iter: int = 10_000
+                           ) -> ray.data.Dataset:
+        """Landmark harmonic centrality: the same multi-source sweep
+        as :meth:`closeness_landmarks`, reduced to per vertex
+        ``Σ_{landmarks at finite positive distance} 1/dist`` —
+        harmonic centrality's sampled/pivot form (Boldi & Vigna 2014;
+        nx ``harmonic_centrality`` restricted to the landmark set).
+        Harmonic handles disconnected graphs gracefully (unreachable
+        landmarks contribute 0 instead of poisoning the mean), which
+        is exactly the regime where closeness degrades.
+
+        Shape: identical to closeness — msssp superstep exchange +
+        ONE per-partition vectorized reduce; the (V × k) distance
+        matrix never leaves its owners."""
+        self._msssp_sweep(landmarks, k, unit, max_iter, "harmonic")
+        trips = [a.msssp_harmonic.remote() for a in self.actors]
+        return self._finish_ds([_harmonic_table.remote(t) for t in trips])
+
+    def _msssp_sweep(self, landmarks, k, unit, max_iter, what):
         if landmarks is None:
             landmarks = np.arange(min(k, self.V), dtype=np.int64)
         landmarks = np.asarray(list(landmarks), dtype=np.int64)
         if not len(landmarks):
-            raise ValueError("closeness needs at least one landmark")
+            raise ValueError(f"{what} needs at least one landmark")
         ray.get([a.msssp_init.remote(landmarks, unit)
                  for a in self.actors])
         rnd = 0
@@ -814,8 +847,6 @@ class BSPEngine:
                 break
         self.superstep_seconds += time.perf_counter() - t0
         self.supersteps += rnd
-        trips = [a.msssp_closeness.remote() for a in self.actors]
-        return self._finish_ds([_closeness_table.remote(t) for t in trips])
 
     def betweenness_sources(self, sources=None, *, k: int = 3,
                             max_iter: int = 10_000) -> ray.data.Dataset:

@@ -936,6 +936,17 @@ class GraphPartition:
         return (self.local_vids(), fin.sum(axis=1).astype(np.int64),
                 np.where(fin, d, 0.0).sum(axis=1))
 
+    def msssp_harmonic(self):
+        """Per-owned-vertex (vids, n_reached, Σ 1/d) over the current
+        multi-source state — the landmark-harmonic reduce (finite
+        POSITIVE distances only; a landmark's self-distance 0
+        contributes nothing, matching nx harmonic_centrality)."""
+        d = self.state["msssp"]["dist"]
+        pos = np.isfinite(d) & (d > 0)
+        inv = np.where(pos, 1.0 / np.where(pos, d, 1.0), 0.0)
+        return (self.local_vids(), pos.sum(axis=1).astype(np.int64),
+                inv.sum(axis=1))
+
     # ------------------------------------------------------------------
     # Sampled Brandes betweenness (unit shortest paths from K sources):
     # forward BFS levels + path counts sigma, then level-descending

@@ -290,3 +290,57 @@ def test_betweenness_sources_matches_brandes(ray_session):
             bc += delta
         np.testing.assert_allclose(got["betweenness"].to_numpy(), bc,
                                    atol=1e-9, err_msg=str((trial, srcs, P)))
+
+
+def test_harmonic_landmarks_matches_numpy(ray_session):
+    import collections
+    import tempfile
+
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.graph.build import build_graph
+    from graphscope_ray.graph.engine import BSPEngine
+
+    rng = np.random.default_rng(23)
+    n = 40
+    e = rng.integers(0, n, size=(120, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    # isolate vertex n-1 so an unreachable landmark contributes 0
+    e = e[(e[:, 0] != n - 1) & (e[:, 1] != n - 1)]
+    eds = ray.data.from_pandas(pd.DataFrame(
+        {"src": e[:, 0].astype(np.int64), "dst": e[:, 1].astype(np.int64)}))
+    lms = [0, 3, n - 1]
+    with tempfile.TemporaryDirectory() as td:
+        store = build_graph(eds, td + "/s", num_parts=3, num_vertices=n,
+                            symmetrize=True)
+        eng = BSPEngine(store)
+        got = (eng.harmonic_landmarks(np.array(lms), unit=True)
+               .to_pandas().sort_values("vid").reset_index(drop=True))
+        eng.shutdown()
+
+    adj = collections.defaultdict(set)
+    for a, b in e.tolist():
+        adj[a].add(b)
+        adj[b].add(a)
+    cnt = np.zeros(n, dtype=np.int64)
+    hs = np.zeros(n)
+    for l in lms:
+        dist = np.full(n, np.inf)
+        dist[l] = 0
+        frontier = [l]
+        while frontier:
+            nxt = []
+            for u in frontier:
+                for w in adj[u]:
+                    if dist[w] == np.inf:
+                        dist[w] = dist[u] + 1
+                        nxt.append(w)
+            frontier = nxt
+        pos = np.isfinite(dist) & (dist > 0)
+        cnt[pos] += 1
+        hs[pos] += 1.0 / dist[pos]
+    assert (got["reached"].to_numpy() == cnt).all()
+    np.testing.assert_allclose(got["harmonic"].to_numpy(), hs, atol=2e-6)
+    # the isolated landmark's own row: reached counts only others
+    assert got.loc[n - 1, "harmonic"] == 0.0
