@@ -1350,6 +1350,52 @@ def _harmonic_sql(rounds: int, n_landmarks: int = 3) -> str:
             + "FROM agg ORDER BY vid")
 
 
+MIS_SEED = 7
+MIS_ROUNDS = 24  # Luby join+remove iterations unrolled in the twin;
+#                  expected O(log V) ≈ 11 at sf0.01 — margin asserted
+#                  by the twin's final == penultimate fixpoint check
+
+
+def _q_pg_mis(sf_dir):
+    """Maximal independent set (Luby 1986) through the user-level
+    VertexProgram surface: deterministic fmix64 priorities, alternating
+    join/remove supersteps on the min-combiner. The twin unrolls the
+    same iterations over row_number()-dense vids."""
+    g, _ = _partgraph(sf_dir)
+    return g.to_oid(g.mis(seed=MIS_SEED))
+
+
+def _mis_sql(rounds: int, seed: int) -> str:
+    from graphscope_ray.oracle_sql import fmix_u64_sql
+    pri = fmix_u64_sql(f"xor(vid::UBIGINT, {seed}::UBIGINT)")
+    parts = [f"WITH {_PRELUDE},",
+             "vr AS MATERIALIZED (SELECT v, row_number() "
+             "OVER (ORDER BY v) - 1 AS vid FROM v)",
+             f"st0 AS MATERIALIZED (SELECT v, "
+             f"(({pri}) >> 11)::DOUBLE AS pri, 0 AS st FROM vr)"]
+    for r in range(1, rounds + 1):
+        parts.append(f"""m{r} AS MATERIALIZED (
+  SELECT e.t AS v, max(p.pri) AS mx
+  FROM e JOIN st{r-1} p ON p.v = e.s AND p.st = 0 GROUP BY e.t)""")
+        parts.append(f"""j{r} AS MATERIALIZED (
+  SELECT s.v FROM st{r-1} s LEFT JOIN m{r} ON m{r}.v = s.v
+  WHERE s.st = 0 AND s.pri > COALESCE(m{r}.mx, -1.0))""")
+        parts.append(f"""r{r} AS MATERIALIZED (
+  SELECT DISTINCT e.t AS v FROM e JOIN j{r} ON j{r}.v = e.s)""")
+        parts.append(f"""st{r} AS MATERIALIZED (
+  SELECT s.v, s.pri, CASE WHEN s.st <> 0 THEN s.st
+    WHEN j.v IS NOT NULL THEN 1
+    WHEN rr.v IS NOT NULL THEN 2 ELSE 0 END AS st
+  FROM st{r-1} s LEFT JOIN j{r} j ON j.v = s.v
+  LEFT JOIN r{r} rr ON rr.v = s.v)""")
+    body = ",\n".join(parts[1:])
+    # fixpoint margin: the unroll must have converged (no undecided)
+    return (f"{parts[0]}\n{body},\n"
+            f"chk AS (SELECT count(*) AS c FROM st{rounds} WHERE st = 0)\n"
+            f"SELECT v AS vid, st::BIGINT AS status FROM st{rounds}\n"
+            f"WHERE (SELECT c FROM chk) = 0 ORDER BY vid")
+
+
 BETWEENNESS_DEPTH = 6  # sf0.01 source eccentricity = 3; margin asserted
 
 
@@ -2504,6 +2550,32 @@ SELECT d.doc_id, coalesce(t.n, 0)::BIGINT AS n_bigrams,
 FROM documents d LEFT JOIN terms t USING (doc_id) ORDER BY d.doc_id"""
 
 
+def _q_doc_adaptive_quality(sf_dir):
+    """Per-domain adaptive quality gate (keep docs ≥ their source's
+    median quality) — per-group quantile_disc thresholds via one
+    coarse-bucket order-statistic exchange; doc rows never shuffle."""
+    from graphscope_ray.data.curate import adaptive_quality_filter
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text", "source"])
+    return adaptive_quality_filter(docs)
+
+
+_DOC_ADAPTIVE_QUALITY_SQL = r"""
+WITH s AS MATERIALIZED (
+  SELECT doc_id, source, round(
+    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1), 6)
+    * least(1.0, len(list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> ''))::DOUBLE / 100.0), 6)
+    AS quality
+  FROM documents),
+t AS (SELECT source, quantile_disc(quality, 0.5) AS thr
+      FROM s GROUP BY source)
+SELECT s.doc_id, s.source, s.quality, t.thr
+FROM s JOIN t USING (source)
+WHERE s.quality >= t.thr ORDER BY s.doc_id"""
+
+
 def _q_emb_kmeans(sf_dir):
     """Distributed Lloyd's k-means (k=8, 2 iterations) — broadcast
     centroids + per-batch partial sums; the SQL twin unrolls both
@@ -2798,6 +2870,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_ktruss": _q_pg_ktruss,
         "pg_closeness": _q_pg_closeness,
         "pg_harmonic": _q_pg_harmonic,
+        "pg_mis": _q_pg_mis,
         "pg_betweenness": _q_pg_betweenness,
         "pg_khop": _q_pg_khop,
         "pg_avg_clustering": _q_pg_avg_clustering,
@@ -2869,6 +2942,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_classifier": _q_doc_classifier,
         "doc_bigrams": _q_doc_bigrams,
         "doc_lm_score": _q_doc_lm_score,
+        "doc_adaptive_quality": _q_doc_adaptive_quality,
         "emb_kmeans": _q_emb_kmeans,
         "emb_semdedup": _q_emb_semdedup,
         "emb_cluster_sample": _q_emb_cluster_sample,
@@ -2958,6 +3032,7 @@ SELECT count(*)::BIGINT AS total FROM tri""",
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),
         "pg_harmonic": _harmonic_sql(SSSP_ROUNDS),
+        "pg_mis": _mis_sql(MIS_ROUNDS, MIS_SEED),
         "pg_betweenness": _betweenness_sql(),
         "pg_khop": _khop_sql(hops=2, fanout=3, seed=5, n_seeds=3),
         "pg_link_features": f"""
@@ -3133,6 +3208,7 @@ ORDER BY source, rn""",
         "doc_classifier": _osql().quality_classifier_sql(),
         "doc_bigrams": _bigrams_sql(),
         "doc_lm_score": _DOC_LM_SCORE_SQL,
+        "doc_adaptive_quality": _DOC_ADAPTIVE_QUALITY_SQL,
         "emb_kmeans": _osql().kmeans_sql(k=8, iters=2, dim=64),
         "emb_semdedup": _osql().semdedup_sql(k=8, iters=2, dim=64,
                                              threshold=0.3),

@@ -537,3 +537,62 @@ def topk_per_group(ds: ray.data.Dataset, *, group: str, score: str,
               .map_batches(add_bucket, batch_format="pandas")
               .groupby("_cb")
               .map_groups(final, batch_format="pandas"))
+
+
+def adaptive_quality_filter(ds: ray.data.Dataset, *, col: str = "text",
+                            key: str = "doc_id",
+                            group: str = "source",
+                            q: float = 0.5) -> ray.data.Dataset:
+    """Per-domain adaptive quality gate: keep each doc whose quality
+    score is ≥ its OWN group's q-quantile (default median) — the
+    data-mixing trick that a single global threshold gets wrong
+    (a fixed cutoff empties low-scoring domains and keeps junk from
+    high-scoring ones; cf. per-source filtering in Gopher/Dolma-style
+    curation). → (key, group, quality, thr) for kept docs.
+
+    Quantile semantics are DuckDB ``quantile_disc`` (sorted value at
+    0-based index ``max(0, ceil(q·n)-1)`` — the data/profile protocol),
+    over 6-dp-rounded quality scores, so the ≥-comparison is exact on
+    both sides.
+
+    100 TB shape: quality is an embarrassingly-parallel pass
+    (text_stats); the per-group quantile is ONE coarse-bucket exchange
+    of (group, quality) pairs — a bucket owns every row of its groups,
+    so in-bucket order statistics are global — and the threshold table
+    (one row per domain) attaches back broadcast-or-join. The doc rows
+    themselves shuffle zero times."""
+    from graphscope_ray.data.text import quality_score
+    from graphscope_ray.graph.joins import attach_values
+
+    scored = quality_score(ds, col, key, keep=(group,)).materialize()
+
+    def bucket(df: pd.DataFrame) -> pd.DataFrame:
+        df = df[[group, "quality"]].copy(deep=False)
+        h = pd.util.hash_array(df[group].to_numpy())
+        df["_b"] = (h % np.uint64(32)).astype(np.int64)
+        return df
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        # one vectorized multi-group order statistic: sort by
+        # (group, quality), then index each group at ceil(q·n)-1
+        k_arr = g[group].to_numpy()
+        v = g["quality"].to_numpy()
+        order = np.lexsort((v, k_arr))
+        k_arr, v = k_arr[order], v[order]
+        bounds = np.flatnonzero(k_arr[1:] != k_arr[:-1]) + 1
+        starts = np.concatenate(([0], bounds))
+        ends = np.concatenate((bounds, [len(k_arr)]))
+        n = ends - starts
+        idx = starts + np.maximum(
+            0, np.ceil(q * n).astype(np.int64) - 1)
+        return pd.DataFrame({group: k_arr[starts], "thr": v[idx]})
+
+    thr = (scored.map_batches(bucket, batch_format="pandas")
+           .groupby("_b").map_groups(kernel, batch_format="pandas"))
+    withthr = attach_values(scored, thr, on=group, table_key=group,
+                            value_names=["thr"])
+
+    def keep(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["quality"].to_numpy() >= df["thr"].to_numpy()]
+
+    return withthr.map_batches(keep, batch_format="pandas")

@@ -260,6 +260,26 @@ class Graph:
         lm = None if landmarks is None else self._oids_to_vids(landmarks)
         return self.engine.closeness_landmarks(lm, **kw)
 
+    def mis(self, seed: int = 7, max_round: int = 64
+            ) -> ray.data.Dataset:
+        """Maximal independent set (Luby) via the user-level
+        VertexProgram surface — (vid, status) with status 1 = in-MIS,
+        2 = removed. Requires a symmetrized store (MIS is an
+        undirected notion)."""
+        import pyarrow.compute as pc
+
+        from graphscope_ray.graph.program import MISProgram
+        res = self.engine.run_program(MISProgram(seed),
+                                      max_round=max_round,
+                                      stop_when_zero=True)
+
+        def toint(t: pa.Table) -> pa.Table:
+            i = t.schema.get_field_index("status")
+            return t.set_column(i, "status",
+                                pc.cast(t["status"], pa.int64()))
+
+        return res.map_batches(toint, batch_format="pyarrow")
+
     def harmonic_landmarks(self, landmarks=None, **kw
                            ) -> ray.data.Dataset:
         """Landmark harmonic centrality from oid landmarks — see

@@ -190,6 +190,64 @@ class NXPageRankProgram(VertexProgram):
         return delta_max, {"dangling": float(new[dang].sum())}
 
 
+class MISProgram(VertexProgram):
+    """Luby-style maximal independent set over a SYMMETRIZED store,
+    written as a user-level vectorized VertexProgram (the extension
+    surface's 'novel algorithm' demo — not a reference app; Luby
+    1986). Deterministic and SQL-replayable:
+
+    ``priority(v) = fmix64(vid ^ seed) >> 11`` — 53 bits, exactly
+    float64-representable, the shared hash family oracle_sql replays.
+
+    Alternating supersteps (the min-combiner carries −priority, so
+    the combined min is −max; +inf = silence):
+
+    - odd (join): undecided v with priority > max priority among its
+      undecided neighbors joins the MIS (no undecided neighbor ⇒
+      join — the identity +inf combines to −inf);
+    - even (remove): undecided neighbors of in-MIS vertices leave.
+
+    ``status``: 0 undecided → 1 in-MIS / 2 removed. Assumes priorities
+    are pairwise distinct among neighbors (a 53-bit hash collision on
+    an edge could strand both endpoints undecided until ``max_round``
+    — probability ~E/2^53; the SQL twin replays identical priorities,
+    so engine/oracle parity holds regardless)."""
+
+    combine = "min"
+    result_columns = ("status",)
+
+    def __init__(self, seed: int = 7):
+        self.seed = seed
+
+    def init(self, ctx):
+        from graphscope_ray.data.hashing import fmix64
+        pri = (fmix64(ctx.local_vids.astype(np.int64).view(np.uint64)
+                      ^ np.uint64(self.seed))
+               >> np.uint64(11)).astype(np.float64)
+        return {"status": np.zeros(ctx.nlocal), "pri": pri}
+
+    def message(self, ctx, state):
+        out = np.full(ctx.nlocal, np.inf)
+        if ctx.round % 2 == 1:
+            und = state["status"] == 0
+            out[und] = -state["pri"][und]
+        else:
+            out[state["status"] == 1] = -np.inf
+        return out
+
+    def apply(self, ctx, state, incoming, agg):
+        und = state["status"] == 0
+        if ctx.round % 2 == 1:
+            nbr_max = -incoming  # −inf where no undecided neighbor
+            join = und & (state["pri"] > nbr_max)
+            state["status"][join] = 1.0
+            return float(join.sum()), 0.0
+        hit = und & np.isneginf(incoming)
+        state["status"][hit] = 2.0
+        # keep looping while anything is still undecided
+        return float(und.sum()), 0.0
+
+
 class GlobalStatsProgram(VertexProgram):
     """Example exercising the aggregator zoo: round 1 publishes each
     partition's local-vid sum plus two flags; round 2 writes the

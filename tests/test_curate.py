@@ -315,3 +315,50 @@ def test_quality_classifier_edges(edge_ds, edge_con):
     import math
     assert abs(got["score"][0] - round(1 / (1 + math.exp(3.8)), 6)) < 1e-9
     assert got["keep"][0] == 0
+
+
+def test_adaptive_quality_filter_matches_duckdb(ray_session):
+    import duckdb
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.data.curate import adaptive_quality_filter
+
+    rng = np.random.default_rng(24)
+    n = 120
+    words = ["alpha", "beta", "42", "!!", "gamma", "delta"]
+    docs = pd.DataFrame({
+        "doc_id": np.arange(n, dtype=np.int64),
+        "text": [" ".join(rng.choice(words,
+                                     size=rng.integers(1, 40)))
+                 for _ in range(n)],
+        "source": rng.choice(["web", "code", "wiki"], size=n),
+    })
+    got = (adaptive_quality_filter(ray.data.from_pandas(docs))
+           .to_pandas().sort_values("doc_id").reset_index(drop=True))
+
+    con = duckdb.connect()
+    con.register("documents", docs)
+    want = con.execute(r"""
+WITH s AS (
+  SELECT doc_id, source, round(
+    round(length(regexp_replace(text, '[^a-zA-Z]', '', 'g'))::DOUBLE
+          / greatest(length(text), 1), 6)
+    * least(1.0, len(list_filter(string_split_regex(text, '\s+'),
+                                 x -> x <> ''))::DOUBLE / 100.0), 6)
+    AS quality
+  FROM documents),
+t AS (SELECT source, quantile_disc(quality, 0.5) AS thr
+      FROM s GROUP BY source)
+SELECT s.doc_id, s.source, s.quality, t.thr
+FROM s JOIN t USING (source)
+WHERE s.quality >= t.thr ORDER BY s.doc_id""").df()
+    assert got["doc_id"].tolist() == want["doc_id"].tolist()
+    np.testing.assert_allclose(got["quality"], want["quality"],
+                               atol=1e-9)
+    np.testing.assert_allclose(got["thr"], want["thr"], atol=1e-9)
+    # every group kept 50-100% of its docs (median gate)
+    kept = got.groupby("source").size()
+    total = docs.groupby("source").size()
+    frac = (kept / total).dropna()
+    assert ((frac >= 0.5) & (frac <= 1.0)).all()

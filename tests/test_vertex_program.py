@@ -121,3 +121,75 @@ def test_program_with_hub_split(tmp_path):
     want = pregel_pagerank_oracle(STAR_HUB, 9, 0.85, 10)
     np.testing.assert_allclose(got, want, atol=1e-12)
     eng.shutdown()
+
+
+def _mis_oracle(n, edges, seed):
+    """Sequential Luby replay with the same fmix64 priorities."""
+    import numpy as np
+    from graphscope_ray.data.hashing import fmix64
+
+    pri = (fmix64(np.arange(n, dtype=np.int64).view(np.uint64)
+                  ^ np.uint64(seed)) >> np.uint64(11)).astype(float)
+    adj = [[] for _ in range(n)]
+    for a, b in edges:
+        adj[a].append(b)
+        adj[b].append(a)
+    status = np.zeros(n, dtype=int)
+    while (status == 0).any():
+        join = []
+        for v in range(n):
+            if status[v]:
+                continue
+            mx = max((pri[u] for u in adj[v] if status[u] == 0),
+                     default=-1.0)
+            if pri[v] > mx:
+                join.append(v)
+        if not join:
+            break
+        for v in join:
+            status[v] = 1
+        for v in join:
+            for u in adj[v]:
+                if status[u] == 0:
+                    status[u] = 2
+    return status
+
+
+@pytest.mark.parametrize("parts", [1, 4])
+def test_mis_program(ray_session, parts, tmp_path):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.graph.api import Graph
+
+    rng = np.random.default_rng(25)
+    n = 60
+    e = rng.integers(0, n, size=(150, 2))
+    e = e[e[:, 0] != e[:, 1]]
+    eds = ray.data.from_pandas(pd.DataFrame(
+        {"src": e[:, 0].astype(np.int64),
+         "dst": e[:, 1].astype(np.int64)}))
+    g = Graph.from_edges(eds, workdir=str(tmp_path / f"m{parts}"),
+                         num_parts=parts, symmetrize=True)
+    try:
+        got = (g.to_oid(g.mis(seed=7)).to_pandas()
+               .sort_values("vid").reset_index(drop=True))
+        oids = sorted(set(e[:, 0]) | set(e[:, 1]))
+        vid_of = {o: i for i, o in enumerate(oids)}
+        # oracle over the dense-vid graph (priority keys off vids)
+        dense_edges = [(vid_of[a], vid_of[b]) for a, b in e.tolist()]
+        want = _mis_oracle(len(oids), dense_edges, 7)
+        assert got["status"].tolist() == want.tolist()
+        # independence: no edge inside the MIS
+        in_mis = set(got.loc[got.status == 1, "vid"])
+        assert not any(a in in_mis and b in in_mis for a, b in e.tolist())
+        # maximality: every non-MIS vertex has an MIS neighbor
+        adj = {}
+        for a, b in e.tolist():
+            adj.setdefault(a, set()).add(b)
+            adj.setdefault(b, set()).add(a)
+        for v in got.loc[got.status == 2, "vid"]:
+            assert adj[v] & in_mis
+        assert (got["status"] != 0).all()
+    finally:
+        g.close()
