@@ -980,6 +980,54 @@ class Traversal:
             out = _rn(cur, {v: k for k, v in cols.items()})
         return out
 
+    # -- steps: user lambdas (ops 1000-1002) -------------------------------
+
+    def lambda_filter(self, fn: Callable[[pd.DataFrame], np.ndarray]
+                      ) -> "Traversal":
+        """LAMBDA_FILTER (op 1000): keep traversers where the user
+        function returns True. ``fn`` receives a whole pandas batch of
+        traverser rows and returns a boolean mask — vectorized by
+        contract (the reference ships single-traverser Gremlin
+        lambdas to the executor; here the batch IS the unit, so user
+        code runs at kernel speed)."""
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):
+                return df
+            return df[np.asarray(fn(df), dtype=bool)]
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(keep,
+                                             batch_format="pandas"),
+                         kind=self.kind, path_len=self.path_len)
+
+    def lambda_map(self, name: str,
+                   fn: Callable[[pd.DataFrame], np.ndarray]
+                   ) -> "Traversal":
+        """LAMBDA_MAP (op 1001): append column ``name`` computed by a
+        vectorized user function over each traverser batch."""
+        def add(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            df[name] = (fn(df) if len(df)
+                        else pd.Series([], dtype="float64"))
+            return df
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(add, batch_format="pandas"),
+                         kind=self.kind, path_len=self.path_len)
+
+    def lambda_flatmap(self, fn: Callable[[pd.DataFrame], pd.DataFrame]
+                       ) -> "Traversal":
+        """LAMBDA_FLATMAP (op 1002): user function maps each traverser
+        batch to ANY number of output traverser rows (same columns);
+        the bag re-forms from the concatenation."""
+        def flat(df: pd.DataFrame) -> pd.DataFrame:
+            return fn(df) if len(df) else df
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(flat,
+                                             batch_format="pandas"),
+                         kind=self.kind, path_len=self.path_len)
+
     # -- steps: ordering / aggregation -----------------------------------
 
     def order_by(self, key: Optional[str] = None, *,
@@ -1219,6 +1267,40 @@ class Traversal:
     def count(self) -> int:
         """COUNT/FOLD (op 37): bag size."""
         return self.ds.count()
+
+    def count_limit(self, n: int) -> int:
+        """COUNT_LIMIT (op 69): ``min(bag size, n)`` — the early-exit
+        count. The ``limit`` pushes down, so Ray's streaming executor
+        stops feeding upstream operators once n rows exist (a
+        has-at-least-n probe never scans a 100 TB bag)."""
+        return self.ds.limit(n).count()
+
+    def estimate_count(self, *, p: int = 12, seed: int = 1) -> float:
+        """ESTIMATE_COUNT (op 94): approximate DISTINCT-element count
+        via the house HyperLogLog fold (``data/sketch.hll_fold``) over
+        the deterministic per-element hash — 2^p-byte accumulators
+        merged through ONE native ``Dataset.aggregate``, zero shuffle
+        at any bag size (the exact alternative, ``dedup().count()``,
+        is a bucket exchange). Std err ≈ 1.04/√2^p."""
+        from ray.data.aggregate import AggregateFn
+
+        from graphscope_ray.data.sketch import hll_estimate, hll_fold
+        m = 1 << p
+        hash_fn = self._elem_hash(seed)
+
+        def accumulate_block(acc: np.ndarray, block) -> np.ndarray:
+            df = (block.to_pandas() if isinstance(block, pa.Table)
+                  else block)
+            return hll_fold(hash_fn(df), p, acc.copy())
+
+        agg = AggregateFn(
+            init=lambda k: np.zeros(m, dtype=np.uint8),
+            merge=lambda a, b: np.maximum(a, b),
+            accumulate_block=accumulate_block,
+            name="hll_regs",
+        )
+        out = self.ds.aggregate(agg)
+        return hll_estimate(np.asarray(out["hll_regs"], dtype=np.uint8))
 
     def dataset(self) -> ray.data.Dataset:
         return self.ds

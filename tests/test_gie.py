@@ -341,3 +341,48 @@ def test_errors():
         g.E("wrote").out()
     with pytest.raises(ValueError):
         g.V().out().simple_path()
+
+
+def test_count_limit_and_estimate_count():
+    import numpy as np
+    n = 3000
+    verts = pd.DataFrame({"id": np.arange(n, dtype=np.int64),
+                          "label": ["v"] * n, "age": [0] * n})
+    edges = pd.DataFrame({"src": [0], "dst": [1],
+                          "label": ["e"], "w": [1.0]})
+    g = PropertyGraph(ray.data.from_pandas(verts),
+                      ray.data.from_pandas(edges))
+    t = g.V("v")
+    assert t.count_limit(50) == 50
+    assert t.count_limit(10**9) == n
+    est = t.estimate_count(p=12)
+    assert abs(est - n) / n < 0.1
+    # bag duplicates don't inflate the DISTINCT estimate
+    est2 = t.union(t).estimate_count(p=12)
+    assert est2 == pytest.approx(est)
+    # deterministic: same seed → identical estimate
+    assert t.estimate_count(p=12) == est
+
+
+@pytest.mark.parametrize("bl", [10**9, 0], ids=["broadcast", "shuffle"])
+def test_lambda_steps(bl):
+    g = _fixture_graph(bl)
+    # LAMBDA_FILTER: even-id persons
+    ev = (g.V("person").lambda_filter(lambda df: df["t"].to_numpy() % 2 == 0)
+          .id_values()["t"].tolist())
+    assert ev == [2]
+    # LAMBDA_MAP: computed column feeds filter_col
+    sq = (g.V("person")
+          .lambda_map("sq", lambda df: df["t"].to_numpy() ** 2)
+          .filter_col("sq", P.gte(4)).to_pandas().sort_values("t"))
+    assert sq["sq"].tolist() == [4, 9]
+    # LAMBDA_FLATMAP: duplicate every traverser (bag doubles)
+    import pandas as pd
+    dup = g.V("person").lambda_flatmap(
+        lambda df: pd.concat([df, df], ignore_index=True))
+    assert dup.count() == 6
+    # empty bag survives all three
+    e = g.V("nope")
+    assert e.lambda_filter(lambda df: df["t"].to_numpy() > 0).count() == 0
+    assert e.lambda_map("z", lambda df: df["t"].to_numpy()).count() == 0
+    assert e.lambda_flatmap(lambda df: df).count() == 0

@@ -26,6 +26,7 @@ HEALTHY = 0.5
 JOBS = [
     # (output path, argv tail, env overrides)
     ("/root/repo/BENCH_clean_r03b.json", [], {}),
+    ("/root/repo/BENCH_clean_r03c.json", [], {}),
     ("/root/repo/BENCH_scaling_r03b.json", ["--scaling"],
      {"GRAFT_SCALE_CPUS_LO": "2", "GRAFT_SCALE_CPUS_HI": "8"}),
     ("/root/repo/BENCH_s2_r03b.json", ["--scaling"],
