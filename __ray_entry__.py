@@ -2550,6 +2550,20 @@ SELECT d.doc_id, coalesce(t.n, 0)::BIGINT AS n_bigrams,
 FROM documents d LEFT JOIN terms t USING (doc_id) ORDER BY d.doc_id"""
 
 
+def _q_rel_q5_volume(sf_dir):
+    """TPC-H Q5-shaped local-supplier-volume pipeline: six-table join
+    chain as broadcast lookups onto the one big (never-shuffled)
+    lineitem table + integer-cents partial aggregation."""
+    from graphscope_ray.pipelines.relational import local_supplier_volume
+    return local_supplier_volume(sf_dir)
+
+
+def _q5_sql():
+    from graphscope_ray.pipelines.relational import \
+        LOCAL_SUPPLIER_VOLUME_SQL
+    return LOCAL_SUPPLIER_VOLUME_SQL
+
+
 def _q_doc_adaptive_quality(sf_dir):
     """Per-domain adaptive quality gate (keep docs ≥ their source's
     median quality) — per-group quantile_disc thresholds via one
@@ -2960,6 +2974,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "orders_range90d": _q_orders_range90d,
         "rel_pricing": _q_rel_pricing,
         "rel_shipping": _q_rel_shipping,
+        "rel_q5_volume": _q_rel_q5_volume,
         "rel_nation_revenue": _q_rel_nation_revenue,
     }
 
@@ -3301,6 +3316,7 @@ FROM events e LEFT JOIN j ON j.event_id = e.event_id AND j.rn = 1
 ORDER BY e.event_id""",
         "rel_pricing": pricing_summary_sql(),
         "rel_shipping": shipping_priority_sql(),
+        "rel_q5_volume": _q5_sql(),
         "rel_nation_revenue": NATION_REVENUE_SQL,
         "orders_range90d": """
 SELECT l.o_orderkey, count(r.o_orderdate)::BIGINT AS n_orders_90d

@@ -316,3 +316,138 @@ SELECT r.l_orderkey, rev_e4 / 10000.0 AS revenue, o.o_orderdate
 FROM r JOIN o ON o.o_orderkey = r.l_orderkey
 ORDER BY rev_e4 DESC, o.o_orderdate, r.l_orderkey
 LIMIT {k}"""
+
+
+def local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
+                          date_lo: str = "1996-01-01",
+                          date_hi: str = "1997-01-01"
+                          ) -> ray.data.Dataset:
+    """TPC-H Q5-shaped pipeline: revenue per nation from lineitems
+    where the CUSTOMER and the SUPPLIER share a nation inside
+    ``region``, over one order-date year. The six-table join chain is
+    realized Ray-Data-first:
+
+    - nation⋈region and supplier collapse to broadcast lookups
+      (``ray.put`` once, probed per batch);
+    - orders (date-filtered at the parquet read) and customer attach
+      onto LINEITEM — the one big table, which never shuffles — via
+      ``attach_values`` (broadcast under 20M rows, hash join above);
+    - the same-nation filter + per-batch nation partials (integer
+      cents, exact) feed one tiny groupby.
+
+    → (n_name, revenue, n_items) ordered by revenue desc."""
+    from graphscope_ray.graph.joins import attach_values
+
+    li = ray.data.read_parquet(
+        f"{sf_dir}/lineitem.parquet",
+        columns=["l_orderkey", "l_suppkey", "l_extendedprice",
+                 "l_discount"])
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_orderkey", "o_custkey", "o_orderdate"])
+
+    lo = np.datetime64(date_lo)
+    hi = np.datetime64(date_hi)
+
+    def keep_dates(t: pa.Table) -> pa.Table:
+        d = t["o_orderdate"].to_numpy(zero_copy_only=False)
+        m = (d >= lo) & (d < hi)
+        return t.filter(pa.array(m)).select(["o_orderkey", "o_custkey"])
+
+    orders = orders.map_batches(keep_dates, batch_format="pyarrow")
+    cust = ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey", "c_nationkey"])
+    supp = ray.data.read_parquet(
+        f"{sf_dir}/supplier.parquet",
+        columns=["s_suppkey", "s_nationkey"]).to_pandas()
+    nat = ray.data.read_parquet(
+        f"{sf_dir}/nation.parquet").to_pandas()
+    reg = ray.data.read_parquet(
+        f"{sf_dir}/region.parquet").to_pandas()
+    rkeys = set(reg.loc[reg.r_name == region, "r_regionkey"])
+    nat = nat[nat.n_regionkey.isin(rkeys)]
+    nation_name = dict(zip(nat.n_nationkey, nat.n_name))
+    # pre-sorted searchsorted-ready arrays, put ONCE (zero-copy reads)
+    sorder = np.argsort(supp.s_suppkey.to_numpy())
+    sks_arr = supp.s_suppkey.to_numpy()[sorder].astype(np.int64)
+    svs_arr = supp.s_nationkey.to_numpy()[sorder].astype(np.int64)
+
+    import ray as _ray
+    supp_ref = _ray.put((sks_arr, svs_arr))
+    name_ref = _ray.put(nation_name)
+
+    # lineitem ← orders (drops out-of-window lineitems), ← customer
+    rows = attach_values(li, orders, on="l_orderkey",
+                         table_key="o_orderkey",
+                         value_names=["o_custkey"],
+                         defaults={"o_custkey": -1})
+
+    def drop_missed(t: pa.Table) -> pa.Table:
+        return t.filter(pc.not_equal(t["o_custkey"], -1))
+
+    rows = rows.map_batches(drop_missed, batch_format="pyarrow")
+    rows = attach_values(rows, cust, on="o_custkey",
+                         table_key="c_custkey",
+                         value_names=["c_nationkey"],
+                         defaults={"c_nationkey": -1})
+
+    def partial(t: pa.Table) -> pa.Table:
+        sks, svs = _ray.get(supp_ref)
+        nm_map = _ray.get(name_ref)
+        sk = t["l_suppkey"].to_numpy()
+        # vectorized lookup: suppkey → nation (−1 = unknown)
+        pos = np.searchsorted(sks, sk)
+        pos = np.clip(pos, 0, len(sks) - 1)
+        ok = sks[pos] == sk
+        s_nat = np.where(ok, svs[pos], -1)
+        c_nat = t["c_nationkey"].to_numpy()
+        m = (s_nat == c_nat) & np.isin(s_nat, list(nm_map))
+        if not m.any():
+            return pa.table({
+                "n_name": pa.array([], pa.string()),
+                "_rev_c": pa.array([], pa.int64()),
+                "n_items": pa.array([], pa.int64())})
+        ext = t["l_extendedprice"].to_numpy()[m]
+        dis = t["l_discount"].to_numpy()[m]
+        cents = round_half_away(ext * (1.0 - dis) * 100.0, 0)
+        names = np.array([nm_map[n] for n in s_nat[m]], dtype=object)
+        uk, inv = np.unique(names, return_inverse=True)
+        return pa.table({
+            "n_name": pa.array(uk.astype(str)),
+            "_rev_c": pa.array(
+                np.bincount(inv, weights=cents).astype(np.int64)),
+            "n_items": pa.array(np.bincount(inv).astype(np.int64))})
+
+    from ray.data.aggregate import Sum
+    agg = (rows.map_batches(partial, batch_format="pyarrow")
+           .groupby("n_name")
+           .aggregate(Sum("_rev_c", alias_name="_rev_c"),
+                      Sum("n_items", alias_name="n_items")))
+
+    def finish(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "n_name": t["n_name"],
+            "revenue": pa.array(t["_rev_c"].to_numpy() / 100.0),
+            "n_items": t["n_items"]})
+
+    return (agg.map_batches(finish, batch_format="pyarrow")
+            .sort(["revenue", "n_name"], descending=[True, False]))
+
+
+LOCAL_SUPPLIER_VOLUME_SQL = """
+SELECT n.n_name,
+       sum(round(l.l_extendedprice * (1 - l.l_discount) * 100)::BIGINT)
+         / 100.0 AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem l
+JOIN orders o ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN supplier s ON s.s_suppkey = l.l_suppkey
+JOIN nation n ON n.n_nationkey = s.s_nationkey
+JOIN region r ON r.r_regionkey = n.n_regionkey
+WHERE c.c_nationkey = s.s_nationkey
+  AND r.r_name = 'ASIA'
+  AND o.o_orderdate >= DATE '1996-01-01'
+  AND o.o_orderdate < DATE '1997-01-01'
+GROUP BY n.n_name ORDER BY revenue DESC, n_name"""

@@ -52,3 +52,33 @@ def test_shipping_priority_matches_sql():
         if len(got):
             pd.testing.assert_frame_equal(
                 got, want.astype(got.dtypes.to_dict()))
+
+
+def test_local_supplier_volume_matches_sql():
+    from graphscope_ray.pipelines.relational import (
+        LOCAL_SUPPLIER_VOLUME_SQL, local_supplier_volume)
+
+    c = duckdb.connect()
+    for t in ["lineitem", "orders", "customer", "supplier", "nation",
+              "region"]:
+        c.sql(f"CREATE VIEW {t} AS"
+              f" SELECT * FROM read_parquet('{SF}/{t}.parquet')")
+    got = canon(local_supplier_volume(SF).to_pandas())
+    want = canon(c.execute(LOCAL_SUPPLIER_VOLUME_SQL).df())
+    assert len(got) == len(want)
+    if len(got):
+        pd.testing.assert_frame_equal(
+            got, want.astype(got.dtypes.to_dict()))
+    # a different region/window also matches (param coverage)
+    got2 = canon(local_supplier_volume(
+        SF, region="EUROPE", date_lo="1997-01-01",
+        date_hi="1999-01-01").to_pandas())
+    want2 = canon(c.execute(
+        LOCAL_SUPPLIER_VOLUME_SQL
+        .replace("'ASIA'", "'EUROPE'")
+        .replace("DATE '1997-01-01'", "DATE '1999-01-01'")
+        .replace("DATE '1996-01-01'", "DATE '1997-01-01'")).df())
+    assert len(got2) == len(want2)
+    if len(got2):
+        pd.testing.assert_frame_equal(
+            got2, want2.astype(got2.dtypes.to_dict()))
