@@ -638,3 +638,67 @@ def cluster_sample(
     scored = assign.map_batches(coin, batch_format="pyarrow")
     return topk_per_group(scored, group="cluster", score="coin",
                           key=key, k=m, descending=False)
+
+
+def pca_project(ds: ray.data.Dataset, k: int = 8, *,
+                col: str = "embedding", key: str = "vec_id",
+                whiten: bool = False) -> ray.data.Dataset:
+    """Distributed PCA projection of an embedding column → (key,
+    ``pca`` list<double> of length k): the dimensionality-reduction /
+    whitening front-end for the dedup-and-ANN family (e.g. reduce
+    768-dim model embeddings before SemDeDup clustering).
+
+    Shape (100 TB): mean and covariance reduce through ONE native
+    ``Dataset.aggregate`` — each block folds into (n, Σx, ΣxᵀX)
+    accumulators of d + d² floats, so only KB-scale state ever moves
+    and the embeddings themselves never shuffle. The d×d eigh runs on
+    the driver (d is the model dim, thousands at most); components
+    broadcast once and each batch projects with one matmul.
+
+    Deterministic sign convention: each component is flipped so its
+    largest-|coefficient| entry is positive (numpy eigh sign is
+    otherwise arbitrary). Components are ordered by DESCENDING
+    eigenvalue."""
+    from ray.data.aggregate import AggregateFn
+
+    def accumulate_block(acc, block):
+        if isinstance(block, pa.Table):
+            m = np.stack(block[col].to_numpy(zero_copy_only=False))
+        else:
+            m = np.stack(block[col].to_numpy())
+        m = m.astype(np.float64, copy=False)
+        n, s, ss = acc
+        return (n + len(m), s + m.sum(axis=0), ss + m.T @ m)
+
+    agg = AggregateFn(
+        init=lambda _: (0, 0.0, 0.0),
+        merge=lambda a, b: (a[0] + b[0], a[1] + b[1], a[2] + b[2]),
+        accumulate_block=accumulate_block,
+        name="pca_moments",
+    )
+    n, s, ss = ds.aggregate(agg)["pca_moments"]
+    if n == 0:
+        raise ValueError("pca_project needs a non-empty dataset")
+    mean = s / n
+    cov = ss / n - np.outer(mean, mean)
+    evals, evecs = np.linalg.eigh(cov)       # ascending
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]                  # (d, k)
+    lam = np.maximum(evals[order], 1e-12)
+    # deterministic sign: largest-|coeff| entry of each component > 0
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0),
+                         np.arange(comps.shape[1])])
+    comps = comps * np.where(flip == 0, 1.0, flip)
+    if whiten:
+        comps = comps / np.sqrt(lam)
+    ref = ray.put((mean, comps))
+
+    def project(t: pa.Table) -> pa.Table:
+        mean_, comps_ = ray.get(ref)
+        m = np.stack(t[col].to_numpy(zero_copy_only=False)).astype(
+            np.float64, copy=False)
+        p = (m - mean_) @ comps_
+        return pa.table({key: t[key],
+                         "pca": pa.array(list(p))})
+
+    return ds.map_batches(project, batch_format="pyarrow")

@@ -175,3 +175,48 @@ def test_ktruss_matches_bruteforce(ray_session):
                    {(min(a, b), max(a, b))
                     for a, b in got[["src", "dst"]].to_numpy().tolist()})
         assert got_set == E, (trial, k, len(got_set), len(E))
+
+
+def test_pca_project_matches_numpy(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.data.similarity import pca_project
+
+    rng = np.random.default_rng(26)
+    n, d, k = 300, 12, 4
+    # anisotropic cloud so the principal axes are well separated
+    basis = rng.normal(size=(d, d))
+    scales = np.linspace(5.0, 0.1, d)
+    X = rng.normal(size=(n, d)) * scales @ basis.T + rng.normal(size=d)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(X)})
+    ds = ray.data.from_pandas(df).repartition(5)
+    got = (pca_project(ds, k=k).to_pandas()
+           .sort_values("vec_id").reset_index(drop=True))
+    P = np.stack(got["pca"].to_numpy())
+    assert P.shape == (n, k)
+
+    # numpy oracle with the same sign convention
+    mean = X.mean(axis=0)
+    cov = (X - mean).T @ (X - mean) / n
+    evals, evecs = np.linalg.eigh(cov)
+    order = np.argsort(evals)[::-1][:k]
+    comps = evecs[:, order]
+    flip = np.sign(comps[np.abs(comps).argmax(axis=0), np.arange(k)])
+    comps = comps * np.where(flip == 0, 1.0, flip)
+    want = (X - mean) @ comps
+    np.testing.assert_allclose(P, want, atol=1e-8)
+
+    # whiten: unit variance per kept component
+    got_w = (pca_project(ds, k=k, whiten=True).to_pandas()
+             .sort_values("vec_id").reset_index(drop=True))
+    W = np.stack(got_w["pca"].to_numpy())
+    np.testing.assert_allclose(W.var(axis=0), np.ones(k), rtol=1e-6)
+
+    # block-count invariance (the aggregate is order-insensitive up
+    # to float addition; projections agree to high precision)
+    got1 = (pca_project(ray.data.from_pandas(df).repartition(1), k=k)
+            .to_pandas().sort_values("vec_id").reset_index(drop=True))
+    np.testing.assert_allclose(np.stack(got1["pca"].to_numpy()), P,
+                               atol=1e-7)
