@@ -483,3 +483,102 @@ def lm_score(ds: ray.data.Dataset, col: str = "text",
             "lm_nll": round_half_away(nll, 6)})
 
     return withs.map_batches(finish, batch_format="pandas")
+
+
+def bpe_train(ds: ray.data.Dataset, num_merges: int = 50, *,
+              col: str = "text") -> list:
+    """Learn ``num_merges`` BPE merges from the corpus (the tokenizer-
+    training stage of an LLM-data pipeline, Sennrich et al. 2016).
+
+    Shape (100 TB): ONE corpus pass builds the distinct-WORD frequency
+    table (per-batch value_counts combiner → bucketed_sum — the corpus
+    itself is touched exactly once); every merge round then runs over
+    that word-type table, which is orders of magnitude smaller (what
+    HuggingFace trainers hold in one process, here a Dataset): pair
+    counting is a per-batch combiner + one coarse-bucket sum of
+    (sym_a, sym_b, cnt) rows, the argmax pair is a sort+limit(1) pull
+    of ONE row, and the merge applies as an embarrassingly-parallel
+    map_batches rewrite of the symbol sequences.
+
+    Words are ``[a-z0-9]+`` runs of lower(text) (the shared
+    VOCAB_TOKEN_PATTERN); symbols start as single characters with a
+    ``</w>`` end-of-word marker. Tie-break: max count, then
+    lexicographically smallest (a, b) — fully deterministic.
+    Returns the ordered merge list ``[(a, b, count), ...]``."""
+    import re as _re
+
+    from graphscope_ray.data.curate import VOCAB_TOKEN_PATTERN
+    from graphscope_ray.util import bucketed_sum
+
+    pat = _re.compile(VOCAB_TOKEN_PATTERN)
+
+    def word_counts(df: pd.DataFrame) -> pd.DataFrame:
+        toks = df[col].fillna("").str.lower().str.findall(pat)
+        ex = toks.explode().dropna()
+        vc = pd.Series(ex.to_numpy(dtype=object)).value_counts()
+        return pd.DataFrame({"word": vc.index.astype(str),
+                             "cnt": vc.to_numpy().astype(np.int64)})
+
+    words = bucketed_sum(ds.map_batches(word_counts,
+                                        batch_format="pandas"),
+                         ["word"], vals=["cnt"])
+
+    def to_syms(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.copy(deep=False)
+        df["syms"] = [list(w) + ["</w>"] for w in df["word"]]
+        return df[["syms", "cnt"]]
+
+    table = words.map_batches(to_syms,
+                              batch_format="pandas").materialize()
+    merges = []
+    for _ in range(num_merges):
+        def pair_counts(df: pd.DataFrame) -> pd.DataFrame:
+            rows: dict = {}
+            for syms, c in zip(df["syms"], df["cnt"]):
+                for a, b in zip(syms, syms[1:]):
+                    rows[(a, b)] = rows.get((a, b), 0) + int(c)
+            if not rows:
+                return pd.DataFrame({
+                    "a": pd.Series([], dtype=str),
+                    "b": pd.Series([], dtype=str),
+                    "cnt": pd.Series([], dtype=np.int64)})
+            ks = list(rows)
+            return pd.DataFrame({
+                "a": [k[0] for k in ks], "b": [k[1] for k in ks],
+                "cnt": np.fromiter(rows.values(), dtype=np.int64)})
+
+        pc_ds = bucketed_sum(table.map_batches(pair_counts,
+                                               batch_format="pandas"),
+                             ["a", "b"], vals=["cnt"])
+        top = (pc_ds.sort(["cnt", "a", "b"],
+                          descending=[True, False, False])
+               .limit(1).to_pandas())
+        if not len(top) or int(top["cnt"].iloc[0]) < 2:
+            break
+        a, b, c = (str(top["a"].iloc[0]), str(top["b"].iloc[0]),
+                   int(top["cnt"].iloc[0]))
+        merges.append((a, b, c))
+        ab = a + b
+
+        def apply_merge(df: pd.DataFrame, a=a, b=b, ab=ab
+                        ) -> pd.DataFrame:
+            out = []
+            for syms in df["syms"]:
+                syms = list(syms)
+                i, res = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        res.append(ab)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                out.append(res)
+            df = df.copy(deep=False)
+            df["syms"] = out
+            return df
+
+        table = table.map_batches(apply_merge,
+                                  batch_format="pandas").materialize()
+    return merges

@@ -315,3 +315,80 @@ def test_lm_score_matches_numpy_oracle():
     # repeated text is less surprising than singleton text
     assert (out.loc[out.doc_id == 3, "lm_nll"].iloc[0]
             < out.loc[out.doc_id == 1, "lm_nll"].iloc[0])
+
+
+def test_bpe_train_matches_reference():
+    """bpe_train vs a pure-python Sennrich BPE with the same
+    tokenizer and tie-break."""
+    import re
+    from collections import Counter
+
+    from graphscope_ray.data.text import bpe_train
+
+    docs = pd.DataFrame({
+        "doc_id": range(6),
+        "text": ["low lower lowest", "low low low newer",
+                 "newer newest wide wider", "low newer newest",
+                 None, "wide wide wide wider"]})
+
+    def reference_bpe(texts, k):
+        pat = re.compile(r"[a-z0-9]+")
+        wc = Counter()
+        for t in texts:
+            wc.update(pat.findall((t or "").lower()))
+        vocab = {tuple(list(w) + ["</w>"]): c for w, c in wc.items()}
+        merges = []
+        for _ in range(k):
+            pc = Counter()
+            for syms, c in vocab.items():
+                for p in zip(syms, syms[1:]):
+                    pc[p] += c
+            if not pc:
+                break
+            best = max(pc.items(), key=lambda kv: (kv[1],
+                                                   [-ord(ch) for ch in
+                                                    kv[0][0]]))
+            # deterministic tie-break: max count, lexicographically
+            # smallest (a, b)
+            mx = max(pc.values())
+            cands = sorted(p for p, c in pc.items() if c == mx)
+            best = cands[0]
+            if pc[best] < 2:
+                break
+            merges.append((best[0], best[1], pc[best]))
+            a, b = best
+            new_vocab = {}
+            for syms, c in vocab.items():
+                syms = list(syms)
+                i, res = 0, []
+                while i < len(syms):
+                    if (i + 1 < len(syms) and syms[i] == a
+                            and syms[i + 1] == b):
+                        res.append(a + b)
+                        i += 2
+                    else:
+                        res.append(syms[i])
+                        i += 1
+                new_vocab[tuple(res)] = new_vocab.get(tuple(res), 0) + c
+            vocab = new_vocab
+        return merges
+
+    got = bpe_train(ray.data.from_pandas(docs), num_merges=12)
+    want = reference_bpe(docs["text"], 12)
+    assert got == want
+    # the most frequent first merge involves a real bigram of 'low'
+    assert got[0][2] >= 2
+
+    # randomized trial
+    rng = np.random.default_rng(27)
+    vocab_words = ["ab", "abc", "abcd", "xyz", "xy", "q1", "q12",
+                   "lower", "low"]
+    rdocs = pd.DataFrame({
+        "doc_id": range(20),
+        "text": [" ".join(rng.choice(vocab_words,
+                                     size=rng.integers(1, 30)))
+                 for _ in range(20)]})
+    got_r = bpe_train(ray.data.from_pandas(rdocs).repartition(4),
+                      num_merges=8)
+    want_r = reference_bpe(rdocs["text"], 8)
+    assert got_r == want_r
