@@ -100,16 +100,41 @@ def cmd_flagship(a) -> dict:
 
 
 def cmd_curate(a) -> dict:
+    """Shard-resumable curation: one output directory per input
+    parquet shard (`shard=<i>/` + `_SUCCESS` marker) — a preempted or
+    failed run re-submitted with ``--resume`` skips finished shards
+    entirely (neither re-reads nor re-writes them). At 10^12-file
+    scale the input is millions of shards, so this is the difference
+    between restarting a day of work and restarting one shard."""
+    import glob as _glob
+
     import ray.data
     from graphscope_ray.pipelines.curation import curate
     t0 = time.perf_counter()
-    docs = ray.data.read_parquet(f"{a.sf_dir}/documents.parquet",
-                                 columns=["doc_id", "text"])
-    kept = curate(docs, lang=a.lang, min_quality=a.min_quality)
-    dest = _write(kept, a.out, "curated")
+    shards = sorted(_glob.glob(f"{a.sf_dir}/documents*.parquet"))
+    if not shards:
+        raise FileNotFoundError(f"no documents*.parquet in {a.sf_dir}")
+    kept_total, skipped = 0, 0
+    for i, path in enumerate(shards):
+        sdir = os.path.join(a.out, f"shard={i:05d}")
+        marker = os.path.join(sdir, "_SUCCESS")
+        if a.resume and os.path.exists(marker):
+            skipped += 1
+            continue
+        # a shard without its marker is incomplete: wipe any partial
+        # files so the rewrite can't double rows
+        import shutil
+        shutil.rmtree(sdir, ignore_errors=True)
+        docs = ray.data.read_parquet(path, columns=["doc_id", "text"])
+        kept = curate(docs, lang=a.lang, min_quality=a.min_quality)
+        kept.write_parquet(sdir)
+        with open(marker, "w") as f:
+            f.write("")
     import ray.data as rd
-    n = rd.read_parquet(dest).count()
-    return {"kept_docs": n,
+    kept_total = rd.read_parquet(
+        a.out, file_extensions=["parquet"]).count()
+    return {"kept_docs": kept_total, "n_shards": len(shards),
+            "shards_skipped": skipped,
             "total_sec": round(time.perf_counter() - t0, 3)}
 
 
@@ -134,6 +159,8 @@ def main():
     pc.add_argument("--lang", default="en")
     pc.add_argument("--min-quality", type=float, default=0.1)
     pc.add_argument("--out", default="/tmp/gsr-job-curate")
+    pc.add_argument("--resume", action="store_true",
+                    help="skip shards whose _SUCCESS marker exists")
 
     a = p.parse_args()
     _init_ray()
