@@ -549,6 +549,47 @@ def run_scaling_tri_job() -> dict:
     return out
 
 
+def run_scaling_flagship_job() -> dict:
+    """Flagship (north-star) pipeline scaling child: synthetic code
+    corpus → sha256 row invariant → fused co-occurrence derivation →
+    graph build → PageRank to 1e-6 — the EXACT pipeline the north rule
+    measures, end to end, at one parallelism level. The corpus parquet
+    is pre-written outside the timer (write_corpus is idempotent)."""
+    import ray
+    import ray.data
+
+    num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+    n_files = int(os.environ.get("GRAFT_SCALE_FLAGSHIP_FILES",
+                                 "60000"))
+
+    ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
+             ignore_reinit_error=True, logging_level="ERROR",
+             log_to_driver=False)
+    ray.data.DataContext.get_current().enable_progress_bars = False
+
+    from graphscope_ray.corpus import write_corpus
+    from graphscope_ray.pipelines.flagship import flagship_pagerank
+
+    fw = f"/tmp/gsr-scale-flagship-{n_files}"
+    write_corpus(os.path.join(fw, f"corpus-{n_files}.parquet"),
+                 n_files=n_files)
+    t0 = time.perf_counter()
+    fg, fpr = flagship_pagerank(
+        n_files=n_files, workdir=fw,
+        num_parts=num_cpus)
+    n_rank = fpr.count()
+    sec = time.perf_counter() - t0
+    out = {
+        "num_cpus": num_cpus, "n_files": n_files,
+        "flagship_sec": round(sec, 3),
+        "flagship_vertices": n_rank,
+        "flagship_files_per_sec": round(n_files / max(sec, 1e-9), 1),
+    }
+    fg.close()
+    ray.shutdown()
+    return out
+
+
 def run_child(ncpu: int, extra=()) -> dict:
     """Fresh process at the given parallelism level. ``ray.init(
     num_cpus=N)`` only gates Ray's scheduler bookkeeping — resident
@@ -577,6 +618,9 @@ def main():
         return
     if "--scaling-tri-child" in sys.argv:
         print(json.dumps(run_scaling_tri_job()))
+        return
+    if "--scaling-flagship-child" in sys.argv:
+        print(json.dumps(run_scaling_flagship_job()))
         return
     if "--scaling" in sys.argv:
         # N and 4N CPUs, both physically pinned (taskset). Default 2→8:
@@ -609,6 +653,15 @@ def main():
         except Exception as e:  # noqa: BLE001
             print(f"scaling-tri child failed: {e}", file=sys.stderr)
             t_lo = t_hi = {"tri_per_sec": 0, "triangles_sec": 0.0}
+        # fourth scaling datum: the flagship north-star pipeline end
+        # to end (corpus → sha256 → derive → build → PageRank 1e-6)
+        try:
+            f_lo = run_child(lo, ["--scaling-flagship-child"])
+            f_hi = run_child(hi, ["--scaling-flagship-child"])
+        except Exception as e:  # noqa: BLE001
+            print(f"scaling-flagship child failed: {e}", file=sys.stderr)
+            f_lo = f_hi = {"flagship_files_per_sec": 0,
+                           "flagship_sec": 0.0}
 
         def _eff(a, b):
             return round((b / a) / (hi / lo), 3) if a else 0.0
@@ -637,6 +690,11 @@ def main():
             "triangles_sec_hi": t_hi["triangles_sec"],
             "triangles_scaling_efficiency": _eff(
                 t_lo["tri_per_sec"], t_hi["tri_per_sec"]),
+            "flagship_sec_lo": f_lo["flagship_sec"],
+            "flagship_sec_hi": f_hi["flagship_sec"],
+            "flagship_scaling_efficiency": _eff(
+                f_lo["flagship_files_per_sec"],
+                f_hi["flagship_files_per_sec"]),
         }))
         return
     print(json.dumps(run_bench()))
