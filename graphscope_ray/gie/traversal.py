@@ -50,6 +50,24 @@ from graphscope_ray.util import bucketed_distinct, bucketed_sum
 _BROADCAST_EDGES = 20_000_000
 
 
+@ray.remote
+def _assemble_csr(*tables):
+    """Concatenate + src-sort edge blocks into the broadcast CSR pair
+    — runs as a task so the driver heap never sees O(E) data; the
+    result lands directly in the object store."""
+    parts = [t for t in tables if t is not None and len(t)]
+    if not parts:
+        return (np.empty(0, dtype=np.int64), np.empty(0, dtype=np.int64))
+    src = np.concatenate([
+        t["src"].to_numpy(zero_copy_only=False) for t in parts
+    ]).astype(np.int64, copy=False)
+    dst = np.concatenate([
+        t["dst"].to_numpy(zero_copy_only=False) for t in parts
+    ]).astype(np.int64, copy=False)
+    order = np.argsort(src, kind="stable")
+    return (src[order], dst[order])
+
+
 def unfold(ds: ray.data.Dataset, col: str) -> ray.data.Dataset:
     """UNFOLD (op 28): flatten a LIST column (e.g. a
     :meth:`Traversal.fold_by_key` result) back to one row per element;
@@ -235,19 +253,13 @@ class PropertyGraph:
 
     def _csr(self, direction: str, label: Optional[str]):
         """Broadcast CSR for one (direction, label): sorted src array +
-        aligned dst array, put ONCE and probed zero-copy per batch."""
+        aligned dst array, built ONCE in a remote task (the edge blocks
+        and the assembled arrays live in the object store — the driver
+        never holds an O(E) buffer) and probed zero-copy per batch."""
         key = (direction, label)
         if key not in self._csr_cache:
-            pdf = self._edges_for(direction, label).to_pandas()
-            if len(pdf) == 0:
-                src = np.empty(0, dtype=np.int64)
-                dst = np.empty(0, dtype=np.int64)
-            else:
-                src = pdf["src"].to_numpy().astype(np.int64, copy=False)
-                dst = pdf["dst"].to_numpy().astype(np.int64, copy=False)
-                order = np.argsort(src, kind="stable")
-                src, dst = src[order], dst[order]
-            self._csr_cache[key] = ray.put((src, dst))
+            refs = self._edges_for(direction, label).to_arrow_refs()
+            self._csr_cache[key] = _assemble_csr.remote(*refs)
         return self._csr_cache[key]
 
     def _use_broadcast(self) -> bool:
