@@ -622,6 +622,27 @@ def main():
     if "--scaling-flagship-child" in sys.argv:
         print(json.dumps(run_scaling_flagship_job()))
         return
+    if "--scaling-flagship" in sys.argv:
+        # flagship pair only (the north-star pipeline at N and 4N)
+        lo = int(os.environ.get("GRAFT_SCALE_CPUS_LO", 2))
+        hi = int(os.environ.get("GRAFT_SCALE_CPUS_HI", 8))
+        f_lo = run_child(lo, ["--scaling-flagship-child"])
+        f_hi = run_child(hi, ["--scaling-flagship-child"])
+        eff = ((f_hi["flagship_files_per_sec"]
+                / f_lo["flagship_files_per_sec"]) / (hi / lo)
+               if f_lo["flagship_files_per_sec"] else 0.0)
+        print(json.dumps({
+            "metric": f"flagship files/sec scaling {lo}→{hi} CPUs "
+                      "(corpus→sha256→derive→build→PageRank 1e-6)",
+            "cpus_lo": lo, "cpus_hi": hi,
+            "n_files": f_hi["n_files"],
+            "flagship_sec_lo": f_lo["flagship_sec"],
+            "flagship_sec_hi": f_hi["flagship_sec"],
+            "files_per_sec_lo": f_lo["flagship_files_per_sec"],
+            "files_per_sec_hi": f_hi["flagship_files_per_sec"],
+            "scaling_efficiency": round(eff, 3),
+        }))
+        return
     if "--scaling" in sys.argv:
         # N and 4N CPUs, both physically pinned (taskset). Default 2→8:
         # the superstep loop is DRAM-bandwidth-bound above ~8 cores on a

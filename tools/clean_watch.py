@@ -31,6 +31,9 @@ JOBS = [
      {"GRAFT_SCALE_CPUS_LO": "2", "GRAFT_SCALE_CPUS_HI": "8"}),
     ("/root/repo/BENCH_s2_r03b.json", ["--scaling"],
      {"GRAFT_SCALE_CPUS_LO": "8", "GRAFT_SCALE_CPUS_HI": "32"}),
+    ("/root/repo/BENCH_flagship_scaling_r03.json",
+     ["--scaling-flagship"],
+     {"GRAFT_SCALE_CPUS_LO": "2", "GRAFT_SCALE_CPUS_HI": "8"}),
 ]
 
 
