@@ -28,7 +28,7 @@ __all__ = [
     "triangles", "transitivity", "average_clustering",
     "connected_components", "number_connected_components", "is_connected",
     "weakly_connected_components", "number_weakly_connected_components",
-    "is_weakly_connected",
+    "is_weakly_connected", "maximal_independent_set",
 ]
 
 
@@ -442,3 +442,25 @@ def is_weakly_connected(G) -> bool:
     if len(G) == 0:
         raise ValueError("connectivity is undefined for the null graph")
     return number_weakly_connected_components(G) == 1
+
+
+def maximal_independent_set(G, seed: int = 7) -> list:
+    """Maximal independent set (Luby's algorithm on the engine's
+    vertex-program surface, `graph/program.py::MISProgram`).
+    DETERMINISTIC — fmix64(vid ^ seed) priorities — where networkx's
+    own implementation is randomized; independence and maximality
+    hold identically. Returns a sorted node list."""
+    _require_undirected(G, "maximal_independent_set")
+    if len(G) == 0:
+        return []
+    from graphscope_ray.graph.program import MISProgram
+    eng = G._backing("main").engine
+    ds = eng.run_program(MISProgram(seed), max_round=64,
+                         stop_when_zero=True)
+    nodes = _pynodes(G)
+    out = []
+    for t in ds.iter_batches(batch_format="pyarrow"):
+        v = t["vid"].to_numpy()
+        st = t["status"].to_numpy()
+        out.extend(nodes[int(i)] for i in v[st == 1.0])
+    return sorted(out)

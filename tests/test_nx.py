@@ -339,3 +339,34 @@ def test_empty_and_tiny():
         assert list(gnx.connected_components(g)) == [{7}]
     finally:
         g.close()
+
+
+def test_maximal_independent_set(ray_session):
+    import numpy as np
+
+    import graphscope_ray.nx as gnx
+
+    rng = np.random.default_rng(28)
+    G = gnx.Graph()
+    n = 40
+    edges = rng.integers(0, n, size=(90, 2))
+    edges = edges[edges[:, 0] != edges[:, 1]]
+    G.add_edges_from(map(tuple, edges.tolist()))
+    mis = gnx.maximal_independent_set(G)
+    s = set(mis)
+    assert mis == sorted(mis)
+    # independence
+    for a, b in G.edges():
+        assert not (a in s and b in s)
+    # maximality: every non-member has a member neighbor
+    for v in G.nodes():
+        if v not in s:
+            assert any(u in s for u in G.neighbors(v))
+    # deterministic
+    assert gnx.maximal_independent_set(G) == mis
+    # directed graphs are rejected
+    D = gnx.DiGraph()
+    D.add_edge(1, 2)
+    import pytest as _pytest
+    with _pytest.raises(NotImplementedError):
+        gnx.maximal_independent_set(D)
