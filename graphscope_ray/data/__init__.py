@@ -8,6 +8,9 @@ expressed as Ray Data batch transforms.
 
 from graphscope_ray.data.text import (  # noqa: F401
     bpe_token_count,
+    bpe_train,
+    lm_score,
+    quality_classifier,
     text_stats,
     token_count,
     quality_score,
@@ -24,9 +27,17 @@ from graphscope_ray.data.dedup import (  # noqa: F401
     embedding_cosine_dedup,
     duplicated_spans,
 )
-from graphscope_ray.data.similarity import ann_topk, lsh_ann_topk  # noqa: F401
+from graphscope_ray.data.similarity import (  # noqa: F401
+    ann_topk,
+    kmeans_assign,
+    knn_graph,
+    lsh_ann_topk,
+    pca_project,
+    semantic_dedup,
+)
 from graphscope_ray.data.profile import column_profile  # noqa: F401
 from graphscope_ray.data.curate import (  # noqa: F401
+    adaptive_quality_filter,
     decontaminate,
     domain_mixture,
     hash_sample,
