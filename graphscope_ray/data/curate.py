@@ -587,8 +587,11 @@ def adaptive_quality_filter(ds: ray.data.Dataset, *, col: str = "text",
             0, np.ceil(q * n).astype(np.int64) - 1)
         return pd.DataFrame({group: k_arr[starts], "thr": v[idx]})
 
+    # pin the (one-row-per-domain) threshold table: attach_values
+    # consumes it twice (count() to pick the route, then the read)
     thr = (scored.map_batches(bucket, batch_format="pandas")
-           .groupby("_b").map_groups(kernel, batch_format="pandas"))
+           .groupby("_b").map_groups(kernel, batch_format="pandas")
+           .materialize())
     withthr = attach_values(scored, thr, on=group, table_key=group,
                             value_names=["thr"])
 

@@ -454,7 +454,9 @@ def lm_score(ds: ray.data.Dataset, col: str = "text",
     c2 = bucketed_sum(bg_rows.select_columns(["bg", "m"]), ["bg"],
                       vals=["m"])
     from graphscope_ray.util import rename as _rn
-    c2 = _rn(c2, {"m": "c2"})
+    # pin the count tables: attach_values consumes each twice
+    # (count() to pick the route, then the broadcast/to_pandas read)
+    c2 = _rn(c2, {"m": "c2"}).materialize()
     rows = attach_values(bg_rows, c2, on="bg", table_key="bg",
                          value_names=["c2"])
     rows = attach_values(rows, c1, on="w1", table_key="w",
@@ -468,7 +470,7 @@ def lm_score(ds: ray.data.Dataset, col: str = "text",
                              "n": df["m"].to_numpy()})
 
     agg = bucketed_sum(rows.map_batches(term, batch_format="pandas"),
-                       [key], vals=["s", "n"])
+                       [key], vals=["s", "n"]).materialize()
     keys_ds = ds.select_columns([key])
     withs = attach_values(keys_ds, agg, on=key, table_key=key,
                           value_names=["s", "n"],
