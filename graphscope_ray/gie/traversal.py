@@ -731,7 +731,9 @@ class Traversal:
                 ["src"]) for d in dirs]
             allsrc = parts[0] if len(parts) == 1 else \
                 parts[0].union(parts[1])
-            degs = bucketed_sum(allsrc, ["src"], count_as=name)
+            # pin: attach_values reads its table twice (count + read)
+            degs = bucketed_sum(allsrc, ["src"],
+                                count_as=name).materialize()
             nds = attach_values(self.ds, degs, on="t",
                                 table_key="src", value_names=[name],
                                 defaults={name: 0})
@@ -772,7 +774,10 @@ class Traversal:
             return t.append_column(
                 "_hit", pa.array(np.ones(len(t), dtype=np.int64)))
 
-        hits = hits.map_batches(flag, batch_format="pyarrow")
+        # pin: without this the whole SUB-TRAVERSAL executes twice
+        # (attach_values counts the table, then reads it)
+        hits = hits.map_batches(flag,
+                                batch_format="pyarrow").materialize()
         flagged = attach_values(keyed, hits, on="_wk",
                                 table_key="_wk", value_names=["_hit"],
                                 defaults={"_hit": 0})

@@ -354,10 +354,13 @@ def local_supplier_volume(sf_dir: str, *, region: str = "ASIA",
         m = (d >= lo) & (d < hi)
         return t.filter(pa.array(m)).select(["o_orderkey", "o_custkey"])
 
-    orders = orders.map_batches(keep_dates, batch_format="pyarrow")
+    # pin: attach_values consumes its lookup table twice (count() for
+    # route selection + the broadcast/to_pandas read)
+    orders = orders.map_batches(keep_dates,
+                                batch_format="pyarrow").materialize()
     cust = ray.data.read_parquet(
         f"{sf_dir}/customer.parquet",
-        columns=["c_custkey", "c_nationkey"])
+        columns=["c_custkey", "c_nationkey"]).materialize()
     supp = ray.data.read_parquet(
         f"{sf_dir}/supplier.parquet",
         columns=["s_suppkey", "s_nationkey"]).to_pandas()
