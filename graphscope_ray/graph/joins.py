@@ -168,6 +168,12 @@ def attach_values(
     """Left-join ``table[value_names]`` onto ``ds`` by ``ds[on] ==
     table[table_key]`` (missing keys get ``defaults``)."""
     defaults = defaults or {}
+    if table_count is None:
+        # the table is consumed twice (count() for route selection,
+        # then the broadcast read / join) — pin it so a lazy upstream
+        # pipeline doesn't execute twice; no-op-cheap when the caller
+        # already materialized
+        table = table.materialize()
     n = table_count if table_count is not None else table.count()
     if n <= BROADCAST_ROWS:
         pdf = table.select_columns([table_key, *value_names]).to_pandas()
