@@ -33,6 +33,9 @@ from graphscope_ray.data.similarity import (  # noqa: F401
     knn_graph,
     lsh_ann_topk,
     pca_project,
+    pq_ann_topk,
+    pq_encode,
+    pq_train,
     semantic_dedup,
 )
 from graphscope_ray.data.profile import column_profile  # noqa: F401

@@ -702,3 +702,126 @@ def pca_project(ds: ray.data.Dataset, k: int = 8, *,
                          "pca": pa.array(list(p))})
 
     return ds.map_batches(project, batch_format="pyarrow")
+
+
+def pq_train(emb: ray.data.Dataset, *, m: int = 4, k: int = 16,
+             iters: int = 2, key: str = "vec_id",
+             col: str = "embedding") -> np.ndarray:
+    """Train product-quantization codebooks (Jégou et al. 2011): split
+    the (normalized) embedding space into ``m`` contiguous subspaces
+    and run the shared Lloyd's loop (:func:`_kmeans_centroids` — same
+    smallest-id init and rounded-argmin tie protocol) in each.
+    Returns ``(m, k, d/m)`` float64 codebooks.
+
+    Shape: m sequential kmeans runs, each the usual broadcast-centroid
+    + per-batch partial-sum pass — embeddings never shuffle and the
+    driver only sees O(m·k·d/m) = O(k·d) floats."""
+
+    def slicer(j: int, lo: int, hi: int):
+        def f(t: pa.Table) -> pa.Table:
+            mat = _normalize(np.stack(
+                t[col].to_numpy(zero_copy_only=False)))
+            return pa.table({key: t[key],
+                             col: pa.array(list(mat[:, lo:hi]))})
+        return f
+
+    first = emb.select_columns([col]).limit(1).to_pandas()
+    d = len(first[col].iloc[0])
+    if d % m:
+        raise ValueError(f"dim {d} not divisible by m={m}")
+    sub = d // m
+    books = np.zeros((m, k, sub))
+    for j in range(m):
+        ds_j = emb.select_columns([key, col]).map_batches(
+            slicer(j, j * sub, (j + 1) * sub), batch_format="pyarrow")
+        books[j] = _kmeans_centroids(ds_j, k=k, iters=iters,
+                                     key=key, col=col)
+    return books
+
+
+def pq_encode(emb: ray.data.Dataset, codebooks: np.ndarray, *,
+              key: str = "vec_id", col: str = "embedding"
+              ) -> ray.data.Dataset:
+    """Encode each (normalized) embedding to ``m`` uint8 codes —
+    the 100 TB compression path (d float64 → m bytes per vector;
+    e.g. 768-dim → 8 bytes at m=8). One broadcast of the codebooks,
+    per-batch argmin per subspace (rounded-argmin tie protocol shared
+    with kmeans_assign). → (key, codes list<uint8>)."""
+    from graphscope_ray.util import round_half_away
+    m, k, sub = codebooks.shape
+    ref = ray.put(codebooks)
+
+    def enc(t: pa.Table) -> pa.Table:
+        books = ray.get(ref)
+        mat = _normalize(np.stack(t[col].to_numpy(zero_copy_only=False)))
+        codes = np.zeros((len(mat), m), dtype=np.uint8)
+        for j in range(m):
+            seg = mat[:, j * sub:(j + 1) * sub]
+            dist = round_half_away(np.sqrt(
+                ((seg[:, None, :] - books[j][None, :, :]) ** 2
+                 ).sum(-1)), 6)
+            codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
+        return pa.table({key: t[key], "codes": pa.array(list(codes))})
+
+    return emb.select_columns([key, col]).map_batches(
+        enc, batch_format="pyarrow")
+
+
+def pq_ann_topk(codes_ds: ray.data.Dataset, queries: np.ndarray,
+                codebooks: np.ndarray, *, k: int = 10,
+                key: str = "vec_id") -> pd.DataFrame:
+    """Approximate top-k by asymmetric distance computation (ADC)
+    over PQ codes: per query, an ``(m, k_codes)`` lookup table of
+    squared subspace distances (computed once, broadcast), then each
+    batch scores B vectors with m table GATHERS — no original
+    embeddings are read at query time. Vectors were normalized at
+    encode time, so L2² ranks identically to cosine;
+    ``approx_cosine = 1 − dist²/2`` is reported. →
+    (query_id, vec_id, approx_cosine, rank), deterministic
+    (rounded distances, smallest-id tie-break)."""
+    from graphscope_ray.util import round_half_away
+    m, kc, sub = codebooks.shape
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    # (Q, m, kc) squared-distance tables
+    tables = np.zeros((len(q), m, kc))
+    for j in range(m):
+        seg = q[:, j * sub:(j + 1) * sub]
+        tables[:, j, :] = ((seg[:, None, :]
+                            - codebooks[j][None, :, :]) ** 2).sum(-1)
+    ref = ray.put(tables)
+
+    def block(t: pa.Table) -> pa.Table:
+        tab = ray.get(ref)  # Q × m × kc
+        ids = t[key].to_numpy()
+        codes = np.stack(t["codes"].to_numpy(zero_copy_only=False))
+        nq = tab.shape[0]
+        # dist2[b, q] = Σ_j tab[q, j, codes[b, j]]
+        d2 = np.zeros((len(ids), nq))
+        for j in range(m):
+            d2 += tab[:, j, :][:, codes[:, j]].T  # B × Q
+        d2 = round_half_away(d2, 6)
+        kk = min(k, len(ids))
+        part = np.argpartition(d2, kk - 1, axis=0)[:kk]  # kk × Q
+        qi = np.repeat(np.arange(nq), kk)
+        vi = part.T.ravel()
+        return pa.table({
+            "query_id": pa.array(qi.astype(np.int64)),
+            key: pa.array(ids[vi]),
+            "_d2": pa.array(d2[vi, qi]),
+        })
+
+    partial = codes_ds.map_batches(block, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_d2", key],
+                          ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["approx_cosine"] = round_half_away(
+            1.0 - g["_d2"].to_numpy() / 2.0, 6)
+        return g.drop(columns=["_d2"])
+
+    out = partial.groupby("query_id").map_groups(
+        merge, batch_format="pandas")
+    return (out.to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))

@@ -220,3 +220,60 @@ def test_pca_project_matches_numpy(ray_session):
             .to_pandas().sort_values("vec_id").reset_index(drop=True))
     np.testing.assert_allclose(np.stack(got1["pca"].to_numpy()), P,
                                atol=1e-7)
+
+
+def test_pq_ann_recall_and_determinism(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.data.similarity import (ann_topk, pq_ann_topk,
+                                                pq_encode, pq_train)
+
+    rng = np.random.default_rng(29)
+    # clustered cloud: PQ codes separate well
+    n_clusters, per, d = 8, 50, 16
+    centers = rng.normal(size=(n_clusters, d)) * 4
+    X = np.concatenate([c + 0.3 * rng.normal(size=(per, d))
+                        for c in centers])
+    # interleave clusters: the house kmeans init seeds from the k
+    # smallest ids, which must not all fall in one cluster
+    X = X[rng.permutation(len(X))]
+    n = len(X)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(X)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    books = pq_train(ds, m=4, k=16, iters=3)
+    assert books.shape == (4, 16, 4)
+    codes = pq_encode(ds, books)
+    cdf = codes.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    C = np.stack(cdf["codes"].to_numpy())
+    assert C.shape == (n, 4) and C.dtype == np.uint8
+
+    # numpy replay of encode (same normalize + rounded-argmin)
+    from graphscope_ray.util import round_half_away
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    for j in range(4):
+        seg = Xn[:, j * 4:(j + 1) * 4]
+        dist = round_half_away(np.sqrt(
+            ((seg[:, None, :] - books[j][None, :, :]) ** 2).sum(-1)), 6)
+        assert (C[:, j] == np.argmin(dist, axis=1)).all()
+
+    queries = centers[:3] + 0.1 * rng.normal(size=(3, d))
+    approx = pq_ann_topk(codes, queries, books, k=10)
+    exact = ann_topk(ds, queries, k=50)
+    # PQ cannot rank WITHIN a cluster (same-code vectors tie), so the
+    # standard looser recall applies: approx top-10 ⊆ exact top-50
+    # (all 50 exact hits are the query's own cluster here)
+    rec = []
+    for qid in range(3):
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        rec.append(len(a & e) / 10.0)
+    assert np.mean(rec) >= 0.9, rec
+    # deterministic
+    approx2 = pq_ann_topk(codes, queries, books, k=10)
+    pd.testing.assert_frame_equal(approx, approx2)
+    # approx_cosine in [-1, 1] + descending per query
+    g = approx.groupby("query_id")["approx_cosine"]
+    assert (g.apply(lambda s: (s.diff().dropna() <= 1e-12).all())).all()
