@@ -32,6 +32,8 @@ from graphscope_ray.data.similarity import (  # noqa: F401
     kmeans_assign,
     knn_graph,
     lsh_ann_topk,
+    ivf_pq_ann_topk,
+    ivf_pq_index,
     pca_project,
     pq_ann_topk,
     pq_encode,

@@ -706,7 +706,8 @@ def pca_project(ds: ray.data.Dataset, k: int = 8, *,
 
 def pq_train(emb: ray.data.Dataset, *, m: int = 4, k: int = 16,
              iters: int = 2, key: str = "vec_id",
-             col: str = "embedding") -> np.ndarray:
+             col: str = "embedding",
+             normalize: bool = True) -> np.ndarray:
     """Train product-quantization codebooks (Jégou et al. 2011): split
     the (normalized) embedding space into ``m`` contiguous subspaces
     and run the shared Lloyd's loop (:func:`_kmeans_centroids` — same
@@ -719,8 +720,9 @@ def pq_train(emb: ray.data.Dataset, *, m: int = 4, k: int = 16,
 
     def slicer(j: int, lo: int, hi: int):
         def f(t: pa.Table) -> pa.Table:
-            mat = _normalize(np.stack(
-                t[col].to_numpy(zero_copy_only=False)))
+            mat = np.stack(t[col].to_numpy(zero_copy_only=False))
+            if normalize:
+                mat = _normalize(mat)
             return pa.table({key: t[key],
                              col: pa.array(list(mat[:, lo:hi]))})
         return f
@@ -740,8 +742,8 @@ def pq_train(emb: ray.data.Dataset, *, m: int = 4, k: int = 16,
 
 
 def pq_encode(emb: ray.data.Dataset, codebooks: np.ndarray, *,
-              key: str = "vec_id", col: str = "embedding"
-              ) -> ray.data.Dataset:
+              key: str = "vec_id", col: str = "embedding",
+              normalize: bool = True) -> ray.data.Dataset:
     """Encode each (normalized) embedding to ``m`` uint8 codes —
     the 100 TB compression path (d float64 → m bytes per vector;
     e.g. 768-dim → 8 bytes at m=8). One broadcast of the codebooks,
@@ -753,7 +755,9 @@ def pq_encode(emb: ray.data.Dataset, codebooks: np.ndarray, *,
 
     def enc(t: pa.Table) -> pa.Table:
         books = ray.get(ref)
-        mat = _normalize(np.stack(t[col].to_numpy(zero_copy_only=False)))
+        mat = np.stack(t[col].to_numpy(zero_copy_only=False))
+        if normalize:
+            mat = _normalize(mat)
         codes = np.zeros((len(mat), m), dtype=np.uint8)
         for j in range(m):
             seg = mat[:, j * sub:(j + 1) * sub]
@@ -815,6 +819,135 @@ def pq_ann_topk(codes_ds: ray.data.Dataset, queries: np.ndarray,
     def merge(g: pd.DataFrame) -> pd.DataFrame:
         g = g.sort_values(["_d2", key],
                           ascending=[True, True]).head(k)
+        g = g.reset_index(drop=True)
+        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
+        g["approx_cosine"] = round_half_away(
+            1.0 - g["_d2"].to_numpy() / 2.0, 6)
+        return g.drop(columns=["_d2"])
+
+    out = partial.groupby("query_id").map_groups(
+        merge, batch_format="pandas")
+    return (out.to_pandas()
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def ivf_pq_index(emb: ray.data.Dataset, *, num_centroids: int = 8,
+                 coarse_iters: int = 2, m: int = 4, k_codes: int = 16,
+                 pq_iters: int = 2, key: str = "vec_id",
+                 col: str = "embedding"):
+    """Build an IVF-PQ index (Jégou et al. 2011 — THE billion-scale
+    ANN shape): coarse quantizer (Lloyd's over the normalized
+    vectors) routes each vector to an inverted list; the RESIDUAL
+    ``x̂ − c_list`` is product-quantized to ``m`` uint8 codes.
+
+    Returns ``(coarse_centroids (K, d), codebooks (m, k, d/m),
+    codes_ds)`` with ``codes_ds = (key, list_id, codes)`` — the only
+    per-vector state a query ever touches is m+8-ish bytes.
+
+    Shape: coarse training is the shared broadcast-centroid partial-
+    sum loop; residuals are a stateless map_batches (never
+    materialized — pq_train streams them twice, encode once more);
+    assignment ties break toward the lower list id on 6-dp-rounded
+    similarity (the ivf_ann_topk protocol)."""
+    from graphscope_ray.util import round_half_away
+
+    base = emb.select_columns([key, col])
+
+    def norm_fn(t: pa.Table) -> pa.Table:
+        mat = _normalize(np.stack(t[col].to_numpy(zero_copy_only=False)))
+        return pa.table({key: t[key], col: pa.array(list(mat))})
+
+    normed = base.map_batches(norm_fn, batch_format="pyarrow")
+    C = _normalize(_kmeans_centroids(normed, k=num_centroids,
+                                     iters=coarse_iters, key=key,
+                                     col=col))
+    cref = ray.put(C)
+
+    def residual(t: pa.Table) -> pa.Table:
+        C_ = ray.get(cref)
+        mat = _normalize(np.stack(t[col].to_numpy(zero_copy_only=False)))
+        lid = np.argmax(round_half_away(mat @ C_.T, 6), axis=1)
+        return pa.table({key: t[key],
+                         "list_id": pa.array(lid.astype(np.int64)),
+                         col: pa.array(list(mat - C_[lid]))})
+
+    res = base.map_batches(residual, batch_format="pyarrow")
+    books = pq_train(res, m=m, k=k_codes, iters=pq_iters, key=key,
+                     col=col, normalize=False)
+    codes = pq_encode(res, books, key=key, col=col, normalize=False)
+    from graphscope_ray.graph.joins import attach_values
+    codes_ds = attach_values(
+        codes, res.select_columns([key, "list_id"]), on=key,
+        table_key=key, value_names=["list_id"])
+    return C, books, codes_ds.materialize()
+
+
+def ivf_pq_ann_topk(codes_ds: ray.data.Dataset, queries: np.ndarray,
+                    coarse_centroids: np.ndarray,
+                    codebooks: np.ndarray, *, k: int = 10,
+                    nprobe: int = 2, key: str = "vec_id"
+                    ) -> pd.DataFrame:
+    """Query an :func:`ivf_pq_index`: each query probes its ``nprobe``
+    nearest inverted lists and scores ONLY their members by ADC over
+    the residual codes — ``d²(q̂, x) ≈ Σ_j tab[list, j, code_j]`` with
+    ``tab[l, j] = ||（q̂−c_l)_j − codeword||²`` (one (Q, nprobe, m, k)
+    table, broadcast once; the original embeddings are never read).
+    → (query_id, vec_id, approx_cosine, rank), deterministic."""
+    from graphscope_ray.util import round_half_away
+    m, kc, sub = codebooks.shape
+    C = _normalize(np.asarray(coarse_centroids, dtype=np.float64))
+    K = C.shape[0]
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    nq = len(q)
+    qc = round_half_away(q @ C.T, 6)
+    probe = np.full((nq, K), False)
+    tabs = np.zeros((nq, K, m, kc))  # only probed (qi, l) slots filled
+    for qi in range(nq):
+        idx = np.lexsort((np.arange(K), -qc[qi]))[:nprobe]
+        probe[qi, idx] = True
+        for l in idx:
+            r = q[qi] - C[l]
+            for j in range(m):
+                seg = r[j * sub:(j + 1) * sub]
+                tabs[qi, l, j, :] = ((seg[None, :]
+                                      - codebooks[j]) ** 2).sum(-1)
+    ref = ray.put((probe, tabs))
+
+    def block(t: pa.Table) -> pa.Table:
+        pr, tb = ray.get(ref)
+        ids = t[key].to_numpy()
+        lids = t["list_id"].to_numpy()
+        codes = np.stack(t["codes"].to_numpy(zero_copy_only=False))
+        out_q, out_i, out_d = [], [], []
+        for qi in range(pr.shape[0]):
+            mask = pr[qi, lids]
+            if not mask.any():
+                continue
+            sel_ids = ids[mask]
+            sel_l = lids[mask]
+            sel_c = codes[mask]
+            d2 = np.zeros(len(sel_ids))
+            for j in range(m):
+                d2 += tb[qi, sel_l, j, sel_c[:, j]]
+            d2 = round_half_away(d2, 6)
+            kk = min(k, len(sel_ids))
+            part = np.argpartition(d2, kk - 1)[:kk]
+            out_q.append(np.full(kk, qi, dtype=np.int64))
+            out_i.append(sel_ids[part])
+            out_d.append(d2[part])
+        if not out_q:
+            return pa.table({"query_id": pa.array([], pa.int64()),
+                             key: pa.array([], pa.int64()),
+                             "_d2": pa.array([], pa.float64())})
+        return pa.table({
+            "query_id": pa.array(np.concatenate(out_q)),
+            key: pa.array(np.concatenate(out_i)),
+            "_d2": pa.array(np.concatenate(out_d))})
+
+    partial = codes_ds.map_batches(block, batch_format="pyarrow")
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values(["_d2", key], ascending=[True, True]).head(k)
         g = g.reset_index(drop=True)
         g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
         g["approx_cosine"] = round_half_away(

@@ -277,3 +277,53 @@ def test_pq_ann_recall_and_determinism(ray_session):
     # approx_cosine in [-1, 1] + descending per query
     g = approx.groupby("query_id")["approx_cosine"]
     assert (g.apply(lambda s: (s.diff().dropna() <= 1e-12).all())).all()
+
+
+def test_ivf_pq_ann(ray_session):
+    import numpy as np
+    import pandas as pd
+    import ray.data
+    from graphscope_ray.data.similarity import (ann_topk,
+                                                ivf_pq_ann_topk,
+                                                ivf_pq_index)
+
+    rng = np.random.default_rng(30)
+    n_clusters, per, d = 8, 60, 16
+    centers = rng.normal(size=(n_clusters, d)) * 4
+    X = np.concatenate([c + 0.3 * rng.normal(size=(per, d))
+                        for c in centers])
+    X = X[rng.permutation(len(X))]
+    n = len(X)
+    df = pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                       "embedding": list(X)})
+    ds = ray.data.from_pandas(df).repartition(4)
+
+    C, books, codes = ivf_pq_index(ds, num_centroids=8,
+                                   coarse_iters=3, m=4, k_codes=16,
+                                   pq_iters=2)
+    assert C.shape == (8, 16) and books.shape == (4, 16, 4)
+    cdf = codes.to_pandas()
+    assert len(cdf) == n
+    assert set(cdf.columns) >= {"vec_id", "list_id", "codes"}
+    assert cdf["list_id"].between(0, 7).all()
+
+    queries = centers[:3] + 0.1 * rng.normal(size=(3, d))
+    approx = ivf_pq_ann_topk(codes, queries, C, books, k=10, nprobe=2)
+    exact = ann_topk(ds, queries, k=60)
+    rec = []
+    for qid in range(3):
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        rec.append(len(a & e) / 10.0)
+    # approx top-10 lands inside the exact top-60 (the query's own
+    # cluster) — coarse recall, the IVF-PQ guarantee at tiny scale
+    assert np.mean(rec) >= 0.9, rec
+    # deterministic
+    approx2 = ivf_pq_ann_topk(codes, queries, C, books, k=10, nprobe=2)
+    pd.testing.assert_frame_equal(approx, approx2)
+    # residual PQ beats zero-information: approx_cosine of the top hit
+    # is close to the exact best cosine
+    for qid in range(3):
+        a1 = approx[approx.query_id == qid]["approx_cosine"].iloc[0]
+        e1 = exact[exact.query_id == qid]["cosine"].iloc[0]
+        assert abs(a1 - e1) < 0.2, (qid, a1, e1)
