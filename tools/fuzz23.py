@@ -153,6 +153,55 @@ for trial in range(1, 9):
         fails.append(f"bpe {trial}: {got[:3]} != {want[:3]}")
     print(f"bpe trial {trial}: ok (k={kk})", flush=True)
 
+from graphscope_ray.data.similarity import (ann_topk, ivf_pq_ann_topk,
+                                             ivf_pq_index, pq_ann_topk,
+                                             pq_encode, pq_train)
+from graphscope_ray.util import round_half_away
+
+for trial in range(1, 7):
+    ncl = int(rng.integers(4, 10))
+    per = int(rng.integers(30, 70))
+    d = int(rng.integers(2, 6)) * 4
+    centers = rng.normal(size=(ncl, d)) * 4
+    X = np.concatenate([c + 0.3 * rng.normal(size=(per, d))
+                        for c in centers])
+    X = X[rng.permutation(len(X))]
+    df = pd.DataFrame({"vec_id": np.arange(len(X), dtype=np.int64),
+                       "embedding": list(X)})
+    ds = ray.data.from_pandas(df).repartition(int(rng.integers(2, 6)))
+    books = pq_train(ds, m=4, k=16, iters=2)
+    codes = pq_encode(ds, books)
+    # bit-exact encode replay
+    cdf = codes.to_pandas().sort_values("vec_id").reset_index(drop=True)
+    C_ = np.stack(cdf["codes"].to_numpy())
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    sub = d // 4
+    for j in range(4):
+        seg = Xn[:, j*sub:(j+1)*sub]
+        dist = round_half_away(np.sqrt(
+            ((seg[:, None, :] - books[j][None, :, :])**2).sum(-1)), 6)
+        if not (C_[:, j] == np.argmin(dist, axis=1)).all():
+            fails.append(f"pq{trial}: encode replay subspace {j}")
+    # coarse recall (approx top-10 within exact top-per)
+    queries = centers[:2] + 0.1 * rng.normal(size=(2, d))
+    approx = pq_ann_topk(codes, queries, books, k=10)
+    exact = ann_topk(ds, queries, k=per)
+    for qid in range(2):
+        a = set(approx[approx.query_id == qid]["vec_id"])
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        if len(a & e) / 10.0 < 0.7:
+            fails.append(f"pq{trial}: recall q{qid} {len(a&e)/10}")
+    # ivf-pq on the same cloud
+    Civf, b2, codes2 = ivf_pq_index(ds, num_centroids=ncl,
+                                    coarse_iters=3, m=4, k_codes=16)
+    ap2 = ivf_pq_ann_topk(codes2, queries, Civf, b2, k=10, nprobe=2)
+    for qid in range(2):
+        a = set(ap2[ap2.query_id == qid]["vec_id"])
+        e = set(exact[exact.query_id == qid]["vec_id"])
+        if len(a & e) / 10.0 < 0.7:
+            fails.append(f"ivfpq{trial}: recall q{qid} {len(a&e)/10}")
+    print(f"pq trial {trial}: ok (ncl={ncl} d={d})", flush=True)
+
 print("FAILS:", fails)
 ray.shutdown()
 sys.exit(1 if fails else 0)
