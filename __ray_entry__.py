@@ -2590,6 +2590,90 @@ FROM s JOIN t USING (source)
 WHERE s.quality >= t.thr ORDER BY s.doc_id"""
 
 
+PQ_M, PQ_K, PQ_ITERS, PQ_DIM = 4, 8, 2, 64
+
+
+def _q_emb_pq_codes(sf_dir):
+    """Product-quantization codes (Jégou et al. 2011): per-subspace
+    kmeans codebooks (shared Lloyd's protocol) over the normalized
+    embeddings, each vector encoded to m uint8 codes — flattened to
+    code_<j> columns for the hash compare. The twin unrolls m
+    independent kmeans chains over 1-based list slices."""
+    from graphscope_ray.data.similarity import pq_encode, pq_train
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    books = pq_train(emb, m=PQ_M, k=PQ_K, iters=PQ_ITERS)
+    codes = pq_encode(emb, books)
+
+    def flat(t: pa.Table) -> pa.Table:
+        import numpy as np
+        c = np.stack(t["codes"].to_numpy(zero_copy_only=False))
+        cols = {"vec_id": t["vec_id"]}
+        for j in range(PQ_M):
+            cols[f"code_{j}"] = pa.array(c[:, j].astype("int64"))
+        return pa.table(cols)
+
+    return codes.map_batches(flat, batch_format="pyarrow")
+
+
+def _pq_codes_sql(m: int, k: int, iters: int, dim: int) -> str:
+    """Twin of _q_emb_pq_codes: normalize, slice into m subspaces
+    (1-based inclusive list slicing), run the kmeans_sql protocol
+    (smallest-id init, rounded-6dp list_distance argmin with ties to
+    the lower code, double-precision means, empty codes keep their
+    previous centroid) independently per subspace."""
+    sub = dim // m
+    parts = ["""en AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS e0,
+         sqrt(list_sum(list_transform(embedding::DOUBLE[],
+                                      y -> y * y))) AS nrm
+  FROM embeddings)"""]
+    selects = []
+    for j in range(m):
+        lo, hi = j * sub + 1, (j + 1) * sub
+        p = f"s{j}"
+        parts.append(f"""{p} AS MATERIALIZED (
+  SELECT vec_id, list_transform(e0[{lo}:{hi}], x -> x / nrm) AS emb
+  FROM en)""")
+        parts.append(f"""{p}c0 AS (
+  SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cid, emb AS c
+  FROM (SELECT vec_id, emb FROM {p} ORDER BY vec_id LIMIT {k}))""")
+        prev = f"{p}c0"
+        for it in range(1, iters):
+            parts.append(f"""{p}d{it} AS (
+  SELECT e.vec_id, c.cid, round(list_distance(e.emb, c.c), 6) AS dd
+  FROM {p} e CROSS JOIN {prev} c),
+{p}a{it} AS (
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid,
+           row_number() OVER (PARTITION BY vec_id ORDER BY dd, cid) rn
+    FROM {p}d{it}) WHERE rn = 1),
+{p}m{it} AS (
+  SELECT a.cid, g.i, avg(e.emb[g.i]) AS v
+  FROM {p}a{it} a JOIN {p} e USING (vec_id),
+       generate_series(1, {sub}) g(i)
+  GROUP BY a.cid, g.i),
+{p}c{it} AS (
+  SELECT q.cid, CASE WHEN count(mm.i) = 0 THEN q.c
+                ELSE list(mm.v ORDER BY mm.i) END AS c
+  FROM {prev} q LEFT JOIN {p}m{it} mm ON mm.cid = q.cid
+  GROUP BY q.cid, q.c)""")
+            prev = f"{p}c{it}"
+        parts.append(f"""{p}fin AS (
+  SELECT vec_id, cid FROM (
+    SELECT e.vec_id, c.cid,
+           row_number() OVER (PARTITION BY e.vec_id ORDER BY
+             round(list_distance(e.emb, c.c), 6), c.cid) rn
+    FROM {p} e CROSS JOIN {prev} c) WHERE rn = 1)""")
+        selects.append(f"{p}fin.cid::BIGINT AS code_{j}")
+    joins = "\n".join(
+        f"JOIN s{j}fin ON s{j}fin.vec_id = en.vec_id"
+        for j in range(m))
+    return (f"WITH {','.join(parts)}\n"
+            f"SELECT en.vec_id, {', '.join(selects)}\n"
+            f"FROM en\n{joins}\nORDER BY en.vec_id")
+
+
 def _q_emb_kmeans(sf_dir):
     """Distributed Lloyd's k-means (k=8, 2 iterations) — broadcast
     centroids + per-batch partial sums; the SQL twin unrolls both
@@ -2958,6 +3042,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_lm_score": _q_doc_lm_score,
         "doc_adaptive_quality": _q_doc_adaptive_quality,
         "emb_kmeans": _q_emb_kmeans,
+        "emb_pq_codes": _q_emb_pq_codes,
         "emb_semdedup": _q_emb_semdedup,
         "emb_cluster_sample": _q_emb_cluster_sample,
         "emb_ann_topk": _q_emb_ann_topk,
@@ -3224,6 +3309,7 @@ ORDER BY source, rn""",
         "doc_bigrams": _bigrams_sql(),
         "doc_lm_score": _DOC_LM_SCORE_SQL,
         "doc_adaptive_quality": _DOC_ADAPTIVE_QUALITY_SQL,
+        "emb_pq_codes": _pq_codes_sql(PQ_M, PQ_K, PQ_ITERS, PQ_DIM),
         "emb_kmeans": _osql().kmeans_sql(k=8, iters=2, dim=64),
         "emb_semdedup": _osql().semdedup_sql(k=8, iters=2, dim=64,
                                              threshold=0.3),
