@@ -1516,6 +1516,40 @@ def _q_pg_triangles(sf_dir):
     return _triangles_cached(sf_dir)
 
 
+def _q_pg_tc_pregel(sf_dir):
+    """The reference's THIRD triangle app — the Pregel message
+    formulation (apps/pregel/tc_pregel.h:40-80): v sends id(b) per
+    out-edge (v,b) to each distinct neighbor c ∈ in∪out; c counts
+    payloads that are its own out-neighbors; value = counter // 2.
+    Run over the SYMMETRIC partgraph edge set (both directions
+    distinct — the app's intended input; on oriented edges it
+    degenerates, see tests/test_tc_pregel.py), where it reproduces
+    per-vertex triangle counts through entirely different machinery
+    than pg_triangles' oriented wedge kernel. The SQL twin replays
+    the two supersteps as two joins, not the triangle CTE."""
+    from graphscope_ray.graph.api import tc_pregel
+    from graphscope_ray.pipelines.partgraph import partgraph_edges
+
+    e0 = partgraph_edges(sf_dir).select_columns(["src", "dst"])
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "src": pa.concat_arrays([t["src"].combine_chunks(),
+                                     t["dst"].combine_chunks()]),
+            "dst": pa.concat_arrays([t["dst"].combine_chunks(),
+                                     t["src"].combine_chunks()])})
+
+    sym = e0.map_batches(both, batch_format="pyarrow")
+    return tc_pregel(sym).sort("vid")
+
+
+_TC_PREGEL_SQL = """
+msg AS (SELECT u.t AS c, o.t AS b FROM e u JOIN e o ON o.s = u.s),
+tcc AS (SELECT m.c AS v, count(*) AS cntr
+        FROM msg m JOIN e oc ON oc.s = m.c AND oc.t = m.b
+        GROUP BY m.c)"""
+
+
 def _q_pg_tc_total(sf_dir):
     import pandas as pd
     t = int(_triangles_cached(sf_dir).sum("tri_cnt")) // 3
@@ -2961,6 +2995,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_cdlp": _q_pg_cdlp,
         "pg_bfs": _q_pg_bfs,
         "pg_triangles": _q_pg_triangles,
+        "pg_tc_pregel": _q_pg_tc_pregel,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3128,6 +3163,11 @@ ORDER BY vid""",
 WITH {_PRELUDE},
 {_TRI_CTE}
 SELECT count(*)::BIGINT AS total FROM tri""",
+        "pg_tc_pregel": f"""
+WITH {_PRELUDE},
+{_TC_PREGEL_SQL}
+SELECT v.v AS vid, (COALESCE(tcc.cntr, 0) // 2)::BIGINT AS tc
+FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),

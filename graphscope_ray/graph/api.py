@@ -708,6 +708,169 @@ def triangle_total(edges_undirected: ray.data.Dataset, **kw) -> int:
     return int(s) // 3
 
 
+def _tc_pregel_broadcast(edges_pdf, num_shards: int) -> ray.data.Dataset:
+    """Broadcast kernel for :func:`tc_pregel` — one ``ray.put`` of the
+    out-CSR + sorted out-edge keys + distinct neighbor-pair keys,
+    sharded message expansion with the same chunked-scratch pattern as
+    :func:`_triangles_broadcast` (messages fold into dense per-vertex
+    counters, tree-reduced; never materialized as rows)."""
+    s = edges_pdf["src"].to_numpy().astype(np.int64, copy=False)
+    d = edges_pdf["dst"].to_numpy().astype(np.int64, copy=False)
+    vids, inv = np.unique(np.r_[s, d], return_inverse=True)
+    nv = len(vids)
+    if nv == 0:
+        return ray.data.from_arrow(pa.table({
+            "vid": pa.array([], pa.int64()),
+            "tc": pa.array([], pa.int64())}))
+    si, di = inv[: len(s)], inv[len(s):]
+    # deduped directed out-edges, sorted by (src, dst) key
+    outkeys = np.unique(si * np.int64(nv) + di)
+    osrc = outkeys // np.int64(nv)
+    odst = outkeys % np.int64(nv)
+    indptr = np.zeros(nv + 1, dtype=np.int64)
+    np.add.at(indptr, osrc + 1, 1)
+    np.cumsum(indptr, out=indptr)
+    # distinct (v, c) neighbor pairs, both orders: c ∈ in(v) ∪ out(v)
+    undkeys = np.unique(np.r_[si * np.int64(nv) + di,
+                              di * np.int64(nv) + si])
+    ref = ray.put((indptr, odst, outkeys, undkeys, np.int64(nv)))
+    P = len(undkeys)
+
+    @ray.remote
+    def shard(lo: int, hi: int) -> np.ndarray:
+        ip, nb, ok, uk, bb = ray.get(ref)
+        v_all = uk[lo:hi] // bb
+        c_all = uk[lo:hi] % bb
+        starts_all = ip[v_all]
+        cnt = ip[v_all + 1] - starts_all
+        out = np.zeros(int(bb), dtype=np.int64)
+        if not len(cnt):
+            return out
+        wcum = np.cumsum(cnt)
+        total = int(wcum[-1])
+        if total == 0:
+            return out
+        CH = 262_144
+        marks = np.searchsorted(wcum, np.arange(CH, total, CH))
+        bounds = np.unique(np.r_[0, marks, len(cnt)])
+        for i in range(len(bounds) - 1):
+            e0, e1 = int(bounds[i]), int(bounds[i + 1])
+            c, st, cc = c_all[e0:e1], starts_all[e0:e1], cnt[e0:e1]
+            tot = int(cc.sum())
+            if tot == 0:
+                continue
+            e_rep = np.repeat(np.arange(len(c)), cc)
+            offs = np.arange(tot, dtype=np.int64) - np.repeat(
+                np.cumsum(cc) - cc, cc)
+            b = nb[st[e_rep] + offs]       # message payload: id of b
+            cr = c[e_rep]                  # message destination: c
+            probe = cr * bb + b            # b ∈ out(c)?
+            pos = np.clip(np.searchsorted(ok, probe), 0, len(ok) - 1)
+            out += np.bincount(cr[ok[pos] == probe], minlength=int(bb))
+        return out
+
+    @ray.remote
+    def add(x: np.ndarray, y: np.ndarray) -> np.ndarray:
+        return x + y
+
+    bounds = np.linspace(0, P, num_shards + 1).astype(np.int64)
+    refs = [shard.remote(int(bounds[i]), int(bounds[i + 1]))
+            for i in range(num_shards) if bounds[i] < bounds[i + 1]]
+    while len(refs) > 1:
+        nxt = [add.remote(refs[i], refs[i + 1])
+               for i in range(0, len(refs) - 1, 2)]
+        if len(refs) % 2:
+            nxt.append(refs[-1])
+        refs = nxt
+    vref = ray.put(vids)
+
+    @ray.remote
+    def emit(counts: np.ndarray, lo: int, hi: int) -> pa.Table:
+        vv = ray.get(vref)
+        return pa.table({"vid": pa.array(vv[lo:hi]),
+                         "tc": pa.array(counts[lo:hi] // 2)})
+
+    chunk = 2_000_000
+    tables = [emit.remote(refs[0], lo, min(lo + chunk, nv))
+              for lo in range(0, nv, chunk)]
+    return ray.data.from_arrow_refs(tables)
+
+
+def tc_pregel(
+    edges: ray.data.Dataset,
+    *,
+    num_partitions: int = 16,
+    broadcast_edge_limit: int = 20_000_000,
+) -> ray.data.Dataset:
+    """Pregel triangle counting — the reference's THIRD triangle app
+    (`apps/pregel/tc_pregel.h:40-80`), distinct from the oriented
+    `triangles.h` kernel: superstep 0 has every vertex v send, for each
+    out-edge (v, b), the id of b to each DISTINCT neighbor
+    c ∈ in(v) ∪ out(v); superstep 1 counts received ids that are among
+    the receiver's own out-neighbors and halts with
+    value = counter // 2 (integer division, tc_pregel.h:78). On a
+    symmetric edge set this equals the per-vertex triangle count; on
+    oriented edges it exposes the app's directed message semantics.
+    Input edges must be deduplicated (multi-edges would double-send in
+    the reference too — its tests run simple graphs).
+
+    Quadratic in degree by construction (Σ deg(v)·outdeg(v) messages —
+    the naive Pregel formulation; the oriented `triangles.h` app exists
+    in the reference precisely because of this). Below
+    ``broadcast_edge_limit`` the counter runs as the sharded dense-fold
+    kernel; above it, a two-join Dataset path (messages as rows) with
+    the bucketed-sum combiner.
+    """
+    e = edges.select_columns(["src", "dst"])
+    n_edges = e.count()
+    if n_edges <= broadcast_edge_limit:
+        num_shards = max(4, int(ray.cluster_resources().get("CPU", 8)))
+        return _tc_pregel_broadcast(e.to_pandas(), num_shards)
+
+    from graphscope_ray.util import bucketed_distinct, bucketed_sum, rename
+    from graphscope_ray.util import shuffle_partitions
+
+    def both(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "v": pa.concat_arrays([t["src"].combine_chunks(),
+                                   t["dst"].combine_chunks()]),
+            "c": pa.concat_arrays([t["dst"].combine_chunks(),
+                                   t["src"].combine_chunks()])})
+
+    und = bucketed_distinct(
+        e.map_batches(both, batch_format="pyarrow"), ["v", "c"])
+    nparts = shuffle_partitions(num_partitions)
+    out_e = rename(e, {"src": "v", "dst": "b"}).materialize()
+    # superstep 0: (v, c) ⋈ (v, b) → message (c, b)
+    msgs = und.join(out_e, join_type="inner", on=("v",),
+                    num_partitions=nparts)
+    probe = rename(out_e, {"v": "c", "b": "b"})
+    # superstep 1: message lands iff b ∈ out(c)
+    landed = msgs.join(probe, join_type="inner", on=("c", "b"),
+                       num_partitions=nparts)
+
+    def ones(t: pa.Table) -> pa.Table:
+        vid, cnt = np.unique(t["c"].to_numpy(), return_counts=True)
+        return pa.table({"vid": vid, "counter": cnt.astype(np.int64)})
+
+    per_v = bucketed_sum(landed.map_batches(ones, batch_format="pyarrow"),
+                         "vid", "counter")
+    verts = bucketed_distinct(
+        e.map_batches(both, batch_format="pyarrow").map_batches(
+            lambda t: pa.table({"vid": t["v"]}), batch_format="pyarrow"),
+        ["vid"])
+    from graphscope_ray.graph.joins import attach_values
+    out = attach_values(verts, per_v, on="vid", table_key="vid",
+                        value_names=["counter"], defaults={"counter": 0})
+
+    def fin(t: pa.Table) -> pa.Table:
+        return pa.table({
+            "vid": t["vid"],
+            "tc": t["counter"].to_numpy().astype(np.int64) // 2})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
 def clustering(edges_undirected: ray.data.Dataset, **kw) -> ray.data.Dataset:
     """Local clustering coefficient 2·tri / (deg·(deg−1)) on the
     undirected simple graph — `apps/clustering/clustering.h` (NetworkX
