@@ -2317,6 +2317,31 @@ def _q_doc_sample(sf_dir):
     return hash_sample(docs, 0.25, seed=1)
 
 
+def _q_doc_weighted_sample(sf_dir):
+    """Weighted sampling without replacement (Efraimidis-Spirakis
+    exponential keys from the fmix64 row coin) — 100 docs drawn
+    proportional to n_chars; deterministic at any parallelism
+    (data/curate.weighted_sample)."""
+    from graphscope_ray.data.curate import weighted_sample
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "n_chars"])
+    return weighted_sample(docs, 100, weight_col="n_chars", seed=13)
+
+
+def _weighted_sample_sql(k: int, seed: int = 13) -> str:
+    from graphscope_ray.oracle_sql import _row_hash_sql
+    h = _row_hash_sql(seed)
+    u = f"greatest((({h}) >> 11)::DOUBLE * pow(2.0, -53), pow(2.0, -53))"
+    return f"""
+WITH scored AS (
+  SELECT doc_id, n_chars::DOUBLE AS n_chars,
+         round(ln({u}) / n_chars::DOUBLE, 9) AS es_key
+  FROM documents WHERE n_chars > 0)
+SELECT doc_id, n_chars, es_key,
+       row_number() OVER (ORDER BY es_key DESC, doc_id) AS rn
+FROM scored QUALIFY rn <= {k} ORDER BY doc_id"""
+
+
 _MIX_RATES = {"src0": 0.5, "src1": 0.25, "src2": 0.1, "src3": 0.0}
 
 
@@ -3050,6 +3075,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_langid": _q_doc_langid,
         "doc_curation": _q_doc_curation,
         "doc_sample": _q_doc_sample,
+        "doc_weighted_sample": _q_doc_weighted_sample,
         "doc_domain_mix": _q_doc_domain_mix,
         "doc_order": _q_doc_order,
         "doc_tfidf": _q_doc_tfidf,
@@ -3311,6 +3337,7 @@ FROM documents ORDER BY doc_id""",
         "doc_langid": _osql().langid_sql(),
         "doc_curation": _osql().curation_sql(lang="en", min_quality=0.1),
         "doc_sample": _osql().hash_sample_sql(0.25, seed=1),
+        "doc_weighted_sample": _weighted_sample_sql(100, seed=13),
         "doc_domain_mix": _osql().domain_mixture_sql(
             _MIX_RATES, default_rate=0.75, seed=5),
         "doc_order": _osql().training_order_sql(seed=11),

@@ -53,6 +53,7 @@ from graphscope_ray.data.curate import (  # noqa: F401
     split_assign,
     training_order,
     vocab_topk,
+    weighted_sample,
 )
 from graphscope_ray.data.sketch import (  # noqa: F401
     bloom_build,

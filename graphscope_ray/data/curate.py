@@ -539,6 +539,53 @@ def topk_per_group(ds: ray.data.Dataset, *, group: str, score: str,
               .map_groups(final, batch_format="pandas"))
 
 
+def weighted_sample(ds: ray.data.Dataset, k: int, *,
+                    weight_col: str, key: str = "doc_id",
+                    seed: int = 13) -> ray.data.Dataset:
+    """Weighted sampling WITHOUT replacement — the Efraimidis-Spirakis
+    exponential-key scheme: row i gets key ln(u_i)/w_i from a
+    deterministic hash-uniform u_i = (fmix64(id·B+seed) >> 11)·2⁻⁵³,
+    and the k LARGEST keys are exactly a weight-proportional sample
+    (the data-mixing primitive: "draw a 10B-token budget proportional
+    to per-doc length/quality"). Deterministic per (id, seed) — the
+    same rows win at any parallelism, so a resumed 100 TB run draws
+    the identical sample.
+
+    Rows with weight ≤ 0 are never sampled. Keys are rounded to 9 dp
+    with ``key`` asc as the tie-break so the selection boundary is
+    reproducible against the SQL twin (ln ulp differences live ~7
+    orders of magnitude below the rounding grid).
+
+    100 TB shape: scoring is embarrassingly parallel; selection is
+    :func:`topk_per_group` with a constant group — per-block trim to
+    ≤ k first, so at most k·#blocks scored rows ever shuffle.
+    → (key, weight_col, es_key, rn) for the k winners.
+    """
+
+    def score(t: pa.Table) -> pa.Table:
+        ids = t[key].to_numpy(zero_copy_only=False)
+        w = t[weight_col].to_numpy(zero_copy_only=False).astype(np.float64)
+        h = _row_hash(ids, seed)
+        u = np.maximum((h >> U64(11)).astype(np.float64) * 2.0 ** -53,
+                       2.0 ** -53)
+        keep = w > 0
+        s = round_half_away(np.log(u[keep]) / w[keep], 9)
+        return pa.table({key: pa.array(ids[keep]),
+                         weight_col: pa.array(w[keep]),
+                         "es_key": pa.array(s),
+                         "_all": pa.array(np.zeros(int(keep.sum()),
+                                                   dtype=np.int64))})
+
+    scored = ds.map_batches(score, batch_format="pyarrow")
+    top = topk_per_group(scored, group="_all", score="es_key", key=key,
+                         k=k, descending=True, num_buckets=1)
+
+    def fin(df: pd.DataFrame) -> pd.DataFrame:
+        return df.drop(columns=["_all"])
+
+    return top.map_batches(fin, batch_format="pandas")
+
+
 def adaptive_quality_filter(ds: ray.data.Dataset, *, col: str = "text",
                             key: str = "doc_id",
                             group: str = "source",
