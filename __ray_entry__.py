@@ -1550,6 +1550,66 @@ tcc AS (SELECT m.c AS v, count(*) AS cntr
         GROUP BY m.c)"""
 
 
+SCC_KEEP_PCT = 3  # hash-oriented subsample density for the SCC row
+
+
+def _q_pg_scc(sf_dir):
+    """Strongly connected components (extension op — the reference
+    exposes SCC via its NetworkX layer,
+    python/graphscope/nx/algorithms/builtin.py) — FW-BW-Trim coloring
+    on the BSP actors over a deterministic hash-ORIENTED 3% sample of
+    the co-occurrence pairs (the canonical src<dst orientation is a
+    DAG of singleton SCCs; hash-parity orientation creates real
+    cycles). Transient dual-direction store, closed in finally."""
+    from graphscope_ray.data.hashing import B, U64, fmix64
+    from graphscope_ray.graph.api import Graph
+
+    _, edges = _partgraph(sf_dir)
+
+    def orient(t: pa.Table) -> pa.Table:
+        s = t["src"].to_numpy()
+        d = t["dst"].to_numpy()
+        h = fmix64(s.astype(np.uint64) * B + d.astype(np.uint64))
+        keep = (h % U64(100)) < U64(SCC_KEEP_PCT)
+        s, d, h = s[keep], d[keep], h[keep]
+        fwd = ((h >> U64(7)) % U64(2)) == 0
+        return pa.table({"src": pa.array(np.where(fwd, s, d)),
+                         "dst": pa.array(np.where(fwd, d, s))})
+
+    de = edges.select_columns(["src", "dst"]).map_batches(
+        orient, batch_format="pyarrow")
+    g = Graph.from_edges(
+        de, workdir=f"/tmp/gsr-scc-{abs(hash(sf_dir)) % 10**8}",
+        directions="both")
+    try:
+        return (g.to_oid(g.scc(), vid_cols=("vid", "scc_id"))
+                .sort("vid").materialize())
+    finally:
+        g.close()
+
+
+def _scc_sql(pct: int) -> str:
+    """Recursive-closure twin of _q_pg_scc: scc_id(v) = min u with
+    v →* u and u →* v inside the hash-oriented subgraph."""
+    from graphscope_ray.oracle_sql import fmix_u64_sql
+    from graphscope_ray.data.hashing import B
+    h = fmix_u64_sql(f"((src::HUGEINT * {int(B)} + dst) % 18446744073709551616)::UBIGINT")
+    return f"""
+WITH RECURSIVE {_PRELUDE},
+eh AS (SELECT src, dst, {h} AS h FROM e0),
+de AS MATERIALIZED (
+  SELECT CASE WHEN (h >> 7) % 2 = 0 THEN src ELSE dst END AS src,
+         CASE WHEN (h >> 7) % 2 = 0 THEN dst ELSE src END AS dst
+  FROM eh WHERE h % 100 < {pct}),
+reach AS (SELECT src AS a, src AS b FROM de
+          UNION SELECT dst, dst FROM de
+          UNION SELECT r.a, de.dst FROM reach r JOIN de ON de.src = r.b),
+scc AS (SELECT r1.a AS vid, min(r1.b)::BIGINT AS scc_id
+        FROM reach r1 JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a
+        GROUP BY r1.a)
+SELECT vid, scc_id FROM scc ORDER BY vid"""
+
+
 def _q_pg_tc_total(sf_dir):
     import pandas as pd
     t = int(_triangles_cached(sf_dir).sum("tri_cnt")) // 3
@@ -3021,6 +3081,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_bfs": _q_pg_bfs,
         "pg_triangles": _q_pg_triangles,
         "pg_tc_pregel": _q_pg_tc_pregel,
+        "pg_scc": _q_pg_scc,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3194,6 +3255,7 @@ WITH {_PRELUDE},
 {_TC_PREGEL_SQL}
 SELECT v.v AS vid, (COALESCE(tcc.cntr, 0) // 2)::BIGINT AS tc
 FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
+        "pg_scc": _scc_sql(SCC_KEEP_PCT),
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),

@@ -299,6 +299,13 @@ class Graph:
         with the SURVEY §5 min-oid labeling convention."""
         return self.engine.wcc(**kw)
 
+    def scc(self, **kw) -> ray.data.Dataset:
+        """Strongly connected components, min-vid labels — FW-BW-Trim
+        coloring on the BSP actors (extension op; the reference exposes
+        SCC via its NetworkX layer). Needs
+        ``from_edges(..., directions='both')``."""
+        return self.engine.scc(**kw)
+
     def cdlp(self, max_round: int = 10, **kw) -> ray.data.Dataset:
         """LDBC community detection by label propagation —
         `.gs_conf.yaml:36-41` (grape::CDLP)."""

@@ -939,6 +939,68 @@ class BSPEngine:
             )
         self.supersteps += rnd
 
+    def scc(self, *, max_outer: int = 200, max_prop: int = 100_000,
+            trim: bool = True) -> ray.data.Dataset:
+        """Strongly connected components — FW-BW-Trim coloring on the
+        BSP actors (extension op; the reference exposes SCC through its
+        NetworkX layer). Per outer round: (1) Trim — deactivate active
+        vertices with zero active in- OR out-degree (singleton SCCs,
+        the web-graph tendril killer) to fixpoint; (2) forward min-color
+        propagation to fixpoint over the remaining active subgraph;
+        (3) roots (color == own vid) start a backward BFS along
+        reversed edges restricted to their own color class — everything
+        reached is exactly the root's SCC (color r ⇒ r reaches v; the
+        restricted backward path ⇒ v reaches r). Each round finalizes
+        every root SCC, so rounds ≤ #SCCs on the longest condensation
+        chain that Trim can't shorten. Requires directions='both'.
+        Returns (vid, scc_id) with scc_id = min member vid."""
+        if self.has_hubs:
+            raise NotImplementedError(
+                "scc: hub-split stores not wired (build without "
+                "hub_threshold)")
+        if not self.store.meta.get("has_dir"):
+            raise ValueError("scc needs build_graph(directions='both')")
+        ray.get([a.scc_init.remote() for a in self.actors])
+        t0 = time.perf_counter()
+        rounds = 0
+        remaining = self.V
+        for _outer in range(max_outer):
+            if trim:
+                while True:
+                    rounds += 1
+                    self._exchange("scc_trim_scatter", "scc_trim_apply",
+                                   scatter_args=(0,), apply_args=("t_in",))
+                    self._exchange("scc_trim_scatter", "scc_trim_apply",
+                                   scatter_args=(1,), apply_args=("t_out",))
+                    ntrim = sum(ray.get([a.scc_trim_finish.remote()
+                                         for a in self.actors]))
+                    if ntrim == 0:
+                        break
+            for _ in range(max_prop):
+                rounds += 1
+                if sum(self._exchange("scc_fwd_scatter",
+                                      "scc_fwd_apply")) == 0:
+                    break
+            nroots = sum(ray.get([a.scc_mark_roots.remote()
+                                  for a in self.actors]))
+            if nroots:
+                for _ in range(max_prop):
+                    rounds += 1
+                    if sum(self._exchange("scc_bwd_scatter",
+                                          "scc_bwd_apply")) == 0:
+                        break
+            remaining = sum(ray.get([a.scc_finalize_round.remote()
+                                     for a in self.actors]))
+            if remaining == 0:
+                break
+        if remaining:
+            raise RuntimeError(
+                f"scc: {remaining} vertices unresolved after "
+                f"{max_outer} outer rounds")
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rounds
+        return self._result_ds("scc_result", "scc_id")
+
     def kcore(self, k: int) -> ray.data.Dataset:
         ray.get([a.kcore_init.remote() for a in self.actors])
         t0 = time.perf_counter()

@@ -624,6 +624,141 @@ class GraphPartition:
         return self.local_vids(), self.state["wcc"]["label"]
 
     # ------------------------------------------------------------------
+    # SCC — FW-BW-Trim coloring (Orzan'04 / Pregel-style; extension op,
+    # the reference's nx layer exposes strongly_connected_components).
+    # Requires a directions="both" store: dir==0 rows are the original
+    # orientation, dir==1 rows its reversed copies. State: color (fwd
+    # min-label), scc (-1 = active), visited/bfront (backward BFS).
+    # The backward phase ships DISTINCT (dst, color) pairs — colors
+    # must NOT min-combine across classes, so it bypasses _scatter_min.
+    # ------------------------------------------------------------------
+
+    def scc_init(self):
+        self.state["scc"] = {
+            "color": self.local_vids().copy(),
+            "scc": np.full(self.nlocal, -1, dtype=np.int64),
+            "visited": np.zeros(self.nlocal, dtype=bool),
+            "bfront": np.zeros(self.nlocal, dtype=bool),
+        }
+
+    def _scc_edge_mask(self, flags: np.ndarray, direction: int) -> np.ndarray:
+        """Per-edge mask: src has ``flags`` set AND edge runs in
+        ``direction`` (0 = original, 1 = reversed copy)."""
+        m = flags[self.src_local]
+        if self.dirs is not None:
+            m = m & (self.dirs == direction)
+        return m
+
+    def scc_trim_scatter(self, direction: int):
+        """Sum-combine 1 from every ACTIVE source along ``direction``
+        — at the dst this is its active in-degree (dir 0) or active
+        out-degree (dir 1)."""
+        s = self.state["scc"]
+        if self.E == 0:
+            return self._empty_msgs()
+        act = s["scc"] == -1
+        ones = self._scc_edge_mask(act, direction).astype(np.float64)
+        return self._scatter_sum(ones)
+
+    def scc_trim_apply(self, chan: str, *msgs):
+        s = self.state["scc"]
+        s[chan] = self._apply_sum(msgs)
+        return 0
+
+    def scc_trim_finish(self):
+        """Deactivate active vertices with no active in- or out-edges:
+        they are singleton SCCs (the Trim step)."""
+        s = self.state["scc"]
+        act = s["scc"] == -1
+        dead = act & ((s["t_in"] == 0) | (s["t_out"] == 0))
+        s["scc"][dead] = self.local_vids()[dead]
+        s["color"] = np.where(s["scc"] == -1, self.local_vids(), s["color"])
+        return int(dead.sum())
+
+    def scc_fwd_scatter(self):
+        s = self.state["scc"]
+        if self.E == 0:
+            return self._empty_msgs()
+        act = s["scc"] == -1
+        vals = self._edge_src_vals(s["color"], None)
+        mask = self._scc_edge_mask(act, 0)
+        vals = np.where(mask, vals, INT_SENTINEL)
+        return self._scatter_min(vals, INT_SENTINEL)
+
+    def scc_fwd_apply(self, *msgs):
+        s = self.state["scc"]
+        act = s["scc"] == -1
+        new = self._apply_min(s["color"], msgs)
+        new = np.where(act, new, s["color"])
+        changed = new < s["color"]
+        s["color"] = new
+        return int(changed.sum())
+
+    def scc_mark_roots(self):
+        s = self.state["scc"]
+        roots = (s["scc"] == -1) & (s["color"] == self.local_vids())
+        s["visited"] = roots.copy()
+        s["bfront"] = roots.copy()
+        return int(roots.sum())
+
+    def scc_bwd_scatter(self):
+        """Backward frontier: ship DISTINCT (dst, color) pairs along
+        reversed edges — a receiver joins iff a pair matches its own
+        color, so colors of different classes must survive side by
+        side (no min-combine)."""
+        s = self.state["scc"]
+        if self.E == 0:
+            return self._empty_msgs()
+        mask = self._scc_edge_mask(s["bfront"], 1)
+        idx = np.nonzero(mask)[0]
+        if not len(idx):
+            return self._empty_msgs()
+        vals = self._edge_src_vals(s["color"], None)
+        dst = self.uniq_dst[self.edge_grp[idx]].astype(np.int64)
+        key = dst * np.int64(self.V + 1) + vals[idx]
+        uk = np.unique(key)
+        d = uk // np.int64(self.V + 1)
+        c = uk % np.int64(self.V + 1)
+        part = (d % self.P).astype(np.int64)
+        order = np.argsort(part, kind="stable")
+        d, c, part = d[order], c[order], part[order]
+        if self.packed:
+            bounds = np.searchsorted(part, np.arange(self.P + 1))
+            return ("P", bounds, d, c)
+        msgs = []
+        for q in range(self.P):
+            a, b = np.searchsorted(part, q), np.searchsorted(part, q + 1)
+            msgs.append(None if a == b else (d[a:b], c[a:b]))
+        return msgs
+
+    def scc_bwd_apply(self, *msgs):
+        s = self.state["scc"]
+        s["bfront"] = np.zeros(self.nlocal, dtype=bool)
+        dst, vals = self._concat_msgs(msgs)
+        if dst is None:
+            return 0
+        li = dst // self.P
+        ok = (~s["visited"][li]) & (s["scc"][li] == -1) \
+            & (s["color"][li] == vals)
+        newly = np.unique(li[ok])
+        s["visited"][newly] = True
+        s["bfront"][newly] = True
+        return int(len(newly))
+
+    def scc_finalize_round(self):
+        s = self.state["scc"]
+        fin = s["visited"] & (s["scc"] == -1)
+        s["scc"][fin] = s["color"][fin]
+        s["visited"][:] = False
+        s["bfront"][:] = False
+        act = s["scc"] == -1
+        s["color"] = np.where(act, self.local_vids(), s["color"])
+        return int(act.sum())
+
+    def scc_result(self):
+        return self.local_vids(), self.state["scc"]["scc"]
+
+    # ------------------------------------------------------------------
     # CDLP (LDBC community detection by label propagation): label init =
     # own id; each synchronous round adopt the most frequent neighbor
     # label, ties → smallest label; fixed number of rounds.

@@ -29,6 +29,8 @@ __all__ = [
     "connected_components", "number_connected_components", "is_connected",
     "weakly_connected_components", "number_weakly_connected_components",
     "is_weakly_connected", "maximal_independent_set",
+    "strongly_connected_components",
+    "number_strongly_connected_components", "is_strongly_connected",
 ]
 
 
@@ -442,6 +444,39 @@ def is_weakly_connected(G) -> bool:
     if len(G) == 0:
         raise ValueError("connectivity is undefined for the null graph")
     return number_weakly_connected_components(G) == 1
+
+
+def strongly_connected_components(G):
+    """Generator of SCC node sets of a DiGraph, ordered by min member
+    (engine FW-BW-Trim coloring over the dual-direction backing — the
+    reference exposes SCC through its nx layer)."""
+    if not G.is_directed():
+        raise ValueError(
+            "strongly_connected_components needs a DiGraph")
+    eng_graph = G._backing("both")
+    ds = eng_graph.scc()
+    comp = _to_map(G, ds, "scc_id", cast=int)
+    nodes = _pynodes(G)
+    groups: dict = {}
+    for n, c in comp.items():
+        groups.setdefault(nodes[c], set()).add(n)
+    # isolated nodes never reach the engine (edge-built store): each
+    # is its own SCC
+    for n in nodes:
+        if n not in comp:
+            groups[n] = {n}
+    for c in sorted(groups):
+        yield groups[c]
+
+
+def number_strongly_connected_components(G) -> int:
+    return sum(1 for _ in strongly_connected_components(G))
+
+
+def is_strongly_connected(G) -> bool:
+    if len(G) == 0:
+        raise ValueError("connectivity is undefined for the null graph")
+    return number_strongly_connected_components(G) == 1
 
 
 def maximal_independent_set(G, seed: int = 7) -> list:

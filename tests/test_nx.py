@@ -281,6 +281,34 @@ def test_connected_components(und, dig):
     assert gnx.is_weakly_connected(g) == nx.is_weakly_connected(h)
 
 
+def test_strongly_connected_components(dig):
+    g, h = dig
+    a = sorted(map(sorted, gnx.strongly_connected_components(g)))
+    b = sorted(map(sorted, nx.strongly_connected_components(h)))
+    assert a == b
+    assert gnx.number_strongly_connected_components(g) == \
+        nx.number_strongly_connected_components(h)
+    assert gnx.is_strongly_connected(g) == nx.is_strongly_connected(h)
+
+
+def test_scc_sparse_with_isolated():
+    h = nx.gnm_random_graph(30, 45, seed=21, directed=True)
+    h.add_node(77)  # isolated: its own SCC
+    g, h = _pair(h, num_parts=3)
+    try:
+        a = sorted(map(sorted, gnx.strongly_connected_components(g)))
+        b = sorted(map(sorted, nx.strongly_connected_components(h)))
+        assert a == b
+    finally:
+        g.close()
+
+
+def test_scc_rejects_undirected(und):
+    g, _ = und
+    with pytest.raises(ValueError, match="DiGraph"):
+        list(gnx.strongly_connected_components(g))
+
+
 # ---- mutation invalidates the backing -----------------------------------
 
 
