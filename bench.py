@@ -559,8 +559,12 @@ def run_scaling_flagship_job() -> dict:
     import ray.data
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
+    # 60k files finishes in ~9 s at 8 CPUs — fixed costs (Ray session,
+    # actor-pool startup ≈ 3 s) dominate and the efficiency reading is
+    # an artifact. 360k ≈ 18 s/8-CPU keeps the pair short while the
+    # pipeline, not the harness, sets the wall-time.
     n_files = int(os.environ.get("GRAFT_SCALE_FLAGSHIP_FILES",
-                                 "60000"))
+                                 "360000"))
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
@@ -626,8 +630,10 @@ def main():
         # flagship pair only (the north-star pipeline at N and 4N)
         lo = int(os.environ.get("GRAFT_SCALE_CPUS_LO", 2))
         hi = int(os.environ.get("GRAFT_SCALE_CPUS_HI", 8))
+        sent0 = _page_fault_sentinel()
         f_lo = run_child(lo, ["--scaling-flagship-child"])
         f_hi = run_child(hi, ["--scaling-flagship-child"])
+        sent1 = _page_fault_sentinel()
         eff = ((f_hi["flagship_files_per_sec"]
                 / f_lo["flagship_files_per_sec"]) / (hi / lo)
                if f_lo["flagship_files_per_sec"] else 0.0)
@@ -641,6 +647,8 @@ def main():
             "files_per_sec_lo": f_lo["flagship_files_per_sec"],
             "files_per_sec_hi": f_hi["flagship_files_per_sec"],
             "scaling_efficiency": round(eff, 3),
+            "page_fault_sentinel_sec": sent0,
+            "page_fault_sentinel_end_sec": sent1,
         }))
         return
     if "--scaling" in sys.argv:

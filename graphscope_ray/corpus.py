@@ -128,11 +128,19 @@ def synth_corpus_table(n_files: int = 1000, seed: int = 42) -> pa.Table:
     )
 
 
-def write_corpus(path: str, n_files: int = 1000, seed: int = 42) -> str:
+def write_corpus(path: str, n_files: int = 1000, seed: int = 42,
+                 row_group_size: int = 32_768) -> str:
     """Write the synthetic corpus to ``path`` (a .parquet file). Idempotent
-    per (n_files, seed): existing file with matching footer metadata is
-    reused so repeated test/bench runs skip regeneration."""
-    meta_key = f"n_files={n_files};seed={seed}".encode()
+    per (n_files, seed, row_group_size): existing file with matching footer
+    metadata is reused so repeated test/bench runs skip regeneration.
+
+    ``row_group_size`` bounds parquet row groups so ``read_parquet``
+    yields one block per group — a single-row-group file reads as ONE
+    Ray Data block and serializes every downstream ``map_batches``
+    stage (the sha256 invariant pass most of all) no matter how many
+    CPUs the cluster has."""
+    meta_key = (f"n_files={n_files};seed={seed};"
+                f"rg={row_group_size}").encode()
     if os.path.exists(path):
         try:
             existing = pq.read_schema(path).metadata or {}
@@ -143,5 +151,5 @@ def write_corpus(path: str, n_files: int = 1000, seed: int = 42) -> str:
     tbl = synth_corpus_table(n_files, seed)
     tbl = tbl.replace_schema_metadata({b"graphscope_ray_corpus": meta_key})
     os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
-    pq.write_table(tbl, path)
+    pq.write_table(tbl, path, row_group_size=row_group_size)
     return path
