@@ -1625,6 +1625,67 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_pg_msf(sf_dir):
+    """Minimum spanning forest (extension op — the reference exposes
+    MST via its NetworkX layer,
+    python/graphscope/nx/algorithms/builtin.py): distributed Boruvka
+    on the BSP actors over the weighted co-occurrence partgraph.
+    Deterministic: the forest is THE unique MSF under the total edge
+    order (w, min(u,v), max(u,v)); dense vids are sorted-oid ranks, so
+    vid-order comparisons equal oid-order comparisons and the SQL twin
+    can rank edges on raw partkeys."""
+    g, _ = _partgraph(sf_dir)
+    return g.to_oid(g.msf(), vid_cols=("src", "dst"))
+
+
+def _msf_sql(rounds: int = 12) -> str:
+    """Unrolled-Boruvka twin of _q_pg_msf: per round, component labels
+    of the forest-so-far via the min-label recursive flood (the
+    _WCC_SQL kernel over forest edges), per-component min cross edge
+    by (w, a, b), forest += chosen edges (UNION dedups the mutual
+    pair's edge). Components at least halve per round, so
+    rounds=12 ≥ ceil(log2 V) at sf0.01 covers convergence; extra
+    rounds are no-ops."""
+    parts = [f"WITH RECURSIVE {_PRELUDE},"]
+    parts.append("f0 AS MATERIALIZED (SELECT src AS a, dst AS b, w "
+                 "FROM e0 WHERE FALSE)")
+    for r in range(rounds):
+        parts.append(f"""fe{r} AS MATERIALIZED (
+  SELECT a AS s, b AS t FROM f{r} UNION ALL SELECT b, a FROM f{r})""")
+        parts.append(f"""lab{r} AS (
+  SELECT v AS x, v AS l FROM v
+  UNION
+  SELECT fe{r}.t, lab{r}.l FROM lab{r} JOIN fe{r} ON fe{r}.s = lab{r}.x
+  WHERE lab{r}.l < fe{r}.t)""")
+        parts.append(f"""clab{r} AS MATERIALIZED (
+  SELECT x AS v, min(l) AS c FROM lab{r} GROUP BY x)""")
+        parts.append(f"""ac{r} AS MATERIALIZED (
+  SELECT ca.c AS comp, e0.w, e0.src AS a, e0.dst AS b
+  FROM e0 JOIN clab{r} ca ON ca.v = e0.src
+          JOIN clab{r} cb ON cb.v = e0.dst
+  WHERE ca.c <> cb.c
+  UNION ALL
+  SELECT cb.c, e0.w, e0.src, e0.dst
+  FROM e0 JOIN clab{r} ca ON ca.v = e0.src
+          JOIN clab{r} cb ON cb.v = e0.dst
+  WHERE ca.c <> cb.c)""")
+        parts.append(f"""wn{r} AS MATERIALIZED (
+  SELECT comp, w, a, b FROM (
+    SELECT comp, w, a, b,
+           row_number() OVER (PARTITION BY comp ORDER BY w, a, b) AS rn
+    FROM ac{r}) WHERE rn = 1)""")
+        # explicit DISTINCT: under WITH RECURSIVE, DuckDB 1.0 does NOT
+        # dedup a plain UNION inside non-self-referencing CTEs
+        parts.append(f"""f{r + 1} AS MATERIALIZED (
+  SELECT DISTINCT a, b, w FROM (
+    SELECT a, b, w FROM f{r}
+    UNION ALL SELECT a, b, w FROM wn{r}))""")
+    body = ",\n".join(parts[1:])
+    return (f"{parts[0]}\n{body}\n"
+            f"SELECT a AS src, b AS dst, w::DOUBLE AS weight "
+            f"FROM f{rounds} ORDER BY src, dst")
+
+
 def _q_pg_feature_prop(sf_dir):
     """2-round GNN feature smoothing (self-loop neighborhood mean,
     weighted) over the symmetric partgraph with deterministic seed
@@ -3082,6 +3143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_triangles": _q_pg_triangles,
         "pg_tc_pregel": _q_pg_tc_pregel,
         "pg_scc": _q_pg_scc,
+        "pg_msf": _q_pg_msf,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3256,6 +3318,7 @@ WITH {_PRELUDE},
 SELECT v.v AS vid, (COALESCE(tcc.cntr, 0) // 2)::BIGINT AS tc
 FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
         "pg_scc": _scc_sql(SCC_KEEP_PCT),
+        "pg_msf": _msf_sql(12),
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),

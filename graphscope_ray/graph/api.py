@@ -306,6 +306,14 @@ class Graph:
         ``from_edges(..., directions='both')``."""
         return self.engine.scc(**kw)
 
+    def msf(self, **kw) -> ray.data.Dataset:
+        """Minimum spanning forest (distributed Boruvka) — the unique
+        MSF under the total edge order (w, min(u,v), max(u,v));
+        extension op (the reference exposes MST via its NetworkX
+        layer). Returns one row per forest edge (src, dst, weight)
+        with src < dst in vid order. Needs a symmetrized store."""
+        return self.engine.msf(**kw)
+
     def cdlp(self, max_round: int = 10, **kw) -> ray.data.Dataset:
         """LDBC community detection by label propagation —
         `.gs_conf.yaml:36-41` (grape::CDLP)."""

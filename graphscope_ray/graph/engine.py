@@ -1001,6 +1001,99 @@ class BSPEngine:
         self.supersteps += rounds
         return self._result_ds("scc_result", "scc_id")
 
+    def msf(self, *, max_round: int = 64,
+            max_jump: int = 10_000) -> ray.data.Dataset:
+        """Minimum spanning forest — distributed Boruvka on the BSP
+        actors (extension op; the reference exposes minimum spanning
+        trees only through its NetworkX layer). Edges carry the total
+        order (w, min(u,v), max(u,v)), so the forest is unique and
+        partition-count-independent; on unweighted stores w = 1 and
+        the result is a (lexicographically least) spanning forest.
+
+        Per Boruvka round: halo-refresh component labels of edge
+        destinations (static ghost pattern, O(boundary)); per-component
+        min cross-edge locally, min-merged on the component's owner;
+        hook + 2-cycle break (one sharded fetch); pointer jumping to
+        the hook-forest roots (O(log chain) sharded fetches); vertex
+        relabel (one sharded fetch keyed by distinct component).
+        Rounds ≤ ceil(log2 V) since components at least halve. Nothing
+        O(V) ever lands on the driver; forest edges accumulate on
+        their owners and stream out as the result Dataset. Requires a
+        symmetrized store (build with symmetrize=True)."""
+        if self.has_hubs:
+            raise NotImplementedError(
+                "msf: hub-split stores not wired (build without "
+                "hub_threshold)")
+        if self.store.meta.get("has_dir"):
+            raise ValueError("msf needs a symmetrized store "
+                             "(from_edges(..., symmetrize=True))")
+        actors = self.actors
+        P = self.P
+
+        def matrix(method, argcols=None):
+            out = []
+            for i, a in enumerate(actors):
+                args = argcols[i] if argcols is not None else ()
+                if P == 1:
+                    r = getattr(a, method).remote(*args)
+                    out.append([_nth.remote(r, 0)])
+                else:
+                    out.append(getattr(a, method)
+                               .options(num_returns=P).remote(*args))
+            return out
+
+        def col(m, p):
+            return [m[q][p] for q in range(P)]
+
+        ray.get([a.msf_init.remote() for a in actors])
+        reqs = matrix("msf_halo_requests")
+        ray.get([actors[q].msf_store_requests.remote(*col(reqs, q))
+                 for q in range(P)])
+        t0 = time.perf_counter()
+        rounds = 0
+        done = False
+        for _ in range(max_round):
+            rounds += 1
+            serv = matrix("msf_halo_serve")
+            ray.get([actors[p].msf_halo_apply.remote(*col(serv, p))
+                     for p in range(P)])
+            cand = matrix("msf_candidates")
+            hooked = ray.get([actors[q].msf_merge.remote(*col(cand, q))
+                              for q in range(P)])
+            if sum(hooked) == 0:
+                done = True
+                break
+            hq = matrix("msf_hook_queries")
+            ha = matrix("msf_hook_answer",
+                        [col(hq, q) for q in range(P)])
+            ray.get([actors[p].msf_hook_apply.remote(*col(ha, p))
+                     for p in range(P)])
+            for _j in range(max_jump):
+                rounds += 1
+                jq = matrix("msf_jump_queries")
+                ja = matrix("msf_jump_answer",
+                            [col(jq, q) for q in range(P)])
+                ch = ray.get([actors[p].msf_jump_apply.remote(
+                    *col(ja, p)) for p in range(P)])
+                if sum(ch) == 0:
+                    break
+            else:
+                raise RuntimeError("msf: pointer jumping did not "
+                                   "converge")
+            rq = matrix("msf_relabel_queries")
+            ra = matrix("msf_relabel_answer",
+                        [col(rq, q) for q in range(P)])
+            ray.get([actors[p].msf_relabel_apply.remote(*col(ra, p))
+                     for p in range(P)])
+        if not done:
+            raise RuntimeError(
+                f"msf did not converge in {max_round} rounds")
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rounds
+        refs = [a.msf_result.remote() for a in actors]
+        tables = [_dict_table.remote(r) for r in refs]
+        return ray.data.from_arrow_refs(tables)
+
     def kcore(self, k: int) -> ray.data.Dataset:
         ray.get([a.kcore_init.remote() for a in self.actors])
         t0 = time.perf_counter()

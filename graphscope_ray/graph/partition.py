@@ -2032,3 +2032,215 @@ class GraphPartition:
             s.setdefault("dangling", dangling)
             s.setdefault("inv_deg", inv_deg)
         return True
+
+    # ------------------------------------------------------------------
+    # Minimum spanning forest — distributed Boruvka (extension op; the
+    # reference exposes MST through its NetworkX layer only). All state
+    # is actor-resident and every exchange is sparse:
+    #   * a STATIC halo (component labels of this partition's distinct
+    #     edge destinations, request pattern fixed at init — the
+    #     classic ghost-vertex exchange, O(boundary) per round);
+    #   * per-component candidate mins routed to the component's owner
+    #     (comp % P) and min-merged there;
+    #   * hook cycle-breaking, pointer jumping, and vertex relabeling
+    #     as sharded key→value fetches (owner = key % P).
+    # Determinism: edges are totally ordered by (w, min(u,v),
+    # max(u,v)), so the forest is THE unique MSF under that order and
+    # is partition-count-independent.
+    # ------------------------------------------------------------------
+
+    def _msf_route(self, keys: np.ndarray, payload=()):
+        """Sort (keys, payload...) by owner = key % P; returns
+        (sorted_order, per-owner slices list)."""
+        owner = (keys % self.P).astype(np.int64)
+        order = np.argsort(owner, kind="stable")
+        bounds = np.searchsorted(owner[order], np.arange(self.P + 1))
+        sk = keys[order]
+        sp = [col[order] for col in payload]
+        slices = []
+        for q in range(self.P):
+            a, b = bounds[q], bounds[q + 1]
+            slices.append((sk[a:b],) + tuple(col[a:b] for col in sp))
+        return order, slices
+
+    def msf_init(self):
+        self.state["msf"] = {
+            "comp": self.local_vids().copy(),
+            "parent": self.local_vids().copy(),
+            "halo": np.zeros(self.G, dtype=np.int64),
+            "serve_idx": [np.zeros(0, np.int64)] * self.P,
+            "forest_a": [], "forest_b": [], "forest_w": [],
+        }
+        return True
+
+    def msf_halo_requests(self):
+        # per-owner slices of uniq_dst — contiguous in the
+        # (dst % P, dst) edge layout, so no sort is needed
+        return [self.uniq_dst[self.part_slices[q]:self.part_slices[q + 1]]
+                for q in range(self.P)]
+
+    def msf_store_requests(self, *reqs):
+        self.state["msf"]["serve_idx"] = [
+            np.asarray(r, np.int64) // self.P for r in reqs]
+        return True
+
+    def msf_halo_serve(self):
+        s = self.state["msf"]
+        return [s["comp"][ix] for ix in s["serve_idx"]]
+
+    def msf_halo_apply(self, *slices):
+        s = self.state["msf"]
+        s["halo"] = np.concatenate(
+            [np.asarray(x, np.int64) for x in slices])
+        return True
+
+    def msf_candidates(self):
+        """Per-component min cross-edge among this partition's owned
+        edges, routed to the component owner. Returns P tuples
+        (comp, w, a, b, other_comp)."""
+        s = self.state["msf"]
+        Z = (np.zeros(0, np.int64), np.zeros(0, np.float64),
+             np.zeros(0, np.int64), np.zeros(0, np.int64),
+             np.zeros(0, np.int64))
+        if self.E == 0:
+            return [Z] * self.P
+        csrc = s["comp"][self.src_local]
+        cdst = s["halo"][self.edge_grp]
+        idx = np.flatnonzero(csrc != cdst)
+        if not len(idx):
+            return [Z] * self.P
+        w = (self.w[idx] if self.w is not None
+             else np.ones(len(idx), np.float64))
+        a = np.minimum(self.src[idx], self.dst[idx])
+        b = np.maximum(self.src[idx], self.dst[idx])
+        c = csrc[idx]
+        oc = cdst[idx]
+        order = np.lexsort((b, a, w, c))
+        c, w, a, b, oc = (c[order], w[order], a[order], b[order],
+                          oc[order])
+        first = np.empty(len(c), dtype=bool)
+        first[0] = True
+        first[1:] = c[1:] != c[:-1]
+        f = np.flatnonzero(first)
+        _, slices = self._msf_route(c[f], (w[f], a[f], b[f], oc[f]))
+        return slices
+
+    def msf_merge(self, *slices):
+        """Global min per owned component; resets this round's parent
+        to identity and records hook target + chosen edge. Returns the
+        number of hooked components."""
+        s = self.state["msf"]
+        s["parent"] = self.local_vids().copy()
+        c = np.concatenate([np.asarray(x[0], np.int64) for x in slices])
+        target = np.full(self.nlocal, -1, np.int64)
+        ca = np.zeros(self.nlocal, np.int64)
+        cb = np.zeros(self.nlocal, np.int64)
+        cw = np.zeros(self.nlocal, np.float64)
+        if len(c):
+            w = np.concatenate([np.asarray(x[1], np.float64)
+                                for x in slices])
+            a = np.concatenate([np.asarray(x[2], np.int64)
+                                for x in slices])
+            b = np.concatenate([np.asarray(x[3], np.int64)
+                                for x in slices])
+            oc = np.concatenate([np.asarray(x[4], np.int64)
+                                 for x in slices])
+            order = np.lexsort((b, a, w, c))
+            c, w, a, b, oc = (c[order], w[order], a[order], b[order],
+                              oc[order])
+            first = np.empty(len(c), dtype=bool)
+            first[0] = True
+            first[1:] = c[1:] != c[:-1]
+            f = np.flatnonzero(first)
+            li = c[f] // self.P
+            target[li] = oc[f]
+            ca[li], cb[li], cw[li] = a[f], b[f], w[f]
+        s["target"], s["ca"], s["cb"], s["cw"] = target, ca, cb, cw
+        return int((target >= 0).sum())
+
+    def msf_hook_queries(self):
+        s = self.state["msf"]
+        hooked = np.flatnonzero(s["target"] >= 0)
+        keys = s["target"][hooked]
+        order, slices = self._msf_route(keys)
+        s["hook_idx"] = hooked[order]
+        return [x[0] for x in slices]
+
+    def msf_hook_answer(self, *qry):
+        s = self.state["msf"]
+        return [s["target"][np.asarray(k, np.int64) // self.P]
+                for k in qry]
+
+    def msf_hook_apply(self, *answers):
+        """Cycle break + hook: mutual-choice pairs (the only cycles a
+        deterministic total edge order allows) keep their smaller comp
+        as root; every non-root hooked comp contributes exactly its
+        chosen edge to the forest (so the mutual pair's edge is added
+        once, by the larger comp)."""
+        s = self.state["msf"]
+        idx = s["hook_idx"]
+        if not len(idx):
+            return 0
+        ans = np.concatenate([np.asarray(x, np.int64) for x in answers])
+        cglob = self.p + idx * self.P
+        tgt = s["target"][idx]
+        root_stay = (ans == cglob) & (cglob < tgt)
+        s["parent"][idx] = np.where(root_stay, cglob, tgt)
+        add = ~root_stay
+        s["forest_a"].append(s["ca"][idx[add]])
+        s["forest_b"].append(s["cb"][idx[add]])
+        s["forest_w"].append(s["cw"][idx[add]])
+        return int(add.sum())
+
+    def msf_jump_queries(self):
+        s = self.state["msf"]
+        act = np.flatnonzero(s["parent"] != self.local_vids())
+        keys = s["parent"][act]
+        order, slices = self._msf_route(keys)
+        s["jump_idx"] = act[order]
+        return [x[0] for x in slices]
+
+    def msf_jump_answer(self, *qry):
+        s = self.state["msf"]
+        return [s["parent"][np.asarray(k, np.int64) // self.P]
+                for k in qry]
+
+    def msf_jump_apply(self, *answers):
+        s = self.state["msf"]
+        idx = s["jump_idx"]
+        if not len(idx):
+            return 0
+        new = np.concatenate([np.asarray(x, np.int64) for x in answers])
+        old = s["parent"][idx]
+        s["parent"][idx] = new
+        return int((new != old).sum())
+
+    def msf_relabel_queries(self):
+        s = self.state["msf"]
+        dcomp, inv = np.unique(s["comp"], return_inverse=True)
+        s["rel_inv"] = inv
+        order, slices = self._msf_route(dcomp)
+        s["rel_order"] = order
+        return [x[0] for x in slices]
+
+    def msf_relabel_answer(self, *qry):
+        s = self.state["msf"]
+        return [s["parent"][np.asarray(k, np.int64) // self.P]
+                for k in qry]
+
+    def msf_relabel_apply(self, *answers):
+        s = self.state["msf"]
+        roots_sorted = np.concatenate(
+            [np.asarray(x, np.int64) for x in answers])
+        roots = np.empty(len(roots_sorted), np.int64)
+        roots[s["rel_order"]] = roots_sorted
+        s["comp"] = roots[s["rel_inv"]] if len(roots) else s["comp"]
+        return True
+
+    def msf_result(self):
+        s = self.state["msf"]
+        cat = (lambda lst, dt: np.concatenate(lst).astype(dt)
+               if lst else np.zeros(0, dt))
+        return {"src": cat(s["forest_a"], np.int64),
+                "dst": cat(s["forest_b"], np.int64),
+                "weight": cat(s["forest_w"], np.float64)}
