@@ -2557,6 +2557,22 @@ def _q_doc_vocab(sf_dir):
     return vocab_topk(docs, k=100)
 
 
+def _q_doc_topk_mg(sf_dir):
+    """Exact top-100 vocabulary via the no-shuffle scale path:
+    Misra-Gries prefilter tree-merged through one native aggregate
+    (O(capacity) accumulator traffic), then exact counting of the
+    candidates only. The guarantee check (k-th exact count > MG
+    decrement bound) proves bit-equality with brute force — enforced
+    here so the oracle compare is sound by construction."""
+    from graphscope_ray.data.heavyhitters import mg_topk
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    df, info = mg_topk(docs, k=100, capacity=4096)
+    if not info["guaranteed"]:
+        raise RuntimeError(f"mg_topk guarantee failed: {info}")
+    return df
+
+
 def _q_doc_hll(sf_dir):
     """HyperLogLog distinct-token sketch (p=10): per-block register
     folds tree-merged through ONE native global aggregate — 1 KiB
@@ -3209,6 +3225,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_pii": _q_doc_pii,
         "doc_repetition": _q_doc_repetition,
         "doc_vocab": _q_doc_vocab,
+        "doc_topk_mg": _q_doc_topk_mg,
         "doc_hll": _q_doc_hll,
         "doc_cms": _q_doc_cms,
         "doc_bloom": _q_doc_bloom,
@@ -3485,6 +3502,10 @@ ORDER BY source, rn""",
         "doc_pii": _pii_sql(),
         "doc_repetition": _osql().REPETITION_SQL,
         "doc_vocab": _vocab_sql(),
+        # the MG route must equal brute-force top-k exactly (the
+        # guarantee check raises otherwise), so the twin is the same
+        # exact-SQL as doc_vocab
+        "doc_topk_mg": _vocab_sql(),
         "doc_hll": _osql().hll_registers_sql(10),
         "doc_cms": _osql().cms_rows_sql(4, 1024),
         "doc_bloom": _osql().bloom_probe_sql(3, 1 << 16, 20),

@@ -55,6 +55,11 @@ from graphscope_ray.data.curate import (  # noqa: F401
     vocab_topk,
     weighted_sample,
 )
+from graphscope_ray.data.heavyhitters import (  # noqa: F401
+    exact_counts_of,
+    mg_summary,
+    mg_topk,
+)
 from graphscope_ray.data.sketch import (  # noqa: F401
     bloom_build,
     bloom_contains,
