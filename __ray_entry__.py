@@ -1625,6 +1625,62 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_pg_matching(sf_dir):
+    """Greedy maximal matching (extension op — the reference exposes
+    matching via its NetworkX layer,
+    python/graphscope/nx/algorithms/builtin.py): locally-dominant
+    edges under the total order (w, min(u,v), max(u,v)) on the BSP
+    actors. The fixpoint equals the sequential greedy matching, so
+    the result is unique; dense vids are sorted-oid ranks, so the SQL
+    twin ranks edges on raw partkeys."""
+    g, _ = _partgraph(sf_dir)
+    return g.to_oid(g.matching(), vid_cols=("src", "dst"))
+
+
+def _matching_sql(rounds: int = 24) -> str:
+    """Unrolled locally-dominant-matching twin of _q_pg_matching: per
+    round, each alive vertex's min incident alive-alive edge by
+    (w, fmix64(pack(ra, rb)), a, b) via row_number (ra/rb = dense
+    sorted-oid ranks = the engine's vids), mutual pairs marry, their
+    endpoints leave the alive set. Extra rounds past convergence are
+    no-ops (no alive-alive edges → no proposals)."""
+    from graphscope_ray.oracle_sql import fmix_u64_sql
+    h = fmix_u64_sql(
+        "(va.r * 4294967296::UBIGINT + vb.r)::UBIGINT")
+    parts = [f"WITH {_PRELUDE},"]
+    parts.append("vr AS MATERIALIZED (SELECT v, (row_number() "
+                 "OVER (ORDER BY v) - 1)::UBIGINT AS r FROM v)")
+    parts.append(f"""eh AS MATERIALIZED (
+  SELECT e.s, e.t, e.w, least(e.s, e.t) AS a, greatest(e.s, e.t) AS b,
+         {h} AS h
+  FROM e JOIN vr va ON va.v = least(e.s, e.t)
+         JOIN vr vb ON vb.v = greatest(e.s, e.t))""")
+    parts.append("a0 AS MATERIALIZED (SELECT v FROM v)")
+    parts.append("m0 AS MATERIALIZED (SELECT src AS a, dst AS b, w "
+                 "FROM e0 WHERE FALSE)")
+    for r in range(rounds):
+        parts.append(f"""pr{r} AS MATERIALIZED (
+  SELECT u, x, w, a, b FROM (
+    SELECT e.s AS u, e.t AS x, e.w, e.a, e.b,
+           row_number() OVER (PARTITION BY e.s
+               ORDER BY e.w, e.h, e.a, e.b) AS rn
+    FROM eh e JOIN a{r} x1 ON x1.v = e.s
+              JOIN a{r} x2 ON x2.v = e.t)
+  WHERE rn = 1)""")
+        parts.append(f"""mm{r} AS MATERIALIZED (
+  SELECT p1.a, p1.b, p1.w FROM pr{r} p1 JOIN pr{r} p2
+    ON p1.x = p2.u AND p2.x = p1.u AND p1.u < p1.x)""")
+        parts.append(f"""m{r + 1} AS MATERIALIZED (
+  SELECT a, b, w FROM m{r} UNION ALL SELECT a, b, w FROM mm{r})""")
+        parts.append(f"""a{r + 1} AS MATERIALIZED (
+  SELECT v FROM a{r} WHERE v NOT IN (SELECT a FROM mm{r})
+                       AND v NOT IN (SELECT b FROM mm{r}))""")
+    body = ",\n".join(parts[1:])
+    return (f"{parts[0]}\n{body}\n"
+            f"SELECT a AS src, b AS dst, w::DOUBLE AS weight "
+            f"FROM m{rounds} ORDER BY src, dst")
+
+
 def _q_pg_msf(sf_dir):
     """Minimum spanning forest (extension op — the reference exposes
     MST via its NetworkX layer,
@@ -3160,6 +3216,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_tc_pregel": _q_pg_tc_pregel,
         "pg_scc": _q_pg_scc,
         "pg_msf": _q_pg_msf,
+        "pg_matching": _q_pg_matching,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3336,6 +3393,7 @@ SELECT v.v AS vid, (COALESCE(tcc.cntr, 0) // 2)::BIGINT AS tc
 FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
         "pg_scc": _scc_sql(SCC_KEEP_PCT),
         "pg_msf": _msf_sql(12),
+        "pg_matching": _matching_sql(24),
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),

@@ -211,9 +211,17 @@ class Graph:
                 oids = ray.get(ref)
                 for c in vid_cols:
                     v = t[c].to_numpy()
+                    ok = v >= 0
+                    if ok.all():
+                        arr = pa.array(oids[v])
+                    else:
+                        # sentinel vids (-1 = unmatched mate, absent
+                        # predecessor, ...) become null — same as the
+                        # scale path's unmatched left-join rows
+                        arr = pa.array(oids[np.where(ok, v, 0)],
+                                       mask=~ok)
                     t = t.set_column(
-                        t.schema.get_field_index(c), c, pa.array(oids[v])
-                    )
+                        t.schema.get_field_index(c), c, arr)
                 return t
 
             return ds.map_batches(translate, batch_format="pyarrow")
@@ -313,6 +321,16 @@ class Graph:
         layer). Returns one row per forest edge (src, dst, weight)
         with src < dst in vid order. Needs a symmetrized store."""
         return self.engine.msf(**kw)
+
+    def matching(self, **kw) -> ray.data.Dataset:
+        """Greedy maximal matching — locally-dominant edges under the
+        total order (w, fmix64(pack(a, b)), a, b); equals the sequential
+        greedy matching, so unique and partition-count-independent.
+        Extension op (the reference exposes matching via its NetworkX
+        layer). Returns matched edges (src, dst, weight) with
+        src < dst in vid order (or per-vertex mates with
+        ``mates=True``). Needs a symmetrized store."""
+        return self.engine.matching(**kw)
 
     def cdlp(self, max_round: int = 10, **kw) -> ray.data.Dataset:
         """LDBC community detection by label propagation —

@@ -1094,6 +1094,83 @@ class BSPEngine:
         tables = [_dict_table.remote(r) for r in refs]
         return ray.data.from_arrow_refs(tables)
 
+    def matching(self, *, max_round: int = 512,
+                 mates: bool = False) -> ray.data.Dataset:
+        """Greedy maximal matching — locally-dominant edges under the
+        total order (w, fmix64(pack(a, b)), a, b) (extension op; the
+        reference exposes matching through its NetworkX layer only).
+        The fixpoint equals the sequential greedy matching, so the
+        result is unique and partition-count-independent. Per round:
+        one ghost exchange of alive flags (static pattern), a local
+        vectorized min-incident-edge proposal, one sharded
+        proposal-of-target fetch; mutual pairs marry. The globally
+        minimal alive-alive edge is always mutual, so every round
+        makes progress; rounds are graph-dependent (≤ longest
+        monotone augmenting chain — O(log n) expected on random
+        graphs, O(n) worst-case paths, hence the generous cap).
+        Returns matched edges (src, dst, weight) with src < dst in vid
+        order; with ``mates=True`` returns per-vertex (vid, mate)
+        instead (-1 = unmatched). Requires a symmetrized store."""
+        if self.has_hubs:
+            raise NotImplementedError(
+                "matching: hub-split stores not wired (build without "
+                "hub_threshold)")
+        if self.store.meta.get("has_dir"):
+            raise ValueError("matching needs a symmetrized store "
+                             "(from_edges(..., symmetrize=True))")
+        actors = self.actors
+        P = self.P
+
+        def matrix(method, argcols=None):
+            out = []
+            for i, a in enumerate(actors):
+                args = argcols[i] if argcols is not None else ()
+                if P == 1:
+                    r = getattr(a, method).remote(*args)
+                    out.append([_nth.remote(r, 0)])
+                else:
+                    out.append(getattr(a, method)
+                               .options(num_returns=P).remote(*args))
+            return out
+
+        def col(m, p):
+            return [m[q][p] for q in range(P)]
+
+        ray.get([a.mm_init.remote() for a in actors])
+        reqs = matrix("mm_halo_requests")
+        ray.get([actors[q].mm_store_requests.remote(*col(reqs, q))
+                 for q in range(P)])
+        t0 = time.perf_counter()
+        rounds = 0
+        done = False
+        for _ in range(max_round):
+            rounds += 1
+            serv = matrix("mm_halo_serve")
+            ray.get([actors[p].mm_halo_apply.remote(*col(serv, p))
+                     for p in range(P)])
+            n_prop = ray.get([a.mm_propose.remote() for a in actors])
+            if sum(n_prop) == 0:
+                done = True
+                break
+            mq = matrix("mm_match_queries")
+            ma = matrix("mm_match_answer",
+                        [col(mq, q) for q in range(P)])
+            n_match = ray.get([actors[p].mm_match_apply.remote(
+                *col(ma, p)) for p in range(P)])
+            if sum(n_match) == 0:
+                raise RuntimeError(
+                    "matching: proposals without a mutual pair — "
+                    "total-order invariant violated")
+        if not done:
+            raise RuntimeError(
+                f"matching did not converge in {max_round} rounds")
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rounds
+        method = "mm_mates" if mates else "mm_result"
+        refs = [getattr(a, method).remote() for a in actors]
+        tables = [_dict_table.remote(r) for r in refs]
+        return ray.data.from_arrow_refs(tables)
+
     def kcore(self, k: int) -> ray.data.Dataset:
         ray.get([a.kcore_init.remote() for a in self.actors])
         t0 = time.perf_counter()

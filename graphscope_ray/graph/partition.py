@@ -2244,3 +2244,137 @@ class GraphPartition:
         return {"src": cat(s["forest_a"], np.int64),
                 "dst": cat(s["forest_b"], np.int64),
                 "weight": cat(s["forest_w"], np.float64)}
+
+    # ------------------------------------------------------------------
+    # Greedy maximal matching — locally-dominant edge matching (Preis
+    # 1999 / Manne-Bisseling 2007 shape; extension op — the reference
+    # exposes matching through its NetworkX layer only). Under the
+    # total edge order (w, fmix64(pack(a, b)), a, b) the locally-dominant
+    # fixpoint IS the sequential greedy matching, so the result is
+    # unique and partition-count-independent. Per round: ghost-exchange
+    # the alive flags of edge destinations (static request pattern,
+    # O(boundary)), each alive vertex proposes its minimum incident
+    # edge to an alive neighbor, one sharded fetch reads the proposal
+    # of every proposal target, and mutual pairs marry (the smaller
+    # endpoint emits the edge). The globally minimal alive-alive edge
+    # is always mutual, so progress is guaranteed while any alive pair
+    # remains. Nothing O(V) lands on the driver.
+    # ------------------------------------------------------------------
+
+    def mm_init(self):
+        self.state["mm"] = {
+            "alive": np.ones(self.nlocal, dtype=bool),
+            "mate": np.full(self.nlocal, -1, np.int64),
+            "halo": np.ones(self.G, dtype=bool),
+            "serve_idx": [np.zeros(0, np.int64)] * self.P,
+            "match_a": [], "match_b": [], "match_w": [],
+        }
+        return True
+
+    def mm_halo_requests(self):
+        return [self.uniq_dst[self.part_slices[q]:self.part_slices[q + 1]]
+                for q in range(self.P)]
+
+    def mm_store_requests(self, *reqs):
+        self.state["mm"]["serve_idx"] = [
+            np.asarray(r, np.int64) // self.P for r in reqs]
+        return True
+
+    def mm_halo_serve(self):
+        s = self.state["mm"]
+        return [s["alive"][ix] for ix in s["serve_idx"]]
+
+    def mm_halo_apply(self, *slices):
+        self.state["mm"]["halo"] = np.concatenate(
+            [np.asarray(x, bool) for x in slices])
+        return True
+
+    def mm_propose(self):
+        """Per alive owned vertex: min incident edge to an alive
+        neighbor under (w, a, b). Stores the proposal target (global
+        vid) + chosen edge; returns the number of proposals."""
+        from graphscope_ray.data.hashing import fmix64
+        s = self.state["mm"]
+        prop = np.full(self.nlocal, -1, np.int64)
+        pa = np.zeros(self.nlocal, np.int64)
+        pb = np.zeros(self.nlocal, np.int64)
+        pw = np.zeros(self.nlocal, np.float64)
+        if self.E:
+            ok = s["alive"][self.src_local] & s["halo"][self.edge_grp]
+            idx = np.flatnonzero(ok)
+            if len(idx):
+                w = (self.w[idx] if self.w is not None
+                     else np.ones(len(idx), np.float64))
+                a = np.minimum(self.src[idx], self.dst[idx])
+                b = np.maximum(self.src[idx], self.dst[idx])
+                # tie-break by fmix64 of the packed pair, not by
+                # (a, b): with heavy weight ties a raw-id order makes
+                # every vertex propose to the lowest id (≈1 match per
+                # round on tied cliques); the hash spreads proposals
+                # so the mutual rate behaves like random weights
+                # (O(log n) expected rounds). Still a total order —
+                # the fixpoint is still THE greedy matching under
+                # (w, h, a, b). vids are dense sorted-oid ranks, so
+                # the SQL twin replays h over row_number ranks.
+                h = fmix64((a.astype(np.uint64) << np.uint64(32))
+                           | b.astype(np.uint64))
+                u = self.src_local[idx]
+                order = np.lexsort((b, a, h, w, u))
+                us = u[order]
+                first = np.empty(len(us), dtype=bool)
+                first[0] = True
+                first[1:] = us[1:] != us[:-1]
+                f = order[np.flatnonzero(first)]
+                ul = self.src_local[idx[f]]
+                prop[ul] = self.dst[idx[f]]
+                pa[ul] = np.minimum(self.src[idx[f]], self.dst[idx[f]])
+                pb[ul] = np.maximum(self.src[idx[f]], self.dst[idx[f]])
+                pw[ul] = (self.w[idx[f]] if self.w is not None
+                          else 1.0)
+        s["prop"], s["pa"], s["pb"], s["pw"] = prop, pa, pb, pw
+        return int((prop >= 0).sum())
+
+    def mm_match_queries(self):
+        s = self.state["mm"]
+        proposing = np.flatnonzero(s["prop"] >= 0)
+        keys = s["prop"][proposing]
+        order, slices = self._msf_route(keys)
+        s["prop_idx"] = proposing[order]
+        return [x[0] for x in slices]
+
+    def mm_match_answer(self, *qry):
+        s = self.state["mm"]
+        return [s["prop"][np.asarray(k, np.int64) // self.P]
+                for k in qry]
+
+    def mm_match_apply(self, *answers):
+        """Mutual proposals marry: both endpoints die, the smaller
+        (vid-order) endpoint emits the matched edge once."""
+        s = self.state["mm"]
+        idx = s["prop_idx"]
+        if not len(idx):
+            return 0
+        ans = np.concatenate([np.asarray(x, np.int64) for x in answers])
+        uglob = self.p + idx * self.P
+        mutual = ans == uglob
+        mi = idx[mutual]
+        s["alive"][mi] = False
+        s["mate"][mi] = s["prop"][mi]
+        emit = mi[uglob[mutual] < s["prop"][mi]]
+        s["match_a"].append(s["pa"][emit])
+        s["match_b"].append(s["pb"][emit])
+        s["match_w"].append(s["pw"][emit])
+        return int(mutual.sum())
+
+    def mm_result(self):
+        s = self.state["mm"]
+        cat = (lambda lst, dt: np.concatenate(lst).astype(dt)
+               if lst else np.zeros(0, dt))
+        return {"src": cat(s["match_a"], np.int64),
+                "dst": cat(s["match_b"], np.int64),
+                "weight": cat(s["match_w"], np.float64)}
+
+    def mm_mates(self):
+        """Per owned vertex: matched partner vid (-1 = unmatched)."""
+        s = self.state["mm"]
+        return {"vid": self.local_vids(), "mate": s["mate"]}
