@@ -31,6 +31,8 @@ __all__ = [
     "is_weakly_connected", "maximal_independent_set",
     "strongly_connected_components",
     "number_strongly_connected_components", "is_strongly_connected",
+    "minimum_spanning_edges", "minimum_spanning_tree",
+    "maximal_matching",
 ]
 
 
@@ -499,3 +501,53 @@ def maximal_independent_set(G, seed: int = 7) -> list:
         st = t["status"].to_numpy()
         out.extend(nodes[int(i)] for i in v[st == 1.0])
     return sorted(out)
+
+
+def minimum_spanning_edges(G, weight: str = "weight", data: bool = True):
+    """Minimum-spanning-forest edges (distributed Boruvka,
+    `graph/engine.py::BSPEngine.msf`). DETERMINISTIC: the unique MSF
+    under the total edge order (w, min(u,v), max(u,v)) — networkx's
+    Kruskal picks an arbitrary MSF among equal-weight ties, so compare
+    total weights (always equal), not edge sets, when weights tie.
+    Returns a sorted edge list like list(nx.minimum_spanning_edges)."""
+    _require_undirected(G, "minimum_spanning_edges")
+    if len(G) == 0:
+        return []
+    g = G._backing("main", weight)
+    out = g.msf().to_pandas()
+    nodes = _pynodes(G)
+    edges = sorted((int(s), int(d), float(w)) for s, d, w in
+                   zip(out["src"], out["dst"], out["weight"]))
+    if data:
+        return [(nodes[s], nodes[d], {weight: w}) for s, d, w in edges]
+    return [(nodes[s], nodes[d]) for s, d, _ in edges]
+
+
+def minimum_spanning_tree(G, weight: str = "weight"):
+    """Minimum spanning forest as a facade Graph (same determinism
+    note as :func:`minimum_spanning_edges`); isolated vertices are
+    preserved like networkx's."""
+    _require_undirected(G, "minimum_spanning_tree")
+    from graphscope_ray.nx import Graph as FacadeGraph
+    T = FacadeGraph()
+    for n in _pynodes(G):
+        T.add_node(n)
+    for u, v, d in minimum_spanning_edges(G, weight=weight, data=True):
+        T.add_edge(u, v, **d)
+    return T
+
+
+def maximal_matching(G) -> set:
+    """Maximal matching (locally-dominant edges,
+    `graph/engine.py::BSPEngine.matching`). DETERMINISTIC — equals the
+    sequential greedy matching under (w, fmix64(pack(a, b)), a, b) —
+    where networkx's own is insertion-order greedy; the matching and
+    maximality properties hold identically. Returns a set of pairs."""
+    _require_undirected(G, "maximal_matching")
+    if len(G) == 0:
+        return set()
+    g = G._backing("main")
+    out = g.matching().to_pandas()
+    nodes = _pynodes(G)
+    return {(nodes[int(s)], nodes[int(d)])
+            for s, d in zip(out["src"], out["dst"])}

@@ -398,3 +398,54 @@ def test_maximal_independent_set(ray_session):
     import pytest as _pytest
     with _pytest.raises(NotImplementedError):
         gnx.maximal_independent_set(D)
+
+
+def test_minimum_spanning_edges_and_tree(ray_session):
+    rng = np.random.default_rng(33)
+    h = nx.gnm_random_graph(35, 90, seed=5)
+    for u, v in h.edges():
+        h[u][v]["weight"] = float(rng.integers(1, 50))
+    h.add_node(77)  # isolated — forest, not tree
+    g, h = _pair(h)
+    try:
+        got = gnx.minimum_spanning_edges(g, data=True)
+        want = list(nx.minimum_spanning_edges(h, data=True))
+        # total weight always matches; edge sets match here because the
+        # integer weights of this seed have no cross-cut ties that
+        # change Kruskal's choice set
+        assert abs(sum(d["weight"] for *_, d in got)
+                   - sum(d["weight"] for *_, d in want)) < 1e-9
+        assert len(got) == len(want)
+        T = gnx.minimum_spanning_tree(g)
+        try:
+            assert set(T.nodes) == set(h.nodes)
+            assert T.number_of_edges() == len(want)
+        finally:
+            T.close()
+        # no-data form
+        pairs = gnx.minimum_spanning_edges(g, data=False)
+        assert len(pairs) == len(got)
+        assert all(isinstance(p, tuple) and len(p) == 2 for p in pairs)
+    finally:
+        g.close()
+
+
+def test_maximal_matching(ray_session):
+    h = nx.gnm_random_graph(40, 110, seed=9)
+    g, h = _pair(h)
+    try:
+        got = gnx.maximal_matching(g)
+        # matching: each vertex at most once
+        flat = [v for e in got for v in e]
+        assert len(flat) == len(set(flat))
+        matched = set(flat)
+        # maximal: every edge touches a matched vertex
+        for u, v in h.edges():
+            assert u in matched or v in matched
+        # size within the 2-approximation band of nx's greedy
+        ref = nx.maximal_matching(h)
+        assert len(got) * 2 >= len(ref)
+        # deterministic
+        assert gnx.maximal_matching(g) == got
+    finally:
+        g.close()
