@@ -1625,6 +1625,33 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_pg_assortativity(sf_dir):
+    """Newman degree assortativity (extension op — reference exposes
+    it via NetworkX): exact int64 endpoint-degree sums folded through
+    one small reduce; the final float expression is identical on both
+    sides, so the compare is bit-exact."""
+    from graphscope_ray.graph import api
+    _, edges = _partgraph(sf_dir)
+    return api.degree_assortativity(edges.select_columns(["src", "dst"]))
+
+
+_ASSORT_SQL = """
+WITH {prelude},
+d AS MATERIALIZED (SELECT s AS v, count(*)::BIGINT AS dg
+                   FROM e GROUP BY s),
+j AS MATERIALIZED (SELECT da.dg AS x, db.dg AS y
+  FROM e JOIN d da ON da.v = e.s JOIN d db ON db.v = e.t),
+sm AS (SELECT count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+              sum(y)::HUGEINT AS sy, sum(x * y)::HUGEINT AS sxy,
+              sum(x * x)::HUGEINT AS sxx, sum(y * y)::HUGEINT AS syy
+       FROM j)
+SELECT round(((n * sxy - sx * sy)::DOUBLE)
+             / (sqrt((n * sxx - sx * sx)::DOUBLE)
+                * sqrt((n * syy - sy * sy)::DOUBLE)), 6)
+       AS assortativity
+FROM sm"""
+
+
 def _q_pg_matching(sf_dir):
     """Greedy maximal matching (extension op — the reference exposes
     matching via its NetworkX layer,
@@ -3217,6 +3244,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_scc": _q_pg_scc,
         "pg_msf": _q_pg_msf,
         "pg_matching": _q_pg_matching,
+        "pg_assortativity": _q_pg_assortativity,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3394,6 +3422,7 @@ FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
         "pg_scc": _scc_sql(SCC_KEEP_PCT),
         "pg_msf": _msf_sql(12),
         "pg_matching": _matching_sql(24),
+        "pg_assortativity": _ASSORT_SQL.format(prelude=_PRELUDE),
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),

@@ -1668,3 +1668,53 @@ def ktruss(edges: ray.data.Dataset, k: int, *,
             {"src": np.array([], dtype=np.int64),
              "dst": np.array([], dtype=np.int64)}))
     return cur
+
+
+def degree_assortativity(edges: ray.data.Dataset) -> "pd.DataFrame":
+    """Newman degree-assortativity coefficient over an undirected
+    simple graph (extension op — the reference exposes assortativity
+    via its NetworkX layer): Pearson correlation of endpoint degrees
+    over the symmetric edge list. Input is a DIRECTED edge table; it
+    is symmetrized + deduped here (to_undirected), so each undirected
+    edge contributes both (du, dv) and (dv, du) — Newman's definition
+    and networkx's ``degree_assortativity_coefficient``.
+
+    Shape: degrees via the bucketed-sum combiner, one broadcast-or-join
+    attach per endpoint, then exact int64 partial sums (n, Σx, Σy,
+    Σxy, Σx², Σy²) folded through one small reduce — no O(E) driver
+    materialization. The final r is one float expression over exact
+    integers, so the DuckDB twin is bit-reproducible (int64 is exact
+    while n·max(deg)² < 2⁶³). Returns a one-row DataFrame."""
+    import pandas as pd
+    from graphscope_ray.graph.joins import attach_values
+    from graphscope_ray.util import round_half_away
+
+    sym = to_undirected(edges).materialize()
+    deg = degrees(sym, mode="out").materialize()
+    nd = deg.count()
+    with_d = attach_values(sym, deg, on="src", table_key="vid",
+                           value_names=["degree"], table_count=nd)
+    from graphscope_ray.util import rename
+    with_d = rename(with_d, {"degree": "dx"})
+    with_d = attach_values(with_d, deg, on="dst", table_key="vid",
+                           value_names=["degree"], table_count=nd)
+
+    def partial(t: pa.Table) -> pa.Table:
+        x = t["dx"].to_numpy().astype(np.int64)
+        y = t["degree"].to_numpy().astype(np.int64)
+        return pa.table({
+            "n": [np.int64(len(x))],
+            "sx": [x.sum()], "sy": [y.sum()],
+            "sxy": [(x * y).sum()],
+            "sxx": [(x * x).sum()], "syy": [(y * y).sum()],
+        })
+
+    s = with_d.map_batches(partial, batch_format="pyarrow").sum(
+        ["n", "sx", "sy", "sxy", "sxx", "syy"])
+    n, sx, sy = s["sum(n)"], s["sum(sx)"], s["sum(sy)"]
+    sxy, sxx, syy = s["sum(sxy)"], s["sum(sxx)"], s["sum(syy)"]
+    num = float(n * sxy - sx * sy)
+    den = float(np.sqrt(float(n * sxx - sx * sx))
+                * np.sqrt(float(n * syy - sy * sy)))
+    r = num / den if den else float("nan")
+    return pd.DataFrame({"assortativity": [round_half_away(r, 6)]})

@@ -1,0 +1,48 @@
+"""degree_assortativity vs networkx degree_assortativity_coefficient."""
+
+import numpy as np
+import pandas as pd
+import pytest
+import ray.data
+
+from graphscope_ray.graph.api import degree_assortativity
+
+
+def _rand_edges(rng, n, m):
+    src = rng.integers(0, n, m)
+    dst = rng.integers(0, n, m)
+    keep = src != dst
+    df = pd.DataFrame({"src": src[keep], "dst": dst[keep]})
+    return df.drop_duplicates()
+
+
+@pytest.mark.parametrize("n,m,blocks", [
+    (30, 80, 1), (100, 300, 4), (50, 60, 8),
+])
+def test_assortativity_vs_networkx(n, m, blocks):
+    nx = pytest.importorskip("networkx")
+    rng = np.random.default_rng(n + m)
+    df = _rand_edges(rng, n, m)
+    ds = ray.data.from_pandas(df).repartition(blocks)
+    got = degree_assortativity(ds)["assortativity"].iloc[0]
+    G = nx.Graph()
+    G.add_edges_from(zip(df["src"], df["dst"]))
+    want = nx.degree_assortativity_coefficient(G)
+    assert abs(got - want) < 1e-6
+
+
+def test_assortativity_star_is_minus_one():
+    """A star graph is perfectly disassortative (r = -1)."""
+    df = pd.DataFrame({"src": np.zeros(10, np.int64),
+                       "dst": np.arange(1, 11)})
+    ds = ray.data.from_pandas(df)
+    got = degree_assortativity(ds)["assortativity"].iloc[0]
+    assert got == -1.0
+
+
+def test_assortativity_regular_graph_nan():
+    """All degrees equal → zero variance → NaN (networkx raises a
+    warning and returns nan too)."""
+    df = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]})
+    got = degree_assortativity(ray.data.from_pandas(df))
+    assert np.isnan(got["assortativity"].iloc[0])
