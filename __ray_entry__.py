@@ -2640,6 +2640,47 @@ def _q_doc_vocab(sf_dir):
     return vocab_topk(docs, k=100)
 
 
+def _q_doc_bm25(sf_dir):
+    """BM25 retrieval scores for a fixed 3-term query — one KB-scale
+    stats fold (N, avgdl, per-term df) + a stateless vectorized
+    scoring pass; per-(doc, term) scores are integer-1e-6 units so
+    the per-doc sum is order-independent (bit-exact vs the SQL twin,
+    which sums in arbitrary order)."""
+    from graphscope_ray.data.text import bm25_scores
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return bm25_scores(docs, ["join", "hash", "vector"])
+
+
+def _bm25_sql(terms, k1: float = 1.2, b: float = 0.75) -> str:
+    """Twin of data/text.bm25_scores: identical arithmetic
+    left-to-right (idf·tf·(k1+1)/(tf + k1(1−b+b·dl/avgdl))), per-term
+    round to integer 1e-6 units, integer per-doc sum."""
+    tl = ", ".join(f"'{t}'" for t in sorted(set(terms)))
+    return f"""
+WITH tok AS MATERIALIZED (SELECT doc_id,
+        unnest(regexp_extract_all(lower(text), '[a-z0-9]+')) AS t
+      FROM documents),
+dl AS MATERIALIZED (SELECT doc_id, count(*)::BIGINT AS dl
+      FROM tok GROUP BY doc_id),
+nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tt AS (SELECT count(*)::BIGINT AS total FROM tok),
+dfq AS MATERIALIZED (SELECT t, count(DISTINCT doc_id)::BIGINT AS df
+      FROM tok WHERE t IN ({tl}) GROUP BY t),
+tf AS MATERIALIZED (SELECT doc_id, t, count(*)::BIGINT AS tf
+      FROM tok WHERE t IN ({tl}) GROUP BY doc_id, t),
+term AS (SELECT tf.doc_id,
+    CAST(round(ln(1.0 + (nn.n - dfq.df + 0.5) / (dfq.df + 0.5))
+          * tf.tf * ({k1} + 1.0)
+          / (tf.tf + {k1} * (1.0 - {b}
+             + {b} * dl.dl / (tt.total::DOUBLE / nn.n)))
+          * 1000000.0, 0) AS BIGINT) AS e6
+    FROM tf JOIN dfq ON dfq.t = tf.t
+            JOIN dl ON dl.doc_id = tf.doc_id, nn, tt)
+SELECT doc_id, sum(e6) / 1000000.0 AS score
+FROM term GROUP BY doc_id ORDER BY doc_id"""
+
+
 def _q_doc_topk_mg(sf_dir):
     """Exact top-100 vocabulary via the no-shuffle scale path:
     Misra-Gries prefilter tree-merged through one native aggregate
@@ -3311,6 +3352,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_repetition": _q_doc_repetition,
         "doc_vocab": _q_doc_vocab,
         "doc_topk_mg": _q_doc_topk_mg,
+        "doc_bm25": _q_doc_bm25,
         "doc_hll": _q_doc_hll,
         "doc_cms": _q_doc_cms,
         "doc_bloom": _q_doc_bloom,
@@ -3593,6 +3635,7 @@ ORDER BY source, rn""",
         # guarantee check raises otherwise), so the twin is the same
         # exact-SQL as doc_vocab
         "doc_topk_mg": _vocab_sql(),
+        "doc_bm25": _bm25_sql(["join", "hash", "vector"]),
         "doc_hll": _osql().hll_registers_sql(10),
         "doc_cms": _osql().cms_rows_sql(4, 1024),
         "doc_bloom": _osql().bloom_probe_sql(3, 1 << 16, 20),

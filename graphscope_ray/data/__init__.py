@@ -60,6 +60,7 @@ from graphscope_ray.data.heavyhitters import (  # noqa: F401
     mg_summary,
     mg_topk,
 )
+from graphscope_ray.data.text import bm25_scores  # noqa: F401
 from graphscope_ray.data.sketch import (  # noqa: F401
     bloom_build,
     bloom_contains,

@@ -584,3 +584,89 @@ def bpe_train(ds: ray.data.Dataset, num_merges: int = 50, *,
         table = table.map_batches(apply_merge,
                                   batch_format="pandas").materialize()
     return merges
+
+
+def bm25_scores(ds: ray.data.Dataset, query, *, col: str = "text",
+                key: str = "doc_id", k1: float = 1.2, b: float = 0.75,
+                ) -> ray.data.Dataset:
+    """BM25 retrieval scores for a fixed query-term set (Robertson;
+    Lucene idf variant ``ln(1 + (N - df + ½)/(df + ½))``).
+
+    100 TB shape: pass 1 is ONE native aggregate whose accumulator is
+    (total_tokens, df-vector aligned to the sorted query terms) —
+    KB-scale, no shuffle; pass 2 is a stateless vectorized map over
+    the corpus emitting (key, score) for docs containing ≥1 query
+    term. The raw text never shuffles, and nothing O(corpus) lands on
+    the driver. Per-(doc, term) scores are rounded to integer 1e-6
+    units before the per-doc sum, so the sum is order-independent and
+    the DuckDB twin (which sums in an arbitrary order) is bit-exact —
+    the tfidf_rows round6 convention taken one step further.
+
+    Returns (key, score) rows, score = BM25 sum in 1e-6 units / 1e6.
+    """
+    from ray.data.aggregate import AggregateFn
+    from graphscope_ray.data.curate import VOCAB_TOKEN_PATTERN
+
+    terms = sorted(set(query))
+    index = pd.Index(terms)
+    pat = re.compile(VOCAB_TOKEN_PATTERN)
+    n_docs = ds.count()
+
+    def _toks(block) -> pd.Series:
+        s = (block[col].to_pandas() if isinstance(block, pa.Table)
+             else block[col])
+        return (s.reset_index(drop=True).fillna("")
+                .str.lower().str.findall(pat))
+
+    # accumulator = one int64 vector [total_tokens, df(term_0), ...]
+    # (a single ndarray serializes as Arrow; a tuple falls back to
+    # pickled-object blocks with a per-task warning)
+    def accumulate_block(acc: np.ndarray, block) -> np.ndarray:
+        toks = _toks(block)
+        out = acc.copy()
+        ex = toks.explode().dropna()
+        out[0] += int(ex.size)
+        hit = ex[ex.isin(index)]
+        if len(hit):
+            # distinct (doc, term) → df increments
+            pres = hit.groupby([hit.index, hit.to_numpy()]).size()
+            pos = index.get_indexer(pres.index.get_level_values(1))
+            np.add.at(out, pos + 1, 1)
+        return out
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros(len(index) + 1, dtype=np.int64),
+        merge=lambda a, b2: a + b2,
+        accumulate_block=accumulate_block,
+        name="bm25_stats",
+    )
+    stats = np.asarray(ds.aggregate(agg)["bm25_stats"], dtype=np.int64)
+    total_tokens, dfv = int(stats[0]), stats[1:]
+    avgdl = float(total_tokens) / float(n_docs) if n_docs else 1.0
+    idf = np.log(1.0 + (n_docs - dfv + 0.5) / (dfv + 0.5))
+    idf_ref = ray.put(idf)
+
+    def score(df: pd.DataFrame) -> pd.DataFrame:
+        toks = _toks(df)
+        keys = df[key].reset_index(drop=True)
+        dl = toks.str.len().to_numpy(np.float64)
+        ex = toks.explode().dropna()
+        hit = ex[ex.isin(index)]
+        if not len(hit):
+            return pd.DataFrame({key: keys.iloc[:0],
+                                 "score": pd.Series([], dtype=np.float64)})
+        tf = hit.groupby([hit.index, hit.to_numpy()]).size()
+        rows = tf.index.get_level_values(0).to_numpy()
+        pos = index.get_indexer(tf.index.get_level_values(1))
+        tfv = tf.to_numpy(np.float64)
+        iv = ray.get(idf_ref)
+        term = (iv[pos] * tfv * (k1 + 1.0)
+                / (tfv + k1 * (1.0 - b + b * dl[rows] / avgdl)))
+        e6 = round_half_away(term * 1e6, 0).astype(np.int64)
+        sums = np.zeros(len(keys), dtype=np.int64)
+        np.add.at(sums, rows, e6)
+        sel = np.unique(rows)
+        return pd.DataFrame({key: keys.iloc[sel].to_numpy(),
+                             "score": sums[sel] / 1e6})
+
+    return ds.map_batches(score, batch_format="pandas")
