@@ -1625,6 +1625,66 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_pg_node2vec(sf_dir):
+    """node2vec second-order biased walks (Grover & Leskovec 2016)
+    from the 3 smallest vertices — deterministic Efraimidis-Spirakis
+    argmax over the shared walk_hash family, α ∈ {1/p, 1, 1/q} with
+    p=2, q=1/2 (exact power-of-two scaling), replayed bit-for-bit by
+    the unrolled SQL twin."""
+    from graphscope_ray.graph.node2vec import node2vec_walks
+    from graphscope_ray.pipelines.partgraph import partgraph_vertices
+    _, edges = _partgraph(sf_dir)
+    seeds = [r["vid"] for r in
+             partgraph_vertices(edges).sort("vid").limit(3).take_all()]
+    return node2vec_walks(edges.select_columns(["src", "dst"]), seeds,
+                          length=4, p=2.0, q=0.5, seed=7)
+
+
+def _node2vec_sql(length: int = 4, seed: int = 7, p: float = 2.0,
+                  q: float = 0.5) -> str:
+    """Unrolled twin of _q_pg_node2vec: per hop, candidates = N(cur),
+    α by the same CASE order (first-step uniform, return 1/p,
+    triangle-closing 1, else 1/q), ES key = round(ln(u)/α, 9) from
+    walk_hash(cand, walk_id, hop, seed), argmax by (es DESC, cand)."""
+    from graphscope_ray.oracle_sql import walk_hash_sql
+    inv_p, inv_q = 1.0 / p, 1.0 / q
+    parts = [f"WITH {_PRELUDE},"]
+    parts.append("sd AS MATERIALIZED (SELECT v FROM v ORDER BY v "
+                 "LIMIT 3)")
+    parts.append("""wk0 AS MATERIALIZED (
+  SELECT (row_number() OVER (ORDER BY v) - 1)::BIGINT AS walk_id,
+         CAST(NULL AS BIGINT) AS prev, v AS cur FROM sd)""")
+    outs = ["SELECT walk_id, 0::BIGINT AS hop, cur AS vid FROM wk0"]
+    for r in range(1, length + 1):
+        h = walk_hash_sql("c.cand", "c.walk_id", r, seed)
+        parts.append(f"""cd{r} AS MATERIALIZED (
+  SELECT w.walk_id, w.prev, w.cur, e.t AS cand
+  FROM wk{r - 1} w JOIN e ON e.s = w.cur)""")
+        parts.append(f"""sc{r} AS MATERIALIZED (
+  SELECT c.walk_id, c.cur, c.cand,
+    round(ln(greatest((({h}) >> 11)::DOUBLE * pow(2.0, -53),
+                      pow(2.0, -53)))
+          / (CASE WHEN c.prev IS NULL THEN 1.0
+                  WHEN c.cand = c.prev THEN {inv_p}
+                  WHEN EXISTS (SELECT 1 FROM e e2
+                               WHERE e2.s = c.prev AND e2.t = c.cand)
+                    THEN 1.0
+                  ELSE {inv_q} END), 9) AS es
+  FROM cd{r} c)""")
+        parts.append(f"""wk{r} AS MATERIALIZED (
+  SELECT walk_id, cur AS prev, cand AS cur FROM (
+    SELECT walk_id, cur, cand,
+           row_number() OVER (PARTITION BY walk_id
+                              ORDER BY es DESC, cand) AS rn
+    FROM sc{r}) WHERE rn = 1)""")
+        outs.append(f"SELECT walk_id, {r}::BIGINT AS hop, cur AS vid "
+                    f"FROM wk{r}")
+    body = ",\n".join(parts[1:])
+    union = "\nUNION ALL\n".join(outs)
+    return (f"{parts[0]}\n{body}\nSELECT walk_id, hop, vid FROM "
+            f"({union}) ORDER BY walk_id, hop")
+
+
 def _q_pg_assortativity(sf_dir):
     """Newman degree assortativity (extension op — reference exposes
     it via NetworkX): exact int64 endpoint-degree sums folded through
@@ -3286,6 +3346,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_msf": _q_pg_msf,
         "pg_matching": _q_pg_matching,
         "pg_assortativity": _q_pg_assortativity,
+        "pg_node2vec": _q_pg_node2vec,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3465,6 +3526,7 @@ FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
         "pg_msf": _msf_sql(12),
         "pg_matching": _matching_sql(24),
         "pg_assortativity": _ASSORT_SQL.format(prelude=_PRELUDE),
+        "pg_node2vec": _node2vec_sql(4, 7),
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),
