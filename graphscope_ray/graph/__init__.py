@@ -21,3 +21,8 @@ equivalents are:
 from graphscope_ray.graph.ids import assign_dense_ids, attach_vids  # noqa: F401
 from graphscope_ray.graph.build import build_graph, GraphStore  # noqa: F401
 from graphscope_ray.graph.engine import BSPEngine  # noqa: F401
+from graphscope_ray.graph.api import (  # noqa: F401
+    Graph,
+    degree_assortativity,
+)
+from graphscope_ray.graph.node2vec import node2vec_walks  # noqa: F401
