@@ -1625,6 +1625,41 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_pg_coarsen(sf_dir):
+    """One multilevel-coarsening step (Karypis-Kumar shape): contract
+    the locally-dominant matching (super = min of each matched pair),
+    drop self-loops, merge parallel edges with summed weights — all
+    broadcast-or-join attaches + one bucketed sum; the raw edge table
+    shuffles once."""
+    from graphscope_ray.graph.api import contract_edges
+    g, edges = _partgraph(sf_dir)
+    mapping = g.to_oid(g.coarsen_mapping(),
+                       vid_cols=("vid", "super")).materialize()
+    return contract_edges(edges.select_columns(["src", "dst", "weight"]),
+                          mapping, map_count=g.store.num_vertices)
+
+
+def _coarsen_sql(rounds: int = 24) -> str:
+    """Twin of _q_pg_coarsen: the _matching_sql CTE chain, then
+    relabel endpoints by super = matched-pair min (else self),
+    drop loops, sum weights per coarse pair."""
+    base = _matching_sql(rounds)
+    head, _, _ = base.rpartition("SELECT a AS src")
+    return f"""{head}
+, vmap AS MATERIALIZED (
+  SELECT v.v, COALESCE(mm.a, v.v) AS super
+  FROM v LEFT JOIN (SELECT a, a AS m FROM m{rounds}
+                    UNION ALL SELECT b, a FROM m{rounds}) mm(x, a)
+         ON mm.x = v.v)
+SELECT least(ms.super, md.super) AS src,
+       greatest(ms.super, md.super) AS dst,
+       sum(e0.w)::DOUBLE AS weight
+FROM e0 JOIN vmap ms ON ms.v = e0.src
+        JOIN vmap md ON md.v = e0.dst
+WHERE ms.super <> md.super
+GROUP BY 1, 2 ORDER BY src, dst"""
+
+
 def _q_pg_node2vec(sf_dir):
     """node2vec second-order biased walks (Grover & Leskovec 2016)
     from the 3 smallest vertices — deterministic Efraimidis-Spirakis
@@ -3347,6 +3382,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_matching": _q_pg_matching,
         "pg_assortativity": _q_pg_assortativity,
         "pg_node2vec": _q_pg_node2vec,
+        "pg_coarsen": _q_pg_coarsen,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3527,6 +3563,7 @@ FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
         "pg_matching": _matching_sql(24),
         "pg_assortativity": _ASSORT_SQL.format(prelude=_PRELUDE),
         "pg_node2vec": _node2vec_sql(4, 7),
+        "pg_coarsen": _coarsen_sql(24),
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),

@@ -332,6 +332,23 @@ class Graph:
         ``mates=True``). Needs a symmetrized store."""
         return self.engine.matching(**kw)
 
+    def coarsen_mapping(self, **kw) -> ray.data.Dataset:
+        """Vertex→super mapping for one multilevel-coarsening step:
+        super = min of the matched pair from :meth:`matching`
+        (locally-dominant greedy), self for unmatched vertices.
+        Compose with :func:`contract_edges` for the coarse graph —
+        the matching-based coarsening of multilevel partitioners
+        (Karypis-Kumar) and multilevel Louvain variants."""
+        mates = self.engine.matching(mates=True, **kw)
+
+        def f(t: pa.Table) -> pa.Table:
+            v = t["vid"].to_numpy()
+            m = t["mate"].to_numpy()
+            sup = np.where((m >= 0) & (m < v), m, v)
+            return pa.table({"vid": v, "super": sup})
+
+        return mates.map_batches(f, batch_format="pyarrow")
+
     def cdlp(self, max_round: int = 10, **kw) -> ray.data.Dataset:
         """LDBC community detection by label propagation —
         `.gs_conf.yaml:36-41` (grape::CDLP)."""
@@ -1718,3 +1735,39 @@ def degree_assortativity(edges: ray.data.Dataset) -> "pd.DataFrame":
                 * np.sqrt(float(n * syy - sy * sy)))
     r = num / den if den else float("nan")
     return pd.DataFrame({"assortativity": [round_half_away(r, 6)]})
+
+
+def contract_edges(edges: ray.data.Dataset, mapping: ray.data.Dataset,
+                   *, map_count: int | None = None) -> ray.data.Dataset:
+    """Contract an edge table by a vertex→super mapping (the multilevel
+    coarsening step): endpoints relabel via broadcast-or-join attach,
+    self-loops drop, parallel edges merge with summed weights
+    (bucketed — no per-distinct-pair dispatch). → (src, dst, weight)
+    with src < dst."""
+    from graphscope_ray.graph.joins import attach_values
+    from graphscope_ray.util import bucketed_sum, rename
+
+    e = edges
+    if "weight" not in e.columns():
+        e = e.map_batches(
+            lambda t: t.append_column(
+                "weight", pa.array(np.ones(len(t), np.float64))),
+            batch_format="pyarrow")
+    e = attach_values(e.select_columns(["src", "dst", "weight"]),
+                      mapping, on="src", table_key="vid",
+                      value_names=["super"], table_count=map_count)
+    e = rename(e, {"super": "s2"})
+    e = attach_values(e, mapping, on="dst", table_key="vid",
+                      value_names=["super"], table_count=map_count)
+
+    def fold(t: pa.Table) -> pa.Table:
+        a = t["s2"].to_numpy()
+        b = t["super"].to_numpy()
+        w = t["weight"].to_numpy().astype(np.float64)
+        keep = a != b
+        a, b, w = a[keep], b[keep], w[keep]
+        return pa.table({"src": np.minimum(a, b),
+                         "dst": np.maximum(a, b), "weight": w})
+
+    return bucketed_sum(e.map_batches(fold, batch_format="pyarrow"),
+                        ["src", "dst"], "weight")

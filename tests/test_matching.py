@@ -127,3 +127,46 @@ def test_matching_path_graph_worst_case(tmp_path):
     assert got == want
     # greedy on an increasing path takes edges 0-1, 2-3, 4-5, ...
     assert got == [(i, i + 1, float(i + 1)) for i in range(0, n - 1, 2)]
+
+
+def test_coarsen_contract(tmp_path):
+    """Coarsening invariants: supers are matched-pair minima; coarse
+    weights preserve total weight minus contracted intra-pair edges;
+    contraction equals a pandas replay."""
+    from graphscope_ray.graph.api import contract_edges
+
+    rng = np.random.default_rng(21)
+    df = _rand_edges(rng, 60, 220)
+    ds = ray.data.from_pandas(df)
+    g = Graph.from_edges(ds, workdir=str(tmp_path), num_parts=3,
+                         weight_col="weight", symmetrize=True)
+    try:
+        mapping = g.to_oid(g.coarsen_mapping(),
+                           vid_cols=("vid", "super")).to_pandas()
+        ce = contract_edges(ray.data.from_pandas(df),
+                            ray.data.from_pandas(mapping),
+                            map_count=len(mapping)).to_pandas()
+        pairs = _run(df, tmp_path / "m", 3)
+    finally:
+        g.close()
+    sup = dict(zip(mapping["vid"].astype(int),
+                   mapping["super"].astype(int)))
+    # mapping reflects exactly the matching
+    for a, b, _ in pairs:
+        assert sup[a] == a and sup[b] == a
+    matched = {v for e in pairs for v in e[:2]}
+    for v, s in sup.items():
+        if v not in matched:
+            assert s == v
+    # pandas replay of the contraction
+    rep = df.copy()
+    rep["a"] = rep["src"].map(sup)
+    rep["b"] = rep["dst"].map(sup)
+    rep = rep[rep["a"] != rep["b"]]
+    lo = np.minimum(rep["a"], rep["b"])
+    hi = np.maximum(rep["a"], rep["b"])
+    want = (pd.DataFrame({"src": lo, "dst": hi, "weight": rep["weight"]})
+            .groupby(["src", "dst"], as_index=False)["weight"].sum())
+    got = ce.sort_values(["src", "dst"]).reset_index(drop=True)
+    want = want.sort_values(["src", "dst"]).reset_index(drop=True)
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
