@@ -1625,6 +1625,45 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_pg_pseudo_diameter(sf_dir):
+    """Pseudo-diameter by the classic double BFS sweep (the
+    pivot-based lower bound used by graph partitioners): BFS from the
+    min-oid vertex, re-BFS from the farthest reached vertex (tie →
+    min oid), report (pivot, max depth). Two engine BFS runs + two
+    tiny Dataset reduces — nothing O(V) on the driver."""
+    import pandas as pd
+    g, _ = _partgraph(sf_dir)
+    src = g.oid_array[0]
+    d1 = g.to_oid(g.bfs(src, max_iter=BFS_CAP))
+    far = d1.filter(expr="depth >= 0").sort(
+        ["depth", "vid"], descending=[True, False]).limit(1).take_all()
+    pivot = int(far[0]["vid"])
+    d2 = g.to_oid(g.bfs(pivot, max_iter=BFS_CAP)).filter(
+        expr="depth >= 0")
+    return pd.DataFrame({"pivot": [pivot],
+                         "pseudo_diameter": [int(d2.max("depth"))]})
+
+
+_PSEUDO_DIAMETER_SQL = f"""
+WITH RECURSIVE {_PRELUDE},
+b1 AS (
+  SELECT (SELECT min(v) FROM v) AS v, 0 AS d
+  UNION
+  SELECT e.t, b1.d + 1 FROM b1 JOIN e ON e.s = b1.v
+  WHERE b1.d < {BFS_CAP}),
+d1 AS (SELECT v, min(d) AS d FROM b1 GROUP BY v),
+far AS (SELECT v FROM d1 ORDER BY d DESC, v LIMIT 1),
+b2 AS (
+  SELECT (SELECT v FROM far) AS v, 0 AS d
+  UNION
+  SELECT e.t, b2.d + 1 FROM b2 JOIN e ON e.s = b2.v
+  WHERE b2.d < {BFS_CAP}),
+d2 AS (SELECT v, min(d) AS d FROM b2 GROUP BY v)
+SELECT (SELECT v FROM far)::BIGINT AS pivot,
+       max(d)::BIGINT AS pseudo_diameter
+FROM d2"""
+
+
 def _q_pg_coarsen(sf_dir):
     """One multilevel-coarsening step (Karypis-Kumar shape): contract
     the locally-dominant matching (super = min of each matched pair),
@@ -3383,6 +3422,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_assortativity": _q_pg_assortativity,
         "pg_node2vec": _q_pg_node2vec,
         "pg_coarsen": _q_pg_coarsen,
+        "pg_pseudo_diameter": _q_pg_pseudo_diameter,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3564,6 +3604,7 @@ FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
         "pg_assortativity": _ASSORT_SQL.format(prelude=_PRELUDE),
         "pg_node2vec": _node2vec_sql(4, 7),
         "pg_coarsen": _coarsen_sql(24),
+        "pg_pseudo_diameter": _PSEUDO_DIAMETER_SQL,
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),
