@@ -1625,6 +1625,38 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_events_attribution(sf_dir):
+    """Conversion attribution (first/last touch in a 7-day lookback)
+    — one bucket shuffle by user, fused per-key time axes, two global
+    searchsorteds; no per-key Python."""
+    from graphscope_ray.data.temporal import attribute_conversions
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "ts", "user_id", "event_type", "value"])
+    return attribute_conversions(events)
+
+
+_ATTRIBUTION_SQL = """
+WITH t AS (SELECT user_id, ts, event_id FROM events
+           WHERE event_type IN ('click', 'view')),
+c AS (SELECT user_id, ts, event_id, value FROM events
+      WHERE event_type = 'purchase'),
+j AS (SELECT c.event_id AS conv_id, c.user_id, c.value,
+             t.event_id AS tid, t.ts AS tts
+      FROM c JOIN t ON t.user_id = c.user_id AND t.ts <= c.ts
+        AND t.ts >= c.ts - INTERVAL 7 DAY),
+r AS (SELECT conv_id, user_id, value,
+        first_value(tid) OVER (PARTITION BY conv_id
+            ORDER BY tts, tid) AS first_touch_id,
+        last_value(tid) OVER (PARTITION BY conv_id
+            ORDER BY tts, tid ROWS BETWEEN UNBOUNDED PRECEDING
+            AND UNBOUNDED FOLLOWING) AS last_touch_id,
+        row_number() OVER (PARTITION BY conv_id) AS rn
+      FROM j)
+SELECT conv_id, user_id, first_touch_id, last_touch_id, value
+FROM r WHERE rn = 1 ORDER BY conv_id"""
+
+
 def _q_pg_pseudo_diameter(sf_dir):
     """Pseudo-diameter by the classic double BFS sweep (the
     pivot-based lower bound used by graph partitioners): BFS from the
@@ -3423,6 +3455,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_node2vec": _q_pg_node2vec,
         "pg_coarsen": _q_pg_coarsen,
         "pg_pseudo_diameter": _q_pg_pseudo_diameter,
+        "events_attribution": _q_events_attribution,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3605,6 +3638,7 @@ FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
         "pg_node2vec": _node2vec_sql(4, 7),
         "pg_coarsen": _coarsen_sql(24),
         "pg_pseudo_diameter": _PSEUDO_DIAMETER_SQL,
+        "events_attribution": _ATTRIBUTION_SQL,
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),

@@ -504,3 +504,77 @@ def rolling_window(
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_b")
             .map_groups(kernel, batch_format="pandas"))
+
+
+def attribute_conversions(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    ts: str = "ts",
+    etype: str = "event_type",
+    conv_type: str = "purchase",
+    touch_types: tuple = ("click", "view"),
+    value: str = "value",
+    order_col: str = "event_id",
+    window: np.timedelta64 = np.timedelta64(7, "D"),
+    num_buckets: int = _NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Conversion attribution: for every ``conv_type`` event, the
+    FIRST and LAST ``touch_types`` event of the same key whose
+    timestamp falls in ``[conv_ts - window, conv_ts]`` (last = max
+    (ts, order_col), first = min). Conversions with no touch in the
+    window are dropped (inner-join semantics).
+    → (conv_id, key, first_touch_id, last_touch_id, value).
+
+    Shape: one bucket shuffle by key hash (a bucket owns every event
+    of its keys), then a fully vectorized kernel — the per-user time
+    axes are fused into ONE global searchsorted pair by adding a
+    per-key offset larger than the window (the events_rolling
+    segment-offset trick), so candidate windows never cross keys and
+    no per-key Python runs. SQL twin: a windowed join + row_number
+    argmin/argmax."""
+    window64 = np.timedelta64(window).astype("timedelta64[ns]")
+    wns = window64.astype(np.int64)
+    touch_set = set(touch_types)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        keep = pa.compute.is_in(
+            t[etype], value_set=pa.array([conv_type, *touch_types]))
+        t = t.filter(keep)
+        b = t[key].to_numpy() % num_buckets
+        return t.append_column("_b", pa.array(b.astype(np.int64)))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, ts, order_col], kind="mergesort")
+        k = g[key].to_numpy()
+        tns = g[ts].to_numpy().astype("datetime64[ns]").astype(np.int64)
+        # per-key offset > window so fused axes never overlap
+        uk, inv = np.unique(k, return_inverse=True)
+        span = (tns.max() - tns.min() + wns + 1) if len(tns) else 1
+        adj = tns + inv * (span + wns + 1)
+        is_touch = g[etype].isin(touch_set).to_numpy()
+        is_conv = (g[etype] == conv_type).to_numpy()
+        t_adj = adj[is_touch]
+        t_ids = g[order_col].to_numpy()[is_touch]
+        c_adj = adj[is_conv]
+        if not is_conv.any() or not is_touch.any():
+            return pd.DataFrame({
+                "conv_id": pd.Series([], dtype=np.int64),
+                key: pd.Series([], dtype=np.int64),
+                "first_touch_id": pd.Series([], dtype=np.int64),
+                "last_touch_id": pd.Series([], dtype=np.int64),
+                value: pd.Series([], dtype=np.float64)})
+        hi = np.searchsorted(t_adj, c_adj, side="right") - 1
+        lo = np.searchsorted(t_adj, c_adj - wns, side="left")
+        ok = lo <= hi
+        return pd.DataFrame({
+            "conv_id": g[order_col].to_numpy()[is_conv][ok],
+            key: k[is_conv][ok],
+            "first_touch_id": t_ids[lo[ok]],
+            "last_touch_id": t_ids[hi[ok]],
+            value: g[value].to_numpy()[is_conv][ok],
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_b")
+            .map_groups(kernel, batch_format="pandas"))
