@@ -1625,6 +1625,51 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_pg_nearest_seed(sf_dir):
+    """Nearest-seed assignment (multi-source BFS Voronoi) from the 5
+    smallest vertices — the seeded-propagation primitive, written
+    entirely on the user vertex-program surface (one packed float of
+    state, min-combine). Unreachable vertices are excluded on both
+    sides."""
+    import pandas as pd
+    from graphscope_ray.graph.program import NearestSeedProgram
+    g, _ = _partgraph(sf_dir)
+    V = g.store.num_vertices
+    prog = NearestSeedProgram(np.arange(5), np.arange(5, dtype=float),
+                              scale=float(V))
+    ds = g.engine.run_program(prog, max_round=BFS_CAP,
+                              stop_when_zero=True)
+
+    def dec(t: pa.Table) -> pa.Table:
+        p = t["packed"].to_numpy()
+        ok = np.isfinite(p)
+        return pa.table({
+            "vid": t["vid"].to_numpy()[ok],
+            "dist": (p[ok] // V).astype(np.int64),
+            "seed": (p[ok] % V).astype(np.int64)})
+
+    return g.to_oid(ds.map_batches(dec, batch_format="pyarrow"),
+                    vid_cols=("vid", "seed"))
+
+
+# seed anchor via row_number, NOT a LIMIT CTE: DuckDB 1.0 can drop
+# rows of an ORDER BY+LIMIT CTE referenced from a recursive anchor
+# (repro: tools — a VALUES-backed seed table is unaffected)
+_NEAREST_SEED_SQL = f"""
+WITH RECURSIVE {_PRELUDE},
+sd AS MATERIALIZED (SELECT v FROM (
+  SELECT v, row_number() OVER (ORDER BY v) AS rn FROM v) WHERE rn <= 5),
+ns AS (
+  SELECT v, 0 AS d, v AS seed FROM sd
+  UNION
+  SELECT e.t, ns.d + 1, ns.seed FROM ns JOIN e ON e.s = ns.v
+  WHERE ns.d < {BFS_CAP})
+SELECT v AS vid, d::BIGINT AS dist, seed FROM (
+  SELECT v, d, seed,
+         row_number() OVER (PARTITION BY v ORDER BY d, seed) AS rn
+  FROM ns) WHERE rn = 1 ORDER BY vid"""
+
+
 def _q_events_attribution(sf_dir):
     """Conversion attribution (first/last touch in a 7-day lookback)
     — one bucket shuffle by user, fused per-key time axes, two global
@@ -1755,8 +1800,12 @@ def _node2vec_sql(length: int = 4, seed: int = 7, p: float = 2.0,
     from graphscope_ray.oracle_sql import walk_hash_sql
     inv_p, inv_q = 1.0 / p, 1.0 / q
     parts = [f"WITH {_PRELUDE},"]
-    parts.append("sd AS MATERIALIZED (SELECT v FROM v ORDER BY v "
-                 "LIMIT 3)")
+    # row_number, not a LIMIT CTE: DuckDB 1.0 can drop rows of an
+    # ORDER BY+LIMIT CTE referenced from a recursive anchor — wk0 is
+    # not recursive itself, but keep one safe shape everywhere
+    parts.append("sd AS MATERIALIZED (SELECT v FROM (SELECT v, "
+                 "row_number() OVER (ORDER BY v) AS rn FROM v) "
+                 "WHERE rn <= 3)")
     parts.append("""wk0 AS MATERIALIZED (
   SELECT (row_number() OVER (ORDER BY v) - 1)::BIGINT AS walk_id,
          CAST(NULL AS BIGINT) AS prev, v AS cur FROM sd)""")
@@ -3456,6 +3505,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_coarsen": _q_pg_coarsen,
         "pg_pseudo_diameter": _q_pg_pseudo_diameter,
         "events_attribution": _q_events_attribution,
+        "pg_nearest_seed": _q_pg_nearest_seed,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3639,6 +3689,7 @@ FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
         "pg_coarsen": _coarsen_sql(24),
         "pg_pseudo_diameter": _PSEUDO_DIAMETER_SQL,
         "events_attribution": _ATTRIBUTION_SQL,
+        "pg_nearest_seed": _NEAREST_SEED_SQL,
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),

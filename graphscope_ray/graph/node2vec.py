@@ -61,10 +61,19 @@ def _csr(edges: ray.data.Dataset):
 
     @ray.remote
     def build(*refs):
-        # varargs so Ray resolves each block ref to its table
-        tabs = [pa.Table.from_batches([b]) if isinstance(b, pa.RecordBatch)
-                else b for b in refs]
-        t = pa.concat_tables(tabs)
+        # varargs so Ray resolves each block ref to its table; blocks
+        # may arrive as Table, RecordBatch, OR pandas (pandas-backed
+        # upstream pipelines keep their block type through
+        # to_arrow_refs despite the name)
+        tabs = []
+        for b in refs:
+            if isinstance(b, pa.Table):
+                tabs.append(b)
+            elif isinstance(b, pa.RecordBatch):
+                tabs.append(pa.Table.from_batches([b]))
+            else:
+                tabs.append(pa.Table.from_pandas(b, preserve_index=False))
+        t = pa.concat_tables(tabs, promote_options="default")
         s = t["src"].to_numpy()
         d = t["dst"].to_numpy()
         oids = np.unique(np.r_[s, d])

@@ -356,3 +356,45 @@ class PIEWCCProgram(MinLabelProgram):
                 break
             labels = new
         state["label"] = labels
+
+
+class NearestSeedProgram(VertexProgram):
+    """Nearest-seed assignment (multi-source BFS Voronoi / seeded
+    label assignment): every vertex adopts the label of its CLOSEST
+    seed, ties to the smallest label — the seed-expansion primitive
+    of landmark labeling and semi-supervised propagation. Written
+    entirely on the user-program surface: state is ONE float,
+    ``packed = dist · scale + label`` — lexicographic (dist, label)
+    ordering under the engine's min-combine — and each hop's message
+    is ``packed + scale`` (dist + 1, same label). Exact while
+    ``(max_dist + 1) · scale < 2^53`` (float64 integer range);
+    ``scale`` must exceed every label."""
+
+    combine = "min"
+    result_columns = ("packed",)
+
+    def __init__(self, seed_vids, labels, scale: float):
+        order = np.argsort(np.asarray(seed_vids, np.int64))
+        self.sv = np.asarray(seed_vids, np.int64)[order]
+        self.lab = np.asarray(labels, np.float64)[order]
+        if len(self.lab) and self.lab.max() >= scale:
+            raise ValueError("scale must exceed every label")
+        self.scale = float(scale)
+
+    def init(self, ctx):
+        p = np.full(ctx.nlocal, np.inf)
+        ix = np.searchsorted(self.sv, ctx.local_vids)
+        ix = np.minimum(ix, max(len(self.sv) - 1, 0))
+        m = (self.sv[ix] == ctx.local_vids) if len(self.sv) else \
+            np.zeros(ctx.nlocal, dtype=bool)
+        p[m] = self.lab[ix[m]]
+        return {"packed": p}
+
+    def message(self, ctx, state):
+        return state["packed"] + self.scale
+
+    def apply(self, ctx, state, incoming, agg):
+        new = np.minimum(state["packed"], incoming)
+        changed = int((new < state["packed"]).sum())
+        state["packed"] = new
+        return changed, 0.0
