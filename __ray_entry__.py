@@ -1625,6 +1625,38 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_pg_modularity(sf_dir):
+    """Newman modularity of the CDLP-5 labeling — the community
+    certificate metric: exact int64 sums (2m, intra-edges, per-label
+    degree totals) and one final float expression, bit-exact vs the
+    SQL twin."""
+    from graphscope_ray.graph.api import modularity
+    g, edges = _partgraph(sf_dir)
+    labels = g.to_oid(g.cdlp(max_round=CDLP_ROUNDS),
+                      vid_cols=("vid", "label")).materialize()
+    return modularity(edges.select_columns(["src", "dst"]), labels,
+                      label_count=g.store.num_vertices)
+
+
+def _modularity_sql(rounds: int) -> str:
+    """Twin of _q_pg_modularity: the CDLP label chain, then the same
+    integer sums and the identical final float expression."""
+    base = _cdlp_sql(rounds)
+    head, _, _ = base.rpartition("SELECT v AS vid")
+    return f"""{head}
+, el AS MATERIALIZED (
+  SELECT a.lab AS ls, b.lab AS ld
+  FROM e JOIN l{rounds} a ON a.v = e.s JOIN l{rounds} b ON b.v = e.t),
+m2 AS (SELECT count(*)::HUGEINT AS m2 FROM el),
+si AS (SELECT count(*)::HUGEINT AS sin FROM el WHERE ls = ld),
+tot AS (SELECT a.lab, count(*)::HUGEINT AS t
+        FROM e JOIN l{rounds} a ON a.v = e.s GROUP BY a.lab),
+st AS (SELECT sum(t * t)::HUGEINT AS stot2 FROM tot)
+SELECT ((m2.m2 * si.sin - st.stot2)::DOUBLE)
+       / ((m2.m2)::DOUBLE * (m2.m2)::DOUBLE) AS modularity
+FROM m2, si, st"""
+
+
 def _q_pg_nearest_seed(sf_dir):
     """Nearest-seed assignment (multi-source BFS Voronoi) from the 5
     smallest vertices — the seeded-propagation primitive, written
@@ -3506,6 +3538,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_pseudo_diameter": _q_pg_pseudo_diameter,
         "events_attribution": _q_events_attribution,
         "pg_nearest_seed": _q_pg_nearest_seed,
+        "pg_modularity": _q_pg_modularity,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3690,6 +3723,7 @@ FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
         "pg_pseudo_diameter": _PSEUDO_DIAMETER_SQL,
         "events_attribution": _ATTRIBUTION_SQL,
         "pg_nearest_seed": _NEAREST_SEED_SQL,
+        "pg_modularity": _modularity_sql(CDLP_ROUNDS),
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),

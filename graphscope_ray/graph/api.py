@@ -1771,3 +1771,54 @@ def contract_edges(edges: ray.data.Dataset, mapping: ray.data.Dataset,
 
     return bucketed_sum(e.map_batches(fold, batch_format="pyarrow"),
                         ["src", "dst"], "weight")
+
+
+def modularity(edges: ray.data.Dataset, labels: ray.data.Dataset, *,
+               label_count: int | None = None) -> "pd.DataFrame":
+    """Unweighted Newman modularity of a vertex labeling over the
+    undirected simple graph — the community-quality certificate
+    (pairs with cdlp/louvain):
+
+        Q = (2m·Σ_c in_c − Σ_c tot_c²) / (2m)²
+
+    computed ENTIRELY from exact int64 sums (2m = symmetric edge
+    count, Σ in_c = intra-label symmetric edges, tot_c = per-label
+    degree sums via the bucketed reduce) with ONE final float
+    expression — bit-reproducible by the SQL twin. ``labels`` is a
+    (vid, label) table in the same id space as ``edges``. Shape: two
+    broadcast-or-join attaches + two tiny scalar folds; nothing
+    O(V+E) on the driver."""
+    import pandas as pd
+    from graphscope_ray.graph.joins import attach_values
+    from graphscope_ray.util import bucketed_sum, rename
+
+    sym = to_undirected(edges).materialize()
+    e = attach_values(sym, labels, on="src", table_key="vid",
+                      value_names=["label"], table_count=label_count)
+    e = rename(e, {"label": "ls"})
+    e = attach_values(e, labels, on="dst", table_key="vid",
+                      value_names=["label"], table_count=label_count)
+
+    def part(t: pa.Table) -> pa.Table:
+        ls = t["ls"].to_numpy()
+        ld = t["label"].to_numpy()
+        return pa.table({"m2": [np.int64(len(ls))],
+                         "sin": [np.int64((ls == ld).sum())]})
+
+    s = e.map_batches(part, batch_format="pyarrow").sum(["m2", "sin"])
+    m2, sin = int(s["sum(m2)"]), int(s["sum(sin)"])
+
+    deg = degrees(sym, mode="out")
+    degl = attach_values(deg, labels, on="vid", table_key="vid",
+                         value_names=["label"], table_count=label_count)
+    tot = bucketed_sum(degl.select_columns(["label", "degree"]),
+                       "label", "degree")
+
+    def sq(t: pa.Table) -> pa.Table:
+        d = t["degree"].to_numpy().astype(np.int64)
+        return pa.table({"t2": d * d})
+
+    stot2 = int(tot.map_batches(sq, batch_format="pyarrow").sum("t2"))
+    q = (float(m2 * sin - stot2) / (float(m2) * float(m2))
+         if m2 else float("nan"))
+    return pd.DataFrame({"modularity": [q]})

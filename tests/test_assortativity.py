@@ -46,3 +46,34 @@ def test_assortativity_regular_graph_nan():
     df = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]})
     got = degree_assortativity(ray.data.from_pandas(df))
     assert np.isnan(got["assortativity"].iloc[0])
+
+
+def test_modularity_vs_networkx():
+    nx = pytest.importorskip("networkx")
+    from graphscope_ray.graph.api import modularity
+    rng = np.random.default_rng(6)
+    df = _rand_edges(rng, 60, 200)
+    # labels: a hash-bucket partition into 4 groups
+    verts = np.unique(np.r_[df["src"], df["dst"]])
+    lab = pd.DataFrame({"vid": verts, "label": verts % 4})
+    got = modularity(ray.data.from_pandas(df),
+                     ray.data.from_pandas(lab))["modularity"].iloc[0]
+    G = nx.Graph()
+    G.add_edges_from(zip(df["src"], df["dst"]))
+    comms = [set(verts[verts % 4 == i]) & set(G.nodes) for i in range(4)]
+    want = nx.algorithms.community.modularity(G, [c for c in comms if c])
+    assert abs(got - want) < 1e-9
+
+
+def test_modularity_perfect_partition():
+    """Two disjoint cliques labeled by clique → Q = 1/2."""
+    from graphscope_ray.graph.api import modularity
+    import itertools
+    e = ([(a, b) for a, b in itertools.combinations(range(4), 2)]
+         + [(a, b) for a, b in itertools.combinations(range(10, 14), 2)])
+    df = pd.DataFrame(e, columns=["src", "dst"])
+    verts = np.unique(np.r_[df["src"], df["dst"]])
+    lab = pd.DataFrame({"vid": verts, "label": (verts >= 10).astype(int)})
+    got = modularity(ray.data.from_pandas(df),
+                     ray.data.from_pandas(lab))["modularity"].iloc[0]
+    assert abs(got - 0.5) < 1e-12
