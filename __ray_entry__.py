@@ -1625,6 +1625,25 @@ def _q_pg_link_features(sf_dir):
     return edge_link_features(edges.select_columns(["src", "dst"]))
 
 
+def _q_pg_squares(sf_dir):
+    """Total 4-cycle count (squares = ½ Σ C(λ(u,v), 2) over
+    co-neighbor counts) — the cohesion motif after triangles; one
+    bucket shuffle + one bucketed λ-sum + a scalar fold."""
+    from graphscope_ray.graph.api import square_count
+    _, edges = _partgraph(sf_dir)
+    return square_count(edges.select_columns(["src", "dst"]))
+
+
+_SQUARES_SQL = f"""
+WITH {_PRELUDE},
+w AS MATERIALIZED (
+  SELECT e1.t AS u, e2.t AS v
+  FROM e e1 JOIN e e2 ON e1.s = e2.s AND e1.t < e2.t),
+lam AS MATERIALIZED (
+  SELECT u, v, count(*)::HUGEINT AS l FROM w GROUP BY u, v)
+SELECT (sum((l * (l - 1)) // 2) // 2)::BIGINT AS squares FROM lam"""
+
+
 def _q_pg_modularity(sf_dir):
     """Newman modularity of the CDLP-5 labeling — the community
     certificate metric: exact int64 sums (2m, intra-edges, per-label
@@ -3539,6 +3558,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_attribution": _q_events_attribution,
         "pg_nearest_seed": _q_pg_nearest_seed,
         "pg_modularity": _q_pg_modularity,
+        "pg_squares": _q_pg_squares,
         "pg_tc_total": _q_pg_tc_total,
         "pg_clustering": _q_pg_clustering,
         "pg_link_features": _q_pg_link_features,
@@ -3724,6 +3744,7 @@ FROM v LEFT JOIN tcc ON tcc.v = v.v ORDER BY vid""",
         "events_attribution": _ATTRIBUTION_SQL,
         "pg_nearest_seed": _NEAREST_SEED_SQL,
         "pg_modularity": _modularity_sql(CDLP_ROUNDS),
+        "pg_squares": _SQUARES_SQL,
         "pg_feature_prop": _feature_prop_sql(2),
         "pg_ktruss": _ktruss_sql(),
         "pg_closeness": _closeness_sql(SSSP_ROUNDS),

@@ -1822,3 +1822,77 @@ def modularity(edges: ray.data.Dataset, labels: ray.data.Dataset, *,
     q = (float(m2 * sin - stot2) / (float(m2) * float(m2))
          if m2 else float("nan"))
     return pd.DataFrame({"modularity": [q]})
+
+
+def square_count(edges: ray.data.Dataset, *, num_buckets: int = 32,
+                 ) -> "pd.DataFrame":
+    """Total 4-cycle (square) count over the undirected simple graph —
+    the next cohesion motif after triangles:
+
+        squares = ½ · Σ_{u<v} C(λ(u, v), 2)
+
+    with λ the co-neighbor count (every 4-cycle has exactly two
+    opposite-corner pairs). Shape: one bucket shuffle groups each
+    center's adjacency, a vectorized kernel emits its neighbor-pair
+    keys (np.repeat over CSR-style slices, packed u<<32|v) with
+    per-bucket partial counts, λ comes from ONE bucketed sum, and the
+    final fold is a scalar. Wedge work is Σ_c C(deg_c, 2) — hub
+    centers dominate at scale; the Chiba-Nishizeki degree-ordering
+    refinement (process wedges at the lower-degree endpoint) is the
+    documented scale path, same caveat as the triangles join route."""
+    import pandas as pd
+    from graphscope_ray.util import bucketed_sum
+
+    sym = to_undirected(edges)
+
+    def bucket(t: pa.Table) -> pa.Table:
+        return t.append_column(
+            "_b", pa.array((t["src"].to_numpy() % num_buckets)
+                           .astype(np.int64)))
+
+    def pairs(g: pd.DataFrame) -> pd.DataFrame:
+        s = g["src"].to_numpy()
+        d = g["dst"].to_numpy()
+        order = np.lexsort((d, s))
+        s, d = s[order], d[order]
+        # segment boundaries per center
+        brk = np.r_[True, s[1:] != s[:-1]] if len(s) else np.array([], bool)
+        starts = np.flatnonzero(brk)
+        lens = np.diff(np.r_[starts, len(s)])
+        # all (u, v) pairs per center: one vectorized pass per pair
+        # OFFSET (positions i and i+off inside a segment) — the loop
+        # runs max-degree times, every iteration O(rows) numpy
+        if not len(s):
+            return pd.DataFrame({"pair": pd.Series([], dtype=np.uint64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        idx = np.arange(len(s))
+        pos = idx - np.repeat(starts, lens)
+        seg_len = np.repeat(lens, lens)
+        keys = []
+        for off in range(1, int(lens.max())):
+            m = pos + off < seg_len
+            if not m.any():
+                break
+            a = idx[m]
+            u = d[a]
+            v = d[a + off]
+            lo = np.minimum(u, v).astype(np.uint64)
+            hi = np.maximum(u, v).astype(np.uint64)
+            keys.append((lo << np.uint64(32)) | hi)
+        if not keys:
+            return pd.DataFrame({"pair": pd.Series([], dtype=np.uint64),
+                                 "cnt": pd.Series([], dtype=np.int64)})
+        uk, cnt = np.unique(np.concatenate(keys), return_counts=True)
+        return pd.DataFrame({"pair": uk, "cnt": cnt.astype(np.int64)})
+
+    lam = bucketed_sum(
+        sym.map_batches(bucket, batch_format="pyarrow")
+        .groupby("_b").map_groups(pairs, batch_format="pandas"),
+        "pair", "cnt")
+
+    def fold(t: pa.Table) -> pa.Table:
+        c = t["cnt"].to_numpy().astype(np.int64)
+        return pa.table({"s": [np.int64((c * (c - 1) // 2).sum())]})
+
+    total = int(lam.map_batches(fold, batch_format="pyarrow").sum("s"))
+    return pd.DataFrame({"squares": [np.int64(total // 2)]})

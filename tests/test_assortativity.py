@@ -77,3 +77,32 @@ def test_modularity_perfect_partition():
     got = modularity(ray.data.from_pandas(df),
                      ray.data.from_pandas(lab))["modularity"].iloc[0]
     assert abs(got - 0.5) < 1e-12
+
+
+@pytest.mark.parametrize("n,m,blocks", [(20, 50, 1), (60, 200, 4),
+                                        (35, 120, 8)])
+def test_square_count_vs_networkx(n, m, blocks):
+    nx = pytest.importorskip("networkx")
+    from graphscope_ray.graph.api import square_count
+    rng = np.random.default_rng(n * m)
+    df = _rand_edges(rng, n, m)
+    got = int(square_count(ray.data.from_pandas(df).repartition(blocks))
+              ["squares"].iloc[0])
+    G = nx.Graph()
+    G.add_edges_from(zip(df["src"], df["dst"]))
+    want = sum(1 for c in nx.simple_cycles(G, length_bound=4)
+               if len(c) == 4)
+    assert got == want
+
+
+def test_square_count_c4_and_k4():
+    from graphscope_ray.graph.api import square_count
+    # a plain 4-cycle has exactly 1 square; K4 has 3
+    c4 = pd.DataFrame({"src": [0, 1, 2, 3], "dst": [1, 2, 3, 0]})
+    assert int(square_count(ray.data.from_pandas(c4))
+               ["squares"].iloc[0]) == 1
+    import itertools
+    k4 = pd.DataFrame(list(itertools.combinations(range(4), 2)),
+                      columns=["src", "dst"])
+    assert int(square_count(ray.data.from_pandas(k4))
+               ["squares"].iloc[0]) == 3
