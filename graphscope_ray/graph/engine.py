@@ -375,6 +375,39 @@ class BSPEngine:
         self.supersteps += rnd - start_round
         return self._result_ds("pr_result", "rank")
 
+    def pagerank_incremental(self, *, delta: float = 0.85,
+                             tol: float = 1e-6, max_iter: int = 1000
+                             ) -> ray.data.Dataset:
+        """Resume PageRank after ``append_edges`` — the PR member of
+        the incremental family (sssp_incremental / wcc_incremental):
+        power iteration warm-starts from the previous converged ranks
+        with freshly recomputed degree arrays (pr_warm_init); the
+        fixpoint is unique, so the result equals a cold recompute at
+        the same tolerance, in far fewer supersteps (the warm vector
+        is already near the new fixpoint). The first round's dangling
+        mass is the WARM Σ rank over dangling vertices (not the
+        uniform vnum/V); after one application the closed-form
+        recurrence resumes. Falls back to a cold run when no prior
+        PageRank state exists."""
+        res = ray.get([a.pr_warm_init.remote() for a in self.actors])
+        dangling_vnum = int(sum(r[0] for r in res))
+        dangling_sum = float(sum(r[1] for r in res))
+        rnd = 0
+        t0 = time.perf_counter()
+        while rnd < max_iter:
+            rnd += 1
+            base = (1.0 - delta) / self.V + delta * dangling_sum / self.V
+            deltas = self._exchange(
+                "pr_scatter", "pr_apply", apply_args=(base, delta),
+                hub_method="pr_get_hub_vals" if self.has_hubs else None,
+            )
+            dangling_sum = base * dangling_vnum
+            if max(deltas) < tol:
+                break
+        self.superstep_seconds += time.perf_counter() - t0
+        self.supersteps += rnd
+        return self._result_ds("pr_result", "rank")
+
     def ppr(self, seeds, *, delta: float = 0.85, max_round: int = 10,
             tol: Optional[float] = None, max_iter: int = 1000
             ) -> ray.data.Dataset:

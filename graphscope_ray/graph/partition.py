@@ -2378,3 +2378,22 @@ class GraphPartition:
         """Per owned vertex: matched partner vid (-1 = unmatched)."""
         s = self.state["mm"]
         return {"vid": self.local_vids(), "mate": s["mate"]}
+
+    def pr_warm_init(self):
+        """PageRank warm start after ``append_edges``: recompute the
+        degree-derived arrays (out_deg changed) but KEEP the converged
+        rank vector — power iteration from a near-fixpoint needs far
+        fewer supersteps to re-converge, and the fixpoint is unique so
+        the result equals a cold recompute at the same tolerance.
+        Falls back to pr_init when no prior PageRank state exists."""
+        s = self.state.get("pr")
+        if not s or "rank" not in s:
+            cnt = self.pr_init()
+            return cnt, cnt / self.V  # uniform ranks → mass = cnt/V
+        dangling = self.out_deg == 0
+        inv_deg = np.zeros(self.nlocal)
+        nz = ~dangling
+        inv_deg[nz] = 1.0 / self.out_deg[nz]
+        s["dangling"] = dangling
+        s["inv_deg"] = inv_deg
+        return int(dangling.sum()), float(s["rank"][dangling].sum())
