@@ -3307,6 +3307,31 @@ def _q_emb_ann_topk(sf_dir):
     return out
 
 
+def _q_emb_range_search(sf_dir):
+    """Cosine range search (radius sibling of top-k ANN): all vectors
+    with round6(cosine) ≥ 0.2 per query — streaming broadcast-matmul
+    filter, no merge stage, no top-k state."""
+    from graphscope_ray.data.similarity import range_search
+    import pyarrow.compute as pc
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet")
+    qtab = (emb.filter(expr="vec_id < 3")
+            .take_batch(16, batch_format="pyarrow"))
+    order = pc.sort_indices(qtab["vec_id"])
+    queries = np.stack([np.asarray(v)
+                        for v in qtab["embedding"].take(order).to_pylist()])
+    return range_search(emb, queries, threshold=0.2)
+
+
+_RANGE_SEARCH_SQL = """
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),
+s AS (SELECT q.query_id, e.vec_id,
+             round(list_cosine_similarity(e.emb, q.qv), 6) AS cosine
+      FROM e CROSS JOIN q)
+SELECT query_id, vec_id, cosine FROM s WHERE cosine >= 0.2
+ORDER BY query_id, vec_id"""
+
+
 def _q_emb_ivf_ann(sf_dir):
     from graphscope_ray.data.similarity import ivf_ann_topk
     import pyarrow.compute as pc
@@ -3647,6 +3672,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_semdedup": _q_emb_semdedup,
         "emb_cluster_sample": _q_emb_cluster_sample,
         "emb_ann_topk": _q_emb_ann_topk,
+        "emb_range_search": _q_emb_range_search,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_knn_wcc": _q_emb_knn_wcc,
@@ -3938,6 +3964,7 @@ ORDER BY source, rn""",
                                              threshold=0.3),
         "emb_cluster_sample": _osql().cluster_sample_sql(
             k=8, iters=2, m=10, seed=3, dim=64),
+        "emb_range_search": _RANGE_SEARCH_SQL,
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),

@@ -958,3 +958,42 @@ def ivf_pq_ann_topk(codes_ds: ray.data.Dataset, queries: np.ndarray,
         merge, batch_format="pandas")
     return (out.to_pandas()
             .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
+def range_search(
+    emb: ray.data.Dataset,
+    queries: np.ndarray,
+    *,
+    threshold: float = 0.8,
+    key: str = "vec_id",
+    col: str = "embedding",
+) -> ray.data.Dataset:
+    """Cosine RANGE search — all vectors with round6(cosine) ≥
+    ``threshold`` per query (the radius sibling of :func:`ann_topk`,
+    the shape dedup-audit / recall-eval jobs need when k is unknown).
+
+    Fully streaming: one broadcast of the normalized query matrix
+    (``ray.put``), a per-batch matmul + rounded-threshold filter —
+    no merge stage, no top-k state, nothing but hit rows ever leaves
+    a worker. The threshold compares the ROUNDED similarity on both
+    engine and SQL sides, so the decision boundary is shared
+    (oracle_sql round6 convention). → (query_id, vec_id, cosine)."""
+    from graphscope_ray.util import round_half_away
+
+    q = _normalize(np.asarray(queries, dtype=np.float64))
+    ref = ray.put(q)
+
+    def block(t: pa.Table) -> pa.Table:
+        qm = ray.get(ref)
+        ids = t[key].to_numpy()
+        m = _normalize(np.stack(t[col].to_numpy(zero_copy_only=False)))
+        sims = round_half_away(m @ qm.T, 6)  # B × Q
+        vi, qi = np.nonzero(sims >= threshold)
+        return pa.table({
+            "query_id": pa.array(qi.astype(np.int64)),
+            key: pa.array(ids[vi]),
+            "cosine": pa.array(sims[vi, qi]),
+        })
+
+    return emb.select_columns([key, col]).map_batches(
+        block, batch_format="pyarrow")

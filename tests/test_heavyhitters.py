@@ -94,3 +94,31 @@ def test_mg_topk_empty():
     ds = ray.data.from_pandas(pd.DataFrame({"text": ["", "", None]}))
     got, info = mg_topk(ds, k=5)
     assert len(got) == 0 and info["guaranteed"]
+
+
+def test_range_search_vs_bruteforce():
+    """range_search vs a numpy brute-force scan at several radii."""
+    from graphscope_ray.data.similarity import range_search
+    from graphscope_ray.util import round_half_away
+    rng = np.random.default_rng(12)
+    n, d = 300, 16
+    vecs = rng.normal(size=(n, d))
+    emb = pd.DataFrame({"vec_id": np.arange(n),
+                        "embedding": list(vecs.astype(np.float32))})
+    ds = ray.data.from_pandas(emb).repartition(5)
+    queries = vecs[:2]
+    for th in (0.1, 0.4, 0.95):
+        got = range_search(ds, queries, threshold=th).to_pandas()
+        got_set = set(zip(got["query_id"].astype(int),
+                          got["vec_id"].astype(int))) if len(got) else set()
+        vn = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+        qn = queries / np.linalg.norm(queries, axis=1, keepdims=True)
+        # the engine normalizes the float32-ingested vectors, so the
+        # oracle must follow the same float path
+        v32 = np.stack(emb["embedding"].to_numpy())
+        vn = v32 / np.linalg.norm(v32.astype(np.float64), axis=1,
+                                  keepdims=True)
+        sims = round_half_away(vn @ qn.T, 6)
+        vi, qi = np.nonzero(sims >= th)
+        want = set(zip(qi.tolist(), vi.tolist()))
+        assert got_set == want, th
