@@ -3307,6 +3307,43 @@ def _q_emb_ann_topk(sf_dir):
     return out
 
 
+def _q_rel_rfm(sf_dir):
+    """RFM customer segmentation (recency/frequency/monetary quartile
+    scores, integer-cents money) — pipelines/relational.rfm_segments."""
+    from graphscope_ray.pipelines.relational import rfm_segments
+    return rfm_segments(sf_dir)
+
+
+_RFM_SQL = """
+WITH c AS MATERIALIZED (
+  SELECT o_custkey AS cust,
+         max(o_orderdate) AS rec,
+         count(*)::BIGINT AS freq,
+         sum(CAST(round(o_totalprice * 100.0, 0) AS BIGINT))::BIGINT
+           AS mon
+  FROM orders GROUP BY 1),
+q AS (SELECT quantile_disc(rec, 0.25) r1, quantile_disc(rec, 0.5) r2,
+             quantile_disc(rec, 0.75) r3,
+             quantile_disc(freq, 0.25) f1, quantile_disc(freq, 0.5) f2,
+             quantile_disc(freq, 0.75) f3,
+             quantile_disc(mon, 0.25) m1, quantile_disc(mon, 0.5) m2,
+             quantile_disc(mon, 0.75) m3
+      FROM c)
+SELECT cust,
+  (1 + (rec > q.r1)::INT + (rec > q.r2)::INT + (rec > q.r3)::INT
+   )::BIGINT AS r_score,
+  (1 + (freq > q.f1)::INT + (freq > q.f2)::INT + (freq > q.f3)::INT
+   )::BIGINT AS f_score,
+  (1 + (mon > q.m1)::INT + (mon > q.m2)::INT + (mon > q.m3)::INT
+   )::BIGINT AS m_score,
+  (100 * (1 + (rec > q.r1)::INT + (rec > q.r2)::INT + (rec > q.r3)::INT)
+   + 10 * (1 + (freq > q.f1)::INT + (freq > q.f2)::INT
+           + (freq > q.f3)::INT)
+   + (1 + (mon > q.m1)::INT + (mon > q.m2)::INT + (mon > q.m3)::INT)
+   )::BIGINT AS rfm
+FROM c, q ORDER BY cust"""
+
+
 def _q_emb_range_search(sf_dir):
     """Cosine range search (radius sibling of top-k ANN): all vectors
     with round6(cosine) ≥ 0.2 per query — streaming broadcast-matmul
@@ -3673,6 +3710,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_cluster_sample": _q_emb_cluster_sample,
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_range_search": _q_emb_range_search,
+        "rel_rfm": _q_rel_rfm,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_knn_wcc": _q_emb_knn_wcc,
@@ -3965,6 +4003,7 @@ ORDER BY source, rn""",
         "emb_cluster_sample": _osql().cluster_sample_sql(
             k=8, iters=2, m=10, seed=3, dim=64),
         "emb_range_search": _RANGE_SEARCH_SQL,
+        "rel_rfm": _RFM_SQL,
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),

@@ -454,3 +454,80 @@ WHERE c.c_nationkey = s.s_nationkey
   AND o.o_orderdate >= DATE '1996-01-01'
   AND o.o_orderdate < DATE '1997-01-01'
 GROUP BY n.n_name ORDER BY revenue DESC, n_name"""
+
+
+def rfm_segments(sf_dir: str) -> ray.data.Dataset:
+    """RFM customer segmentation over ``orders`` — the classic
+    marketing rollup: per customer recency (max order date),
+    frequency (order count), monetary (exact integer-cents total),
+    each scored 1-4 by quartile-threshold bucketing
+    (``score = 1 + Σ_k [x > quantile_disc(k/4)]`` — explicit
+    thresholds, NOT ntile, so ties score deterministically on both
+    sides), plus the combined ``rfm = 100r + 10f + m``.
+
+    Shape: per-batch combiner (np.unique per custkey: max/count/sum),
+    one bucket-shuffle merge kernel, the three quartile thresholds
+    via the profile module's block-skipping order statistics (only
+    the blocks holding a requested rank are read), then a stateless
+    scoring map. Money is integer cents end to end (the relational
+    family's exactness convention)."""
+    import pandas as pd
+    from graphscope_ray.data.profile import _order_statistics
+    from graphscope_ray.util import round_half_away
+    import math
+
+    orders = ray.data.read_parquet(
+        f"{sf_dir}/orders.parquet",
+        columns=["o_custkey", "o_orderdate", "o_totalprice"])
+
+    def partial(t: pa.Table) -> pd.DataFrame:
+        ck = t["o_custkey"].to_numpy()
+        dt = (t["o_orderdate"].to_numpy()
+              .astype("datetime64[ns]").astype(np.int64))
+        cents = round_half_away(
+            t["o_totalprice"].to_numpy() * 100.0, 0).astype(np.int64)
+        order = np.argsort(ck, kind="mergesort")
+        ck, dt, cents = ck[order], dt[order], cents[order]
+        brk = np.r_[True, ck[1:] != ck[:-1]]
+        starts = np.flatnonzero(brk)
+        ends = np.r_[starts[1:], len(ck)]
+        return pd.DataFrame({
+            "cust": ck[starts],
+            "rec": np.maximum.reduceat(dt, starts),
+            "freq": (ends - starts).astype(np.int64),
+            "mon": np.add.reduceat(cents, starts),
+            "_b": ck[starts] % 32,
+        })
+
+    def merge(g: pd.DataFrame) -> pd.DataFrame:
+        agg = g.groupby("cust", sort=False).agg(
+            rec=("rec", "max"), freq=("freq", "sum"),
+            mon=("mon", "sum")).reset_index()
+        agg["freq"] = agg["freq"].astype(np.int64)
+        agg["mon"] = agg["mon"].astype(np.int64)
+        return agg
+
+    cust = (orders.map_batches(partial, batch_format="pyarrow")
+            .groupby("_b").map_groups(merge, batch_format="pandas")
+            .materialize())
+    n = cust.count()
+    ranks = [max(0, math.ceil(q * n) - 1) for q in (0.25, 0.5, 0.75)]
+    th = {m: _order_statistics(cust, m, ranks)
+          for m in ("rec", "freq", "mon")}
+    ref = ray.put(th)
+
+    def score(t: pa.Table) -> pa.Table:
+        thr = ray.get(ref)
+
+        def s(col):
+            x = t[col].to_numpy()
+            q = thr[col]
+            return (1 + (x > q[0]).astype(np.int64)
+                    + (x > q[1]) + (x > q[2])).astype(np.int64)
+
+        r, f, m = s("rec"), s("freq"), s("mon")
+        return pa.table({"cust": t["cust"],
+                         "r_score": r, "f_score": f, "m_score": m,
+                         "rfm": 100 * r + 10 * f + m})
+
+    return cust.map_batches(score, batch_format="pyarrow")
