@@ -3307,6 +3307,31 @@ def _q_emb_ann_topk(sf_dir):
     return out
 
 
+def _q_doc_keywords(sf_dir):
+    """Per-document keyword extraction: top-3 TF-IDF slots per doc
+    (tfidf_rows → topk_per_group; keyword = hashed slot id in the
+    shared fmix64 family) — the per-doc feature-selection composition
+    of two existing oracle-checked operators."""
+    from graphscope_ray.data.curate import topk_per_group
+    from graphscope_ray.data.text import tfidf_rows
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return topk_per_group(tfidf_rows(docs, dim=128), group="doc_id",
+                          score="tfidf", key="slot", k=3)
+
+
+def _keywords_sql() -> str:
+    base = _osql().tfidf_sql(dim=128).rstrip()
+    assert base.endswith("ORDER BY doc_id, slot")
+    inner = base[: -len("ORDER BY doc_id, slot")]
+    return f"""
+WITH t AS ({inner})
+SELECT doc_id, slot, tf, tfidf, rn FROM (
+  SELECT *, row_number() OVER (PARTITION BY doc_id
+      ORDER BY tfidf DESC, slot) AS rn FROM t)
+WHERE rn <= 3 ORDER BY doc_id, rn"""
+
+
 def _q_rel_rfm(sf_dir):
     """RFM customer segmentation (recency/frequency/monetary quartile
     scores, integer-cents money) — pipelines/relational.rfm_segments."""
@@ -3711,6 +3736,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_ann_topk": _q_emb_ann_topk,
         "emb_range_search": _q_emb_range_search,
         "rel_rfm": _q_rel_rfm,
+        "doc_keywords": _q_doc_keywords,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_knn_wcc": _q_emb_knn_wcc,
@@ -4004,6 +4030,7 @@ ORDER BY source, rn""",
             k=8, iters=2, m=10, seed=3, dim=64),
         "emb_range_search": _RANGE_SEARCH_SQL,
         "rel_rfm": _RFM_SQL,
+        "doc_keywords": _keywords_sql(),
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),
