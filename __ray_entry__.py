@@ -3307,6 +3307,35 @@ def _q_emb_ann_topk(sf_dir):
     return out
 
 
+def _q_events_zscore(sf_dir):
+    """Per-event z-score within its user's value distribution
+    (stddev_samp semantics; integer-cents exact moments, bit-exact
+    final float expression)."""
+    from graphscope_ray.data.temporal import user_zscores
+    events = ray.data.read_parquet(
+        f"{sf_dir}/events.parquet",
+        columns=["event_id", "user_id", "value"])
+    return user_zscores(events)
+
+
+_ZSCORE_SQL = """
+WITH m AS MATERIALIZED (
+  SELECT user_id, count(*)::BIGINT AS n,
+         sum(CAST(round(value * 100.0, 0) AS BIGINT))::BIGINT AS sx,
+         sum(CAST(round(value * 100.0, 0) AS BIGINT)
+             * CAST(round(value * 100.0, 0) AS BIGINT))::BIGINT AS sxx
+  FROM events GROUP BY 1),
+j AS (SELECT e.event_id, e.user_id,
+             CAST(round(e.value * 100.0, 0) AS BIGINT) AS c,
+             m.n, m.sx, m.sxx
+      FROM events e JOIN m USING (user_id) WHERE m.n >= 2)
+SELECT event_id, user_id,
+       round(((c * n - sx)::DOUBLE)
+             / (sqrt(((n * sxx - sx * sx)::DOUBLE)
+                     / ((n * (n - 1))::DOUBLE)) * n), 6) AS z
+FROM j WHERE (n * sxx - sx * sx) > 0 ORDER BY event_id"""
+
+
 def _q_doc_keywords(sf_dir):
     """Per-document keyword extraction: top-3 TF-IDF slots per doc
     (tfidf_rows → topk_per_group; keyword = hashed slot id in the
@@ -3737,6 +3766,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "emb_range_search": _q_emb_range_search,
         "rel_rfm": _q_rel_rfm,
         "doc_keywords": _q_doc_keywords,
+        "events_zscore": _q_events_zscore,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_knn_wcc": _q_emb_knn_wcc,
@@ -4031,6 +4061,7 @@ ORDER BY source, rn""",
         "emb_range_search": _RANGE_SEARCH_SQL,
         "rel_rfm": _RFM_SQL,
         "doc_keywords": _keywords_sql(),
+        "events_zscore": _ZSCORE_SQL,
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),

@@ -578,3 +578,61 @@ def attribute_conversions(
     return (ds.map_batches(bucket, batch_format="pyarrow")
             .groupby("_b")
             .map_groups(kernel, batch_format="pandas"))
+
+
+def user_zscores(
+    ds: ray.data.Dataset,
+    *,
+    key: str = "user_id",
+    value: str = "value",
+    order_col: str = "event_id",
+    num_buckets: int = _NUM_BUCKETS,
+) -> ray.data.Dataset:
+    """Per-event anomaly score: z = (x − mean_key) / stddev_key with
+    the SAMPLE standard deviation of the event's own key group
+    (stddev_samp semantics; keys with < 2 events or zero variance get
+    no row, matching SQL's NULL/div-by-zero drop).
+
+    Exactness: event values are 2-decimal money-like doubles, so they
+    are scaled to integer cents first — the per-key sums (n, Σx, Σx²)
+    are exact int64 and the final float expression
+    ``(cents·n − Σ) / sqrt(n·(n·Σx² − Σx²sums)/(n−1))``-shaped math is
+    bit-reproducible by the SQL twin; z is rounded half-away at 6 dp.
+    Shape: ONE bucket shuffle by key hash (a bucket owns all rows of
+    its keys, so local moments are global) + a vectorized per-bucket
+    kernel. → (order_col, key, z)."""
+
+    def bucket(t: pa.Table) -> pa.Table:
+        b = t[key].to_numpy() % num_buckets
+        return t.append_column("_b", pa.array(b.astype(np.int64)))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        g = g.sort_values([key, order_col], kind="mergesort")
+        k = g[key].to_numpy()
+        cents = round_half_away(
+            g[value].to_numpy() * 100.0, 0).astype(np.int64)
+        brk = np.r_[True, k[1:] != k[:-1]] if len(k) else np.array([], bool)
+        starts = np.flatnonzero(brk)
+        n = np.diff(np.r_[starts, len(k)]).astype(np.int64)
+        sx = np.add.reduceat(cents, starts)
+        sxx = np.add.reduceat(cents * cents, starts)
+        gid = np.cumsum(brk) - 1
+        nn, sxg, sxxg = n[gid], sx[gid], sxx[gid]
+        ok = nn >= 2
+        # sample variance over exact integer sums:
+        # var = (n·Σx² − (Σx)²) / (n·(n−1)), in cents²
+        num = (nn * sxx[gid] - sxg * sxg).astype(np.float64)
+        den = (nn * (nn - 1)).astype(np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            sd = np.sqrt(num / den)
+            z = ((cents * nn - sxg).astype(np.float64)
+                 / (sd * nn))
+        ok &= np.isfinite(z)
+        return pd.DataFrame({
+            order_col: g[order_col].to_numpy()[ok],
+            key: k[ok],
+            "z": round_half_away(z[ok], 6),
+        })
+
+    return (ds.map_batches(bucket, batch_format="pyarrow")
+            .groupby("_b").map_groups(kernel, batch_format="pandas"))

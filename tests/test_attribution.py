@@ -76,3 +76,37 @@ def test_attribution_window_boundary_inclusive():
     assert len(got) == 1
     assert int(got["first_touch_id"].iloc[0]) == 0
     assert int(got["last_touch_id"].iloc[0]) == 2
+
+
+def test_user_zscores_vs_pandas():
+    """user_zscores vs a pandas stddev-samp replay (integer cents)."""
+    from graphscope_ray.data.temporal import user_zscores
+    from graphscope_ray.util import round_half_away
+    rng = np.random.default_rng(9)
+    n = 400
+    df = pd.DataFrame({
+        "event_id": np.arange(n, dtype=np.int64),
+        "user_id": rng.integers(0, 25, n),
+        "value": np.round(rng.uniform(0, 99, n), 2)})
+    # one single-event user and one zero-variance user
+    df.loc[0, "user_id"] = 999
+    df.loc[1:3, "user_id"] = 998
+    df.loc[1:3, "value"] = 5.0
+    got = user_zscores(ray.data.from_pandas(df).repartition(4)).to_pandas()
+    cents = round_half_away(df["value"].to_numpy() * 100.0, 0).astype(np.int64)
+    d = df.assign(c=cents)
+    want = {}
+    for uid, g in d.groupby("user_id"):
+        nn = len(g)
+        if nn < 2:
+            continue
+        sx, sxx = int(g["c"].sum()), int((g["c"] ** 2).sum())
+        if nn * sxx - sx * sx <= 0:
+            continue
+        sd = np.sqrt(float(nn * sxx - sx * sx) / float(nn * (nn - 1)))
+        for eid, c in zip(g["event_id"], g["c"]):
+            want[int(eid)] = float(round_half_away(
+                float(c * nn - sx) / (sd * nn), 6))
+    got_map = dict(zip(got["event_id"].astype(int), got["z"]))
+    assert got_map == want
+    assert 0 not in got_map and 1 not in got_map  # dropped rows
