@@ -3307,6 +3307,28 @@ def _q_emb_ann_topk(sf_dir):
     return out
 
 
+def _q_pg_sparsify(sf_dir):
+    """Top-k edge sparsification: keep each source's 3 strongest
+    co-occurrence edges (weight desc, dst asc) — the kNN-graph
+    preprocessing step for community/embedding pipelines; pure
+    composition of the per-group top-k combiner over the edge table
+    (no O(E) driver state, at most k·V rows survive)."""
+    from graphscope_ray.data.curate import topk_per_group
+    _, edges = _partgraph(sf_dir)
+    return topk_per_group(edges.select_columns(["src", "dst", "weight"]),
+                          group="src", score="weight", key="dst", k=3)
+
+
+_SPARSIFY_SQL = f"""
+WITH {_PRELUDE}
+SELECT src, dst, w::BIGINT AS weight, rn FROM (
+  SELECT src, dst, w,
+         row_number() OVER (PARTITION BY src
+                            ORDER BY w DESC, dst) AS rn
+  FROM e0)
+WHERE rn <= 3 ORDER BY src, rn"""
+
+
 def _q_events_zscore(sf_dir):
     """Per-event z-score within its user's value distribution
     (stddev_samp semantics; integer-cents exact moments, bit-exact
@@ -3767,6 +3789,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "rel_rfm": _q_rel_rfm,
         "doc_keywords": _q_doc_keywords,
         "events_zscore": _q_events_zscore,
+        "pg_sparsify": _q_pg_sparsify,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_knn_wcc": _q_emb_knn_wcc,
@@ -4062,6 +4085,7 @@ ORDER BY source, rn""",
         "rel_rfm": _RFM_SQL,
         "doc_keywords": _keywords_sql(),
         "events_zscore": _ZSCORE_SQL,
+        "pg_sparsify": _SPARSIFY_SQL,
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),
