@@ -3307,6 +3307,30 @@ def _q_emb_ann_topk(sf_dir):
     return out
 
 
+def _q_pg_degree_hist(sf_dir):
+    """Degree distribution (histogram of undirected degrees) — the
+    power-law health check every link-graph audit starts with; two
+    chained bucketed sums (vid degrees → degree counts)."""
+    from graphscope_ray.graph import api
+    from graphscope_ray.util import bucketed_sum
+    _, edges = _partgraph(sf_dir)
+    deg = api.degrees(api.to_undirected(edges), mode="out")
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({"degree": t["degree"],
+                         "n": np.ones(len(t), np.int64)})
+
+    return bucketed_sum(deg.map_batches(one, batch_format="pyarrow"),
+                        "degree", "n")
+
+
+_DEGREE_HIST_SQL = f"""
+WITH {_PRELUDE},
+d AS (SELECT s AS v, count(*)::BIGINT AS degree FROM e GROUP BY s)
+SELECT degree, count(*)::BIGINT AS n FROM d
+GROUP BY degree ORDER BY degree"""
+
+
 def _q_pg_sparsify(sf_dir):
     """Top-k edge sparsification: keep each source's 3 strongest
     co-occurrence edges (weight desc, dst asc) — the kNN-graph
@@ -3790,6 +3814,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_keywords": _q_doc_keywords,
         "events_zscore": _q_events_zscore,
         "pg_sparsify": _q_pg_sparsify,
+        "pg_degree_hist": _q_pg_degree_hist,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_knn_wcc": _q_emb_knn_wcc,
@@ -4086,6 +4111,7 @@ ORDER BY source, rn""",
         "doc_keywords": _keywords_sql(),
         "events_zscore": _ZSCORE_SQL,
         "pg_sparsify": _SPARSIFY_SQL,
+        "pg_degree_hist": _DEGREE_HIST_SQL,
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),
