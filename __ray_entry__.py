@@ -3307,6 +3307,43 @@ def _q_emb_ann_topk(sf_dir):
     return out
 
 
+def _q_events_window_hll(sf_dir):
+    """Daily-active-users HLL: per tumbling day, the 2^8 register
+    table of fmix64(user_id·B + seed) — sketch × temporal composition
+    (only #days · 256 B of accumulator move; exact register replay in
+    SQL)."""
+    from graphscope_ray.data.sketch import hll_window_ids
+    events = ray.data.read_parquet(f"{sf_dir}/events.parquet",
+                                   columns=["ts", "user_id"])
+    return hll_window_ids(events, p=8, seed=5)
+
+
+def _window_hll_sql(p: int = 8, seed: int = 5,
+                    wns: int = 86_400_000_000_000) -> str:
+    from graphscope_ray.oracle_sql import B, M64, fmix_u64_sql
+    m, cap = 1 << p, 64 - p + 1
+    h = fmix_u64_sql(f"((user_id::HUGEINT * {B} + {seed}) % {M64})"
+                     "::UBIGINT")
+    w = f"((h >> {p})::BIGINT)"
+    return f"""
+WITH x AS (SELECT (epoch_ns(ts) // {wns})::BIGINT AS wid, {h} AS h
+           FROM events),
+rr AS (SELECT wid, (h % {m})::BIGINT AS idx,
+       CASE WHEN (h >> {p}) = 0 THEN {cap}
+            ELSE least(bit_count(({w} & (-{w})) - 1) + 1, {cap})
+       END AS rho
+       FROM x),
+regs AS (SELECT wid, idx, max(rho) AS reg FROM rr GROUP BY wid, idx),
+wids AS (SELECT DISTINCT wid FROM x),
+grid AS (SELECT wids.wid, g.reg_idx FROM wids
+         CROSS JOIN (SELECT unnest(range({m})) AS reg_idx) g)
+SELECT grid.wid AS wid, grid.reg_idx::BIGINT AS reg_idx,
+       coalesce(regs.reg, 0)::BIGINT AS reg
+FROM grid LEFT JOIN regs ON regs.wid = grid.wid
+                        AND regs.idx = grid.reg_idx
+ORDER BY grid.wid, grid.reg_idx"""
+
+
 def _q_pg_degree_hist(sf_dir):
     """Degree distribution (histogram of undirected degrees) — the
     power-law health check every link-graph audit starts with; two
@@ -3815,6 +3852,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_zscore": _q_events_zscore,
         "pg_sparsify": _q_pg_sparsify,
         "pg_degree_hist": _q_pg_degree_hist,
+        "events_window_hll": _q_events_window_hll,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_knn_wcc": _q_emb_knn_wcc,
@@ -4112,6 +4150,7 @@ ORDER BY source, rn""",
         "events_zscore": _ZSCORE_SQL,
         "pg_sparsify": _SPARSIFY_SQL,
         "pg_degree_hist": _DEGREE_HIST_SQL,
+        "events_window_hll": _window_hll_sql(8, 5),
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),

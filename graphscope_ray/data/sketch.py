@@ -328,3 +328,57 @@ def cms_rows(ds: ray.data.Dataset, *, col: str = "text",
         "col_idx": np.tile(np.arange(c.shape[1], dtype=np.int64), d),
         "cnt": c.reshape(-1),
     })
+
+
+def hll_window_ids(ds: ray.data.Dataset, *, ts_col: str = "ts",
+                   id_col: str = "user_id",
+                   width=None, p: int = 8, seed: int = 5,
+                   ) -> pd.DataFrame:
+    """Per-tumbling-window approximate distinct-id count — the
+    sketch × temporal composition (daily/hourly active users at a
+    scale where exact per-window COUNT(DISTINCT) would shuffle every
+    id): events stamp their window id (epoch-ns // width), and each
+    window folds ``fmix64(id·B + seed)`` hashes (data/curate._row_hash
+    family — SQL-replayable) into a 2^p register vector via the
+    per-key tree-merge aggregate. Only #windows · 2^p bytes of
+    accumulator ever move. Returns the dense (wid, reg_idx, reg)
+    register table — the driver-row / oracle-compare form; feed rows
+    through :func:`hll_estimate` per window for the float estimates.
+    Window count must be LOW-cardinality (tumbling days/hours — the
+    per-distinct-key aggregate note on hll_register_rows_by_key)."""
+    import numpy as np
+    if width is None:
+        width = np.timedelta64(1, "D")
+    wns = int(np.timedelta64(width).astype("timedelta64[ns]")
+              .astype(np.int64))
+    m = 1 << p
+    from graphscope_ray.data.hashing import B as _B
+
+    def stamp(t: pa.Table) -> pa.Table:
+        w = (t[ts_col].to_numpy().astype("datetime64[ns]")
+             .astype(np.int64) // wns)
+        return pa.table({"wid": w, id_col: t[id_col]})
+
+    def accumulate_block(acc: np.ndarray, block) -> np.ndarray:
+        ids = (block[id_col].to_numpy()
+               if not isinstance(block, pa.Table)
+               else block[id_col].to_numpy())
+        h = fmix64(np.asarray(ids).astype(np.uint64) * _B
+                   + np.uint64(seed))
+        return hll_fold(h, p, acc.copy())
+
+    agg = AggregateFn(
+        init=lambda k: np.zeros(m, dtype=np.uint8),
+        merge=lambda a, b: np.maximum(a, b),
+        accumulate_block=accumulate_block,
+        name="hll_regs",
+    )
+    rows = (ds.map_batches(stamp, batch_format="pyarrow")
+            .groupby("wid").aggregate(agg).take_all())
+    rows.sort(key=lambda r: r["wid"])
+    return pd.DataFrame({
+        "wid": np.repeat([r["wid"] for r in rows], m).astype(np.int64),
+        "reg_idx": np.tile(np.arange(m, dtype=np.int64), len(rows)),
+        "reg": np.concatenate(
+            [np.asarray(r["hll_regs"], dtype=np.int64) for r in rows]),
+    })

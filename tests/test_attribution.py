@@ -110,3 +110,31 @@ def test_user_zscores_vs_pandas():
     got_map = dict(zip(got["event_id"].astype(int), got["z"]))
     assert got_map == want
     assert 0 not in got_map and 1 not in got_map  # dropped rows
+
+
+def test_hll_window_ids_vs_replay():
+    """Windowed HLL registers vs a numpy per-window replay; estimates
+    within HLL error of exact daily distinct counts."""
+    from graphscope_ray.data.hashing import B, fmix64
+    from graphscope_ray.data.sketch import hll_estimate, hll_fold, \
+        hll_window_ids
+    rng = np.random.default_rng(2)
+    n = 3000
+    base = np.datetime64("2024-01-01", "ns")
+    ts = base + rng.integers(0, 5 * 86400, n).astype(
+        "timedelta64[s]").astype("timedelta64[ns]")
+    uid = rng.integers(0, 400, n)
+    df = pd.DataFrame({"ts": ts, "user_id": uid})
+    got = hll_window_ids(ray.data.from_pandas(df).repartition(4),
+                         p=8, seed=5)
+    wns = np.timedelta64(1, "D").astype("timedelta64[ns]").astype(np.int64)
+    wid = ts.astype(np.int64) // wns
+    for w in np.unique(wid):
+        ids = uid[wid == w]
+        h = fmix64(ids.astype(np.uint64) * B + np.uint64(5))
+        regs = hll_fold(h, 8)
+        sub = got[got["wid"] == w].sort_values("reg_idx")
+        assert (sub["reg"].to_numpy() == regs.astype(np.int64)).all()
+        exact = len(np.unique(ids))
+        est = hll_estimate(regs)
+        assert abs(est - exact) / exact < 0.3  # 1.04/sqrt(256) ≈ 6.5%
