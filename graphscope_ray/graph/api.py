@@ -119,11 +119,15 @@ class Graph:
             cols = ["src", "dst"]
 
             # fused endpoint extraction: one scan, per-batch unique
-            # (combiner before the distinct shuffle)
+            # (combiner before the distinct shuffle). Arrow unique —
+            # np.unique on object (string-oid) arrays was
+            # comparison-bound at the flagship's 10^7-edge scale
             def endpoints(t: pa.Table) -> pa.Table:
-                vals = np.unique(np.concatenate(
-                    [t["src"].to_numpy(), t["dst"].to_numpy()]))
-                return pa.table({"oid": pa.array(vals)})
+                import pyarrow.compute as pc
+                both = pa.chunked_array(
+                    [t["src"].combine_chunks(),
+                     t["dst"].combine_chunks()])
+                return pa.table({"oid": pc.unique(both)})
 
             oids = edges.map_batches(endpoints, batch_format="pyarrow")
             idmap = assign_dense_ids(oids, "oid").materialize()

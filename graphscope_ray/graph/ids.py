@@ -62,12 +62,27 @@ def assign_dense_ids(ds: ray.data.Dataset, col: str = "oid",
         # return the typed empty map before touching it
         return ray.data.from_arrow(empty)
     if n_pre <= driver_threshold:
-        vals = np.unique(pre.to_pandas()[col].to_numpy())
+        # Arrow unique + sort on the collected pre-distinct stream —
+        # np.unique over object (string-oid) arrays was
+        # comparison-bound; Arrow sorts UTF-8 by bytes, which equals
+        # codepoint order, so the rank assignment is unchanged
+        import pyarrow.compute as pc
+        tabs = []
+        for b in ray.get(list(pre.to_arrow_refs())):
+            if isinstance(b, pa.RecordBatch):
+                tabs.append(pa.Table.from_batches([b]))
+            elif isinstance(b, pa.Table):
+                tabs.append(b)
+            else:  # pandas-backed block
+                tabs.append(pa.Table.from_pandas(b, preserve_index=False))
+        arr = pa.concat_tables(tabs, promote_options="default")[col]
+        u = pc.unique(arr.combine_chunks())
+        vals = u.take(pc.sort_indices(u))
         if len(vals) == 0:
             return ray.data.from_arrow(empty)
         chunk = 4_000_000  # keep blocks near Ray's target block size
         return ray.data.from_arrow([
-            pa.table({"oid": pa.array(vals[lo:lo + chunk]),
+            pa.table({"oid": vals.slice(lo, min(chunk, len(vals) - lo)),
                       "vid": pa.array(np.arange(
                           lo, min(lo + chunk, len(vals)), dtype=np.int64))})
             for lo in range(0, len(vals), chunk)
@@ -105,17 +120,20 @@ def _broadcast_lookup_fn(idmap_ref, cols):
     stage)."""
 
     def f(batch: pa.Table) -> pa.Table:
-        oids, vids = ray.get(idmap_ref)
+        import pyarrow.compute as pc
+        oids_pa, vids = ray.get(idmap_ref)
         for c in cols:
-            vals = batch.column(c).to_numpy(zero_copy_only=False)
-            idx = np.searchsorted(oids, vals)
-            idx = np.clip(idx, 0, len(oids) - 1)
-            ok = oids[idx] == vals
-            if not ok.all():
+            # Arrow hash-lookup kernel: ~5-10x faster than numpy
+            # searchsorted on object (string-oid) arrays — the
+            # flagship's string-keyed attach was comparison-bound
+            idx = pc.index_in(batch[c], value_set=oids_pa)
+            nmiss = idx.null_count
+            if nmiss:
                 raise KeyError(
-                    f"{(~ok).sum()} oids in column {c} missing from id map")
+                    f"{nmiss} oids in column {c} missing from id map")
+            iv = idx.to_numpy(zero_copy_only=False).astype(np.int64)
             batch = batch.set_column(
-                batch.schema.get_field_index(c), c, pa.array(vids[idx])
+                batch.schema.get_field_index(c), c, pa.array(vids[iv])
             )
         return batch
 
@@ -142,8 +160,10 @@ def attach_vids(
     if n <= broadcast_threshold:
         pdf = idmap.to_pandas()
         pdf = pdf.sort_values("oid")
+        # the oid side ships as an Arrow array (pc.index_in value_set)
         ref = ray.put(
-            (pdf["oid"].to_numpy(), pdf["vid"].to_numpy(dtype=np.int64))
+            (pa.array(pdf["oid"].to_numpy()),
+             pdf["vid"].to_numpy(dtype=np.int64))
         )
         return edges.map_batches(
             _broadcast_lookup_fn(ref, list(cols)),
