@@ -3307,6 +3307,43 @@ def _q_emb_ann_topk(sf_dir):
     return out
 
 
+def _q_pg_component_sizes(sf_dir):
+    """Component-size distribution (how many components of each
+    size) — completes the graph-audit trio with pg_degree_hist and
+    pg_pseudo_diameter; two chained bucketed sums over the resident
+    WCC labels."""
+    from graphscope_ray.util import bucketed_sum
+    g, _ = _partgraph(sf_dir)
+    wc = g.wcc()
+
+    def one(t: pa.Table) -> pa.Table:
+        return pa.table({"comp": t["comp"],
+                         "n": np.ones(len(t), np.int64)})
+
+    sizes = bucketed_sum(wc.map_batches(one, batch_format="pyarrow"),
+                         "comp", "n")
+
+    def one2(t: pa.Table) -> pa.Table:
+        return pa.table({"size": t["n"],
+                         "n_components": np.ones(len(t), np.int64)})
+
+    return bucketed_sum(sizes.map_batches(one2, batch_format="pyarrow"),
+                        "size", "n_components")
+
+
+_COMPONENT_SIZES_SQL = f"""
+WITH RECURSIVE {_PRELUDE},
+r AS (
+  SELECT v, v AS l FROM v
+  UNION
+  SELECT e.t, r.l FROM r JOIN e ON e.s = r.v WHERE r.l < e.t
+),
+comp AS (SELECT v, min(l) AS c FROM r GROUP BY v),
+sizes AS (SELECT c, count(*)::BIGINT AS size FROM comp GROUP BY c)
+SELECT size, count(*)::BIGINT AS n_components FROM sizes
+GROUP BY size ORDER BY size"""
+
+
 def _q_events_window_hll(sf_dir):
     """Daily-active-users HLL: per tumbling day, the 2^8 register
     table of fmix64(user_id·B + seed) — sketch × temporal composition
@@ -3853,6 +3890,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_sparsify": _q_pg_sparsify,
         "pg_degree_hist": _q_pg_degree_hist,
         "events_window_hll": _q_events_window_hll,
+        "pg_component_sizes": _q_pg_component_sizes,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
         "emb_knn_wcc": _q_emb_knn_wcc,
@@ -4151,6 +4189,7 @@ ORDER BY source, rn""",
         "pg_sparsify": _SPARSIFY_SQL,
         "pg_degree_hist": _DEGREE_HIST_SQL,
         "events_window_hll": _window_hll_sql(8, 5),
+        "pg_component_sizes": _COMPONENT_SIZES_SQL,
         "emb_ann_topk": """
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
 q AS (SELECT vec_id AS query_id, emb AS qv FROM e WHERE vec_id < 3),
