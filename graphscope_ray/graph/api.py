@@ -124,9 +124,14 @@ class Graph:
             # comparison-bound at the flagship's 10^7-edge scale
             def endpoints(t: pa.Table) -> pa.Table:
                 import pyarrow.compute as pc
-                both = pa.chunked_array(
-                    [t["src"].combine_chunks(),
-                     t["dst"].combine_chunks()])
+                src = t["src"].combine_chunks()
+                dst = t["dst"].combine_chunks()
+                if src.type != dst.type:
+                    # mixed representations (e.g. string src vs
+                    # large_string dst from different upstream readers)
+                    # must not abort the build
+                    dst = pc.cast(dst, src.type)
+                both = pa.chunked_array([src, dst])
                 return pa.table({"oid": pc.unique(both)})
 
             oids = edges.map_batches(endpoints, batch_format="pyarrow")
@@ -1882,6 +1887,14 @@ def square_count(edges: ray.data.Dataset, *, num_buckets: int = 32,
             v = d[a + off]
             lo = np.minimum(u, v).astype(np.uint64)
             hi = np.maximum(u, v).astype(np.uint64)
+            if hi.size and int(hi.max()) >= 2 ** 32:
+                # the (lo<<32)|hi pair key collides silently past 4B
+                # vertices (same documented bound as node2vec's packed
+                # neighbor key)
+                raise OverflowError(
+                    "square_count: vid >= 2**32 overflows the packed "
+                    "co-neighbor pair key; graph exceeds the 4B-vertex "
+                    "bound of this kernel")
             keys.append((lo << np.uint64(32)) | hi)
         if not keys:
             return pd.DataFrame({"pair": pd.Series([], dtype=np.uint64),

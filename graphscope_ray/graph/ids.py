@@ -76,6 +76,13 @@ def assign_dense_ids(ds: ray.data.Dataset, col: str = "oid",
             else:  # pandas-backed block
                 tabs.append(pa.Table.from_pandas(b, preserve_index=False))
         arr = pa.concat_tables(tabs, promote_options="default")[col]
+        if arr.null_count:
+            # match the strictness of the old np.unique object path,
+            # which raised TypeError on None oids — a null must not be
+            # silently granted a vid
+            raise TypeError(
+                f"assign_dense_ids: column {col!r} contains "
+                f"{arr.null_count} null oid(s)")
         u = pc.unique(arr.combine_chunks())
         vals = u.take(pc.sort_indices(u))
         if len(vals) == 0:

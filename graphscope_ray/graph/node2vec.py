@@ -104,9 +104,17 @@ def node2vec_walks(edges: ray.data.Dataset, seeds, *, length: int = 5,
     inv_p, inv_q = 1.0 / p, 1.0 / q
 
     seeds = np.unique(np.asarray(list(seeds), dtype=np.int64))
+    idx = np.searchsorted(oids, seeds)
+    # a seed oid absent from the edge table would otherwise either raise
+    # an opaque IndexError (seed > max oid) or silently walk from an
+    # unrelated vertex (seed between oids)
+    bad = (idx >= len(oids)) | (oids[np.clip(idx, 0, len(oids) - 1)] != seeds)
+    if bad.any():
+        raise KeyError(f"seed oids not present in the edge table: "
+                       f"{seeds[bad][:10].tolist()}")
     n_walk = len(seeds) * walks_per_seed
     walk_id = np.arange(n_walk, dtype=np.int64)
-    start = np.repeat(np.searchsorted(oids, seeds), walks_per_seed)
+    start = np.repeat(idx, walks_per_seed)
     state = pd.DataFrame({"walk_id": walk_id,
                           "prev": np.full(n_walk, -1, np.int64),
                           "cur": start})

@@ -2296,8 +2296,8 @@ class GraphPartition:
         from graphscope_ray.data.hashing import fmix64
         s = self.state["mm"]
         prop = np.full(self.nlocal, -1, np.int64)
-        pa = np.zeros(self.nlocal, np.int64)
-        pb = np.zeros(self.nlocal, np.int64)
+        prop_a = np.zeros(self.nlocal, np.int64)
+        prop_b = np.zeros(self.nlocal, np.int64)
         pw = np.zeros(self.nlocal, np.float64)
         if self.E:
             ok = s["alive"][self.src_local] & s["halo"][self.edge_grp]
@@ -2327,11 +2327,11 @@ class GraphPartition:
                 f = order[np.flatnonzero(first)]
                 ul = self.src_local[idx[f]]
                 prop[ul] = self.dst[idx[f]]
-                pa[ul] = np.minimum(self.src[idx[f]], self.dst[idx[f]])
-                pb[ul] = np.maximum(self.src[idx[f]], self.dst[idx[f]])
+                prop_a[ul] = np.minimum(self.src[idx[f]], self.dst[idx[f]])
+                prop_b[ul] = np.maximum(self.src[idx[f]], self.dst[idx[f]])
                 pw[ul] = (self.w[idx[f]] if self.w is not None
                           else 1.0)
-        s["prop"], s["pa"], s["pb"], s["pw"] = prop, pa, pb, pw
+        s["prop"], s["pa"], s["pb"], s["pw"] = prop, prop_a, prop_b, pw
         return int((prop >= 0).sum())
 
     def mm_match_queries(self):

@@ -328,3 +328,87 @@ def katz(edges: np.ndarray, n: int, alpha: float = 0.1, beta: float = 1.0,
     if normalized:
         x = x / np.sqrt((x * x).sum())
     return x
+
+
+# ---------------------------------------------------------------------------
+# media_pipeline expectation (struct-based, independent of
+# graphscope_ray/data/{multimodal,codecs}.py — see tools/gen_media_oracle.py
+# history; moved here so the oracle_sql() twin can REGENERATE the
+# expectation at check time instead of reading a committed artifact)
+# ---------------------------------------------------------------------------
+
+def _bmp_gray_resized(payload: bytes, out_w: int, out_h: int):
+    """Grayscale (mean RGB) of the nearest-neighbor-resized 24-bit BMP,
+    parsed with struct only (no shared decode code with the engine).
+    Returns (gray floats row-major, resized BMP byte size)."""
+    import struct
+    assert payload[:2] == b"BM"
+    data_off = struct.unpack_from("<I", payload, 10)[0]
+    w = struct.unpack_from("<i", payload, 18)[0]
+    h = struct.unpack_from("<i", payload, 22)[0]
+    bpp = struct.unpack_from("<H", payload, 28)[0]
+    assert bpp == 24
+    stride = (w * 3 + 3) // 4 * 4
+    rows = [(r * h) // out_h for r in range(out_h)]
+    cols = [(c * w) // out_w for c in range(out_w)]
+    gray = []
+    for r in rows:
+        # bottom-up storage: display row r lives at file row (h-1-r)
+        base = data_off + (h - 1 - r) * stride
+        for c in cols:
+            o = base + c * 3
+            b, g, rr = payload[o], payload[o + 1], payload[o + 2]
+            gray.append((float(rr) + float(g) + float(b)) / 3.0)
+    out_stride = (out_w * 3 + 3) // 4 * 4
+    resized_bytes = 54 + out_stride * out_h
+    return gray, resized_bytes
+
+
+def _wav_abs_samples(payload: bytes):
+    import struct
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    pos = payload.find(b"data")
+    n = struct.unpack_from("<I", payload, pos + 4)[0]
+    body = payload[pos + 8: pos + 8 + n]
+    out = []
+    for i in range(0, len(body), 2):
+        (s,) = struct.unpack_from("<h", body, i)
+        out.append(abs(float(s)) / 32767.0 * 255.0)
+    return out
+
+
+def _np_resize_like(vals, k):
+    if not vals:
+        return [0.0] * k  # np.resize of an empty array zero-fills
+    return [vals[i % len(vals)] for i in range(k)]
+
+
+def media_pipeline_expected(media_table, *, out_w: int, out_h: int,
+                            feat_dim: int):
+    """Expected (media_id, kind, payload_bytes, dim, feat) rows for the
+    resize → decode → feature chain, recomputed from the payload table
+    with the struct-based parsers above. Video rows use the declared
+    stub (blake2b digest) — shared by definition."""
+    import hashlib
+
+    import pandas as pd
+
+    from graphscope_ray.util import round_half_away
+
+    rows = []
+    for mid, kind, payload in zip(media_table["media_id"].to_pylist(),
+                                  media_table["kind"].to_pylist(),
+                                  media_table["payload"].to_pylist()):
+        if kind == "image":
+            raw, nbytes = _bmp_gray_resized(payload, out_w, out_h)
+        elif kind == "audio":
+            raw, nbytes = _wav_abs_samples(payload), len(payload)
+        else:  # video: declared stub — blake2b digest bytes
+            d = hashlib.blake2b(payload, digest_size=16).digest()
+            raw, nbytes = [float(b) for b in d], len(payload)
+        feat = [v / 255.0 for v in _np_resize_like(raw, feat_dim)]
+        for dim, f in enumerate(feat):
+            rows.append((mid, kind, nbytes, dim,
+                         float(round_half_away(np.float64(f), 6))))
+    return pd.DataFrame(rows, columns=["media_id", "kind",
+                                       "payload_bytes", "dim", "feat"])
