@@ -1127,6 +1127,70 @@ def _q_pg_labeled_select(sf_dir):
     return ctx.select({"id": "v:even.id", "rank": "r:even"})
 
 
+def _q_pg_labeled_app(sf_dir):
+    """Labeled APP run (reference ``LabeledVertexPropertyContext``,
+    `python/graphscope/framework/context.py:330-393`): project the
+    partgraph to its 'even' label (oid parity — an edge survives iff
+    BOTH endpoints are even), run WCC over the projection, and select
+    per-label results {'id': 'v:even.id', 'comp': 'r:even'} through
+    the labeled Context. The projection's vertex set is the filtered
+    edge endpoints (induce-subgraph semantics); comp is translated to
+    oid space before selection so the component label is the min OID
+    of the component (dense vids are sorted-oid ranks, so min-vid ≡
+    min-oid). Single-consumer graph → materialize + close (pool
+    budget discipline)."""
+    from graphscope_ray.graph.api import Graph
+    from graphscope_ray.graph.context import Context
+    import pyarrow.compute as pc
+
+    _, edges = _partgraph(sf_dir)
+
+    def keep_even(t: pa.Table) -> pa.Table:
+        ok = pc.and_(pc.equal(pc.bit_wise_and(t["src"], 1), 0),
+                     pc.equal(pc.bit_wise_and(t["dst"], 1), 0))
+        return t.filter(ok)
+
+    proj = edges.map_batches(keep_even, batch_format="pyarrow")
+    g2 = Graph.from_edges(
+        proj.materialize(),
+        workdir=f"/tmp/gsr-labeledapp-{abs(hash(sf_dir)) % 10**8}",
+        weight_col="weight",
+        symmetrize=True,
+    )
+    try:
+        comp = g2.to_oid(g2.wcc(), vid_cols=("comp",))
+
+        def lab(t: pa.Table) -> pa.Table:
+            even = pc.equal(pc.bit_wise_and(t["oid"], 1), 0)
+            return pa.table({"vid": t["vid"],
+                             "label": pc.if_else(even, "even", "odd")})
+
+        verts = g2.idmap.map_batches(lab, batch_format="pyarrow")
+        ctx = Context(g2, comp, vertices=verts)
+        out = (ctx.select({"id": "v:even.id", "comp": "r:even"})
+               .sort("id").materialize())
+    finally:
+        g2.close()
+    return out
+
+
+# pg_labeled_app twin: the pg_wcc unroll with e0 restricted to
+# even-even endpoint pairs (the label projection)
+_EVEN_PRELUDE = _PRELUDE.replace(
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey",
+    "ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey\n"
+    "         AND a.l_partkey % 2 = 0 AND b.l_partkey % 2 = 0")
+_LABELED_APP_SQL = f"""
+WITH RECURSIVE {_EVEN_PRELUDE},
+r AS (
+  SELECT v, v AS l FROM v
+  UNION
+  SELECT e.t, r.l FROM r JOIN e ON e.s = r.v WHERE r.l < e.t
+)
+SELECT v AS id, min(l) AS comp FROM r GROUP BY v ORDER BY id
+"""
+
+
 def _labeled_select_sql(rounds: int, delta: float) -> str:
     base = _pagerank_sql(rounds, delta)
     # same unroll, restricted to the 'even' label (oid parity)
@@ -3776,6 +3840,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # come first; long-green veterans follow. Rotate again each round so
     # every row eventually lands in the driver window.
     return {
+        "pg_labeled_app": _q_pg_labeled_app,
         "pg_mutation_wcc": _q_pg_mutation_wcc,
         "pg_mutation_sssp": _q_pg_mutation_sssp,
         "pg_string_oids": _q_pg_string_oids,
@@ -3984,6 +4049,7 @@ FROM deg ORDER BY vid""",
         "pg_sssp_pregel": _sssp_sql(SSSP_ROUNDS),
         "pg_ppr": _ppr_sql(4, DELTA, n_seeds=3),
         "pg_wcc": _WCC_SQL,
+        "pg_labeled_app": _LABELED_APP_SQL,
         "pg_nx_wcc": _WCC_SQL,
         "pg_cdlp": _cdlp_sql(CDLP_ROUNDS),
         "pg_bfs": _BFS_SQL,

@@ -37,6 +37,25 @@ __all__ = [
 
 
 # ----------------------------------------------------------------------
+# exceptions — networkx's own types when it is installed (the upstream
+# test-suite asserts them); stdlib-rooted stand-ins otherwise
+# ----------------------------------------------------------------------
+
+try:
+    from networkx import (NetworkXError, NetworkXNotImplemented,
+                          NetworkXPointlessConcept)
+except ImportError:  # pragma: no cover - facade without networkx
+    class NetworkXError(ValueError):
+        pass
+
+    class NetworkXNotImplemented(NotImplementedError):
+        pass
+
+    class NetworkXPointlessConcept(ValueError):
+        pass
+
+
+# ----------------------------------------------------------------------
 # helpers
 # ----------------------------------------------------------------------
 
@@ -48,20 +67,22 @@ def _pynodes(G) -> list:
 
 def _to_map(G, ds, col, cast=float) -> dict:
     """(vid, value) Dataset → {node: value} via the facade's sorted-node
-    vid convention."""
+    vid convention. Returned in G's node-INSERTION order, matching
+    networkx's dict convention (upstream tests compare
+    ``list(result.values())``)."""
     nodes = _pynodes(G)
-    out = {}
+    got = {}
     for t in ds.iter_batches(batch_format="pyarrow"):
         vids = t["vid"].to_numpy()
         vals = t[col].to_numpy(zero_copy_only=False)
         for i, v in zip(vids, vals):
-            out[nodes[int(i)]] = cast(v)
-    return out
+            got[nodes[int(i)]] = cast(v)
+    return {n: got[n] for n in G._node if n in got}
 
 
 def _require_undirected(G, what: str) -> None:
     if G.is_directed():
-        raise NotImplementedError(
+        raise NetworkXNotImplemented(
             f"{what} is implemented for undirected graphs; "
             "convert with G.to_undirected()")
 
@@ -114,13 +135,13 @@ def degree_centrality(G) -> dict:
 
 def in_degree_centrality(G) -> dict:
     if not G.is_directed():
-        raise NotImplementedError("in_degree_centrality: directed only")
+        raise NetworkXNotImplemented("in_degree_centrality: directed only")
     return _deg_centrality(G, "in")
 
 
 def out_degree_centrality(G) -> dict:
     if not G.is_directed():
-        raise NotImplementedError("out_degree_centrality: directed only")
+        raise NetworkXNotImplemented("out_degree_centrality: directed only")
     return _deg_centrality(G, "out")
 
 
@@ -226,7 +247,7 @@ def average_shortest_path_length(G, weight: Optional[str] = None) -> float:
     if n < 2:
         return 0.0
     if not G.is_directed() and not is_connected(G):
-        raise ValueError("Graph is not connected")
+        raise NetworkXError("Graph is not connected.")
     return float(G._backing("main", weight=weight)
                  .engine.sssp_average_length(unit=weight is None))
 
@@ -391,6 +412,9 @@ def average_clustering(G, nodes=None, count_zeros: bool = True) -> float:
     """Mean local clustering — ``builtin.py:670-717`` →
     `apps/clustering/avg_clustering.h`, with networkx's ``nodes`` /
     ``count_zeros`` options applied to the distributed result."""
+    if len(G) == 0:
+        # networkx divides by len(G) unguarded; mirror the raise
+        raise ZeroDivisionError("division by zero")
     cc = clustering(G)
     vals = [cc[n] for n in (nodes if nodes is not None else cc)]
     if not count_zeros:
@@ -438,13 +462,15 @@ def number_weakly_connected_components(G) -> int:
 def is_connected(G) -> bool:
     _require_undirected(G, "is_connected")
     if len(G) == 0:
-        raise ValueError("connectivity is undefined for the null graph")
+        raise NetworkXPointlessConcept(
+            "Connectivity is undefined for the null graph.")
     return number_connected_components(G) == 1
 
 
 def is_weakly_connected(G) -> bool:
     if len(G) == 0:
-        raise ValueError("connectivity is undefined for the null graph")
+        raise NetworkXPointlessConcept(
+            "Connectivity is undefined for the null graph.")
     return number_weakly_connected_components(G) == 1
 
 
@@ -453,7 +479,7 @@ def strongly_connected_components(G):
     (engine FW-BW-Trim coloring over the dual-direction backing — the
     reference exposes SCC through its nx layer)."""
     if not G.is_directed():
-        raise ValueError(
+        raise NetworkXNotImplemented(
             "strongly_connected_components needs a DiGraph")
     eng_graph = G._backing("both")
     ds = eng_graph.scc()
@@ -477,7 +503,8 @@ def number_strongly_connected_components(G) -> int:
 
 def is_strongly_connected(G) -> bool:
     if len(G) == 0:
-        raise ValueError("connectivity is undefined for the null graph")
+        raise NetworkXPointlessConcept(
+            "Connectivity is undefined for the null graph.")
     return number_strongly_connected_components(G) == 1
 
 
@@ -511,6 +538,8 @@ def minimum_spanning_edges(G, weight: str = "weight", data: bool = True):
     total weights (always equal), not edge sets, when weights tie.
     Returns a sorted edge list like list(nx.minimum_spanning_edges)."""
     _require_undirected(G, "minimum_spanning_edges")
+    if G.number_of_edges() == 0:
+        return []
     if len(G) == 0:
         return []
     g = G._backing("main", weight)

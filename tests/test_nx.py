@@ -205,7 +205,7 @@ def test_average_shortest_path_length(und_conn, und):
     assert abs(gnx.average_shortest_path_length(g)
                - nx.average_shortest_path_length(h)) < 1e-9
     gd, _ = und
-    with pytest.raises(ValueError):
+    with pytest.raises(nx.NetworkXError):
         gnx.average_shortest_path_length(gd)  # disconnected
 
 
@@ -259,7 +259,7 @@ def test_clustering_family(und):
                - nx.average_clustering(h)) < 1e-12
     assert abs(gnx.average_clustering(g, count_zeros=False)
                - nx.average_clustering(h, count_zeros=False)) < 1e-12
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(nx.NetworkXNotImplemented):
         gnx.clustering(gnx.DiGraph([(0, 1)]))
 
 
@@ -305,7 +305,7 @@ def test_scc_sparse_with_isolated():
 
 def test_scc_rejects_undirected(und):
     g, _ = und
-    with pytest.raises(ValueError, match="DiGraph"):
+    with pytest.raises(nx.NetworkXNotImplemented, match="DiGraph"):
         list(gnx.strongly_connected_components(g))
 
 
@@ -396,7 +396,7 @@ def test_maximal_independent_set(ray_session):
     D = gnx.DiGraph()
     D.add_edge(1, 2)
     import pytest as _pytest
-    with _pytest.raises(NotImplementedError):
+    with _pytest.raises(nx.NetworkXNotImplemented):
         gnx.maximal_independent_set(D)
 
 
