@@ -1044,6 +1044,26 @@ JOIN lineitem l ON l.l_orderkey = o.o_orderkey
 ORDER BY custkey, orderkey, partkey"""
 
 
+def _q_gie_gremlin(sf_dir):
+    """Gremlin-STRING frontend row (reference: the Java frontend
+    `interactive_engine/src/frontend` compiles Gremlin text into
+    query_flow.proto ops; gie/gremlin.py is the text parser over
+    GIE-lite): the full string below — source, edge-property filter,
+    vertex move, dedup — is parsed and compiled to the same Ray-Data
+    kernels as the builder DSL, proving the text surface end-to-end
+    under the DuckDB oracle."""
+    from graphscope_ray.gie import gremlin
+    g = _gie_graph(sf_dir)
+    t = gremlin(g, "g.V('order').outE('contains')"
+                   ".has('qty', gte(50.0)).inV().dedup()")
+    return _gie_decode(t.dataset(), {"t": ("partkey", True)})
+
+
+_GIE_GREMLIN_SQL = """
+SELECT DISTINCT l_partkey AS partkey FROM lineitem
+WHERE l_quantity >= 50 ORDER BY partkey"""
+
+
 def _q_gie_fold_unfold(sf_dir):
     """V('customer').as_('c').out('places').fold_by_key(tag_c, t,
     limit=3) → unfold — FOLD_BY_KEY (op 52) collecting each
@@ -3841,6 +3861,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # every row eventually lands in the driver window.
     return {
         "pg_labeled_app": _q_pg_labeled_app,
+        "gie_gremlin": _q_gie_gremlin,
         "pg_mutation_wcc": _q_pg_mutation_wcc,
         "pg_mutation_sssp": _q_pg_mutation_sssp,
         "pg_string_oids": _q_pg_string_oids,
@@ -4173,6 +4194,7 @@ GROUP BY b.v ORDER BY node""",
         "gie_price_page": _GIE_PRICE_PAGE_SQL,
         "gie_path_project": _GIE_PATH_PROJECT_SQL,
         "gie_fold_unfold": _GIE_FOLD_UNFOLD_SQL,
+        "gie_gremlin": _GIE_GREMLIN_SQL,
         "gie_program_wcc": _GIE_PROGRAM_WCC_SQL,
         "pg_transitivity": f"""
 WITH {_PRELUDE},

@@ -3,5 +3,8 @@ subset (query_flow.proto:65-116) re-expressed as streaming Ray Data
 pipelines. See traversal.py for the operator-by-operator mapping."""
 
 from graphscope_ray.gie.traversal import P, PropertyGraph, Traversal, unfold
+from graphscope_ray.gie.gremlin import GremlinParseError
+from graphscope_ray.gie.gremlin import run as gremlin
 
-__all__ = ["P", "PropertyGraph", "Traversal", "unfold"]
+__all__ = ["P", "PropertyGraph", "Traversal", "unfold", "gremlin",
+           "GremlinParseError"]

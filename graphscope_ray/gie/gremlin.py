@@ -1,0 +1,367 @@
+"""Gremlin-string frontend over GIE-lite.
+
+The reference's user surface is Gremlin text compiled by the Java
+frontend (`interactive_engine/src/frontend`, ops enumerated in
+`src/common/proto/query_flow.proto:65-116`). This module closes that
+last user-visible gap for the covered subset: a recursive-descent
+parser turns a traversal string into the step list, and a compiler
+applies it to :class:`~graphscope_ray.gie.traversal.PropertyGraph` /
+``Traversal`` — every step executes on the same Ray-Data kernels as
+the builder DSL, so the string form inherits its scale shape
+(broadcast-CSR hops, coarse-bucket dedup/group_count, top-n-combiner
+order+limit).
+
+Covered Gremlin steps::
+
+    g.V('label'...) g.E('label')
+    out/in/both[E]('label'?) inV outV bothV otherV
+    has('prop', v) has('prop', gt(v)|gte|lt|lte|eq|neq|within(..)|
+                       between(a,b))
+    hasLabel('l'...) hasId(id...) dedup() simplePath()
+    where(__.out()...) not(__.out()...)          # (anti-)semi-join
+    as('t') select('t') select('a','b'...)       # tag / jump / project
+    values('prop') valueMap('a','b')
+    order().by('prop'[, desc|asc]) limit(n) range(lo, hi)
+    repeat(__.out()).times(k) repeat(__.out()).until(__.hasLabel('x'))
+    groupCount([  ]) groupCount().by('col')
+    count() sum() max() min() mean() path() sample(n) coin(p)
+
+Documented extensions (1:1 with the builder DSL, used where standard
+Gremlin has no concise text form): ``degreeLocal(dir, label, name)``,
+``filterCol(name, pred)``, ``groupAgg(by, value, agg, name)``,
+``foldByKey(by, value, limit, name)``, ``unfold(col)``,
+``program('wcc'|...)``, ``estimateCount()``.
+
+Unsupported steps raise :class:`GremlinParseError` naming the op.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Any, List, Optional, Tuple
+
+from graphscope_ray.gie.traversal import P, PropertyGraph, Traversal, unfold
+
+
+class GremlinParseError(ValueError):
+    pass
+
+
+# ---------------------------------------------------------------------------
+# tokenizer
+# ---------------------------------------------------------------------------
+
+_TOKEN = re.compile(r"""
+    \s*(?:
+      (?P<num>-?\d+\.\d+(?:[eE][+-]?\d+)?|-?\d+[eE][+-]?\d+|-?\d+)
+    | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
+    | (?P<punct>__\.|[().,])
+    | (?P<name>[A-Za-z_][A-Za-z0-9_]*)
+    )""", re.VERBOSE)
+
+
+def _tokenize(s: str) -> List[Tuple[str, str]]:
+    out, pos = [], 0
+    while pos < len(s):
+        m = _TOKEN.match(s, pos)
+        if m is None:
+            if s[pos:].strip() == "":
+                break
+            raise GremlinParseError(
+                f"cannot tokenize at ...{s[pos:pos + 20]!r}")
+        pos = m.end()
+        for kind in ("num", "str", "name", "punct"):
+            v = m.group(kind)
+            if v is not None:
+                out.append((kind, v))
+                break
+    return out
+
+
+# ---------------------------------------------------------------------------
+# parser → step list;  a step is (name, [args]);  an arg is a python
+# literal, a P predicate, an _Order sentinel, or a Chain (anonymous
+# sub-traversal for repeat/until/where/not)
+# ---------------------------------------------------------------------------
+
+class Chain:
+    def __init__(self, steps):
+        self.steps = steps
+
+    def __repr__(self):
+        return f"Chain({self.steps!r})"
+
+
+class _Order:
+    def __init__(self, desc: bool):
+        self.desc = desc
+
+
+_PREDICATES = {"eq", "neq", "gt", "gte", "lt", "lte", "within",
+               "between", "inside", "without"}
+_KEYWORDS = {"true": True, "false": False, "True": True, "False": False,
+             "None": None, "none": None}
+
+
+class _Parser:
+    def __init__(self, tokens):
+        self.toks = tokens
+        self.i = 0
+
+    def peek(self):
+        return self.toks[self.i] if self.i < len(self.toks) else (None, None)
+
+    def next(self):
+        t = self.peek()
+        self.i += 1
+        return t
+
+    def expect(self, value):
+        kind, v = self.next()
+        if v != value:
+            raise GremlinParseError(f"expected {value!r}, got {v!r}")
+
+    def parse_query(self) -> List[Tuple[str, list]]:
+        kind, v = self.next()
+        if v != "g":
+            raise GremlinParseError(f"query must start with 'g', got {v!r}")
+        steps = []
+        while self.peek()[1] == ".":
+            self.next()
+            steps.append(self.parse_step())
+        if self.i != len(self.toks):
+            raise GremlinParseError(
+                f"trailing tokens from {self.toks[self.i]!r}")
+        return steps
+
+    def parse_step(self):
+        kind, name = self.next()
+        if kind != "name":
+            raise GremlinParseError(f"expected step name, got {name!r}")
+        self.expect("(")
+        args = []
+        if self.peek()[1] != ")":
+            args.append(self.parse_arg())
+            while self.peek()[1] == ",":
+                self.next()
+                args.append(self.parse_arg())
+        self.expect(")")
+        return (name, args)
+
+    def parse_chain(self) -> Chain:
+        steps = [self.parse_step()]
+        while self.peek()[1] == ".":
+            self.next()
+            steps.append(self.parse_step())
+        return Chain(steps)
+
+    def parse_arg(self):
+        kind, v = self.peek()
+        if kind == "num":
+            self.next()
+            return float(v) if ("." in v or "e" in v or "E" in v) else int(v)
+        if kind == "str":
+            self.next()
+            body = v[1:-1]
+            return re.sub(r"\\(.)", r"\1", body)
+        if v == "__.":
+            self.next()
+            return self.parse_chain()
+        if kind == "name":
+            nxt = self.toks[self.i + 1][1] if self.i + 1 < len(self.toks) \
+                else None
+            if v in ("desc", "decr"):
+                self.next()
+                return _Order(True)
+            if v in ("asc", "incr"):
+                self.next()
+                return _Order(False)
+            if v in _KEYWORDS and nxt != "(":
+                self.next()
+                return _KEYWORDS[v]
+            if nxt == "(":
+                if v in _PREDICATES:
+                    name, args = self.parse_step()
+                    return self._pred(name, args)
+                # bare anonymous traversal: repeat(out('co'))
+                return self.parse_chain()
+        raise GremlinParseError(f"cannot parse argument at {v!r}")
+
+    @staticmethod
+    def _pred(name, args):
+        if name == "inside":
+            return P.between(*args)
+        if name == "without":
+            raise GremlinParseError("unsupported predicate: without")
+        return getattr(P, name)(*args)
+
+
+def parse(query: str) -> List[Tuple[str, list]]:
+    return _Parser(_tokenize(query)).parse_query()
+
+
+# ---------------------------------------------------------------------------
+# compiler: step list → Traversal/Dataset/scalar on a PropertyGraph
+# ---------------------------------------------------------------------------
+
+_HOPS = {"out": "out", "in": "in_", "both": "both", "outE": "outE",
+         "inE": "inE", "bothE": "bothE", "inV": "inV", "outV": "outV",
+         "bothV": "bothV", "otherV": "otherV"}
+
+
+def _as_chain_fn(chain: Chain):
+    if not isinstance(chain, Chain):
+        raise GremlinParseError(
+            f"expected an anonymous traversal (__....), got {chain!r}")
+
+    def fn(t: Traversal) -> Traversal:
+        return _apply_steps(t, chain.steps)
+
+    return fn
+
+
+def _apply_steps(state, steps):
+    i = 0
+    while i < len(steps):
+        name, args = steps[i]
+
+        # --- source steps (PropertyGraph state) -------------------------
+        if isinstance(state, PropertyGraph):
+            if name == "V":
+                state = state.V(*args)
+            elif name == "E":
+                state = state.E(*args)
+            elif name == "program":
+                state = state.program(*args)
+            else:
+                raise GremlinParseError(
+                    f"unsupported source step: {name} (expected V/E/"
+                    "program)")
+            i += 1
+            continue
+
+        # --- post-terminal steps (Dataset state) ------------------------
+        if not isinstance(state, Traversal):
+            if name == "unfold":
+                state = unfold(state, *args)
+                i += 1
+                continue
+            raise GremlinParseError(
+                f"unsupported step after a terminal step: {name}")
+
+        t: Traversal = state
+        if name in _HOPS:
+            state = getattr(t, _HOPS[name])(*args)
+        elif name == "has":
+            state = t.has(*args)
+        elif name == "hasLabel":
+            state = t.has_label(*args)
+        elif name == "hasId":
+            state = t.has_id(*args)
+        elif name == "dedup":
+            state = t.dedup()
+        elif name == "simplePath":
+            state = t.simple_path()
+        elif name == "where":
+            state = t.where_exists(_as_chain_fn(args[0]))
+        elif name == "not":
+            state = t.where_not_exists(_as_chain_fn(args[0]))
+        elif name == "as":
+            state = t.as_(*args)
+        elif name == "select":
+            if len(args) == 1:
+                state = t.select(args[0])
+            else:
+                state = t.select_map(*args)
+        elif name == "values":
+            state = t.values(*args)
+        elif name == "valueMap":
+            state = t.value_map(*args)
+        elif name == "order":
+            # fuse order().by(key[, desc]) [.limit(n)] into the
+            # top-n-combiner order_by
+            key, desc = None, False
+            j = i + 1
+            if j < len(steps) and steps[j][0] == "by":
+                for a in steps[j][1]:
+                    if isinstance(a, _Order):
+                        desc = a.desc
+                    else:
+                        key = a
+                j += 1
+            lim = None
+            if j < len(steps) and steps[j][0] == "limit":
+                lim = steps[j][1][0]
+                j += 1
+            state = t.order_by(key, ascending=not desc, limit=lim)
+            i = j
+            continue
+        elif name == "limit":
+            state = t.limit(*args)
+        elif name == "range":
+            state = t.range_(*args)
+        elif name == "repeat":
+            fn = _as_chain_fn(args[0])
+            j = i + 1
+            if j < len(steps) and steps[j][0] == "times":
+                state = t.repeat(fn, steps[j][1][0])
+            elif j < len(steps) and steps[j][0] == "until":
+                state = t.repeat_until(fn, _as_chain_fn(steps[j][1][0]))
+            else:
+                raise GremlinParseError(
+                    "repeat() needs a following times(k) or until(...)")
+            i = j + 1
+            continue
+        elif name == "groupCount":
+            by = None
+            j = i + 1
+            if j < len(steps) and steps[j][0] == "by":
+                by = steps[j][1][0]
+                j += 1
+            state = t.group_count(by)
+            i = j
+            continue
+        elif name == "count":
+            state = t.count()
+        elif name == "sum":
+            state = t.sum_(*args)
+        elif name == "max":
+            state = t.max_(*args)
+        elif name == "min":
+            state = t.min_(*args)
+        elif name == "mean":
+            state = t.mean_(*args)
+        elif name == "path":
+            state = t.path()
+        elif name == "sample":
+            state = t.sample(*args)
+        elif name == "coin":
+            state = t.coin(*args)
+        # --- documented extensions (builder-DSL text forms) -------------
+        elif name == "degreeLocal":
+            state = t.degree_local(*args[:2], name=args[2]
+                                   if len(args) > 2 else "degree")
+        elif name == "filterCol":
+            state = t.filter_col(*args)
+        elif name == "groupAgg":
+            state = t.group_agg(*args[:3], name=args[3]
+                                if len(args) > 3 else None)
+        elif name == "foldByKey":
+            state = t.fold_by_key(
+                args[0], args[1],
+                limit=args[2] if len(args) > 2 else None,
+                name=args[3] if len(args) > 3 else None)
+        elif name == "estimateCount":
+            state = t.estimate_count()
+        else:
+            raise GremlinParseError(f"unsupported step: {name}")
+        i += 1
+    return state
+
+
+def run(graph: PropertyGraph, query: str):
+    """Parse + execute ``query`` against ``graph``. Returns whatever
+    the final step yields: a :class:`Traversal` (call ``.dataset()`` /
+    ``.to_pandas()``), a ``ray.data.Dataset`` (terminal aggregates),
+    or a scalar (count/sum/...)."""
+    return _apply_steps(graph, parse(query))

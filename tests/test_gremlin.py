@@ -1,0 +1,186 @@
+"""Gremlin-string frontend: parser unit tests, string-vs-builder-DSL
+differential on a small property graph, and a parser fuzz campaign
+(random valid chains parse + execute; unsupported steps raise naming
+the op). Reference surface: interactive_engine/src/frontend compiles
+Gremlin text into query_flow.proto ops 65-116."""
+
+import numpy as np
+import pandas as pd
+import pyarrow as pa
+import pytest
+import ray.data
+
+from graphscope_ray.gie import GremlinParseError, P, PropertyGraph, gremlin
+from graphscope_ray.gie.gremlin import Chain, parse
+
+
+@pytest.fixture(scope="module")
+def pg():
+    """customer(0,4,8) -[places]-> order(1,5,9,13) -[contains{qty}]->
+    part(2,6,10): ids namespaced i*4+code like the driver's gie graph."""
+    verts = pd.DataFrame({
+        "t": [0, 4, 8, 1, 5, 9, 13, 2, 6, 10],
+        "label": ["customer"] * 3 + ["order"] * 4 + ["part"] * 3,
+        "bal": [10.0, -5.0, 99.0, 0, 0, 0, 0, 0, 0, 0],
+    })
+    edges = pd.DataFrame({
+        "src": [0, 0, 4, 8, 1, 1, 5, 9, 13, 13],
+        "dst": [1, 5, 9, 13, 2, 6, 6, 10, 2, 10],
+        "label": ["places"] * 4 + ["contains"] * 6,
+        "qty": [0, 0, 0, 0, 5.0, 10.0, 20.0, 30.0, 40.0, 50.0],
+    })
+    return PropertyGraph(
+        ray.data.from_pandas(verts.rename(columns={"t": "id"})),
+        ray.data.from_pandas(edges))
+
+
+def _pdf(x):
+    if hasattr(x, "dataset"):
+        x = x.dataset()
+    if hasattr(x, "to_pandas"):
+        x = x.to_pandas()
+    if isinstance(x, pd.DataFrame):
+        return x.sort_values(list(x.columns)).reset_index(drop=True)
+    return x
+
+
+class TestParser:
+    def test_basic_chain(self):
+        steps = parse("g.V('customer').has('bal', gt(0.0)).out('places')"
+                      ".groupCount()")
+        assert [s[0] for s in steps] == ["V", "has", "out", "groupCount"]
+        assert steps[0][1] == ["customer"]
+        pred = steps[1][1][1]
+        assert bool(pred(np.array([1.0]))[0]) is True
+        assert bool(pred(np.array([-1.0]))[0]) is False
+
+    def test_predicates(self):
+        for text, val, expect in [
+                ("eq(3)", 3, True), ("neq(3)", 3, False),
+                ("gte(2)", 2, True), ("lt(2)", 2, False),
+                ("lte(2)", 2, True),
+                ("within(1, 2, 3)", 2, True),
+                ("between(1, 3)", 2, True), ("inside(1, 3)", 2, True)]:
+            pred = parse(f"g.V().has('x', {text})")[1][1][1]
+            assert bool(pred(np.array([val]))[0]) is expect, text
+
+    def test_string_escapes_and_floats(self):
+        steps = parse("g.V().has('name', 'it\\'s').has('w', 1.5e-3)")
+        assert steps[1][1][1] == "it's"
+        assert steps[2][1][1] == 1.5e-3
+
+    def test_anonymous_traversals(self):
+        steps = parse("g.V().not(__.out('places')).where(out('contains'))")
+        assert isinstance(steps[1][1][0], Chain)
+        assert isinstance(steps[2][1][0], Chain)
+        assert steps[1][1][0].steps[0] == ("out", ["places"])
+
+    def test_unsupported_step_names_op(self):
+        # syntactically valid unknown steps parse; execution names the op
+        steps = parse("g.V().subgraphStep()")
+        assert steps[1][0] == "subgraphStep"
+        with pytest.raises(GremlinParseError, match="without"):
+            parse("g.V().has('x', without(1))")
+
+    def test_syntax_errors(self):
+        for bad in ["V().out()", "g.V(", "g.V()out()", "g.V().has('x',)",
+                    "g.V().has('x', !)"]:
+            with pytest.raises(GremlinParseError):
+                parse(bad)
+
+
+class TestExecution:
+    def test_source_and_filter(self, pg):
+        out = _pdf(gremlin(pg, "g.V('customer').has('bal', gt(0.0))"))
+        assert out["t"].tolist() == [0, 8]
+
+    def test_hops_and_dedup(self, pg):
+        s = "g.V('order').outE('contains').has('qty', gte(20.0)).inV().dedup()"
+        a = _pdf(gremlin(pg, s))
+        b = _pdf(pg.V("order").outE("contains").has("qty", P.gte(20.0))
+                 .inV().dedup())
+        pd.testing.assert_frame_equal(a, b)
+        assert set(a["t"]) == {2, 6, 10}
+
+    def test_tag_select_groupcount(self, pg):
+        s = ("g.V('customer').as('c').out('places').out('contains')"
+             ".select('c').groupCount()")
+        a = _pdf(gremlin(pg, s))
+        b = _pdf(pg.V("customer").as_("c").out("places").out("contains")
+                 .select("c").group_count())
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_order_by_fusion_with_limit(self, pg):
+        s = "g.V('order').order().by('t', desc).limit(2)"
+        a = _pdf(gremlin(pg, s))
+        assert sorted(a["t"].tolist()) == [9, 13]
+
+    def test_repeat_until(self, pg):
+        s = ("g.V('customer').has('bal', gt(0.0)).repeat(out())"
+             ".until(hasLabel('part')).groupCount()")
+        a = _pdf(gremlin(pg, s))
+        b = _pdf(pg.V("customer").has("bal", P.gt(0.0))
+                 .repeat_until(lambda t: t.out(),
+                               lambda t: t.has_label("part"))
+                 .group_count())
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_repeat_times(self, pg):
+        a = _pdf(gremlin(pg, "g.V('customer').repeat(out()).times(2)"))
+        b = _pdf(pg.V("customer").repeat(lambda t: t.out(), 2))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_not_semi_join(self, pg):
+        s = "g.V('order').not(__.outE('contains').has('qty', gte(30.0)))"
+        a = _pdf(gremlin(pg, s))
+        assert set(a["t"]) == {1, 5}
+
+    def test_terminal_scalars(self, pg):
+        assert gremlin(pg, "g.V('part').count()") == 3
+        assert gremlin(pg, "g.E('contains').sum('qty')") == pytest.approx(
+            155.0)
+
+    def test_fold_unfold_extension(self, pg):
+        s = ("g.V('customer').as('c').out('places')"
+             ".foldByKey('tag_c', 't', 1, 'o').unfold('o')")
+        a = _pdf(gremlin(pg, s))
+        # each customer keeps its smallest order id
+        assert dict(zip(a["tag_c"], a["o"])) == {0: 1, 4: 9, 8: 13}
+
+    def test_unsupported_execution_raises_with_name(self, pg):
+        with pytest.raises(GremlinParseError, match="subgraphStep"):
+            gremlin(pg, "g.V().subgraphStep()")
+        with pytest.raises(GremlinParseError, match="source"):
+            gremlin(pg, "g.addV('x')")
+
+
+class TestParserFuzz:
+    def test_random_chains_parse_and_execute(self, pg):
+        """Random valid step chains: parse must succeed and execution
+        must produce a Traversal whose dataset materializes."""
+        rng = np.random.default_rng(404)
+        hop_steps = ["out('places')", "out('contains')", "in('places')",
+                     "both()", "dedup()", "hasLabel('order', 'part')",
+                     "has('bal', gte(0.0))", "limit(5)", "as('x')",
+                     "order().by('t', desc)"]
+        for trial in range(25):
+            n = rng.integers(1, 5)
+            chain = ".".join(rng.choice(hop_steps, size=n))
+            q = f"g.V().{chain}"
+            res = gremlin(pg, q)
+            df = _pdf(res)
+            assert isinstance(df, pd.DataFrame), q
+
+    def test_random_garbage_raises_parse_error(self):
+        rng = np.random.default_rng(7)
+        alphabet = list("g.V()'abc,123!@#__")
+        for trial in range(50):
+            s = "".join(rng.choice(alphabet,
+                                   size=int(rng.integers(3, 30))))
+            try:
+                parse(s)
+            except GremlinParseError:
+                pass  # expected for almost everything
+            except Exception as e:  # pragma: no cover
+                raise AssertionError(
+                    f"non-GremlinParseError {type(e).__name__} on {s!r}")
