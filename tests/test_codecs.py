@@ -1,6 +1,7 @@
 """Pure-numpy WAV/BMP codecs + the real multimodal decode path."""
 
 import numpy as np
+import pytest
 
 import ray.data
 
@@ -66,3 +67,44 @@ def test_image_resize_real():
         sset = {tuple(px) for px in srgb}
         assert all(tuple(px) in sset for px in rgb.reshape(-1, 3))
     assert n_img > 0
+
+
+def test_avi_roundtrip():
+    from graphscope_ray.data.codecs import decode_avi, encode_avi
+    rng = np.random.default_rng(3)
+    for (n, h, w, fps) in [(1, 4, 4, 8), (5, 7, 9, 4), (3, 31, 5, 25)]:
+        fr = rng.integers(0, 256, (n, h, w, 3), dtype=np.uint8)
+        out, f2 = decode_avi(encode_avi(fr, fps=fps))
+        assert f2 == fps
+        np.testing.assert_array_equal(out, fr)
+
+
+def test_avi_rejects_non_rgb24():
+    from graphscope_ray.data.codecs import decode_avi
+    with pytest.raises(ValueError, match="RIFF/AVI"):
+        decode_avi(b"nope" * 10)
+
+
+def test_frame_sample_composes_with_image_stages():
+    """frame_sample emits BMP frames that image stages consume; the
+    sampled frame pixels equal the struct-oracle's expectation."""
+    import hashlib
+
+    import ray.data
+
+    from graphscope_ray.data.multimodal import frame_sample, synth_media
+    from graphscope_ray.oracle import frame_sample_expected
+
+    tbl = synth_media(n=32, seed=9)
+    got = (frame_sample(ray.data.from_arrow(tbl), every_ms=500)
+           .to_pandas().sort_values(["media_id", "ts_ms"])
+           .reset_index(drop=True))
+    got["frame_sha256"] = [hashlib.sha256(f).hexdigest()
+                           for f in got["frame"]]
+    want = (frame_sample_expected(tbl, every_ms=500)
+            .sort_values(["media_id", "ts_ms"]).reset_index(drop=True))
+    assert got[["media_id", "ts_ms", "frame_sha256"]].equals(want)
+    # frames are valid BMPs the image decoder accepts
+    from graphscope_ray.data.codecs import decode_bmp
+    rgb = decode_bmp(got["frame"].iloc[0])
+    assert rgb.ndim == 3 and rgb.shape[2] == 3

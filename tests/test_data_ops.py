@@ -262,8 +262,8 @@ def test_multimodal_plumbing():
     a = feats.sort_values("media_id").reset_index(drop=True)
     b = feats2.sort_values("media_id").reset_index(drop=True)
     assert all(np.allclose(x, y) for x, y in zip(a["feature"], b["feature"]))
-    # real decode path works end to end for image/audio (pure-numpy
-    # BMP/WAV codecs); only video falls back to the fake kernel
+    # real decode path works end to end for all three kinds
+    # (pure-numpy BMP/WAV/AVI codecs)
     real = multimodal.media_features(ds, decode="real").to_pandas()
     assert len(real) == 48
     assert all(len(f) == 16 for f in real["feature"])
