@@ -29,7 +29,15 @@ def flagship_pagerank(
     corpus_path = write_corpus(
         os.path.join(workdir, f"corpus-{n_files}.parquet"), n_files=n_files
     )
-    corpus = ray.data.read_parquet(corpus_path)
+    # ~4 read blocks per CPU: Ray's default minimum parallelism (200)
+    # would split this corpus into hundreds of ~2k-row blocks and the
+    # sha256 pass into as many ~4 ms tasks — pure dispatch overhead
+    # (a measured, parallelism-independent ~2 s slice of the 2→8
+    # scaling gap)
+    import ray as _ray
+    nblocks = 4 * max(1, int(_ray.cluster_resources().get("CPU", 8)))
+    corpus = ray.data.read_parquet(corpus_path,
+                                   override_num_blocks=nblocks)
     corpus = with_sha256(corpus)  # row invariant rides along
     edges = derive_edges(corpus)
     g = Graph.from_edges(
