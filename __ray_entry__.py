@@ -17,8 +17,10 @@ fixed-round mode; bench keeps tolerance mode). The text/dedup oracles
 polynomial/fmix hash family of graphscope_ray.data.hashing in SQL
 (graphscope_ray.oracle_sql). pg_louvain's full multi-level run is
 unrolled too (_louvain_full_sql — integer weights make every sum
-exact). Remaining rows-only entry: the binary media_pipeline —
-verified against the independent numpy oracle in tests/ instead.
+exact). The two binary-media rows (media_pipeline, media_frames)
+compare against expectation parquets REGENERATED at oracle_sql() call
+time by the independent struct-based oracle in graphscope_ray/
+oracle.py — no committed artifacts, so all 138 rows hash-compare.
 
 Ray is initialised by the caller; nothing here calls ray.init().
 Column names match between Ray results and SQL exactly (the driver
