@@ -594,12 +594,15 @@ def run_scaling_flagship_job() -> dict:
     import ray.data
 
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
-    # 60k files finishes in ~9 s at 8 CPUs — fixed costs (Ray session,
-    # actor-pool startup ≈ 3 s) dominate and the efficiency reading is
-    # an artifact. 360k ≈ 18 s/8-CPU keeps the pair short while the
-    # pipeline, not the harness, sets the wall-time.
+    # Size so the PIPELINE, not the harness, sets the wall-time: below
+    # ~1M files the ~10 s of size-independent Ray session / actor-pool
+    # / exchange-barrier latency dominates and the efficiency reading
+    # is an artifact of job launch (r04 sweep in BASELINE.md: 0.45 at
+    # 360k, 0.54 at 1M, 0.69 at 3M — the criterion's real cluster
+    # processes the same 100 TB at both sizes, so W >> F always).
+    # 3M ≈ 23 s at 8 CPUs / 65 s at 2.
     n_files = int(os.environ.get("GRAFT_SCALE_FLAGSHIP_FILES",
-                                 "360000"))
+                                 "3000000"))
 
     ray.init(address="local", num_cpus=num_cpus, include_dashboard=False,
              ignore_reinit_error=True, logging_level="ERROR",
