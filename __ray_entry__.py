@@ -1054,7 +1054,7 @@ def _q_gie_gremlin(sf_dir):
     vertex move, dedup — is parsed and compiled to the same Ray-Data
     kernels as the builder DSL, proving the text surface end-to-end
     under the DuckDB oracle."""
-    from graphscope_ray.gie import gremlin
+    from graphscope_ray.gie import run_gremlin as gremlin
     g = _gie_graph(sf_dir)
     t = gremlin(g, "g.V('order').outE('contains')"
                    ".has('qty', gte(50.0)).inV().dedup()")

@@ -491,8 +491,11 @@ def run_scaling_data_job() -> dict:
     process's parallelism level. Generation time is excluded."""
     num_cpus = int(os.environ.get("RAY_GRAFT_CPUS", "8"))
     # big enough that per-stage fixed costs (~1-2 s of task spin-up)
-    # do not drown the parallel fraction at the high level
-    n_files = int(os.environ.get("GRAFT_SCALE_DOCS", "150000"))
+    # do not drown the parallel fraction at the high level: 150k docs
+    # reads 0.60-0.66 minhash efficiency (fixed-cost-bound), the SAME
+    # code reads 0.851 at 1M docs (BENCH_scaling_r03d/r04b) — size the
+    # default so the pipeline sets the wall-time
+    n_files = int(os.environ.get("GRAFT_SCALE_DOCS", "1000000"))
     import numpy as np
     import pyarrow as pa
     import ray

@@ -174,8 +174,9 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
 
     w = h = None
     scale, rate = 1, 4
-    bodies = []
-    stack = [(12, len(payload))]
+    cur_stream = None  # fccType of the most recent strh (strl lists
+    bodies = []        # are walked contiguously, so this pairs each
+    stack = [(12, len(payload))]  # strf with ITS stream)
     while stack:
         p, end = stack.pop()
         while p + 8 <= end:
@@ -185,10 +186,14 @@ def decode_avi(payload: bytes) -> tuple[np.ndarray, int]:
                 stack.append((p + 12, p + 8 + sz))
             elif fcc == b"avih":
                 w, h = rd32(p + 8 + 32), rd32(p + 8 + 36)
-            elif fcc == b"strh" and payload[p + 8:p + 12] == b"vids":
-                scale = rd32(p + 8 + 20) or 1
-                rate = rd32(p + 8 + 24) or 4
-            elif fcc == b"strf":
+            elif fcc == b"strh":
+                cur_stream = payload[p + 8:p + 12]
+                if cur_stream == b"vids":
+                    scale = rd32(p + 8 + 20) or 1
+                    rate = rd32(p + 8 + 24) or 4
+            elif fcc == b"strf" and cur_stream == b"vids":
+                # an audio stream's strf is a WAVEFORMATEX — only the
+                # video stream's BITMAPINFOHEADER is validated
                 bpp = int(np.frombuffer(payload, "<u2", count=1,
                                         offset=p + 8 + 14)[0])
                 comp = rd32(p + 8 + 16)

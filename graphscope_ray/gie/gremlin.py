@@ -190,7 +190,13 @@ class _Parser:
     @staticmethod
     def _pred(name, args):
         if name == "inside":
-            return P.between(*args)
+            # Gremlin P.inside is EXCLUSIVE on both ends (a < x < b);
+            # P.between is inclusive-exclusive, so compose gt & lt
+            # (must be a real P instance — Traversal's _as_pred wraps
+            # any other object in P.eq)
+            lo, hi = args
+            g, l = P.gt(lo), P.lt(hi)
+            return P(lambda arr: g(arr) & l(arr), f"inside({lo},{hi})")
         if name == "without":
             raise GremlinParseError("unsupported predicate: without")
         return getattr(P, name)(*args)
@@ -228,7 +234,11 @@ def _apply_steps(state, steps):
         # --- source steps (PropertyGraph state) -------------------------
         if isinstance(state, PropertyGraph):
             if name == "V":
-                state = state.V(*args)
+                # path()/simplePath() downstream need per-hop history,
+                # which only V(track_path=True) records
+                track = any(s[0] in ("path", "simplePath")
+                            for s in steps[i + 1:])
+                state = state.V(*args, track_path=track)
             elif name == "E":
                 state = state.E(*args)
             elif name == "program":

@@ -111,8 +111,7 @@ def _bucket_pairs(g: pd.DataFrame, max_fanout: int) -> pd.DataFrame:
     sorted-path order within a same-repo group."""
     empty = pd.DataFrame({"src": pd.Series([], dtype=object),
                           "dst": pd.Series([], dtype=object),
-                          "_w": pd.Series([], dtype=np.int64),
-                          "b2": pd.Series([], dtype=np.int64)})
+                          "_w": pd.Series([], dtype=np.int64)})
     if not len(g):
         return empty
     repo = g["repo"].to_numpy()
@@ -157,24 +156,24 @@ def _bucket_pairs(g: pd.DataFrame, max_fanout: int) -> pd.DataFrame:
     s_id = (uk >> np.uint64(32)).astype(np.int64)
     d_id = (uk & np.uint64(0xFFFFFFFF)).astype(np.int64)
     src, dst = uoid[s_id], uoid[d_id]
-    # global pair bucket for exchange 2 (content hash — the same pair
-    # from commits in different commit-buckets must meet)
-    b2 = (pd.util.hash_array(src) * np.uint64(31)
-          + pd.util.hash_array(dst)) % np.uint64(_NUM_BUCKETS)
-    return pd.DataFrame({"src": src, "dst": dst, "_w": w,
-                         "b2": b2.astype(np.int64)})
+    # exchange-2 routing is the caller's job (_task_exchange re-hashes
+    # (src, dst) itself — no per-pair bucket column computed here)
+    return pd.DataFrame({"src": src, "dst": dst, "_w": w})
 
 
 @ray.remote
 def _split_by_hash(nparts: int, key_cols, *tables):
     """One shuffle-map task: concat its input blocks and split the rows
     into ``nparts`` sub-tables by hash(key_cols) % nparts."""
-    t = pa.concat_tables([x for x in tables if x is not None and len(x)],
-                         promote_options="default")
+    parts = [x for x in tables if x is not None]
+    t = pa.concat_tables(parts, promote_options="default")
     df = t.select(key_cols).to_pandas()
     h = pd.util.hash_pandas_object(df, index=False).to_numpy()
     part = (h % np.uint64(nparts)).astype(np.int64)
-    return tuple(t.filter(pa.array(part == i)) for i in range(nparts))
+    out = tuple(t.filter(pa.array(part == i)) for i in range(nparts))
+    # num_returns=1 stores a returned 1-tuple as ONE object — unwrap
+    # so reducers always receive plain Tables
+    return out[0] if nparts == 1 else out
 
 
 @ray.remote
@@ -184,8 +183,13 @@ def _reduce_pairs(max_fanout: int, *tables) -> pa.Table:
     count (:func:`_bucket_pairs`)."""
     t = pa.concat_tables(list(tables), promote_options="default")
     out = _bucket_pairs(t.to_pandas(), max_fanout)
-    return pa.Table.from_pandas(out[["src", "dst", "_w"]],
-                                preserve_index=False)
+    if not len(out):
+        # typed empty (from_pandas on an empty object frame yields
+        # null-typed columns, which would poison downstream schemas)
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "_w": pa.array([], pa.int64())})
+    return pa.Table.from_pandas(out, preserve_index=False)
 
 
 @ray.remote
@@ -198,6 +202,10 @@ def _reduce_weights(*tables) -> pa.Table:
     g = t.to_pandas()
     out = g.groupby(["src", "dst"], sort=False)["_w"].sum().reset_index()
     out.columns = ["src", "dst", "weight"]
+    if not len(out):
+        return pa.table({"src": pa.array([], pa.string()),
+                         "dst": pa.array([], pa.string()),
+                         "weight": pa.array([], pa.int64())})
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -262,6 +270,13 @@ def derive_edges(
     if chunk:
         outs.append(_split_by_hash.options(num_returns=nparts)
                     .remote(nparts, ["repo", "commit"], *chunk))
+    if not outs:
+        # empty corpus (zero blocks): the typed empty edge table the
+        # superseded groupby path returned for the same input
+        return ray.data.from_arrow(pa.table({
+            "src": pa.array([], pa.string()),
+            "dst": pa.array([], pa.string()),
+            "weight": pa.array([], pa.int64())}))
     if nparts == 1:
         outs = [[o] for o in outs]
     cols = list(zip(*outs))

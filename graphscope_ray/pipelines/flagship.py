@@ -35,7 +35,11 @@ def flagship_pagerank(
     # (a measured, parallelism-independent ~2 s slice of the 2→8
     # scaling gap)
     import ray as _ray
-    nblocks = 4 * max(1, int(_ray.cluster_resources().get("CPU", 8)))
+    if _ray.is_initialized():
+        cpus = int(_ray.cluster_resources().get("CPU", 8))
+    else:  # standalone call: read_parquet auto-inits later
+        cpus = os.cpu_count() or 8
+    nblocks = 4 * max(1, cpus)
     corpus = ray.data.read_parquet(corpus_path,
                                    override_num_blocks=nblocks)
     corpus = with_sha256(corpus)  # row invariant rides along

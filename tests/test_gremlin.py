@@ -10,7 +10,8 @@ import pyarrow as pa
 import pytest
 import ray.data
 
-from graphscope_ray.gie import GremlinParseError, P, PropertyGraph, gremlin
+from graphscope_ray.gie import (GremlinParseError, P, PropertyGraph,
+                                run_gremlin as gremlin)
 from graphscope_ray.gie.gremlin import Chain, parse
 
 
@@ -60,7 +61,10 @@ class TestParser:
                 ("gte(2)", 2, True), ("lt(2)", 2, False),
                 ("lte(2)", 2, True),
                 ("within(1, 2, 3)", 2, True),
-                ("between(1, 3)", 2, True), ("inside(1, 3)", 2, True)]:
+                ("between(1, 3)", 2, True), ("between(1, 3)", 1, True),
+                ("inside(1, 3)", 2, True),
+                # Gremlin inside is EXCLUSIVE on both ends
+                ("inside(1, 3)", 1, False), ("inside(1, 3)", 3, False)]:
             pred = parse(f"g.V().has('x', {text})")[1][1][1]
             assert bool(pred(np.array([val]))[0]) is expect, text
 
@@ -146,6 +150,14 @@ class TestExecution:
         a = _pdf(gremlin(pg, s))
         # each customer keeps its smallest order id
         assert dict(zip(a["tag_c"], a["o"])) == {0: 1, 4: 9, 8: 13}
+
+    def test_path_steps_autotrack(self, pg):
+        # path()/simplePath() force V(track_path=True) transparently
+        p = _pdf(gremlin(pg, "g.V('customer').out('places').path()"))
+        assert set(p.columns) >= {"p0", "p1"}
+        assert len(p) == 4  # one row per (customer, order) traverser
+        sp = gremlin(pg, "g.V('order').both().both().simplePath()")
+        assert len(_pdf(sp)) > 0
 
     def test_unsupported_execution_raises_with_name(self, pg):
         with pytest.raises(GremlinParseError, match="subgraphStep"):

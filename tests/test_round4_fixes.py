@@ -106,3 +106,51 @@ class TestAnnMergeKernel:
         assert df[df.query_id == 0]["vec_id"].tolist() == [9, 3]
         assert df[df.query_id == 1]["vec_id"].tolist() == [1, 2]
         assert df["rank"].tolist() == [1, 2, 1, 2]
+
+
+class TestDeriveExchangeEdgeCases:
+    """Review findings r04: empty corpus, single-partition exchange."""
+
+    def test_empty_corpus_typed_empty_edges(self):
+        from graphscope_ray.ingest import derive_edges
+        empty = pa.table({"repo": pa.array([], pa.string()),
+                          "path": pa.array([], pa.string()),
+                          "commit": pa.array([], pa.string())})
+        out = derive_edges(ray.data.from_arrow(empty))
+        assert out.count() == 0
+        assert [str(t) for t in out.schema().types] == \
+            ["string", "string", "int64"]
+
+    def test_single_partition_exchange(self):
+        from graphscope_ray.ingest import derive_edges
+        small = pa.table({"repo": pa.array(["r", "r", "r"]),
+                          "path": pa.array(["a", "b", "c"]),
+                          "commit": pa.array(["c1", "c1", "c1"])})
+        o1 = (derive_edges(ray.data.from_arrow(small), num_partitions=1)
+              .to_pandas().sort_values(["src", "dst"])
+              .reset_index(drop=True))
+        assert o1["weight"].tolist() == [1, 1, 1]
+        assert o1["src"].tolist() == ["r::a", "r::a", "r::b"]
+
+
+def test_avi_with_audio_stream_decodes_video():
+    """Review finding r04: an 'auds' strl's WAVEFORMATEX strf must not
+    trip the video-format validation."""
+    import numpy as np
+
+    from graphscope_ray.data.codecs import (_u16, _u32, decode_avi,
+                                            encode_avi)
+    fr = np.arange(2 * 4 * 4 * 3, dtype=np.uint8).reshape(2, 4, 4, 3)
+    avi = encode_avi(fr, fps=4)
+    strh_a = b"auds" + b"\x00" * 52
+    strf_a = (_u16(1) + _u16(1) + _u32(16000) + _u32(32000)
+              + _u16(2) + _u16(16))
+    strl_a = (b"strh" + _u32(len(strh_a)) + strh_a
+              + b"strf" + _u32(len(strf_a)) + strf_a)
+    lst = b"LIST" + _u32(4 + len(strl_a)) + b"strl" + strl_a
+    j = avi.find(b"movi") - 8
+    spliced = avi[:j] + lst + avi[j:]
+    spliced = spliced[:4] + _u32(len(spliced) - 8) + spliced[8:]
+    dec, fps = decode_avi(spliced)
+    assert fps == 4
+    np.testing.assert_array_equal(dec, fr)
