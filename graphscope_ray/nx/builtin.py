@@ -427,6 +427,8 @@ def average_clustering(G, nodes=None, count_zeros: bool = True) -> float:
 # ----------------------------------------------------------------------
 
 def _components(G, mode: str):
+    if len(G) == 0:
+        return  # null graph: zero components (networkx convention)
     eng_graph = G._backing(mode)
     ds = eng_graph.wcc()
     comp = _to_map(G, ds, "comp", cast=int)
@@ -445,9 +447,14 @@ def connected_components(G):
 
 
 def weakly_connected_components(G):
-    """``builtin.py:719`` — weak components of a DiGraph."""
+    """``builtin.py:719`` — weak components of a DiGraph. Raises
+    NetworkXNotImplemented for undirected input (networkx's
+    @not_implemented_for('undirected') convention — use
+    connected_components)."""
     if not G.is_directed():
-        return _components(G, "main")
+        raise NetworkXNotImplemented(
+            "weakly_connected_components is for directed graphs; "
+            "use connected_components")
     return _components(G, "sym")
 
 
@@ -468,6 +475,10 @@ def is_connected(G) -> bool:
 
 
 def is_weakly_connected(G) -> bool:
+    if not G.is_directed():
+        raise NetworkXNotImplemented(
+            "is_weakly_connected is for directed graphs; "
+            "use is_connected")
     if len(G) == 0:
         raise NetworkXPointlessConcept(
             "Connectivity is undefined for the null graph.")
@@ -481,6 +492,8 @@ def strongly_connected_components(G):
     if not G.is_directed():
         raise NetworkXNotImplemented(
             "strongly_connected_components needs a DiGraph")
+    if len(G) == 0:
+        return  # null graph: zero components
     eng_graph = G._backing("both")
     ds = eng_graph.scc()
     comp = _to_map(G, ds, "scc_id", cast=int)
@@ -502,6 +515,9 @@ def number_strongly_connected_components(G) -> int:
 
 
 def is_strongly_connected(G) -> bool:
+    if not G.is_directed():
+        raise NetworkXNotImplemented(
+            "is_strongly_connected is for directed graphs")
     if len(G) == 0:
         raise NetworkXPointlessConcept(
             "Connectivity is undefined for the null graph.")
