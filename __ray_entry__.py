@@ -3900,10 +3900,10 @@ def entry() -> Any:
 
 
 def queries() -> dict[str, Callable[[str], Any]]:
-    # Deterministic rotation (round 4): the driver hard-verifies only the
-    # FIRST 50 dict entries, so rows never checked in CORRECTNESS_r01-r03
-    # come first; long-green veterans follow. Rotate again each round so
-    # every row eventually lands in the driver window.
+    # Deterministic rotation (tools/rotate_queries.py): the driver
+    # hard-verifies only the FIRST 50 dict entries, so rows least
+    # recently checked (never-checked first) lead; re-run the tool
+    # each round after the driver writes CORRECTNESS_r{N}.json.
     return {
         "pg_labeled_app": _q_pg_labeled_app,
         "gie_gremlin": _q_gie_gremlin,
@@ -3970,6 +3970,29 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "rel_shipping": _q_rel_shipping,
         "rel_q5_volume": _q_rel_q5_volume,
+        "pg_dfs": _q_pg_dfs,
+        "pg_sampling": _q_pg_sampling,
+        "doc_sha256": _q_doc_sha256,
+        "media_pipeline": _q_media_pipeline,
+        "doc_exact_dedup": _q_doc_exact_dedup,
+        "doc_token_count": _q_doc_token_count,
+        "doc_bpe_tokens": _q_doc_bpe_tokens,
+        "doc_quality": _q_doc_quality,
+        "doc_langid": _q_doc_langid,
+        "doc_fingerprint": _q_doc_fingerprint,
+        "doc_minhash_dedup": _q_doc_minhash_dedup,
+        "doc_simhash_pairs": _q_doc_simhash_pairs,
+        "doc_jaccard": _q_doc_jaccard,
+        "emb_ann_topk": _q_emb_ann_topk,
+        "emb_ivf_ann": _q_emb_ivf_ann,
+        "emb_cosine_dups": _q_emb_cosine_dups,
+        "events_window": _q_events_window,
+        "events_session": _q_events_session,
+        "events_hopping": _q_events_hopping,
+        "events_asof": _q_events_asof,
+        "orders_range90d": _q_orders_range90d,
+        "rel_pricing": _q_rel_pricing,
+        "rel_nation_revenue": _q_rel_nation_revenue,
         "pg_edges": _q_pg_edges,
         "pg_degree": _q_pg_degree,
         "pg_degree_centrality": _q_pg_degree_centrality,
@@ -4020,29 +4043,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_louvain": _q_pg_louvain,
         "pg_louvain_sweep": _q_pg_louvain_sweep,
         "pg_lpa": _q_pg_lpa,
-        "pg_dfs": _q_pg_dfs,
-        "pg_sampling": _q_pg_sampling,
-        "doc_sha256": _q_doc_sha256,
-        "media_pipeline": _q_media_pipeline,
-        "doc_exact_dedup": _q_doc_exact_dedup,
-        "doc_token_count": _q_doc_token_count,
-        "doc_bpe_tokens": _q_doc_bpe_tokens,
-        "doc_quality": _q_doc_quality,
-        "doc_langid": _q_doc_langid,
-        "doc_fingerprint": _q_doc_fingerprint,
-        "doc_minhash_dedup": _q_doc_minhash_dedup,
-        "doc_simhash_pairs": _q_doc_simhash_pairs,
-        "doc_jaccard": _q_doc_jaccard,
-        "emb_ann_topk": _q_emb_ann_topk,
-        "emb_ivf_ann": _q_emb_ivf_ann,
-        "emb_cosine_dups": _q_emb_cosine_dups,
-        "events_window": _q_events_window,
-        "events_session": _q_events_session,
-        "events_hopping": _q_events_hopping,
-        "events_asof": _q_events_asof,
-        "orders_range90d": _q_orders_range90d,
-        "rel_pricing": _q_rel_pricing,
-        "rel_nation_revenue": _q_rel_nation_revenue,
     }
 
 
