@@ -19,6 +19,8 @@ Covered Gremlin steps::
                        between(a,b))
     hasLabel('l'...) hasId(id...) dedup() simplePath()
     where(__.out()...) not(__.out()...)          # (anti-)semi-join
+    where('a', '==', 'b')                        # tag compare (ext. form)
+    union(__.out('x'), __.out('y'))
     as('t') select('t') select('a','b'...)       # tag / jump / project
     values('prop') valueMap('a','b')
     order().by('prop'[, desc|asc]) limit(n) range(lo, hi)
@@ -273,9 +275,26 @@ def _apply_steps(state, steps):
         elif name == "simplePath":
             state = t.simple_path()
         elif name == "where":
-            state = t.where_exists(_as_chain_fn(args[0]))
+            if len(args) == 3 and all(isinstance(a, str) for a in args):
+                # documented extension: where('a', '==', 'b') compares
+                # two tagged positions (the builder's tag-compare WHERE,
+                # op 24 — standard Gremlin's where('a', eq('b')) form
+                # cannot survive parsing because the predicate hides
+                # the tag name)
+                state = t.where(*args)
+            else:
+                state = t.where_exists(_as_chain_fn(args[0]))
         elif name == "not":
             state = t.where_not_exists(_as_chain_fn(args[0]))
+        elif name == "union":
+            branches = [_apply_steps(t, c.steps) if isinstance(c, Chain)
+                        else None for c in args]
+            if any(b is None for b in branches) or not branches:
+                raise GremlinParseError(
+                    "union() takes anonymous traversals (__....)")
+            state = branches[0]
+            for b in branches[1:]:
+                state = state.union(b)
         elif name == "as":
             state = t.as_(*args)
         elif name == "select":

@@ -196,3 +196,26 @@ class TestParserFuzz:
             except Exception as e:  # pragma: no cover
                 raise AssertionError(
                     f"non-GremlinParseError {type(e).__name__} on {s!r}")
+
+
+class TestUnionAndTagWhere:
+    def test_union_branches(self, pg):
+        s = "g.V('customer').union(__.out('places'), __.both())"
+        a = _pdf(gremlin(pg, s))
+        t = pg.V("customer")
+        b = _pdf(t.out("places").union(t.both()))
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_union_requires_chains(self, pg):
+        with pytest.raises(GremlinParseError, match="union"):
+            gremlin(pg, "g.V().union(5)")
+
+    def test_tag_compare_where(self, pg):
+        # orders whose customer tag differs from a second hop's tag
+        s = ("g.V('customer').as('a').out('places').as('b')"
+             ".where('a', '!=', 'b')")
+        a = _pdf(gremlin(pg, s))
+        b = _pdf(pg.V("customer").as_("a").out("places").as_("b")
+                 .where("a", "!=", "b"))
+        pd.testing.assert_frame_equal(a, b)
+        assert len(a) == 4  # every (customer, order) pair differs
