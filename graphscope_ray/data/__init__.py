@@ -7,6 +7,7 @@ expressed as Ray Data batch transforms.
 """
 
 from graphscope_ray.data.text import (  # noqa: F401
+    bpe_encode,
     bpe_token_count,
     bpe_train,
     lm_score,

@@ -670,3 +670,79 @@ def bm25_scores(ds: ray.data.Dataset, query, *, col: str = "text",
                              "score": sums[sel] / 1e6})
 
     return ds.map_batches(score, batch_format="pandas")
+
+
+class BPEEncoder:
+    """Actor-pool stage: apply a trained merge list to the text column
+    — the tokenizer-APPLY half of the BPE story (:func:`bpe_train`
+    learns the merges; this encodes the corpus with them, the stage a
+    training-data pipeline runs over all 100 TB).
+
+    Stateful setup once per actor (the brief's actor-pool rule): the
+    merge-rank table and compiled word pattern are built in
+    ``__init__``; a per-WORD-TYPE memo makes the per-batch cost
+    proportional to distinct words, not tokens. Greedy lowest-rank
+    merging is the standard equivalent of replaying the merges in
+    training order (tests prove it against a sequential oracle)."""
+
+    def __init__(self, merges, col: str = "text", key: str = "doc_id"):
+        from graphscope_ray.data.curate import VOCAB_TOKEN_PATTERN
+        self.ranks = {(a, b): i for i, (a, b, *_) in enumerate(merges)}
+        self.pat = re.compile(VOCAB_TOKEN_PATTERN)
+        self.col, self.key = col, key
+        self._memo: dict = {}
+
+    def _encode_word(self, w: str) -> list:
+        got = self._memo.get(w)
+        if got is not None:
+            return got
+        syms = list(w) + ["</w>"]
+        while len(syms) > 1:
+            best_rank, best = None, None
+            for p in zip(syms, syms[1:]):
+                r = self.ranks.get(p)
+                if r is not None and (best_rank is None or r < best_rank):
+                    best_rank, best = r, p
+            if best is None:
+                break
+            a, b = best
+            i, res = 0, []
+            while i < len(syms):
+                if (i + 1 < len(syms) and syms[i] == a
+                        and syms[i + 1] == b):
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        self._memo[w] = syms
+        return syms
+
+    def __call__(self, t: pa.Table) -> pa.Table:
+        keys, toks, counts = [], [], []
+        for k, text in zip(t[self.key].to_pylist(),
+                           t[self.col].to_pylist()):
+            words = self.pat.findall((text or "").lower())
+            enc = [s for w in words for s in self._encode_word(w)]
+            keys.append(k)
+            toks.append(enc)
+            counts.append(len(enc))
+        return pa.table({
+            self.key: pa.array(keys, t[self.key].type),
+            "bpe_tokens": pa.array(toks, pa.list_(pa.string())),
+            "n_tokens": pa.array(counts, pa.int64()),
+        })
+
+
+def bpe_encode(ds: ray.data.Dataset, merges, *, col: str = "text",
+               key: str = "doc_id", batch_size: int = 256,
+               concurrency=(1, 4)) -> ray.data.Dataset:
+    """→ (key, bpe_tokens list<string>, n_tokens) per document, using
+    the merges from :func:`bpe_train`. The merge table is tiny and
+    ships once per actor via the constructor (not per batch)."""
+    return ds.map_batches(
+        BPEEncoder, fn_constructor_kwargs={"merges": list(merges),
+                                           "col": col, "key": key},
+        batch_format="pyarrow", batch_size=batch_size,
+        concurrency=concurrency)

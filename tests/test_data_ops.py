@@ -392,3 +392,47 @@ def test_bpe_train_matches_reference():
                       num_merges=8)
     want_r = reference_bpe(rdocs["text"], 8)
     assert got_r == want_r
+
+
+def test_bpe_encode_matches_sequential_oracle():
+    """bpe_encode (greedy lowest-rank merging, per-word memo) must
+    equal the deliberately-different oracle: replaying the merges in
+    TRAINING ORDER over each word (classic Sennrich equivalence)."""
+    import re as _re
+
+    from graphscope_ray.data.curate import VOCAB_TOKEN_PATTERN
+    from graphscope_ray.data.text import bpe_encode, bpe_train
+
+    docs = pd.DataFrame({
+        "doc_id": np.arange(6, dtype=np.int64),
+        "text": ["the cat sat on the mat", "the catalog catalogs cats",
+                 "low lower lowest", "newer newest new",
+                 "", None],
+    })
+    ds = ray.data.from_pandas(docs)
+    merges = bpe_train(ds, num_merges=12)
+    got = (bpe_encode(ds, merges).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+
+    def oracle_word(w):
+        syms = list(w) + ["</w>"]
+        for a, b, *_ in merges:   # training order, one merge at a time
+            i, res = 0, []
+            while i < len(syms):
+                if i + 1 < len(syms) and syms[i] == a and syms[i + 1] == b:
+                    res.append(a + b)
+                    i += 2
+                else:
+                    res.append(syms[i])
+                    i += 1
+            syms = res
+        return syms
+
+    pat = _re.compile(VOCAB_TOKEN_PATTERN)
+    for _, row in docs.iterrows():
+        words = pat.findall((row["text"] or "").lower())
+        want = [s for w in words for s in oracle_word(w)]
+        have = list(got.loc[got.doc_id == row["doc_id"],
+                            "bpe_tokens"].iloc[0])
+        assert have == want, (row["doc_id"], have, want)
+    assert (got["n_tokens"] == got["bpe_tokens"].str.len()).all()
