@@ -3006,6 +3006,19 @@ def _q_doc_split(sf_dir):
     return split_assign(docs, seed=7)
 
 
+def _q_doc_split_stratified(sf_dir):
+    """Per-domain EXACT-fraction split (stratified sibling of
+    doc_split's global coin): within each source, docs ranked by the
+    shared fmix64 row hash carve train/val/test to ±1 doc per group —
+    the domain-balanced carve a mixture pipeline needs. Engine side is
+    the coarse-bucket multi-group rank kernel; the twin replays the
+    identical hash + ceil arithmetic in a row_number window."""
+    from graphscope_ray.data.curate import stratified_split
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "source"])
+    return stratified_split(docs, group="source", seed=7).sort("doc_id")
+
+
 def _q_doc_normalize(sf_dir):
     from graphscope_ray.data.curate import normalize_text
     docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
@@ -3905,6 +3918,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # recently checked (never-checked first) lead; re-run the tool
     # each round after the driver writes CORRECTNESS_r{N}.json.
     return {
+        "doc_split_stratified": _q_doc_split_stratified,
         "pg_labeled_app": _q_pg_labeled_app,
         "gie_gremlin": _q_gie_gremlin,
         "media_frames": _q_media_frames,
@@ -4117,6 +4131,7 @@ FROM deg ORDER BY vid""",
         "pg_sssp_pregel": _sssp_sql(SSSP_ROUNDS),
         "pg_ppr": _ppr_sql(4, DELTA, n_seeds=3),
         "pg_wcc": _WCC_SQL,
+        "doc_split_stratified": _osql().stratified_split_sql(seed=7),
         "pg_labeled_app": _LABELED_APP_SQL,
         "pg_nx_wcc": _WCC_SQL,
         "pg_cdlp": _cdlp_sql(CDLP_ROUNDS),

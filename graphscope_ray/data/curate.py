@@ -646,3 +646,66 @@ def adaptive_quality_filter(ds: ray.data.Dataset, *, col: str = "text",
         return df[df["quality"].to_numpy() >= df["thr"].to_numpy()]
 
     return withthr.map_batches(keep, batch_format="pandas")
+
+
+def stratified_split(ds: ray.data.Dataset, *,
+                     group: str = "source",
+                     splits: list[tuple[str, float]] | None = None,
+                     seed: int = 7, key: str = "doc_id",
+                     num_buckets: int = 32) -> ray.data.Dataset:
+    """Per-GROUP split assignment with exact fractions: within each
+    ``group`` (domain/source) rows are ranked by (fmix64(key·B+seed),
+    key) and the buckets carved by rank bound ``ceil(cum_frac · n_g)``
+    — every group hits its split fractions to ±1 row, the
+    domain-balanced train/val carve a data-mixture pipeline needs
+    (``split_assign``'s global coin only hits fractions in
+    expectation, so small domains can land entirely in one split).
+    Deterministic per (key, seed) at any parallelism.
+
+    100 TB shape: the repo-wide coarse-bucket pattern — ONE
+    hash(group)%num_buckets exchange co-locates each group, then a
+    vectorized multi-group rank kernel per bucket; no per-group
+    dispatch, no global sort. SQL twin:
+    oracle_sql.stratified_split_sql (row_number window over the same
+    hash, identical ceil arithmetic)."""
+    if splits is None:
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    names = np.array([n for n, _ in splits], dtype=object)
+    cum = np.cumsum([w for _, w in splits]).astype(np.float64)
+
+    def add_cb(df: pd.DataFrame) -> pd.DataFrame:
+        h = pd.util.hash_pandas_object(df[group], index=False).to_numpy()
+        return df.assign(
+            _cb=(h % np.uint64(num_buckets)).astype(np.int64))
+
+    def kernel(g: pd.DataFrame) -> pd.DataFrame:
+        ids = g[key].to_numpy()
+        hh = _row_hash(ids.astype(np.int64), seed)
+        grp = g[group].to_numpy()
+        order = np.lexsort((ids, hh, grp))
+        g = g.iloc[order].reset_index(drop=True)
+        grp = grp[order]
+        new = np.empty(len(g), dtype=bool)
+        if len(g):
+            new[0] = True
+            new[1:] = grp[1:] != grp[:-1]
+        starts = np.flatnonzero(new)
+        counts = np.diff(np.r_[starts, len(g)])
+        rank = np.arange(len(g)) - np.repeat(starts, counts)
+        n_g = np.repeat(counts, counts).astype(np.float64)
+        # bound b_i(ng) = ceil(cum_i · n_g) — same IEEE expression as
+        # the SQL twin, so boundary rows cannot disagree
+        idx = np.zeros(len(g), dtype=np.int64)
+        assigned = np.zeros(len(g), dtype=bool)
+        for i, cf in enumerate(cum[:-1]):
+            take = (~assigned) & (rank < np.ceil(cf * n_g))
+            idx[take] = i
+            assigned |= take
+        idx[~assigned] = len(cum) - 1
+        out = g.drop(columns=["_cb"])
+        out["split"] = names[idx]
+        return out
+
+    return (ds.map_batches(add_cb, batch_format="pandas")
+              .groupby("_cb")
+              .map_groups(kernel, batch_format="pandas"))

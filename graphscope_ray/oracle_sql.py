@@ -767,3 +767,31 @@ WINDOW w AS (PARTITION BY user_id ORDER BY ts
              RANGE BETWEEN INTERVAL {window_days} DAY PRECEDING
                        AND CURRENT ROW)
 ORDER BY event_id"""
+
+
+def stratified_split_sql(splits=None, seed: int = 7,
+                         group: str = "source") -> str:
+    """Twin of data/curate.stratified_split: per-group row_number over
+    (fmix64(doc_id·B+seed), doc_id) with ceil(cum_frac·n) rank bounds
+    — the SAME IEEE double products as the numpy kernel (cumulative
+    fractions embedded at full repr precision)."""
+    import numpy as np
+    if splits is None:
+        splits = [("train", 0.8), ("val", 0.1), ("test", 0.1)]
+    names = [n for n, _ in splits]
+    cum = np.cumsum([w for _, w in splits]).astype(np.float64)
+    cases = "\n  ".join(
+        f"WHEN rn < ceil({cum[i]!r} * n) THEN '{names[i]}'"
+        for i in range(len(names) - 1))
+    return f"""
+WITH h AS (SELECT doc_id, {group},
+                  ({_row_hash_sql(seed)}) AS hh FROM documents),
+r AS (SELECT doc_id, {group},
+             row_number() OVER (PARTITION BY {group}
+                                ORDER BY hh, doc_id) - 1 AS rn,
+             count(*) OVER (PARTITION BY {group}) AS n
+      FROM h)
+SELECT doc_id, {group}, CASE
+  {cases}
+  ELSE '{names[-1]}' END AS split
+FROM r ORDER BY doc_id"""

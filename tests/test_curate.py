@@ -362,3 +362,31 @@ WHERE s.quality >= t.thr ORDER BY s.doc_id""").df()
     total = docs.groupby("source").size()
     frac = (kept / total).dropna()
     assert ((frac >= 0.5) & (frac <= 1.0)).all()
+
+
+def test_stratified_split_exact_fractions_and_determinism():
+    from graphscope_ray.data.curate import stratified_split
+    rng = np.random.default_rng(3)
+    docs = pd.DataFrame({
+        "doc_id": np.arange(500, dtype=np.int64),
+        "source": rng.choice(["a", "b", "tiny", "c"],
+                             p=[0.5, 0.3, 0.02, 0.18], size=500),
+    })
+    ds = ray.data.from_pandas(docs)
+    out = (stratified_split(ds, group="source", seed=7).to_pandas()
+           .sort_values("doc_id").reset_index(drop=True))
+    assert len(out) == 500
+    for src, g in out.groupby("source"):
+        n = len(g)
+        n_train = (g["split"] == "train").sum()
+        n_val = (g["split"] == "val").sum()
+        # exact carve: rank < ceil(0.8n) is train, < ceil(0.9n) val
+        assert n_train == int(np.ceil(0.8 * n)), (src, n, n_train)
+        assert n_val == int(np.ceil(0.9 * n) - np.ceil(0.8 * n))
+    # deterministic across parallelism
+    out2 = (stratified_split(ds.repartition(7), group="source", seed=7)
+            .to_pandas().sort_values("doc_id").reset_index(drop=True))
+    assert out.equals(out2)
+    # every group (even 'tiny') has train rows
+    assert set(out[out.split == "train"]["source"]) == {"a", "b", "c",
+                                                        "tiny"}
