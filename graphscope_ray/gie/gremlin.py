@@ -40,7 +40,7 @@ Unsupported steps raise :class:`GremlinParseError` naming the op.
 from __future__ import annotations
 
 import re
-from typing import Any, List, Optional, Tuple
+from typing import List, Tuple
 
 from graphscope_ray.gie.traversal import P, PropertyGraph, Traversal, unfold
 

@@ -94,9 +94,6 @@ def _derive_edges_groupby(
     return edges
 
 
-_NUM_BUCKETS = 32
-
-
 def _bucket_pairs(g: pd.DataFrame, max_fanout: int) -> pd.DataFrame:
     """One commit-bucket's fused kernel (string-key port of
     pipelines/partgraph.pairs_in_bucket): dedup (repo, commit, path)
@@ -147,8 +144,8 @@ def _bucket_pairs(g: pd.DataFrame, max_fanout: int) -> pd.DataFrame:
     first = (np.arange(len(second)) - np.repeat(off, r)
              + np.repeat(idx - r, r))
     if len(uoid) >= 2**32:
-        raise ValueError("bucket exceeds 2^32 distinct files; "
-                         "raise _NUM_BUCKETS")
+        raise ValueError("exchange partition exceeds 2^32 distinct "
+                         "files; raise derive_edges num_partitions")
     key = (fid[first].astype(np.uint64) << np.uint64(32)) | \
         fid[second].astype(np.uint64)
     uk, inv = np.unique(key, return_inverse=True)
@@ -159,6 +156,15 @@ def _bucket_pairs(g: pd.DataFrame, max_fanout: int) -> pd.DataFrame:
     # exchange-2 routing is the caller's job (_task_exchange re-hashes
     # (src, dst) itself — no per-pair bucket column computed here)
     return pd.DataFrame({"src": src, "dst": dst, "_w": w})
+
+
+def _typed_empty(val_name: str) -> pa.Table:
+    """Typed empty pair/edge table (from_pandas on an empty object
+    frame yields null-typed columns, which would poison downstream
+    schemas)."""
+    return pa.table({"src": pa.array([], pa.string()),
+                     "dst": pa.array([], pa.string()),
+                     val_name: pa.array([], pa.int64())})
 
 
 @ray.remote
@@ -184,11 +190,7 @@ def _reduce_pairs(max_fanout: int, *tables) -> pa.Table:
     t = pa.concat_tables(list(tables), promote_options="default")
     out = _bucket_pairs(t.to_pandas(), max_fanout)
     if not len(out):
-        # typed empty (from_pandas on an empty object frame yields
-        # null-typed columns, which would poison downstream schemas)
-        return pa.table({"src": pa.array([], pa.string()),
-                         "dst": pa.array([], pa.string()),
-                         "_w": pa.array([], pa.int64())})
+        return _typed_empty("_w")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -203,9 +205,7 @@ def _reduce_weights(*tables) -> pa.Table:
     out = g.groupby(["src", "dst"], sort=False)["_w"].sum().reset_index()
     out.columns = ["src", "dst", "weight"]
     if not len(out):
-        return pa.table({"src": pa.array([], pa.string()),
-                         "dst": pa.array([], pa.string()),
-                         "weight": pa.array([], pa.int64())})
+        return _typed_empty("weight")
     return pa.Table.from_pandas(out, preserve_index=False)
 
 
@@ -225,6 +225,12 @@ def _task_exchange(refs, nparts: int, key_cols, reducer, *reducer_args):
     chunks = [refs[i:i + k] for i in range(0, len(refs), k)]
     outs = [_split_by_hash.options(num_returns=nparts)
             .remote(nparts, key_cols, *c) for c in chunks]
+    return _finish_exchange(outs, nparts, reducer, *reducer_args)
+
+
+def _finish_exchange(outs, nparts: int, reducer, *reducer_args):
+    """Wire split-task outputs to one reducer per partition (shared by
+    the list-based and streaming exchange fronts)."""
     if nparts == 1:
         outs = [[o] for o in outs]
     cols = list(zip(*outs))
@@ -273,15 +279,8 @@ def derive_edges(
     if not outs:
         # empty corpus (zero blocks): the typed empty edge table the
         # superseded groupby path returned for the same input
-        return ray.data.from_arrow(pa.table({
-            "src": pa.array([], pa.string()),
-            "dst": pa.array([], pa.string()),
-            "weight": pa.array([], pa.int64())}))
-    if nparts == 1:
-        outs = [[o] for o in outs]
-    cols = list(zip(*outs))
-    pair_refs = [_reduce_pairs.remote(max_fanout, *cols[i])
-                 for i in range(nparts)]
+        return ray.data.from_arrow(_typed_empty("weight"))
+    pair_refs = _finish_exchange(outs, nparts, _reduce_pairs, max_fanout)
     edge_refs = _task_exchange(pair_refs, nparts, ["src", "dst"],
                                _reduce_weights)
     return ray.data.from_arrow_refs(edge_refs)
