@@ -3917,8 +3917,11 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # hard-verifies only the FIRST 50 dict entries, so rows least
     # recently checked (never-checked first) lead; re-run the tool
     # each round after the driver writes CORRECTNESS_r{N}.json.
-    # (r04 manual nudge: emb_semdedup/emb_ivf_ann pulled inside the
-    # 50-row window — the r03 verdict's #2/#3 done-criteria name them)
+    # r04 window composition: 49 previously-unchecked rows + 1 r02
+    # veteran (the five ANN/k-means rows named by the r03 verdict's
+    # #2/#3 done-criteria sit at positions 45-49; emb_ann_topk is the
+    # veteran, re-windowed because its merge kernel was reworked this
+    # round; the displaced never-checked rows lead round 5).
     return {
         "doc_split_stratified": _q_doc_split_stratified,
         "pg_labeled_app": _q_pg_labeled_app,
