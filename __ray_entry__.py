@@ -3917,62 +3917,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
     # hard-verifies only the FIRST 50 dict entries, so rows least
     # recently checked (never-checked first) lead; re-run the tool
     # each round after the driver writes CORRECTNESS_r{N}.json.
-    # r04 window composition: 49 previously-unchecked rows + 1 r02
-    # veteran (the five ANN/k-means rows named by the r03 verdict's
-    # #2/#3 done-criteria sit at positions 45-49; emb_ann_topk is the
-    # veteran, re-windowed because its merge kernel was reworked this
-    # round; the displaced never-checked rows lead round 5).
     return {
-        "doc_split_stratified": _q_doc_split_stratified,
-        "pg_labeled_app": _q_pg_labeled_app,
-        "gie_gremlin": _q_gie_gremlin,
-        "media_frames": _q_media_frames,
-        "pg_mutation_wcc": _q_pg_mutation_wcc,
-        "pg_mutation_sssp": _q_pg_mutation_sssp,
-        "pg_string_oids": _q_pg_string_oids,
-        "pg_labeled_select": _q_pg_labeled_select,
-        "pg_pattern_paths": _q_pg_pattern_paths,
-        "gie_part_reach": _q_gie_part_reach,
-        "gie_heavy_parts": _q_gie_heavy_parts,
-        "gie_cust_big_orders": _q_gie_cust_big_orders,
-        "gie_order_topk": _q_gie_order_topk,
-        "gie_loyal_custs": _q_gie_loyal_custs,
-        "gie_part_qty": _q_gie_part_qty,
-        "gie_modest_custs": _q_gie_modest_custs,
-        "gie_repeat_reach": _q_gie_repeat_reach,
-        "gie_price_page": _q_gie_price_page,
-        "gie_path_project": _q_gie_path_project,
-        "gie_fold_unfold": _q_gie_fold_unfold,
-        "gie_program_wcc": _q_gie_program_wcc,
-        "doc_curation": _q_doc_curation,
-        "doc_sample": _q_doc_sample,
-        "doc_weighted_sample": _q_doc_weighted_sample,
-        "doc_domain_mix": _q_doc_domain_mix,
-        "doc_order": _q_doc_order,
-        "doc_tfidf": _q_doc_tfidf,
-        "doc_topk_source": _q_doc_topk_source,
-        "doc_profile": _q_doc_profile,
-        "doc_split": _q_doc_split,
-        "doc_normalize": _q_doc_normalize,
-        "doc_pii": _q_doc_pii,
-        "doc_repetition": _q_doc_repetition,
-        "doc_vocab": _q_doc_vocab,
-        "doc_topk_mg": _q_doc_topk_mg,
-        "doc_bm25": _q_doc_bm25,
-        "doc_hll": _q_doc_hll,
-        "doc_cms": _q_doc_cms,
-        "doc_bloom": _q_doc_bloom,
-        "doc_hll_by_source": _q_doc_hll_by_source,
-        "doc_packing": _q_doc_packing,
-        "doc_decontaminate": _q_doc_decontaminate,
-        "doc_span_dedup": _q_doc_span_dedup,
-        "doc_chunk": _q_doc_chunk,
-        "doc_classifier": _q_doc_classifier,
-        "emb_kmeans": _q_emb_kmeans,
-        "emb_pq_codes": _q_emb_pq_codes,
-        "emb_semdedup": _q_emb_semdedup,
-        "emb_ann_topk": _q_emb_ann_topk,
-        "emb_ivf_ann": _q_emb_ivf_ann,
         "doc_bigrams": _q_doc_bigrams,
         "doc_lm_score": _q_doc_lm_score,
         "doc_adaptive_quality": _q_doc_adaptive_quality,
@@ -4062,6 +4007,56 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "pg_louvain": _q_pg_louvain,
         "pg_louvain_sweep": _q_pg_louvain_sweep,
         "pg_lpa": _q_pg_lpa,
+        "doc_split_stratified": _q_doc_split_stratified,
+        "pg_labeled_app": _q_pg_labeled_app,
+        "gie_gremlin": _q_gie_gremlin,
+        "media_frames": _q_media_frames,
+        "pg_mutation_wcc": _q_pg_mutation_wcc,
+        "pg_mutation_sssp": _q_pg_mutation_sssp,
+        "pg_string_oids": _q_pg_string_oids,
+        "pg_labeled_select": _q_pg_labeled_select,
+        "pg_pattern_paths": _q_pg_pattern_paths,
+        "gie_part_reach": _q_gie_part_reach,
+        "gie_heavy_parts": _q_gie_heavy_parts,
+        "gie_cust_big_orders": _q_gie_cust_big_orders,
+        "gie_order_topk": _q_gie_order_topk,
+        "gie_loyal_custs": _q_gie_loyal_custs,
+        "gie_part_qty": _q_gie_part_qty,
+        "gie_modest_custs": _q_gie_modest_custs,
+        "gie_repeat_reach": _q_gie_repeat_reach,
+        "gie_price_page": _q_gie_price_page,
+        "gie_path_project": _q_gie_path_project,
+        "gie_fold_unfold": _q_gie_fold_unfold,
+        "gie_program_wcc": _q_gie_program_wcc,
+        "doc_curation": _q_doc_curation,
+        "doc_sample": _q_doc_sample,
+        "doc_weighted_sample": _q_doc_weighted_sample,
+        "doc_domain_mix": _q_doc_domain_mix,
+        "doc_order": _q_doc_order,
+        "doc_tfidf": _q_doc_tfidf,
+        "doc_topk_source": _q_doc_topk_source,
+        "doc_profile": _q_doc_profile,
+        "doc_split": _q_doc_split,
+        "doc_normalize": _q_doc_normalize,
+        "doc_pii": _q_doc_pii,
+        "doc_repetition": _q_doc_repetition,
+        "doc_vocab": _q_doc_vocab,
+        "doc_topk_mg": _q_doc_topk_mg,
+        "doc_bm25": _q_doc_bm25,
+        "doc_hll": _q_doc_hll,
+        "doc_cms": _q_doc_cms,
+        "doc_bloom": _q_doc_bloom,
+        "doc_hll_by_source": _q_doc_hll_by_source,
+        "doc_packing": _q_doc_packing,
+        "doc_decontaminate": _q_doc_decontaminate,
+        "doc_span_dedup": _q_doc_span_dedup,
+        "doc_chunk": _q_doc_chunk,
+        "doc_classifier": _q_doc_classifier,
+        "emb_kmeans": _q_emb_kmeans,
+        "emb_pq_codes": _q_emb_pq_codes,
+        "emb_semdedup": _q_emb_semdedup,
+        "emb_ann_topk": _q_emb_ann_topk,
+        "emb_ivf_ann": _q_emb_ivf_ann,
     }
 
 
