@@ -172,9 +172,14 @@ _BLOOM_SALT = U64(6364136223846793005)  # oracle_sql.C2 — shared constant
 def bloom_positions(hashes: np.ndarray, k: int, m_bits: int) -> np.ndarray:
     """(k × n) bit positions: probe i rehashes through
     fmix64((h + i·C2) mod 2^64) mod m_bits (SQL-replayable)."""
+    # i·C2 wraps mod 2^64 BY DESIGN; numpy warns on *scalar* uint64
+    # overflow (arrays wrap silently) — silence it so a future real
+    # overflow elsewhere isn't drowned by this intended one
+    with np.errstate(over="ignore"):
+        salts = [U64(i) * _BLOOM_SALT for i in range(k)]
     return np.stack([
-        (fmix64(hashes + U64(i) * _BLOOM_SALT) % U64(m_bits)).astype(np.int64)
-        for i in range(k)
+        (fmix64(hashes + s) % U64(m_bits)).astype(np.int64)
+        for s in salts
     ])
 
 

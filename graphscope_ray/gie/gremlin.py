@@ -228,6 +228,18 @@ def _as_chain_fn(chain: Chain):
     return fn
 
 
+def _needs_path(steps) -> bool:
+    """True if any step (including inside nested Chain arguments, e.g.
+    repeat(__.out().simplePath())) requires per-hop path history."""
+    for name, args in steps:
+        if name in ("path", "simplePath"):
+            return True
+        for a in args:
+            if isinstance(a, Chain) and _needs_path(a.steps):
+                return True
+    return False
+
+
 def _apply_steps(state, steps):
     i = 0
     while i < len(steps):
@@ -237,9 +249,10 @@ def _apply_steps(state, steps):
         if isinstance(state, PropertyGraph):
             if name == "V":
                 # path()/simplePath() downstream need per-hop history,
-                # which only V(track_path=True) records
-                track = any(s[0] in ("path", "simplePath")
-                            for s in steps[i + 1:])
+                # which only V(track_path=True) records; the step may
+                # be nested inside repeat(__...)/where(__...) chains,
+                # so recurse through Chain args (ADVICE r04)
+                track = _needs_path(steps[i + 1:])
                 state = state.V(*args, track_path=track)
             elif name == "E":
                 state = state.E(*args)

@@ -127,9 +127,26 @@ class Graph:
                 src = t["src"].combine_chunks()
                 dst = t["dst"].combine_chunks()
                 if src.type != dst.type:
-                    # mixed representations (e.g. string src vs
-                    # large_string dst from different upstream readers)
-                    # must not abort the build
+                    # mixed representations within the same family
+                    # (e.g. string src vs large_string dst, or int32 vs
+                    # int64, from different upstream readers) must not
+                    # abort the build — but a cross-family mismatch
+                    # (string src vs int64 dst) is a genuine schema
+                    # error: casting would silently stringify ids into
+                    # the oid set and defer the failure to a confusing
+                    # downstream join
+                    str_t = (pa.types.is_string, pa.types.is_large_string)
+                    same_family = (
+                        (any(p(src.type) for p in str_t)
+                         and any(p(dst.type) for p in str_t))
+                        or (pa.types.is_integer(src.type)
+                            and pa.types.is_integer(dst.type)))
+                    if not same_family:
+                        raise TypeError(
+                            f"edge src/dst types disagree across "
+                            f"families: src={src.type} dst={dst.type}; "
+                            f"cast your columns explicitly before "
+                            f"Graph.from_edges")
                     dst = pc.cast(dst, src.type)
                 both = pa.chunked_array([src, dst])
                 return pa.table({"oid": pc.unique(both)})

@@ -171,7 +171,9 @@ def _typed_empty(val_name: str) -> pa.Table:
 def _split_by_hash(nparts: int, key_cols, *tables):
     """One shuffle-map task: concat its input blocks and split the rows
     into ``nparts`` sub-tables by hash(key_cols) % nparts."""
-    parts = [x for x in tables if x is not None]
+    parts = [x if isinstance(x, pa.Table)
+             else pa.Table.from_pandas(x, preserve_index=False)
+             for x in tables if x is not None]
     t = pa.concat_tables(parts, promote_options="default")
     df = t.select(key_cols).to_pandas()
     h = pd.util.hash_pandas_object(df, index=False).to_numpy()

@@ -781,7 +781,7 @@ def stratified_split_sql(splits=None, seed: int = 7,
     names = [n for n, _ in splits]
     cum = np.cumsum([w for _, w in splits]).astype(np.float64)
     cases = "\n  ".join(
-        f"WHEN rn < ceil({cum[i]!r} * n) THEN '{names[i]}'"
+        f"WHEN rn < ceil({float(cum[i])!r} * n) THEN '{names[i]}'"
         for i in range(len(names) - 1))
     return f"""
 WITH h AS (SELECT doc_id, {group},
