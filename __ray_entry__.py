@@ -1128,6 +1128,92 @@ SELECT v.id AS id, coalesce(min(r.l), v.id) AS comp
 FROM v LEFT JOIN r ON r.v = v.id GROUP BY v.id ORDER BY id"""
 
 
+def _q_gie_group_by(sf_dir):
+    """General group().by(key).by(value-agg) — reference
+    GroupTreeNode.java compiles non-count group values; GIE-lite's
+    Traversal.group_by + the Gremlin-string form both route to the
+    coarse-bucket SUM_BY_KEY kernel. Per-customer sum of order
+    totals, run from the STRING frontend (tests assert the builder
+    form is bit-identical)."""
+    from graphscope_ray.gie import run_gremlin as gremlin
+    g = _gie_graph(sf_dir)
+    out = gremlin(g, "g.V('customer').as('c').out('places')"
+                     ".group().by('c')"
+                     ".by(__.values('totalprice').sum())")
+    return _round_col(
+        _gie_decode(out, {"c": ("custkey", True),
+                          "sum_totalprice": ("sum_total", False)}),
+        "sum_total")
+
+
+_GIE_GROUP_BY_SQL = """
+SELECT o_custkey AS custkey, round(sum(o_totalprice), 6) AS sum_total
+FROM orders GROUP BY 1 ORDER BY custkey"""
+
+
+def _q_gie_and_or(sf_dir):
+    """and()/or() sub-traversal composition (reference
+    AndTreeNode.java / OrTreeNode.java): customers that are overdrawn
+    OR (hold a >300k order AND have acctbal > 5000). Each branch is
+    one hash-stamped flag attach; nesting and() inside or() proves
+    the Chain recursion."""
+    from graphscope_ray.gie import run_gremlin as gremlin
+    g = _gie_graph(sf_dir)
+    t = gremlin(g, "g.V('customer').or("
+                   "__.has('acctbal', lt(0.0)), "
+                   "__.and(__.out('places').has('totalprice', "
+                   "gt(300000.0)), __.has('acctbal', gt(5000.0))))")
+    return _gie_decode(t.dataset(), {"t": ("custkey", True)})
+
+
+_GIE_AND_OR_SQL = """
+SELECT c_custkey AS custkey FROM customer c
+WHERE c.c_acctbal < 0
+   OR (EXISTS (SELECT 1 FROM orders o
+               WHERE o.o_custkey = c.c_custkey
+                 AND o.o_totalprice > 300000)
+       AND c.c_acctbal > 5000)
+ORDER BY custkey"""
+
+
+def _q_gie_optional(sf_dir):
+    """optional() (reference OptionalTreeNode.java): customers with a
+    >400k order are REPLACED by those orders; the rest pass through
+    unchanged. Ids stay namespaced (key*4+code) — the SQL twin builds
+    the same id space for both union sides."""
+    from graphscope_ray.gie import run_gremlin as gremlin
+    g = _gie_graph(sf_dir)
+    t = gremlin(g, "g.V('customer').optional("
+                   "__.out('places').has('totalprice', gt(400000.0)))")
+    return _rename_ds(t.dataset(), {"t": "id"})
+
+
+_GIE_OPTIONAL_SQL = """
+SELECT o_orderkey*4+1 AS id FROM orders WHERE o_totalprice > 400000
+UNION ALL
+SELECT c_custkey*4 AS id FROM customer c
+WHERE NOT EXISTS (SELECT 1 FROM orders o
+                  WHERE o.o_custkey = c.c_custkey
+                    AND o.o_totalprice > 400000)
+ORDER BY id"""
+
+
+def _q_gie_pred_compose(sf_dir):
+    """Predicate composition inside has() — and(gt,lt) / or(lt,gt)
+    (reference AndTreeNode/OrTreeNode predicate forms): customers
+    whose balance is outside [-500, 5000]."""
+    from graphscope_ray.gie import run_gremlin as gremlin
+    g = _gie_graph(sf_dir)
+    t = gremlin(g, "g.V('customer')"
+                   ".has('acctbal', or(lt(-500.0), gt(5000.0)))")
+    return _gie_decode(t.dataset(), {"t": ("custkey", True)})
+
+
+_GIE_PRED_COMPOSE_SQL = """
+SELECT c_custkey AS custkey FROM customer
+WHERE c_acctbal < -500 OR c_acctbal > 5000 ORDER BY custkey"""
+
+
 def _q_pg_labeled_select(sf_dir):
     """LabeledVertexDataContext selector surface (reference
     context.py:305-329): label the partgraph vertices even/odd by oid
@@ -3936,6 +4022,12 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "rel_shipping": _q_rel_shipping,
         "rel_q5_volume": _q_rel_q5_volume,
+        # new r05 rows (never checked — must sit inside the driver's
+        # first-50 window; rotate_queries.py keeps them here)
+        "gie_group_by": _q_gie_group_by,
+        "gie_and_or": _q_gie_and_or,
+        "gie_optional": _q_gie_optional,
+        "gie_pred_compose": _q_gie_pred_compose,
         "pg_dfs": _q_pg_dfs,
         "pg_sampling": _q_pg_sampling,
         "doc_sha256": _q_doc_sha256,
@@ -4262,6 +4354,10 @@ SELECT media_id, ts_ms, frame_sha256
 FROM read_parquet('{_media_frames_expectation_path()}')
 ORDER BY media_id, ts_ms""",
         "gie_program_wcc": _GIE_PROGRAM_WCC_SQL,
+        "gie_group_by": _GIE_GROUP_BY_SQL,
+        "gie_and_or": _GIE_AND_OR_SQL,
+        "gie_optional": _GIE_OPTIONAL_SQL,
+        "gie_pred_compose": _GIE_PRED_COMPOSE_SQL,
         "pg_transitivity": f"""
 WITH {_PRELUDE},
 {_TRI_CTE}

@@ -25,7 +25,12 @@ Covered Gremlin steps::
     values('prop') valueMap('a','b')
     order().by('prop'[, desc|asc]) limit(n) range(lo, hi)
     repeat(__.out()).times(k) repeat(__.out()).until(__.hasLabel('x'))
+    and(__.out('x'), __.has(...)) or(__.out('x'), __.out('y'))
+    and(gt(0), lt(10)) / or(eq(1), eq(5))     # predicate composition
+    optional(__.out('x'))                     # pass-through on miss
     groupCount([  ]) groupCount().by('col')
+    group().by('key').by(__.values('x').sum()|max|min|mean|fold())
+    group().by('key').by(__.count())          # == groupCount().by
     count() sum() max() min() mean() path() sample(n) coin(p)
 
 Documented extensions (1:1 with the builder DSL, used where standard
@@ -100,7 +105,7 @@ class _Order:
 
 
 _PREDICATES = {"eq", "neq", "gt", "gte", "lt", "lte", "within",
-               "between", "inside", "without"}
+               "between", "inside", "without", "and", "or"}
 _KEYWORDS = {"true": True, "false": False, "True": True, "False": False,
              "None": None, "none": None}
 
@@ -201,6 +206,18 @@ class _Parser:
             return P(lambda arr: g(arr) & l(arr), f"inside({lo},{hi})")
         if name == "without":
             raise GremlinParseError("unsupported predicate: without")
+        if name in ("and", "or"):
+            # predicate composition (AndTreeNode.java/OrTreeNode.java):
+            # and(gt(0), lt(10)) inside has(); with anonymous-traversal
+            # args the same text is a filter step — re-wrap as a Chain
+            # so where(and(__.out(), __.in())) keeps working
+            if args and all(isinstance(a, Chain) for a in args):
+                return Chain([(name, args)])
+            if args and all(isinstance(a, P) for a in args):
+                return (P.and_ if name == "and" else P.or_)(*args)
+            raise GremlinParseError(
+                f"{name}() takes all-predicate or all-traversal "
+                f"arguments")
         return getattr(P, name)(*args)
 
 
@@ -238,6 +255,56 @@ def _needs_path(steps) -> bool:
             if isinstance(a, Chain) and _needs_path(a.steps):
                 return True
     return False
+
+
+def _group_key(args):
+    """Key selector of group().by(...): a property/tag name, or an
+    anonymous __.values('p') chain."""
+    if not args:
+        return None
+    a = args[0]
+    if isinstance(a, str):
+        return a
+    if isinstance(a, Chain) and len(a.steps) == 1 \
+            and a.steps[0][0] == "values":
+        return a.steps[0][1][0]
+    raise GremlinParseError(
+        f"group().by(key) takes a property name or __.values('p'), "
+        f"got {a!r}")
+
+
+def _group_value(args):
+    """Value aggregate of the second group().by(...): returns
+    (value_col, agg, limit)."""
+    if not args:
+        return None, "fold", None
+    a = args[0]
+    if isinstance(a, str):  # by('prop') folds that property
+        return a, "fold", None
+    if not isinstance(a, Chain):
+        raise GremlinParseError(
+            f"group().by(value) takes __.values('x').<agg>() or a "
+            f"property name, got {a!r}")
+    steps = list(a.steps)
+    value = None
+    if steps and steps[0][0] == "values":
+        value = steps[0][1][0]
+        steps = steps[1:]
+    if not steps:  # __.values('x') alone folds the property
+        return value, "fold", None
+    name, sargs = steps[0]
+    limit = None
+    if name in ("sum", "max", "min", "mean", "count", "fold"):
+        if len(steps) > 1 and steps[1][0] == "limit":
+            limit = steps[1][1][0]
+            steps = steps[1:]
+        if len(steps) > 1:
+            raise GremlinParseError(
+                f"unsupported step after group value aggregate: "
+                f"{steps[1][0]}")
+        return value, name, limit
+    raise GremlinParseError(
+        f"unsupported group value aggregate: {name}")
 
 
 def _apply_steps(state, steps):
@@ -299,6 +366,12 @@ def _apply_steps(state, steps):
                 state = t.where_exists(_as_chain_fn(args[0]))
         elif name == "not":
             state = t.where_not_exists(_as_chain_fn(args[0]))
+        elif name == "and":
+            state = t.and_where(*[_as_chain_fn(c) for c in args])
+        elif name == "or":
+            state = t.or_where(*[_as_chain_fn(c) for c in args])
+        elif name == "optional":
+            state = t.optional(_as_chain_fn(args[0]))
         elif name == "union":
             branches = [_apply_steps(t, c.steps) if isinstance(c, Chain)
                         else None for c in args]
@@ -361,6 +434,24 @@ def _apply_steps(state, steps):
                 by = steps[j][1][0]
                 j += 1
             state = t.group_count(by)
+            i = j
+            continue
+        elif name == "group":
+            # general group().by(key).by(value-agg)
+            # (GroupTreeNode.java): first by = key selector (string, or
+            # __.values('p')); second by = value aggregate
+            # (__.values('x').sum()/max/min/mean/fold, __.count(),
+            # __.fold()). Defaults: key = current element, value =
+            # fold of element ids.
+            mods = []
+            j = i + 1
+            while j < len(steps) and steps[j][0] == "by":
+                mods.append(steps[j][1])
+                j += 1
+            key = _group_key(mods[0]) if mods else None
+            value, agg, lim = (_group_value(mods[1]) if len(mods) > 1
+                               else (None, "fold", None))
+            state = t.group_by(key, value, agg, limit=lim)
             i = j
             continue
         elif name == "count":

@@ -137,6 +137,47 @@ class P:
         """Inclusive-exclusive, like Gremlin's P.between."""
         return P(lambda a: (a >= lo) & (a < hi), f"[{lo!r}, {hi!r})")
 
+    # -- composition (reference AndTreeNode.java / OrTreeNode.java:
+    # Gremlin P.and()/P.or() and the text forms and(gt(0), lt(10))) ---
+
+    @staticmethod
+    def and_(*ps: "P") -> "P":
+        ps = [_as_pred(p) for p in ps]
+
+        def fn(a):
+            m = ps[0](a)
+            for p in ps[1:]:
+                m = m & p(a)
+            return m
+
+        return P(fn, " & ".join(p._repr for p in ps))
+
+    @staticmethod
+    def or_(*ps: "P") -> "P":
+        ps = [_as_pred(p) for p in ps]
+
+        def fn(a):
+            m = ps[0](a)
+            for p in ps[1:]:
+                m = m | p(a)
+            return m
+
+        return P(fn, " | ".join(p._repr for p in ps))
+
+    @staticmethod
+    def not_(p: "P") -> "P":
+        p = _as_pred(p)
+        return P(lambda a: ~p(a), f"not({p._repr})")
+
+    def __and__(self, other) -> "P":
+        return P.and_(self, other)
+
+    def __or__(self, other) -> "P":
+        return P.or_(self, other)
+
+    def __invert__(self) -> "P":
+        return P.not_(self)
+
 
 def _as_pred(value) -> P:
     return value if isinstance(value, P) else P.eq(value)
@@ -750,47 +791,7 @@ class Traversal:
         (hops and filters; not values/group_count). Survivor keys
         dedup via the coarse-bucket kernel, then one
         broadcast-or-join flag attach — no driver materialization."""
-        cols = _names(self.ds)
-        if not cols:  # schemaless empty bag: nothing to filter
-            return self
-
-        def stamp(df: pd.DataFrame) -> pd.DataFrame:
-            df = df.copy(deep=False)
-            h = np.zeros(len(df), dtype=np.uint64)
-            for c in cols:
-                h = h * np.uint64(1099511628211) ^ \
-                    pd.util.hash_array(df[c].to_numpy())
-            df["_wk"] = h.view(np.int64)
-            return df
-
-        keyed = self.ds.map_batches(stamp, batch_format="pandas")
-        base = Traversal(self.graph, keyed, kind=self.kind,
-                         path_len=self.path_len)
-        sub = fn(base)
-        hits = bucketed_distinct(sub.ds.select_columns(["_wk"]),
-                                 ["_wk"])
-
-        def flag(t: pa.Table) -> pa.Table:
-            return t.append_column(
-                "_hit", pa.array(np.ones(len(t), dtype=np.int64)))
-
-        # pin: without this the whole SUB-TRAVERSAL executes twice
-        # (attach_values counts the table, then reads it)
-        hits = hits.map_batches(flag,
-                                batch_format="pyarrow").materialize()
-        flagged = attach_values(keyed, hits, on="_wk",
-                                table_key="_wk", value_names=["_hit"],
-                                defaults={"_hit": 0})
-        target = 1 if want else 0
-
-        def keep(df: pd.DataFrame) -> pd.DataFrame:
-            return df[df["_hit"].to_numpy() == target].drop(
-                columns=["_wk", "_hit"])
-
-        return Traversal(self.graph,
-                         flagged.map_batches(keep,
-                                             batch_format="pandas"),
-                         kind=self.kind, path_len=self.path_len)
+        return self._sub_filter_multi([fn], "and", want=want)
 
     def where_exists(self, fn: Callable[["Traversal"], "Traversal"]
                      ) -> "Traversal":
@@ -803,6 +804,195 @@ class Traversal:
         """Gremlin ``not(<traversal>)`` (NOT=47 /
         JOIN_DIRECT_FILTER_NEGATE=70)."""
         return self._sub_filter(fn, want=False)
+
+    def _stamp_keys(self) -> tuple:
+        """Hash-stamp every traverser row with a 64-bit key of ALL its
+        columns (bag semantics: identical rows share fate) and pin the
+        stamped bag — the sub-filter steps consume it once per branch
+        plus once for the final flag attach. The key column name is
+        chosen fresh per nesting level (where(and(__...)) stamps
+        inside a stamped bag; reusing ``_wk`` would overwrite — and
+        later drop — the outer key). Returns (cols, key_name, keyed)."""
+        cols = _names(self.ds)
+        wk = "_wk"
+        n = 2
+        while wk in cols:
+            wk = f"_wk{n}"
+            n += 1
+
+        def stamp(df: pd.DataFrame) -> pd.DataFrame:
+            df = df.copy(deep=False)
+            h = np.zeros(len(df), dtype=np.uint64)
+            for c in cols:
+                h = h * np.uint64(1099511628211) ^ \
+                    pd.util.hash_array(df[c].to_numpy())
+            df[wk] = h.view(np.int64)
+            return df
+
+        keyed = self.ds.map_batches(
+            stamp, batch_format="pandas").materialize()
+        return cols, wk, keyed
+
+    def _hit_keys(self, keyed, wk: str, fn, colname: str):
+        """Distinct survivor key values of one sub-traversal, flagged
+        1 under ``colname`` (pinned — attach_values reads it twice)."""
+        base = Traversal(self.graph, keyed, kind=self.kind,
+                         path_len=self.path_len)
+        sub = fn(base)
+        hits = bucketed_distinct(sub.ds.select_columns([wk]), [wk])
+
+        def flag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                colname, pa.array(np.ones(len(t), dtype=np.int64)))
+
+        return hits.map_batches(flag,
+                                batch_format="pyarrow").materialize()
+
+    def _sub_filter_multi(self, fns, mode: str, *,
+                          want: bool = True) -> "Traversal":
+        """AND/OR over ≥1 sub-traversals (reference AndTreeNode.java /
+        OrTreeNode.java): keep traversers for which ALL (``and``) or
+        ANY (``or``) branches produce ≥1 result (``want=False``
+        inverts — the not() form). One flag attach per branch on the
+        hash-stamped bag; branch count is query-sized (2-3), not
+        data-sized."""
+        if not _names(self.ds):  # schemaless empty bag: no-op
+            return self
+        cols, wk, keyed = self._stamp_keys()
+        flag_cols = []
+        flagged = keyed
+        for i, fn in enumerate(fns):
+            name = f"_h{i}"
+            flag_cols.append(name)
+            hits = self._hit_keys(keyed, wk, fn, name)
+            flagged = attach_values(flagged, hits, on=wk,
+                                    table_key=wk,
+                                    value_names=[name],
+                                    defaults={name: 0})
+        combine = np.logical_and if mode == "and" else np.logical_or
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            m = df[flag_cols[0]].to_numpy() == 1
+            for c in flag_cols[1:]:
+                m = combine(m, df[c].to_numpy() == 1)
+            if not want:
+                m = ~m
+            return df[m].drop(columns=[wk, *flag_cols])
+
+        return Traversal(self.graph,
+                         flagged.map_batches(keep,
+                                             batch_format="pandas"),
+                         kind=self.kind, path_len=self.path_len)
+
+    def and_where(self, *fns) -> "Traversal":
+        """Gremlin ``and(__...., __....)`` (AndTreeNode.java): every
+        branch must match."""
+        if not fns:
+            raise ValueError("and_where() needs >=1 sub-traversal")
+        return self._sub_filter_multi(fns, "and")
+
+    def or_where(self, *fns) -> "Traversal":
+        """Gremlin ``or(__...., __....)`` (OrTreeNode.java): at least
+        one branch must match."""
+        if not fns:
+            raise ValueError("or_where() needs >=1 sub-traversal")
+        return self._sub_filter_multi(fns, "or")
+
+    def optional(self, fn: Callable[["Traversal"], "Traversal"]
+                 ) -> "Traversal":
+        """Gremlin ``optional(<traversal>)`` (OptionalTreeNode.java):
+        traversers whose sub-traversal matches are REPLACED by its
+        results; the rest pass through unchanged. The sub-traversal
+        must be column-preserving and end at the same element kind
+        (hops/filters), and the parent must not be in tracked-path
+        mode (the two union sides would disagree on path columns)."""
+        if self.path_len:
+            raise TypeError(
+                "optional() is not supported on tracked-path "
+                "traversals (the matched and unmatched sides would "
+                "have different path columns)")
+        if not _names(self.ds):  # schemaless empty bag: no-op
+            return self
+        cols, wk, keyed = self._stamp_keys()
+        base = Traversal(self.graph, keyed, kind=self.kind,
+                         path_len=0)
+        sub = fn(base)
+        if sub.kind != self.kind:
+            raise TypeError(
+                f"optional() sub-traversal must end at the same "
+                f"element kind ({self.kind!r}), got {sub.kind!r}")
+        hits = bucketed_distinct(sub.ds.select_columns([wk]), [wk])
+
+        def flag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_hit", pa.array(np.ones(len(t), dtype=np.int64)))
+
+        hits = hits.map_batches(flag,
+                                batch_format="pyarrow").materialize()
+        flagged = attach_values(keyed, hits, on=wk,
+                                table_key=wk, value_names=["_hit"],
+                                defaults={"_hit": 0})
+
+        def keep_miss(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df["_hit"].to_numpy() == 0][cols]
+
+        misses = flagged.map_batches(keep_miss, batch_format="pandas")
+
+        def strip(df: pd.DataFrame) -> pd.DataFrame:
+            return df[cols]
+
+        matched = sub.ds.map_batches(strip, batch_format="pandas")
+        return Traversal(self.graph, misses.union(matched),
+                         kind=self.kind, path_len=0)
+
+    def group_by(self, by: Optional[str] = None,
+                 value: Optional[str] = None, agg: str = "fold", *,
+                 limit: Optional[int] = None,
+                 name: Optional[str] = None):
+        """General ``group().by(key).by(value-agg)`` (reference
+        GroupTreeNode.java — non-count group values): group the bag by
+        a key column/property and aggregate a value column/property
+        per key. ``agg``: ``fold`` (sorted LIST per key — Gremlin's
+        default group value), ``sum``/``max``/``min``/``mean``, or
+        ``count`` (= :meth:`group_count`). Defaults group the current
+        element and fold element ids. Executes on the coarse-bucket
+        kernels — one exchange at any key cardinality."""
+        have = _names(self.ds)
+
+        def resolve(c: str) -> str:
+            # Gremlin text uses bare names; the bag stores as_() tags
+            # as tag_<name>, edge properties as e_<prop>, and the
+            # current vertex id as t
+            if c in have:
+                return c
+            if f"tag_{c}" in have:
+                return f"tag_{c}"
+            if self.kind == "e" and f"e_{c}" in have:
+                return f"e_{c}"
+            if self.kind == "v" and c == "id":
+                return "t"
+            return c
+
+        by_disp = by or ("t" if self.kind == "v" else have[0])
+        by = resolve(by_disp)
+        if agg == "count":
+            out = self.group_count(by)
+        else:
+            val_disp = value or ("t" if self.kind == "v" else have[0])
+            value = resolve(val_disp)
+            if agg == "fold":
+                out = self.fold_by_key(by, value, limit=limit,
+                                       name=name or f"fold_{val_disp}")
+            elif agg in ("sum", "max", "min", "mean"):
+                out = self.group_agg(by, value, agg,
+                                     name=name or f"{agg}_{val_disp}")
+            else:
+                raise ValueError(
+                    f"unsupported group aggregate: {agg!r}")
+        if by != by_disp:
+            from graphscope_ray.util import rename as _rn
+            out = _rn(out, {by: by_disp})
+        return out
 
     def simple_path(self) -> "Traversal":
         """SIMPLE_PATH (op 32): keep traversers whose tracked path has

@@ -219,3 +219,156 @@ class TestUnionAndTagWhere:
                  .where("a", "!=", "b"))
         pd.testing.assert_frame_equal(a, b)
         assert len(a) == 4  # every (customer, order) pair differs
+
+
+class TestGroupByRound5:
+    """group().by(key).by(value-agg) — reference GroupTreeNode.java
+    (non-count group values) routed to the coarse-bucket kernels."""
+
+    def test_group_sum_string_vs_builder(self, pg):
+        s = ("g.V('order').as('o').outE('contains')"
+             ".group().by('o').by(__.values('qty').sum())")
+        a = _pdf(gremlin(pg, s))
+        b = _pdf(pg.V("order").as_("o").outE("contains")
+                 .group_by("o", "qty", "sum"))
+        pd.testing.assert_frame_equal(a, b)
+        # oracle: per-order sum of contains-edge qty
+        exp = {1: 15.0, 5: 20.0, 9: 30.0, 13: 90.0}
+        got = dict(zip(a["o"], a["sum_qty"]))
+        assert got == exp
+
+    def test_group_mean_max_min(self, pg):
+        for agg, exp13 in (("mean", 45.0), ("max", 50.0),
+                           ("min", 40.0)):
+            a = _pdf(gremlin(
+                pg, f"g.V('order').as('o').outE('contains')"
+                    f".group().by('o').by(__.values('qty').{agg}())"))
+            got = dict(zip(a["o"], a.iloc[:, 1]))
+            assert got[13] == exp13, agg
+
+    def test_group_fold_default(self, pg):
+        a = gremlin(pg, "g.V('customer').as('c').out('places')"
+                        ".group().by('c')").to_pandas()
+        got = {k: list(v) for k, v in zip(a["c"], a["fold_t"])}
+        assert got == {0: [1, 5], 4: [9], 8: [13]}
+
+    def test_group_count_modulator(self, pg):
+        a = _pdf(gremlin(pg, "g.V('order').group().by(__.values('id'))"
+                             ".by(__.count())"))
+        assert set(a["id"]) == {1, 5, 9, 13}
+        assert (a["count"] == 1).all()
+
+    def test_group_vertex_property_value(self, pg):
+        # group on tag, aggregate an attached VERTEX property
+        a = _pdf(gremlin(pg, "g.V('customer').as('c').out('places')"
+                             ".group().by('c')"
+                             ".by(__.values('id').max())"))
+        got = dict(zip(a["c"], a["max_id"]))
+        assert got == {0: 5, 4: 9, 8: 13}
+
+    def test_bad_group_specs_raise(self, pg):
+        with pytest.raises(GremlinParseError):
+            gremlin(pg, "g.V().group().by(5)")
+        with pytest.raises(GremlinParseError):
+            gremlin(pg, "g.V().group().by('id').by(__.out())")
+
+
+class TestAndOrOptionalRound5:
+    """and()/or() (AndTreeNode/OrTreeNode) + optional()
+    (OptionalTreeNode) + predicate composition."""
+
+    def test_and_step(self, pg):
+        n = gremlin(pg, "g.V().and(__.out('places'), "
+                        "__.has('bal', gt(0.0))).count()")
+        assert n == 2  # customers 0 (10.0) and 8 (99.0)
+
+    def test_or_step(self, pg):
+        n = gremlin(pg, "g.V().or(__.hasLabel('part'), "
+                        "__.has('bal', gt(50.0))).count()")
+        assert n == 4  # 3 parts + customer 8
+
+    def test_nested_and_inside_or(self, pg):
+        n = gremlin(pg, "g.V().or(__.has('bal', lt(0.0)), "
+                        "__.and(__.out('places'), "
+                        "__.has('bal', gt(50.0)))).count()")
+        assert n == 2  # customer 4 (-5) or customer 8 (99 + places)
+
+    def test_where_and_arg_form(self, pg):
+        n = gremlin(pg, "g.V().where(and(__.out('places'), "
+                        "__.has('bal', gt(0.0)))).count()")
+        assert n == 2
+
+    def test_builder_and_or_match_strings(self, pg):
+        a = _pdf(gremlin(pg, "g.V().and(__.out('places'), "
+                             "__.has('bal', gt(0.0)))").dataset())
+        b = _pdf(pg.V().and_where(
+            lambda s: s.out("places"),
+            lambda s: s.has("bal", P.gt(0.0))).dataset())
+        pd.testing.assert_frame_equal(a, b)
+
+    def test_pred_and_or_in_has(self, pg):
+        assert gremlin(pg, "g.V().has('bal', and(gt(0.0), lt(50.0)))"
+                           ".count()") == 1
+        assert gremlin(pg, "g.V().has('bal', or(eq(99.0), eq(-5.0)))"
+                           ".count()") == 2
+
+    def test_pred_operators_builder(self, pg):
+        t = pg.V().has("bal", P.gt(0.0) & P.lt(50.0))
+        assert t.count() == 1
+        t = pg.V().has("bal", ~P.eq(0.0))
+        assert t.count() == 3
+
+    def test_mixed_pred_traversal_args_raise(self):
+        with pytest.raises(GremlinParseError):
+            parse("g.V().has('bal', and(gt(0.0), __.out()))")
+
+    def test_optional_replaces_on_hit(self, pg):
+        df = _pdf(gremlin(pg, "g.V('customer')"
+                              ".optional(__.out('places'))").dataset())
+        # matched customers replaced by their orders
+        assert sorted(df["t"]) == [1, 5, 9, 13]
+
+    def test_optional_passthrough_on_miss(self, pg):
+        df = _pdf(gremlin(pg, "g.V('part')"
+                              ".optional(__.out('places'))").dataset())
+        assert sorted(df["t"]) == [2, 6, 10]
+
+    def test_optional_mixed(self, pg):
+        # only customer 8's order 13 has qty-50 edges downstream:
+        # customers WITH a places->13 hop are replaced, others stay
+        df = _pdf(gremlin(
+            pg, "g.V('customer').optional("
+                "__.out('places').hasId(13))").dataset())
+        assert sorted(df["t"]) == [0, 4, 13]
+
+    def test_optional_kind_change_raises(self, pg):
+        with pytest.raises(TypeError, match="kind"):
+            gremlin(pg, "g.V('customer')"
+                        ".optional(__.outE('places'))").dataset()
+
+    def test_nested_where_not_preserves_outer_key(self, pg):
+        # regression: nested sub-filters must not clobber the outer
+        # _wk stamp (where(not(__...)) uses two nesting levels)
+        n = gremlin(pg, "g.V().where(not(__.out('places'))).count()")
+        assert n == 7  # everything except the 3 customers... 4+3 = 7
+
+    def test_and_or_fuzz_vs_duckdb(self, pg):
+        """Random and/or compositions over bal thresholds, checked
+        against DuckDB on the same vertex table."""
+        import duckdb
+        verts = pg.vertices.to_pandas()
+        con = duckdb.connect()
+        con.register("v", verts)
+        rng = np.random.default_rng(99)
+        for trial in range(20):
+            th1 = float(rng.choice([-5.0, 0.0, 10.0, 50.0, 99.0]))
+            th2 = float(rng.choice([-5.0, 0.0, 10.0, 50.0, 99.0]))
+            op = rng.choice(["and", "or"])
+            q = (f"g.V().has('bal', {op}(gt({th1}), lt({th2})))"
+                 f".count()")
+            got = gremlin(pg, q)
+            sql_op = "AND" if op == "and" else "OR"
+            exp = con.execute(
+                f"SELECT count(*) FROM v WHERE bal > {th1} "
+                f"{sql_op} bal < {th2}").fetchone()[0]
+            assert got == exp, q
