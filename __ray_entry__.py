@@ -1128,6 +1128,45 @@ SELECT v.id AS id, coalesce(min(r.l), v.id) AS comp
 FROM v LEFT JOIN r ON r.v = v.id GROUP BY v.id ORDER BY id"""
 
 
+def _q_gie_program_sssp(sf_dir):
+    """program('sssp') bridge (reference
+    ShortestPathVertexProgramTreeNode.java — the GIE frontend
+    compiles shortest-path program() steps to GAE vertex programs):
+    hop distances from the smallest customer over the namespaced
+    customer→order→part DAG, on the analytical engine's actor pool.
+    Unreachable vertices (+inf) are dropped, matching the recursive
+    twin's reachable set."""
+    g = _gie_graph(sf_dir)
+    src = 4 * int(ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"]).min("c_custkey"))
+    ds = g.program("sssp", source=src, unit=True)
+
+    def fin(t: pa.Table) -> pa.Table:
+        d = t["dist"].to_numpy()
+        keep = np.isfinite(d)
+        return pa.table({
+            "id": t["id"].to_numpy()[keep],
+            "dist": pa.array(d[keep].astype(np.int64))})
+
+    return ds.map_batches(fin, batch_format="pyarrow")
+
+
+_GIE_PROGRAM_SSSP_SQL = """
+WITH RECURSIVE
+e AS MATERIALIZED (
+  SELECT o_custkey*4 AS s, o_orderkey*4+1 AS t FROM orders
+  UNION ALL
+  SELECT DISTINCT l_orderkey*4+1, l_partkey*4+2 FROM lineitem),
+d AS (
+  SELECT min(c_custkey)*4 AS v, 0 AS dist FROM customer
+  UNION
+  SELECT e.t, d.dist + 1 FROM d JOIN e ON e.s = d.v
+  WHERE d.dist < 4)
+SELECT v AS id, min(dist)::BIGINT AS dist FROM d GROUP BY v
+ORDER BY id"""
+
+
 def _q_gie_group_by(sf_dir):
     """General group().by(key).by(value-agg) — reference
     GroupTreeNode.java compiles non-count group values; GIE-lite's
@@ -4025,6 +4064,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # new r05 rows (never checked — must sit inside the driver's
         # first-50 window; rotate_queries.py keeps them here)
         "gie_group_by": _q_gie_group_by,
+        "gie_program_sssp": _q_gie_program_sssp,
         "gie_and_or": _q_gie_and_or,
         "gie_optional": _q_gie_optional,
         "gie_pred_compose": _q_gie_pred_compose,
@@ -4355,6 +4395,7 @@ FROM read_parquet('{_media_frames_expectation_path()}')
 ORDER BY media_id, ts_ms""",
         "gie_program_wcc": _GIE_PROGRAM_WCC_SQL,
         "gie_group_by": _GIE_GROUP_BY_SQL,
+        "gie_program_sssp": _GIE_PROGRAM_SSSP_SQL,
         "gie_and_or": _GIE_AND_OR_SQL,
         "gie_optional": _GIE_OPTIONAL_SQL,
         "gie_pred_compose": _GIE_PRED_COMPOSE_SQL,

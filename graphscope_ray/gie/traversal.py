@@ -330,18 +330,31 @@ class PropertyGraph:
         - ``'cdlp'`` (PROGRAM_GRAPH_LPA): LDBC label propagation,
           undirected (kw: max_round);
         - ``'hits'`` (PROGRAM_GRAPH_HITS): auth/hub scores (kw: tol,
-          max_round, normalized).
+          max_round, normalized);
+        - ``'sssp'`` (reference
+          ``ShortestPathVertexProgramTreeNode.java``): single-source
+          shortest distances from ``source=<vertex id>`` (kw:
+          ``unit=True`` for hop counts, ``weight='<edge prop>'`` for
+          weighted edges; unreachable = +inf);
+        - ``'lpa'`` (reference ``LpaVertexProgramTreeNode.java`` /
+          ``PeerPressureVertexProgramTreeNode.java``):
+          weighted-label-vote propagation, undirected (kw: max_round,
+          ``weight='<edge prop>'``; without a weight every vote
+          counts 1).
 
         One engine run per call — callers cache the result Dataset,
         not this method."""
         from graphscope_ray.graph.api import Graph
-        apps = ("wcc", "pagerank", "cdlp", "hits")
+        apps = ("wcc", "pagerank", "cdlp", "hits", "sssp", "lpa")
         if app not in apps:
             raise ValueError(f"program app must be one of {apps}")
-        edges = self.edges.select_columns(["src", "dst"])
+        weight = kw.pop("weight", None)
+        cols = ["src", "dst"] + ([weight] if weight else [])
+        edges = self.edges.select_columns(cols)
         g = Graph.from_edges(
             edges,
-            symmetrize=app in ("wcc", "cdlp"),
+            weight_col=weight,
+            symmetrize=app in ("wcc", "cdlp", "lpa"),
             directions="both" if app == "hits" else "forward")
         try:
             if app == "wcc":
@@ -350,6 +363,11 @@ class PropertyGraph:
                 res = g.to_oid(g.pagerank(**kw), vid_cols=("vid",))
             elif app == "cdlp":
                 res = g.to_oid(g.cdlp(**kw), vid_cols=("vid", "label"))
+            elif app == "sssp":
+                res = g.to_oid(g.sssp(kw.pop("source"), **kw),
+                               vid_cols=("vid",))
+            elif app == "lpa":
+                res = g.to_oid(g.lpa(**kw), vid_cols=("vid", "label"))
             else:
                 res = g.to_oid(g.engine.hits(**kw), vid_cols=("vid",))
             from graphscope_ray.util import rename as _rn

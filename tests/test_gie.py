@@ -386,3 +386,37 @@ def test_lambda_steps(bl):
     assert e.lambda_filter(lambda df: df["t"].to_numpy() > 0).count() == 0
     assert e.lambda_map("z", lambda df: df["t"].to_numpy()).count() == 0
     assert e.lambda_flatmap(lambda df: df).count() == 0
+
+
+def test_program_bridge_sssp_lpa():
+    """Round-5: the program() bridge exposes sssp and lpa (reference
+    ShortestPathVertexProgramTreeNode.java /
+    LpaVertexProgramTreeNode.java)."""
+    import numpy as np
+    g = _fixture_graph(10**9)
+    # unit-hop distances from person 1
+    ss = g.program("sssp", source=1, unit=True).to_pandas()
+    d = dict(zip(ss["id"], ss["dist"]))
+    assert d[1] == 0 and d[10] == 1 and d[11] == 1 and d[2] == 1
+    assert d[20] == 2
+    assert not np.isfinite(d[3])  # 3 unreachable along out-edges
+    # weighted distances via the edge property
+    sw = g.program("sssp", source=1, weight="w").to_pandas()
+    dw = dict(zip(sw["id"], sw["dist"]))
+    assert dw[10] == 1.0 and dw[11] == 2.0 and dw[20] == 1.5
+    # lpa == the engine's weighted cdlp on the same symmetrized edges
+    from graphscope_ray.graph.api import Graph
+    lp = g.program("lpa", max_round=4, weight="w").to_pandas()
+    gg = Graph.from_edges(
+        g.edges.select_columns(["src", "dst", "w"]),
+        weight_col="w", symmetrize=True)
+    try:
+        exp = gg.to_oid(gg.lpa(max_round=4),
+                        vid_cols=("vid", "label")).to_pandas()
+    finally:
+        gg.close()
+    lp = lp.sort_values("id").reset_index(drop=True)
+    exp = exp.rename(columns={"vid": "id"}).sort_values(
+        "id").reset_index(drop=True)
+    assert lp["id"].tolist() == exp["id"].tolist()
+    assert lp["label"].tolist() == exp["label"].tolist()
