@@ -1128,6 +1128,56 @@ SELECT v.id AS id, coalesce(min(r.l), v.id) AS comp
 FROM v LEFT JOIN r ON r.v = v.id GROUP BY v.id ORDER BY id"""
 
 
+def _q_pg_pregel_udf(sf_dir):
+    """@pregel decorator shim (reference udf/decorators.py:116): the
+    reference's SSSP-Pregel UDF example (test_udf_app.py:100-128)
+    VERBATIM — per-vertex scalar callbacks on the hash-partitioned BSP
+    actors — over the namespaced customer→order→part DAG with unit
+    integer weights. Same reachable-set semantics (and SQL twin
+    family) as the vectorized gie_program_sssp row; values stay at
+    the reference's 1e9 sentinel when unreachable and are dropped."""
+    from graphscope_ray.graph.pregel_udf import AppAssets, pregel
+
+    @pregel(vd_type="double", md_type="double")
+    class SSSP_Pregel(AppAssets):  # test_udf_app.py:99-120, verbatim
+        @staticmethod
+        def Init(v, context):
+            v.set_value(1000000000.0)
+
+        @staticmethod
+        def Compute(messages, v, context):
+            src_id = context.get_config(b"src")
+            cur_dist = v.value()
+            new_dist = 1000000000.0
+            if v.id() == src_id:
+                new_dist = 0
+            for message in messages:
+                new_dist = min(message, new_dist)
+            if new_dist < cur_dist:
+                v.set_value(new_dist)
+                for e_label_id in range(context.edge_label_num()):
+                    edges = v.outgoing_edges(e_label_id)
+                    for e in edges:
+                        v.send(e.vertex(), new_dist + e.get_int(2))
+            v.vote_to_halt()
+
+    g = _gie_graph(sf_dir)
+    src = 4 * int(ray.data.read_parquet(
+        f"{sf_dir}/customer.parquet",
+        columns=["c_custkey"]).min("c_custkey"))
+
+    def unit_w(t: pa.Table) -> pa.Table:
+        return pa.table({"src": t["src"], "dst": t["dst"],
+                         "w": pa.array(np.ones(len(t), np.int64))})
+
+    edges = g.edges.map_batches(unit_w, batch_format="pyarrow")
+    df = SSSP_Pregel()(edges, src=src).to_dataframe()
+    df = df[df["value"] < 1000000000.0].sort_values("id")
+    return pa.table({
+        "id": pa.array(df["id"].to_numpy(), pa.int64()),
+        "dist": pa.array(df["value"].to_numpy().astype(np.int64))})
+
+
 def _q_gie_program_sssp(sf_dir):
     """program('sssp') bridge (reference
     ShortestPathVertexProgramTreeNode.java — the GIE frontend
@@ -4065,6 +4115,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         # first-50 window; rotate_queries.py keeps them here)
         "gie_group_by": _q_gie_group_by,
         "gie_program_sssp": _q_gie_program_sssp,
+        "pg_pregel_udf": _q_pg_pregel_udf,
         "gie_and_or": _q_gie_and_or,
         "gie_optional": _q_gie_optional,
         "gie_pred_compose": _q_gie_pred_compose,
@@ -4396,6 +4447,7 @@ ORDER BY media_id, ts_ms""",
         "gie_program_wcc": _GIE_PROGRAM_WCC_SQL,
         "gie_group_by": _GIE_GROUP_BY_SQL,
         "gie_program_sssp": _GIE_PROGRAM_SSSP_SQL,
+        "pg_pregel_udf": _GIE_PROGRAM_SSSP_SQL,
         "gie_and_or": _GIE_AND_OR_SQL,
         "gie_optional": _GIE_OPTIONAL_SQL,
         "gie_pred_compose": _GIE_PRED_COMPOSE_SQL,
