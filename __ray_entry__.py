@@ -1128,6 +1128,33 @@ SELECT v.id AS id, coalesce(min(r.l), v.id) AS comp
 FROM v LEFT JOIN r ON r.v = v.id GROUP BY v.id ORDER BY id"""
 
 
+def _q_pg_property_pagerank(sf_dir):
+    """Per-label-context app run (reference
+    ``apps/property/property_pagerank.h`` +
+    ``LabeledVertexPropertyContext``): PageRank runs ONCE over the
+    shared partgraph; the labeled context then yields BOTH labels'
+    rank columns from that single run (Context.select_by_label —
+    'r:even' and 'r:odd' selections stacked with a label column).
+    Labels = oid parity, as pg_labeled_select/pg_labeled_app."""
+    from graphscope_ray.graph.context import Context
+    import pyarrow.compute as pc
+
+    g, _ = _partgraph(sf_dir)
+    pr = g.pagerank(delta=DELTA, max_round=PR_ROUNDS).materialize()
+
+    def lab(t: pa.Table) -> pa.Table:
+        even = pc.equal(pc.bit_wise_and(t["oid"], 1), 0)
+        return pa.table({"vid": t["vid"],
+                         "label": pc.if_else(even, "even", "odd")})
+
+    ctx = Context(g, pr,
+                  vertices=g.idmap.map_batches(lab,
+                                               batch_format="pyarrow"))
+    out = ctx.select_by_label(
+        ["even", "odd"], {"id": "v:{label}.id", "rank": "r:{label}"})
+    return _round_col(out, "rank").sort("id")
+
+
 def _q_pg_pregel_udf(sf_dir):
     """@pregel decorator shim (reference udf/decorators.py:116): the
     reference's SSSP-Pregel UDF example (test_udf_app.py:100-128)
@@ -4116,6 +4143,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gie_group_by": _q_gie_group_by,
         "gie_program_sssp": _q_gie_program_sssp,
         "pg_pregel_udf": _q_pg_pregel_udf,
+        "pg_property_pagerank": _q_pg_property_pagerank,
         "gie_and_or": _q_gie_and_or,
         "gie_optional": _q_gie_optional,
         "gie_pred_compose": _q_gie_pred_compose,
@@ -4448,6 +4476,13 @@ ORDER BY media_id, ts_ms""",
         "gie_group_by": _GIE_GROUP_BY_SQL,
         "gie_program_sssp": _GIE_PROGRAM_SSSP_SQL,
         "pg_pregel_udf": _GIE_PROGRAM_SSSP_SQL,
+        # pg_property_pagerank: the pg_pagerank unroll with a parity
+        # label column stacked on the final select
+        "pg_property_pagerank": _pagerank_sql(PR_ROUNDS, DELTA).replace(
+            "SELECT v AS vid, round(r, 6) AS rank FROM",
+            "SELECT v AS id, CASE WHEN v % 2 = 0 THEN 'even' "
+            "ELSE 'odd' END AS label, round(r, 6) AS rank FROM"
+        ).replace("ORDER BY vid", "ORDER BY id"),
         "gie_and_or": _GIE_AND_OR_SQL,
         "gie_optional": _GIE_OPTIONAL_SQL,
         "gie_pred_compose": _GIE_PRED_COMPOSE_SQL,

@@ -163,6 +163,32 @@ class Context:
                 ds = ds.map_batches(take, batch_format="pyarrow")
         return ds.select_columns(list(parsed.keys()))
 
+    def select_by_label(self, labels, selectors,
+                        label_out: str = "label") -> ray.data.Dataset:
+        """Per-label result columns from ONE app run (reference
+        ``apps/property/property_pagerank.h`` fills a
+        ``LabeledVertexPropertyContext`` column per label in a single
+        compute): for each label, resolve ``selectors`` (values may
+        contain ``{label}`` placeholders, e.g. ``'r:{label}'``) and
+        stack the row blocks into one Dataset with a literal
+        ``label_out`` column. The app result is read once per label
+        but the APP ITSELF ran once — this is the selection pass."""
+        parts = []
+        for lab in labels:
+            sel = {out: s.format(label=lab)
+                   for out, s in selectors.items()}
+            ds = self.select(sel)
+
+            def stamp(t: pa.Table, _l=lab) -> pa.Table:
+                return t.append_column(
+                    label_out, pa.array([_l] * len(t), pa.string()))
+
+            parts.append(ds.map_batches(stamp, batch_format="pyarrow"))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.union(p)
+        return out
+
     # -- reference-named accessors ------------------------------------
 
     def to_dataset(self, selector, vertex_range=None) -> ray.data.Dataset:

@@ -97,3 +97,39 @@ def test_r_ambiguity_and_missing_column(gctx):
         ctx2.select({"x": "r"})
     with pytest.raises(KeyError):
         ctx.select({"x": "r.nope"})
+
+
+def test_select_by_label_one_run():
+    """Round-5 (VERDICT ask #8): one app result feeding BOTH labels'
+    selections (reference property_pagerank.h /
+    LabeledVertexPropertyContext)."""
+    import pandas as pd
+    import pyarrow as pa
+    import ray.data
+    from graphscope_ray.graph.api import Graph
+    from graphscope_ray.graph.context import Context
+
+    edges = pd.DataFrame({"src": [10, 11, 12, 13],
+                          "dst": [11, 12, 13, 10]})
+    g = Graph.from_edges(ray.data.from_pandas(edges), symmetrize=True)
+    try:
+        res = g.wcc().materialize()
+
+        def lab(t: pa.Table) -> pa.Table:
+            import pyarrow.compute as pc
+            even = pc.equal(pc.bit_wise_and(t["oid"], 1), 0)
+            return pa.table({"vid": t["vid"],
+                             "label": pc.if_else(even, "even", "odd")})
+
+        ctx = Context(g, res, vertices=g.idmap.map_batches(
+            lab, batch_format="pyarrow"))
+        out = ctx.select_by_label(
+            ["even", "odd"],
+            {"id": "v:{label}.id", "comp": "r:{label}"}).to_pandas()
+        out = out.sort_values("id").reset_index(drop=True)
+        assert out["id"].tolist() == [10, 11, 12, 13]
+        assert out["label"].tolist() == ["even", "odd", "even", "odd"]
+        assert out["comp"].nunique() == 1  # one 4-cycle component
+        assert set(out.columns) == {"id", "comp", "label"}
+    finally:
+        g.close()
