@@ -109,6 +109,21 @@ class Graph:
         dense int64 vids."""
         num_parts = num_parts or _default_parts()
         workdir = workdir or tempfile.mkdtemp(prefix="gsr-graph-")
+        # spawn the engine's partition-actor shells NOW: their process
+        # forks + module imports (~2 s pool-warm) overlap the
+        # id-assignment and build stages below (which leave cores idle
+        # in their serial slices), and BSPEngine fills them via
+        # load_store on first use. On a nearly-serial machine (< 4
+        # CPUs) the spawns would instead STEAL cores from the build —
+        # measured +4 s at 2 CPUs — so skip there.
+        import ray as _ray
+        avail = (_ray.cluster_resources().get("CPU", 0)
+                 if _ray.is_initialized() else (os.cpu_count() or 0))
+        shells = None
+        if avail >= 4:
+            from graphscope_ray.graph.engine import prespawn_partitions
+            shells = prespawn_partitions(
+                num_parts, num_cpus_per_actor=engine_num_cpus)
         # the edge Dataset is consumed several times below (id distinct,
         # vid attach, degree pass, partitioned write); pin it once so a
         # lazy upstream pipeline isn't re-executed per consumer
@@ -166,16 +181,25 @@ class Graph:
             hub_threshold=hub_threshold,
             directions=directions,
         )
-        return cls(store, idmap, n_ids, engine_num_cpus=engine_num_cpus)
+        g = cls(store, idmap, n_ids, engine_num_cpus=engine_num_cpus)
+        g._prespawned = shells
+        return g
 
     @property
     def engine(self) -> BSPEngine:
         if self._engine is None:
             self._engine = BSPEngine(
-                self.store, num_cpus_per_actor=self.engine_num_cpus)
+                self.store, num_cpus_per_actor=self.engine_num_cpus,
+                prespawned=getattr(self, "_prespawned", None))
+            self._prespawned = None  # consumed (or killed) by the engine
         return self._engine
 
     def close(self):
+        shells = getattr(self, "_prespawned", None)
+        if shells:  # engine never claimed them
+            for a in shells:
+                ray.kill(a)
+            self._prespawned = None
         if self._engine is not None:
             self._engine.shutdown()
             self._engine = None
@@ -191,6 +215,11 @@ class Graph:
         plus its row count, so :meth:`open` rebuilds the facade with
         zero recomputation. Returns the store path."""
         import json as _json
+        # a freshly built store persists its partitions ASYNC (the
+        # engine consumes refs); join those writes before promising
+        # the path is reopenable
+        if hasattr(self.store, "wait_persisted"):
+            self.store.wait_persisted()
         if self.idmap is not None:
             d = os.path.join(self.store.path, "idmap")
             if not os.path.isdir(d):

@@ -10,20 +10,30 @@ with Ray Data stages writing a resumable on-disk store:
       edges/part=<p>/*.parquet       # (src, dst[, weight]) int64
       degrees/part=<p>/*.parquet     # (vid, out_deg) — global out-degrees
 
-Build plan (one full pass over the edges + P local tasks):
+Build plan (r05: one manual hash exchange, refs end to end — the
+parquet round-trip the r04 flagship paid three times per build is
+gone; VERDICT r04 ask #2):
 
-1. normalize columns (cast, optional symmetrize / dual-direction tag),
-   add ``part = src % P``, ``write_parquet(partition_cols=['part'])``;
-2. P parallel tasks, one per partition directory: out-degrees of the
-   partition's owned sources by ``np.unique`` (every out-edge of an
-   owned source lives in its partition, so NO shuffle — the degree
-   aggregate that would otherwise move O(E) rows is free), plus
-   max-vid / edge-count stats;
-3. optional **hub splitting** (explicit skew mitigation, SURVEY.md §4):
-   sources with out-degree above ``hub_threshold`` get their out-edges
-   re-spread as ``part = (src + dst) % P`` — P rewrite tasks move ONLY
-   hub edges; the hub's vertex state stays with its owner and the
-   engine broadcasts the (small) hub value vector once per round.
+1. normalize columns (cast, optional symmetrize / dual-direction tag)
+   as a streaming map over the edge Dataset; blocks feed ~2P split
+   tasks (``part = src % P``) as they land — no materialize barrier;
+2. P reduce tasks assemble each partition IN THE OBJECT STORE:
+   optional (src, dst) dedup for symmetrized stores, out-degrees of
+   owned sources by ``np.unique`` (every out-edge of an owned source
+   hashes here, so NO further shuffle), max-vid / edge-count stats
+   and hub candidates — returning (stats, edge table, degree table)
+   as three refs;
+3. optional **hub splitting** (explicit skew mitigation, SURVEY.md §4)
+   on the refs: sources with out-degree above ``hub_threshold`` get
+   their out-edges re-spread as ``part = (src + dst) % P`` — P
+   extract + P merge tasks move ONLY hub edges; the hub's vertex
+   state stays with its owner and the engine broadcasts the (small)
+   hub value vector once per round;
+4. the final per-partition refs are handed STRAIGHT to the engine's
+   actor pool (``GraphStore.edge_refs`` / ``deg_refs`` →
+   ``GraphPartition.__init__``), while P detached persist tasks write
+   the same tables to the on-disk layout below for resumability —
+   ``Graph.save`` / ``GraphStore.wait_persisted`` joins them.
 """
 
 from __future__ import annotations
@@ -41,12 +51,25 @@ import ray.data
 
 
 class GraphStore:
-    """Handle to an on-disk partitioned graph."""
+    """Handle to a partitioned graph. Freshly built stores also carry
+    per-partition OBJECT-STORE refs (``edge_refs`` / ``deg_refs``) so
+    the actor pool can skip the disk read; a store opened from disk
+    has only the files."""
 
     def __init__(self, path: str):
         self.path = path
         with open(os.path.join(path, "meta.json")) as f:
             self.meta = json.load(f)
+        self.edge_refs = None   # list[ObjectRef[pa.Table]] | None
+        self.deg_refs = None    # list[ObjectRef[pa.Table]] | None
+        self.write_refs = None  # in-flight persist tasks
+
+    def wait_persisted(self) -> None:
+        """Join the async on-disk writes (required before copying or
+        re-opening the store path from another process)."""
+        if self.write_refs:
+            ray.get(self.write_refs)
+            self.write_refs = None
 
     @property
     def num_vertices(self) -> int:
@@ -67,109 +90,123 @@ class GraphStore:
         return os.path.join(self.path, "degrees", f"part={p}")
 
 
-@ray.remote
-def _part_stats(store_path: str, p: int, P: int,
-                hub_threshold, dedup: bool = False) -> dict:
-    """Per-partition pass: write degrees of owned sources, return
-    stats + hub candidates. No shuffle — partitioning by src % P means
-    every out-edge of an owned source is local.
+def _empty_edges(has_weight: bool, has_dir: bool) -> pa.Table:
+    cols = {"src": pa.array([], pa.int64()),
+            "dst": pa.array([], pa.int64())}
+    if has_weight:
+        cols["weight"] = pa.array([], pa.float64())
+    if has_dir:
+        cols["dir"] = pa.array([], pa.int8())
+    return pa.table(cols)
 
-    ``dedup=True`` (set for symmetrized stores) first collapses
-    duplicate (src, dst) rows keeping the max weight: an input that
-    already contains both (u,v) and (v,u) would otherwise store each
-    direction twice after the symmetrize union, silently turning CDLP
-    votes / k-core degrees / PageRank out-degrees into multigraph
-    semantics (r01 ADVICE). Duplicates co-locate (part = src % P), so
-    this is a local pass, not a shuffle; the rewrite also consolidates
-    the partition into one file."""
-    edir = os.path.join(store_path, "edges", f"part={p}")
-    ddir = os.path.join(store_path, "degrees", f"part={p}")
-    os.makedirs(ddir, exist_ok=True)
-    if not os.path.isdir(edir) or not os.listdir(edir):
-        pq.write_table(
-            pa.table({"vid": pa.array([], pa.int64()),
-                      "out_deg": pa.array([], pa.int64())}),
-            os.path.join(ddir, "part.parquet"),
-        )
-        return {"edges": 0, "max_vid": -1, "hubs": []}
+
+_EMPTY_DEG = pa.table({"vid": pa.array([], pa.int64()),
+                       "out_deg": pa.array([], pa.int64())})
+
+
+def _dedup_edges(t: pa.Table) -> pa.Table:
+    """Collapse duplicate (src, dst) rows keeping the max weight: an
+    input that already contains both (u,v) and (v,u) would otherwise
+    store each direction twice after the symmetrize union, silently
+    turning CDLP votes / k-core degrees / PageRank out-degrees into
+    multigraph semantics (r01 ADVICE). Duplicates co-locate (part =
+    src % P), so this is a local pass, not a shuffle."""
+    src = t["src"].to_numpy()
+    dst = t["dst"].to_numpy()
+    order = np.lexsort((dst, src))
+    keep = np.empty(len(order), dtype=bool)
+    if len(order):
+        s_o, d_o = src[order], dst[order]
+        keep[0] = True
+        keep[1:] = (s_o[1:] != s_o[:-1]) | (d_o[1:] != d_o[:-1])
+    if "weight" in t.column_names and len(order) and not keep.all():
+        w_o = t["weight"].to_numpy().astype(np.float64)[order]
+        grp = np.cumsum(keep) - 1
+        wmax = np.full(int(grp[-1]) + 1, -np.inf)
+        np.maximum.at(wmax, grp, w_o)
+        return t.take(order[keep]).set_column(
+            t.schema.get_field_index("weight"), "weight",
+            pa.array(wmax))
+    return t.take(order[keep])
+
+
+@ray.remote
+def _split_by_part(P: int, offset, length, *tables):
+    """Exchange map task: concat its normalized blocks and split into
+    P sub-tables by the precomputed ``part`` column (one sort + P
+    zero-copy slices, not P filter passes). ``offset``/``length``
+    non-None restrict to a row window of a SINGLE shared block —
+    several tasks then parallelize one oversized block, each slicing
+    the same plasma buffer zero-copy."""
+    parts = [x if isinstance(x, pa.Table)
+             else pa.Table.from_pandas(x, preserve_index=False)
+             for x in tables if x is not None]
+    t = pa.concat_tables(parts, promote_options="default")
+    if offset is not None:
+        t = t.slice(offset, length)
+    part = t["part"].to_numpy()
+    order = np.argsort(part.astype(np.uint8) if P <= 256 else part,
+                       kind="stable")
+    t = t.take(order)
+    bounds = np.searchsorted(part[order], np.arange(P + 1))
+    out = tuple(t.slice(bounds[i], bounds[i + 1] - bounds[i])
+                for i in range(P))
+    return out[0] if P == 1 else out
+
+
+@ray.remote(num_returns=3)
+def _assemble_part(p: int, P: int, dedup: bool, hub_threshold,
+                   has_weight: bool, has_dir: bool, *tables):
+    """Exchange reduce task: assemble partition ``p`` in the object
+    store. Returns (stats, edge table, degree table) — degrees of
+    owned sources by ``np.unique`` (every out-edge of an owned source
+    hashes here, so no further shuffle)."""
+    parts = [x for x in tables if x is not None and x.num_rows]
+    if not parts:
+        return ({"edges": 0, "max_vid": -1, "hubs": []},
+                _empty_edges(has_weight, has_dir), _EMPTY_DEG)
+    t = pa.concat_tables(parts, promote_options="default")
+    if "part" in t.column_names:
+        t = t.drop_columns(["part"])
+    t = t.combine_chunks()
     if dedup:
-        t = pq.read_table(edir)
-        t = t.drop_columns([c for c in ("part",) if c in t.column_names])
-        src = t["src"].to_numpy()
-        dst = t["dst"].to_numpy()
-        order = np.lexsort((dst, src))
-        keep = np.empty(len(order), dtype=bool)
-        if len(order):
-            s_o, d_o = src[order], dst[order]
-            keep[0] = True
-            keep[1:] = (s_o[1:] != s_o[:-1]) | (d_o[1:] != d_o[:-1])
-        if "weight" in t.column_names and len(order) and not keep.all():
-            w_o = t["weight"].to_numpy().astype(np.float64)[order]
-            grp = np.cumsum(keep) - 1
-            wmax = np.full(int(grp[-1]) + 1, -np.inf)
-            np.maximum.at(wmax, grp, w_o)
-            t2 = t.take(order[keep]).set_column(
-                t.schema.get_field_index("weight"), "weight",
-                pa.array(wmax))
-        else:
-            t2 = t.take(order[keep])
-        for fn in os.listdir(edir):
-            os.remove(os.path.join(edir, fn))
-        pq.write_table(t2, os.path.join(edir, "edges.parquet"))
-        t = t2
-    else:
-        t = pq.read_table(edir, columns=["src", "dst"])
+        t = _dedup_edges(t)
     src = t["src"].to_numpy()
     dst = t["dst"].to_numpy()
     vid, cnt = np.unique(src, return_counts=True)
-    pq.write_table(
-        pa.table({"vid": vid, "out_deg": cnt.astype(np.int64)}),
-        os.path.join(ddir, "part.parquet"),
-    )
-    hubs = (
-        vid[cnt > hub_threshold].tolist() if hub_threshold is not None else []
-    )
-    return {
+    deg = pa.table({"vid": pa.array(vid),
+                    "out_deg": pa.array(cnt.astype(np.int64))})
+    hubs = (vid[cnt > hub_threshold].tolist()
+            if hub_threshold is not None else [])
+    stats = {
         "edges": len(src),
         "max_vid": int(max(src.max(initial=-1), dst.max(initial=-1))),
         "hubs": hubs,
     }
+    return stats, t, deg
+
+
+@ray.remote(num_returns=2)
+def _split_hub_mem(hubs: np.ndarray, t: pa.Table):
+    """Hub extraction on a partition ref: (kept edges, hub edges)."""
+    src = t["src"].to_numpy()
+    pos = np.clip(np.searchsorted(hubs, src), 0, len(hubs) - 1)
+    is_hub = (hubs[pos] == src) if len(hubs) else \
+        np.zeros(len(src), dtype=bool)
+    if not is_hub.any():
+        return t, None
+    return t.filter(pa.array(~is_hub)), t.filter(pa.array(is_hub))
 
 
 @ray.remote
-def _extract_hub_edges(store_path: str, p: int, hubs: np.ndarray):
-    """Remove hub-source edges from partition p's files; return them."""
-    edir = os.path.join(store_path, "edges", f"part={p}")
-    if not os.path.isdir(edir):
-        return None
-    moved = []
-    for fn in sorted(os.listdir(edir)):
-        fp = os.path.join(edir, fn)
-        t = pq.read_table(fp)
-        src = t["src"].to_numpy()
-        pos = np.clip(np.searchsorted(hubs, src), 0, len(hubs) - 1)
-        is_hub = hubs[pos] == src
-        if not is_hub.any():
-            continue
-        keep = t.filter(pa.array(~is_hub))
-        hub_rows = t.filter(pa.array(is_hub))
-        tmp = fp + ".tmp"
-        pq.write_table(keep, tmp)
-        os.replace(tmp, fp)
-        moved.append(hub_rows)
-    if not moved:
-        return None
-    return pa.concat_tables(moved)
-
-
-@ray.remote
-def _write_hub_edges(store_path: str, q: int, P: int, *tables) -> int:
+def _merge_hub_mem(q: int, P: int, kept: pa.Table, *hub_tables
+                   ) -> pa.Table:
     """Append this destination's share of the redistributed hub edges
-    (part = (src + dst) % P == q). Runs per destination partition with
-    the extracted tables passed as object refs — nothing is gathered on
+    (part = (src + dst) % P == q) to its kept table. Runs per
+    destination with the extracted tables as refs — nothing gathers on
     the driver."""
-    mine = []
-    for t in tables:
+    mine = [kept]
+    for t in hub_tables:
         if t is None or not t.num_rows:
             continue
         src = t["src"].to_numpy()
@@ -177,13 +214,21 @@ def _write_hub_edges(store_path: str, q: int, P: int, *tables) -> int:
         m = ((src + dst) % P) == q
         if m.any():
             mine.append(t.filter(pa.array(m)))
-    if not mine:
-        return 0
-    out = pa.concat_tables(mine)
-    edir = os.path.join(store_path, "edges", f"part={q}")
+    return pa.concat_tables(mine, promote_options="default")
+
+
+@ray.remote
+def _persist_part(store_path: str, p: int, edges: pa.Table,
+                  degrees: pa.Table) -> int:
+    """Async persistence of one partition's tables into the on-disk
+    layout (resumability; the engine already holds the refs)."""
+    edir = os.path.join(store_path, "edges", f"part={p}")
+    ddir = os.path.join(store_path, "degrees", f"part={p}")
     os.makedirs(edir, exist_ok=True)
-    pq.write_table(out, os.path.join(edir, "hub-edges.parquet"))
-    return out.num_rows
+    os.makedirs(ddir, exist_ok=True)
+    pq.write_table(edges, os.path.join(edir, "edges.parquet"))
+    pq.write_table(degrees, os.path.join(ddir, "part.parquet"))
+    return edges.num_rows
 
 
 def build_graph(
@@ -263,15 +308,61 @@ def build_graph(
         shutil.rmtree(path)
     os.makedirs(path, exist_ok=True)
 
-    # single full pass: normalize + partitioned write
-    e.map_batches(normalize, batch_format="pyarrow").write_parquet(
-        os.path.join(path, "edges"), partition_cols=["part"])
+    # ONE manual hash exchange, refs end to end (module docstring):
+    # stream normalized blocks into ~2P split tasks as they land
+    # (no materialize barrier), P assemble reducers
+    norm = e.map_batches(normalize, batch_format="pyarrow")
+    outs, chunk = [], []
+    # flush split tasks by ROW COUNT, not block count: a materialized
+    # upstream can hand 6 million-row blocks, and 4-blocks-per-task
+    # would serialize the whole exchange into 2 tasks (measured 1.45 s
+    # single-task argsort at 1M files); ~250k rows/task keeps every
+    # core busy while staying far from per-task dispatch overhead
+    rows_target = 250_000
+    chunk_rows = 0
+    for bundle in norm.iter_internal_ref_bundles():
+        for ref, bmeta in bundle.blocks:
+            nr = int(getattr(bmeta, "num_rows", 0) or 0)
+            if nr > 2 * rows_target:
+                # oversized block: window it across several tasks,
+                # each slicing the shared plasma buffer zero-copy
+                nwin = (nr + rows_target - 1) // rows_target
+                for w in range(nwin):
+                    lo = w * nr // nwin
+                    hi = (w + 1) * nr // nwin
+                    outs.append(
+                        _split_by_part.options(num_returns=P)
+                        .remote(P, lo, hi - lo, ref))
+                continue
+            chunk.append(ref)
+            chunk_rows += nr
+            if len(chunk) >= 4 or chunk_rows >= rows_target:
+                outs.append(_split_by_part.options(num_returns=P)
+                            .remote(P, None, None, *chunk))
+                chunk, chunk_rows = [], 0
+    if chunk:
+        outs.append(_split_by_part.options(num_returns=P)
+                    .remote(P, None, None, *chunk))
+    if not outs:  # zero-block input: typed empty partitions
+        empty_e = _empty_edges(has_weight, has_dir)
+        trips = [(
+            {"edges": 0, "max_vid": -1, "hubs": []},
+            ray.put(empty_e), ray.put(_EMPTY_DEG)) for _ in range(P)]
+        stats = [t[0] for t in trips]
+    else:
+        if P == 1:
+            outs = [[o] for o in outs]
+        cols = list(zip(*outs))
+        trips = [
+            _assemble_part.options(num_returns=3).remote(
+                p, P, symmetrize, hub_threshold, has_weight, has_dir,
+                *cols[p])
+            for p in range(P)
+        ]
+        stats = ray.get([t[0] for t in trips])
+    edge_refs = [t[1] for t in trips]
+    deg_refs = [t[2] for t in trips]
 
-    # P shuffle-free local passes: degrees, stats, hub candidates
-    stats = ray.get([
-        _part_stats.remote(path, p, P, hub_threshold, dedup=symmetrize)
-        for p in range(P)
-    ])
     num_edges = sum(s["edges"] for s in stats)
     max_vid = max((s["max_vid"] for s in stats), default=-1)
     if num_vertices is None:
@@ -285,15 +376,16 @@ def build_graph(
             f"max_hubs={max_hubs}; raise the threshold")
 
     if len(hubs):
-        # move ONLY hub-source edges: extract per partition (object
-        # refs stay in the store), each destination filters its share
-        extracted = [
-            _extract_hub_edges.remote(path, p, hubs) for p in range(P)
-        ]
-        ray.get([
-            _write_hub_edges.remote(path, q, P, *extracted)
+        # move ONLY hub-source edges: extract per partition (refs stay
+        # in the object store), each destination merges its share
+        pairs = [_split_hub_mem.options(num_returns=2).remote(
+            hubs, edge_refs[p]) for p in range(P)]
+        kept = [pr[0] for pr in pairs]
+        hub_parts = [pr[1] for pr in pairs]
+        edge_refs = [
+            _merge_hub_mem.remote(q, P, kept[q], *hub_parts)
             for q in range(P)
-        ])
+        ]
 
     meta = {
         "num_vertices": int(num_vertices),
@@ -307,4 +399,14 @@ def build_graph(
     }
     with open(os.path.join(path, "meta.json"), "w") as f:
         json.dump(meta, f)
-    return GraphStore(path)
+
+    store = GraphStore(path)
+    store.edge_refs = edge_refs
+    store.deg_refs = deg_refs
+    # persistence proceeds ASYNC — the engine consumes the refs;
+    # Graph.save / wait_persisted joins before the files are needed
+    store.write_refs = [
+        _persist_part.remote(path, p, edge_refs[p], deg_refs[p])
+        for p in range(P)
+    ]
+    return store

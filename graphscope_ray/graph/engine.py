@@ -144,33 +144,71 @@ class Lineage:
         return self.doc["rounds"][str(rnd)]["scalars"]
 
 
+def _default_actor_cpus(P: int) -> float:
+    """Reserve deliberately little: the pool must be fully schedulable
+    (or the BSP barrier blocks forever) and CPUs must stay free for
+    Ray Data stages and other engines. Reservation ≠ usage — during a
+    superstep all P actor processes compute regardless of the
+    fractional claim."""
+    avail = ray.cluster_resources().get("CPU", P)
+    return min(0.25, max(0.05, avail / (4.0 * P)))
+
+
+def prespawn_partitions(P: int,
+                        num_cpus_per_actor: Optional[float] = None
+                        ) -> list:
+    """Spawn P EMPTY GraphPartition shells so the actor process forks
+    + module imports (the measured ~2 s pool-warm slice of a fresh
+    build, at any parallelism) overlap earlier pipeline stages; hand
+    the list to ``BSPEngine(..., prespawned=...)`` which fills them
+    via ``load_store``. Returns immediately — nothing is waited on."""
+    if num_cpus_per_actor is None:
+        num_cpus_per_actor = _default_actor_cpus(P)
+    actor_cls = ray.remote(num_cpus=num_cpus_per_actor)(GraphPartition)
+    return [actor_cls.remote() for _ in range(P)]
+
+
 class BSPEngine:
     def __init__(self, store: "GraphStore | str",
                  *, num_cpus_per_actor: Optional[float] = None,
-                 msg_mode: str = "packed"):
+                 msg_mode: str = "packed", prespawned=None):
         if isinstance(store, str):
             store = GraphStore(store)
         self.store = store
         self.P = store.num_parts
         self.V = store.num_vertices
         if num_cpus_per_actor is None:
-            # Reserve deliberately little: the pool must be fully
-            # schedulable (or the BSP barrier blocks forever) and CPUs
-            # must stay free for Ray Data stages and other engines.
-            # Reservation ≠ usage — during a superstep all P actor
-            # processes compute regardless of the fractional claim.
-            avail = ray.cluster_resources().get("CPU", self.P)
-            num_cpus_per_actor = min(0.25, max(0.05, avail / (4.0 * self.P)))
+            num_cpus_per_actor = _default_actor_cpus(self.P)
         self.has_hubs = len(store.meta["hubs"]) > 0
         self.n_hubs = len(store.meta["hubs"])
         self.msg_mode = msg_mode
-        actor_cls = ray.remote(num_cpus=num_cpus_per_actor)(GraphPartition)
-        self.actors = [
-            actor_cls.remote(store.path, p) for p in range(self.P)
-        ]
+        # freshly built stores hand their exchange refs straight to
+        # the pool (no parquet re-read); opened stores load from disk
+        erefs = getattr(store, "edge_refs", None) or [None] * self.P
+        drefs = getattr(store, "deg_refs", None) or [None] * self.P
+        if prespawned is not None and len(prespawned) >= self.P:
+            self.actors = list(prespawned[:self.P])
+            for a in prespawned[self.P:]:  # over-provisioned shells
+                ray.kill(a)
+            loads = [
+                self.actors[p].load_store.remote(
+                    store.path, p, erefs[p], drefs[p])
+                for p in range(self.P)
+            ]
+        else:
+            if prespawned:  # fewer shells than partitions: discard
+                for a in prespawned:
+                    ray.kill(a)
+            actor_cls = ray.remote(
+                num_cpus=num_cpus_per_actor)(GraphPartition)
+            self.actors = [
+                actor_cls.remote(store.path, p, erefs[p], drefs[p])
+                for p in range(self.P)
+            ]
+            loads = []
         # force construction errors to surface now + set message mode
-        ray.get([a.set_packed.remote(self.msg_mode == "packed")
-                 for a in self.actors])
+        ray.get(loads + [a.set_packed.remote(self.msg_mode == "packed")
+                         for a in self.actors])
         self.superstep_seconds = 0.0
         self.supersteps = 0
         # vids deleted in-place (MODIFY_VERTICES); per-vertex results
@@ -353,6 +391,39 @@ class BSPEngine:
                 dangling_sum = base * dangling_vnum
             if last_deltas is not None:
                 ray.get(last_deltas)
+        elif checkpoint_every is None and self.msg_mode == "packed":
+            # Tol mode with the convergence barrier OVERLAPPED
+            # (r04 VERDICT ask #3): round k+1's hub gather + scatter
+            # are READ-ONLY w.r.t. actor state, so they are submitted
+            # speculatively right after round k's applies — actor FIFO
+            # ordering runs them after the applies — and execute WHILE
+            # the driver reduces round k's convergence scalar. On
+            # convergence the in-flight scatter outputs are simply
+            # dropped (state untouched → results bit-identical to the
+            # barriered loop; cost = one wasted scatter).
+            packed = None
+            while rnd < limit:
+                rnd += 1
+                base = (1.0 - delta) / self.V + delta * dangling_sum / self.V
+                if packed is None:  # first round: no messages yet
+                    hub_parts = ([a.pr_get_hub_vals.remote()
+                                  for a in self.actors]
+                                 if self.has_hubs else [])
+                    packed = [a.pr_scatter.remote(*hub_parts)
+                              for a in self.actors]
+                md_refs = [
+                    self.actors[p].pr_apply.remote(base, delta, *packed)
+                    for p in range(self.P)
+                ]
+                hub_parts = ([a.pr_get_hub_vals.remote()
+                              for a in self.actors]
+                             if self.has_hubs else [])
+                packed = [a.pr_scatter.remote(*hub_parts)
+                          for a in self.actors]
+                dangling_sum = base * dangling_vnum
+                max_delta = max(ray.get(md_refs))
+                if tol is not None and max_delta < tol:
+                    break
         else:
             while rnd < limit:
                 rnd += 1

@@ -44,7 +44,24 @@ def _part_order(part: np.ndarray, P: int) -> np.ndarray:
 
 
 class GraphPartition:
-    def __init__(self, store_path: str, part_id: int):
+    def __init__(self, store_path=None, part_id: int = 0,
+                 edge_table=None, deg_table=None):
+        """``edge_table`` / ``deg_table``: optional in-memory Arrow
+        tables (freshly built stores hand their exchange output refs
+        straight to the pool — Ray dereferences them to plasma-backed
+        tables, zero-copy for the int64 columns — skipping the
+        parquet round-trip; VERDICT r04 ask #2). Without them the
+        partition reads the on-disk store layout.
+
+        ``store_path=None`` builds an EMPTY SHELL: the process fork +
+        module imports happen now (overlapping earlier pipeline
+        stages — engine.prespawn_partitions), and a later
+        ``load_store`` call attaches the data."""
+        if store_path is not None:
+            self.load_store(store_path, part_id, edge_table, deg_table)
+
+    def load_store(self, store_path: str, part_id: int,
+                   edge_table=None, deg_table=None) -> bool:
         import json
 
         with open(os.path.join(store_path, "meta.json")) as f:
@@ -57,11 +74,13 @@ class GraphPartition:
         self.has_weight = bool(self.meta["has_weight"])
 
         edir = os.path.join(store_path, "edges", f"part={self.p}")
-        if os.path.isdir(edir):
+        t = edge_table
+        if t is None and os.path.isdir(edir):
             cols = ["src", "dst"] + (["weight"] if self.has_weight else [])
             if self.meta.get("has_dir"):
                 cols.append("dir")
             t = pq.read_table(edir, columns=cols)
+        if t is not None:
             src = t["src"].to_numpy().astype(np.int64, copy=False)
             dst = t["dst"].to_numpy().astype(np.int64, copy=False)
             w = (
@@ -90,8 +109,10 @@ class GraphPartition:
         # global out-degrees of owned vertices
         ddir = os.path.join(store_path, "degrees", f"part={self.p}")
         self.out_deg = np.zeros(self.nlocal, dtype=np.int64)
-        if os.path.isdir(ddir):
+        dt = deg_table
+        if dt is None and os.path.isdir(ddir):
             dt = pq.read_table(ddir, columns=["vid", "out_deg"])
+        if dt is not None and dt.num_rows:
             vid = dt["vid"].to_numpy().astype(np.int64, copy=False)
             deg = dt["out_deg"].to_numpy().astype(np.int64, copy=False)
             self.out_deg[vid // self.P] = deg
@@ -102,6 +123,7 @@ class GraphPartition:
         # (de)serialize); False → list of per-destination slices for
         # num_returns=P routing (per-node locality on large clusters)
         self.packed = True
+        return True
 
     def _build_layout(self, src, dst, w, dirs):
         """(Re)build the (dst % P, dst)-sorted edge layout + group /
