@@ -31,6 +31,8 @@ Covered Gremlin steps::
     groupCount([  ]) groupCount().by('col')
     group().by('key').by(__.values('x').sum()|max|min|mean|fold())
     group().by('key').by(__.count())          # == groupCount().by
+    choose(__.has(...), __.out(), __.in())    # per-traverser branch
+    constant(v) values('x').math('_ * 2 + 1') # map steps
     count() sum() max() min() mean() path() sample(n) coin(p)
 
 Documented extensions (1:1 with the builder DSL, used where standard
@@ -372,6 +374,20 @@ def _apply_steps(state, steps):
             state = t.or_where(*[_as_chain_fn(c) for c in args])
         elif name == "optional":
             state = t.optional(_as_chain_fn(args[0]))
+        elif name == "choose":
+            if len(args) < 2 or len(args) > 3:
+                raise GremlinParseError(
+                    "choose() takes (predicate, trueBranch[, "
+                    "falseBranch]) anonymous traversals")
+            fns = [_as_chain_fn(a) for a in args]
+            state = t.choose(*fns)
+        elif name == "constant":
+            state = t.constant(args[0])
+        elif name == "math":
+            if not isinstance(args[0], str):
+                raise GremlinParseError("math() takes an expression "
+                                        "string")
+            state = t.math(args[0])
         elif name == "union":
             branches = [_apply_steps(t, c.steps) if isinstance(c, Chain)
                         else None for c in args]

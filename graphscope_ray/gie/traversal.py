@@ -35,6 +35,7 @@ traverser row by one int64 per hop — bound hops when tracking paths.
 from __future__ import annotations
 
 import operator
+import re
 from typing import Callable, Optional, Sequence
 
 import numpy as np
@@ -181,6 +182,107 @@ class P:
 
 def _as_pred(value) -> P:
     return value if isinstance(value, P) else P.eq(value)
+
+
+_MATH_FNS = {
+    "abs": np.abs, "ceil": np.ceil, "floor": np.floor,
+    "sqrt": np.sqrt, "exp": np.exp, "log": np.log, "log10": np.log10,
+    "sin": np.sin, "cos": np.cos, "tan": np.tan, "signum": np.sign,
+}
+_MATH_TOKEN = re.compile(
+    r"\s*(?:(?P<num>\d+\.\d+|\d+)|(?P<name>[A-Za-z_][A-Za-z0-9_]*)"
+    r"|(?P<op>[-+*/%^()]))")
+
+
+def _compile_math(expr: str):
+    """Tiny exp4j-subset compiler (reference MathTreeNode.java): an
+    arithmetic expression over ``_`` (the incoming value) → a
+    vectorized numpy closure. No ``eval``."""
+    toks = []
+    i = 0
+    while i < len(expr):
+        m = _MATH_TOKEN.match(expr, i)
+        if not m or m.end() == i:
+            if expr[i:].strip():
+                raise ValueError(f"bad math token at {expr[i:]!r}")
+            break
+        i = m.end()
+        toks.append(m.group("num") or m.group("name") or m.group("op"))
+    pos = [0]
+
+    def peek():
+        return toks[pos[0]] if pos[0] < len(toks) else None
+
+    def take():
+        t = peek()
+        pos[0] += 1
+        return t
+
+    def atom():
+        t = take()
+        if t == "(":
+            e = add()
+            if take() != ")":
+                raise ValueError(f"unbalanced parens in {expr!r}")
+            return e
+        if t == "-":
+            e = atom()
+            return lambda x: -e(x)
+        if t == "_":
+            return lambda x: x
+        if t in _MATH_FNS:
+            if take() != "(":
+                raise ValueError(f"{t} needs parentheses in {expr!r}")
+            e = add()
+            if take() != ")":
+                raise ValueError(f"unbalanced parens in {expr!r}")
+            fn = _MATH_FNS[t]
+            return lambda x: fn(e(x))
+        if t is None:
+            raise ValueError(f"truncated expression {expr!r}")
+        try:
+            v = float(t)
+        except ValueError:
+            raise ValueError(f"unsupported math name {t!r}") from None
+        return lambda x, _v=v: np.full_like(x, _v, dtype=np.float64) \
+            if isinstance(x, np.ndarray) else _v
+
+    def power():
+        e = atom()
+        if peek() == "^":
+            take()
+            rhs = power()  # right-associative
+            return lambda x: e(x) ** rhs(x)
+        return e
+
+    def mul():
+        e = power()
+        while peek() in ("*", "/", "%"):
+            op = take()
+            rhs = power()
+            if op == "*":
+                e = (lambda a, b: lambda x: a(x) * b(x))(e, rhs)
+            elif op == "/":
+                e = (lambda a, b: lambda x: a(x) / b(x))(e, rhs)
+            else:
+                e = (lambda a, b: lambda x: np.mod(a(x), b(x)))(e, rhs)
+        return e
+
+    def add():
+        e = mul()
+        while peek() in ("+", "-"):
+            op = take()
+            rhs = mul()
+            if op == "+":
+                e = (lambda a, b: lambda x: a(x) + b(x))(e, rhs)
+            else:
+                e = (lambda a, b: lambda x: a(x) - b(x))(e, rhs)
+        return e
+
+    out = add()
+    if pos[0] != len(toks):
+        raise ValueError(f"trailing tokens in {expr!r}")
+    return out
 
 
 def _names(ds: ray.data.Dataset) -> list:
@@ -1416,6 +1518,99 @@ class Traversal:
 
         return (ds.map_batches(bucket, batch_format="pandas")
                 .groupby("_b").map_groups(kernel, batch_format="pandas"))
+
+    def constant(self, value, *, name: str = "constant") -> "Traversal":
+        """CONSTANT (reference ConstantTreeNode.java — MAP every
+        traverser to a literal): the bag becomes a value bag holding
+        ``value`` once per traverser (bag cardinality preserved)."""
+        if not _names(self.ds):  # schemaless empty bag
+            dtype = ("float64" if isinstance(value, float) else
+                     "int64" if isinstance(value, int) else "object")
+            return Traversal(self.graph, ray.data.from_pandas(
+                pd.DataFrame({name: pd.Series([], dtype=dtype)})),
+                kind="value")
+        v, n = value, name
+
+        def mk(df: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame({n: np.full(len(df), v)})
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(mk, batch_format="pandas"),
+                         kind="value")
+
+    def math(self, expr: str) -> "Traversal":
+        """MATH (reference MathTreeNode.java — the TinkerPop ``math``
+        step's exp4j expression over the incoming numeric value
+        ``_``): vectorized arithmetic on the value bag. Supported:
+        ``+ - * / % ^``, parentheses, unary minus, and the functions
+        abs/ceil/floor/sqrt/exp/log/log10/sin/cos/tan/signum."""
+        self._require("value", "math")
+        col = _names(self.ds)[0]
+        fn = _compile_math(expr)
+
+        def apply(df: pd.DataFrame) -> pd.DataFrame:
+            x = df[col].to_numpy().astype(np.float64)
+            return pd.DataFrame({col: fn(x)})
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(apply,
+                                             batch_format="pandas"),
+                         kind="value")
+
+    def choose(self, pred_fn, true_fn, false_fn=None) -> "Traversal":
+        """CHOOSE (reference BranchTreeNode.java /
+        CaseWhenTreeNode.java): traversers whose predicate
+        sub-traversal matches run the true branch; the rest run the
+        false branch (identity when omitted); results union. Both
+        branches must be column-preserving and end at the same
+        element kind; tracked-path mode is unsupported (as
+        :meth:`optional`)."""
+        if self.path_len:
+            raise TypeError(
+                "choose() is not supported on tracked-path traversals")
+        if not _names(self.ds):
+            return self
+        cols, wk, keyed = self._stamp_keys()
+        base = Traversal(self.graph, keyed, kind=self.kind, path_len=0)
+        hits = bucketed_distinct(
+            pred_fn(base).ds.select_columns([wk]), [wk])
+
+        def flag(t: pa.Table) -> pa.Table:
+            return t.append_column(
+                "_hit", pa.array(np.ones(len(t), dtype=np.int64)))
+
+        hits = hits.map_batches(flag,
+                                batch_format="pyarrow").materialize()
+        flagged = attach_values(keyed, hits, on=wk,
+                                table_key=wk, value_names=["_hit"],
+                                defaults={"_hit": 0}).materialize()
+
+        def side(want: int):
+            def keep(df: pd.DataFrame) -> pd.DataFrame:
+                return df[df["_hit"].to_numpy() == want].drop(
+                    columns=[wk, "_hit"])
+            return Traversal(
+                self.graph,
+                flagged.map_batches(keep, batch_format="pandas"),
+                kind=self.kind, path_len=0)
+
+        t_out = true_fn(side(1))
+        f_out = side(0) if false_fn is None else false_fn(side(0))
+        if t_out.kind != f_out.kind:
+            raise TypeError(
+                f"choose() branches end at different kinds: "
+                f"{t_out.kind!r} vs {f_out.kind!r}")
+
+        def trim(cs):
+            def f(df: pd.DataFrame) -> pd.DataFrame:
+                return df[cs]
+            return f
+
+        shared = [c for c in _names(t_out.ds) if c in _names(f_out.ds)]
+        a = t_out.ds.map_batches(trim(shared), batch_format="pandas")
+        b = f_out.ds.map_batches(trim(shared), batch_format="pandas")
+        return Traversal(self.graph, a.union(b), kind=t_out.kind,
+                         path_len=0)
 
     def sum_(self, prop: Optional[str] = None) -> float:
         """SUM (op 49) over a value bag (or ``values(prop)`` first)."""

@@ -141,6 +141,12 @@ def _split_by_part(P: int, offset, length, *tables):
     parts = [x if isinstance(x, pa.Table)
              else pa.Table.from_pandas(x, preserve_index=False)
              for x in tables if x is not None]
+    # zero-row blocks may arrive SCHEMALESS (Ray Data passes empty
+    # blocks through map_batches untouched, so `normalize` never adds
+    # their part column) — drop them before concat
+    parts = [x for x in parts if x.num_rows]
+    if not parts:
+        return None if P == 1 else (None,) * P
     t = pa.concat_tables(parts, promote_options="default")
     if offset is not None:
         t = t.slice(offset, length)

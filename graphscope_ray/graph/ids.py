@@ -14,6 +14,7 @@ from __future__ import annotations
 from typing import Optional
 
 import numpy as np
+import pandas as pd
 import pyarrow as pa
 
 import ray
@@ -166,6 +167,12 @@ def attach_vids(
     n = idmap_count if idmap_count is not None else idmap.count()
     if n <= broadcast_threshold:
         pdf = idmap.to_pandas()
+        if "oid" not in pdf.columns:
+            # to_pandas() of an EMPTY stream can drop the columns
+            # entirely (zero-edge graph); rebuild the typed frame so
+            # the broadcast lookup still ships a well-formed map
+            pdf = pd.DataFrame({"oid": pd.Series([], dtype="int64"),
+                                "vid": pd.Series([], dtype="int64")})
         pdf = pdf.sort_values("oid")
         # the oid side ships as an Arrow array (pc.index_in value_set)
         ref = ray.put(

@@ -372,3 +372,57 @@ class TestAndOrOptionalRound5:
                 f"SELECT count(*) FROM v WHERE bal > {th1} "
                 f"{sql_op} bal < {th2}").fetchone()[0]
             assert got == exp, q
+
+
+class TestChooseConstantMathRound5:
+    """choose()/constant()/math() (reference BranchTreeNode /
+    CaseWhenTreeNode / ConstantTreeNode / MathTreeNode)."""
+
+    def test_choose_branches(self, pg):
+        # customers with bal>0 walk to their orders; the rest stay
+        df = _pdf(gremlin(
+            pg, "g.V('customer').choose(__.has('bal', gt(0.0)), "
+                "__.out('places'), __.identity())").dataset()) \
+            if False else gremlin(
+            pg, "g.V('customer').choose(__.has('bal', gt(0.0)), "
+                "__.out('places'))").to_pandas()
+        # matched: 0 -> {1,5}, 8 -> {13}; unmatched: 4 stays
+        assert sorted(df["t"]) == [1, 4, 5, 13]
+
+    def test_choose_false_branch(self, pg):
+        df = gremlin(
+            pg, "g.V('customer').choose(__.has('bal', gt(0.0)), "
+                "__.out('places'), __.both('places'))").to_pandas()
+        # false branch: customer 4 walks both() -> order 9
+        assert sorted(df["t"]) == [1, 5, 9, 13]
+
+    def test_choose_kind_mismatch_raises(self, pg):
+        with pytest.raises(TypeError, match="kind"):
+            gremlin(pg, "g.V('customer').choose(__.has('bal', "
+                        "gt(0.0)), __.outE('places'))").dataset()
+
+    def test_constant(self, pg):
+        t = gremlin(pg, "g.V('customer').constant(7)")
+        vals = t.to_pandas()["constant"].tolist()
+        assert vals == [7, 7, 7]
+        assert gremlin(pg, "g.V('customer').constant(2.5).sum()") \
+            == pytest.approx(7.5)
+
+    def test_math(self, pg):
+        got = gremlin(pg, "g.V('customer').values('bal')"
+                          ".math('_ * 2 + 1').sum()")
+        # bal: 10, -5, 99 -> 21 + -9 + 199 = 211
+        assert got == pytest.approx(211.0)
+
+    def test_math_functions_and_precedence(self, pg):
+        got = sorted(gremlin(
+            pg, "g.V('customer').values('bal')"
+                ".math('abs(_) ^ 2 % 7')").to_pandas()["bal"])
+        import numpy as np
+        exp = sorted(np.mod(np.abs([10.0, -5.0, 99.0]) ** 2, 7))
+        assert got == pytest.approx(exp)
+
+    def test_math_rejects_garbage(self, pg):
+        with pytest.raises(ValueError):
+            gremlin(pg, "g.V().values('bal')"
+                        ".math('__import__(1)')").dataset()
