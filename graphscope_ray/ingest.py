@@ -21,6 +21,7 @@ Edge derivation rule (FIXTURES.md §2, fixed and itself under test):
 from __future__ import annotations
 
 import hashlib
+import os
 
 import numpy as np
 import pandas as pd
@@ -199,16 +200,15 @@ def _reduce_pairs(max_fanout: int, *tables) -> pa.Table:
 @ray.remote
 def _reduce_weights(*tables) -> pa.Table:
     """One exchange-2 reduce task: partial counts of every (src, dst)
-    pair that hashes here → one hash-based pandas groupby sum (khash
-    factorization, C speed on object arrays — measured ~4× faster
-    than an object-array np.lexsort at 260k rows/task)."""
+    pair that hashes here → one Arrow hash-aggregate sum (the C++
+    grouper; measured 1.35× the pandas khash path and ~4× an
+    object-array np.lexsort at this row shape — integer sums, so the
+    result is bit-identical either way)."""
     t = pa.concat_tables(list(tables), promote_options="default")
-    g = t.to_pandas()
-    out = g.groupby(["src", "dst"], sort=False)["_w"].sum().reset_index()
-    out.columns = ["src", "dst", "weight"]
-    if not len(out):
+    if not t.num_rows:
         return _typed_empty("weight")
-    return pa.Table.from_pandas(out, preserve_index=False)
+    out = t.group_by(["src", "dst"]).aggregate([("_w", "sum")])
+    return out.rename_columns(["src", "dst", "weight"])
 
 
 def _task_exchange(refs, nparts: int, key_cols, reducer, *reducer_args):
@@ -258,10 +258,17 @@ def derive_edges(
     commit) is the documented skew guard, identical to the r01
     semantics; outputs are bit-identical to the groupby twin
     (tests/test_ingest.py differential)."""
-    from graphscope_ray.util import shuffle_partitions
-
     occ = corpus.select_columns(["repo", "path", "commit"])
-    nparts = num_partitions or max(2, shuffle_partitions(32))
+    # plain TASK exchange — not Dataset.join's resident shuffle actors
+    # — so the actor-deadlock cap (cpus-2) of shuffle_partitions does
+    # not apply; one reducer per core keeps the sum stage saturated
+    if num_partitions is not None:
+        nparts = num_partitions
+    else:
+        import ray as _ray
+        cpus = int(_ray.cluster_resources().get("CPU", 8)) \
+            if _ray.is_initialized() else (os.cpu_count() or 8)
+        nparts = max(2, min(32, cpus))
     # STREAM the upstream (read + sha + project) into the exchange-1
     # map tasks as blocks land, instead of to_arrow_refs()'s
     # materialize-then-exchange barrier — the upstream pass and the

@@ -65,6 +65,7 @@ def test_symmetrize_dedups_reciprocal_pairs(tmp_path):
     store = build_graph(ds, str(tmp_path / "sym"), num_parts=2,
                         num_vertices=3, symmetrize=True,
                         weight_col="weight")
+    store.wait_persisted()  # r05: the on-disk layout is written async
     import pyarrow.parquet as pq
     import os
     rows = []
