@@ -4138,8 +4138,6 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "events_rolling": _q_events_rolling,
         "rel_shipping": _q_rel_shipping,
         "rel_q5_volume": _q_rel_q5_volume,
-        # new r05 rows (never checked — must sit inside the driver's
-        # first-50 window; rotate_queries.py keeps them here)
         "gie_group_by": _q_gie_group_by,
         "gie_program_sssp": _q_gie_program_sssp,
         "pg_pregel_udf": _q_pg_pregel_udf,
