@@ -1330,6 +1330,72 @@ SELECT c_custkey AS custkey FROM customer
 WHERE c_acctbal < -500 OR c_acctbal > 5000 ORDER BY custkey"""
 
 
+def _q_gie_choose(sf_dir):
+    """choose() (reference BranchTreeNode.java/CaseWhenTreeNode.java):
+    in-credit customers are replaced by their orders; overdrawn ones
+    pass through via the identity branch. Namespaced id space as
+    gie_optional."""
+    from graphscope_ray.gie import run_gremlin as gremlin
+    g = _gie_graph(sf_dir)
+    t = gremlin(g, "g.V('customer').choose("
+                   "__.has('acctbal', gt(0.0)), "
+                   "__.out('places'), __.identity())")
+    return _rename_ds(t.dataset(), {"t": "id"})
+
+
+_GIE_CHOOSE_SQL = """
+SELECT o.o_orderkey*4+1 AS id FROM orders o
+JOIN customer c ON c.c_custkey = o.o_custkey WHERE c.c_acctbal > 0
+UNION ALL
+SELECT c_custkey*4 AS id FROM customer WHERE c_acctbal <= 0
+ORDER BY id"""
+
+
+def _q_gie_coalesce(sf_dir):
+    """coalesce() (reference CoalesceStep compile path): every vertex
+    takes its first non-empty branch — orders walk 'contains' (bag
+    semantics: one traverser per lineitem row), customers fall back to
+    'places', parts to identity. groupCount makes the multiset
+    deterministic."""
+    from graphscope_ray.gie import run_gremlin as gremlin
+    g = _gie_graph(sf_dir)
+    gc = gremlin(g, "g.V().coalesce(__.out('contains'), "
+                    "__.out('places'), __.identity()).groupCount()")
+    return _rename_ds(gc, {"t": "id"})
+
+
+_GIE_COALESCE_SQL = """
+SELECT id, count(*)::BIGINT AS count FROM (
+  SELECT l_partkey*4+2 AS id FROM lineitem
+  UNION ALL SELECT o_orderkey*4+1 FROM orders
+  UNION ALL SELECT p_partkey*4+2 FROM part
+  -- identity fallbacks: vertices both walk branches miss
+  UNION ALL SELECT c_custkey*4 FROM customer c
+    WHERE NOT EXISTS (SELECT 1 FROM orders o
+                      WHERE o.o_custkey = c.c_custkey)
+  UNION ALL SELECT o_orderkey*4+1 FROM orders o
+    WHERE NOT EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey)
+) GROUP BY 1 ORDER BY id"""
+
+
+def _q_gie_math(sf_dir):
+    """math() (reference MathTreeNode.java — exp4j expression over the
+    incoming value): order totals bucketed by floor(_/1000), counted.
+    Identical IEEE double division + floor in numpy and DuckDB."""
+    from graphscope_ray.gie import run_gremlin as gremlin
+    g = _gie_graph(sf_dir)
+    gc = gremlin(g, "g.V('order').values('totalprice')"
+                    ".math('floor(_ / 1000)').groupCount()")
+    return _rename_ds(gc, {"totalprice": "bucket"})
+
+
+_GIE_MATH_SQL = """
+SELECT floor(o_totalprice / 1000) AS bucket,
+       count(*)::BIGINT AS count
+FROM orders GROUP BY 1 ORDER BY bucket"""
+
+
 def _q_pg_labeled_select(sf_dir):
     """LabeledVertexDataContext selector surface (reference
     context.py:305-329): label the partgraph vertices even/odd by oid
@@ -4145,6 +4211,9 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gie_and_or": _q_gie_and_or,
         "gie_optional": _q_gie_optional,
         "gie_pred_compose": _q_gie_pred_compose,
+        "gie_choose": _q_gie_choose,
+        "gie_coalesce": _q_gie_coalesce,
+        "gie_math": _q_gie_math,
         "pg_dfs": _q_pg_dfs,
         "pg_sampling": _q_pg_sampling,
         "doc_sha256": _q_doc_sha256,
@@ -4484,6 +4553,9 @@ ORDER BY media_id, ts_ms""",
         "gie_and_or": _GIE_AND_OR_SQL,
         "gie_optional": _GIE_OPTIONAL_SQL,
         "gie_pred_compose": _GIE_PRED_COMPOSE_SQL,
+        "gie_choose": _GIE_CHOOSE_SQL,
+        "gie_coalesce": _GIE_COALESCE_SQL,
+        "gie_math": _GIE_MATH_SQL,
         "pg_transitivity": f"""
 WITH {_PRELUDE},
 {_TRI_CTE}

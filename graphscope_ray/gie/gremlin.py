@@ -32,6 +32,8 @@ Covered Gremlin steps::
     group().by('key').by(__.values('x').sum()|max|min|mean|fold())
     group().by('key').by(__.count())          # == groupCount().by
     choose(__.has(...), __.out(), __.in())    # per-traverser branch
+    coalesce(__.out('a'), __.out('b'))        # first non-empty branch
+    identity() hasNot('prop') values('x').is(gt(5))
     constant(v) values('x').math('_ * 2 + 1') # map steps
     count() sum() max() min() mean() path() sample(n) coin(p)
 
@@ -381,6 +383,14 @@ def _apply_steps(state, steps):
                     "falseBranch]) anonymous traversals")
             fns = [_as_chain_fn(a) for a in args]
             state = t.choose(*fns)
+        elif name == "coalesce":
+            state = t.coalesce(*[_as_chain_fn(a) for a in args])
+        elif name == "identity":
+            state = t.identity()
+        elif name == "is":
+            state = t.is_(args[0])
+        elif name == "hasNot":
+            state = t.has_not(args[0])
         elif name == "constant":
             state = t.constant(args[0])
         elif name == "math":

@@ -1519,6 +1519,59 @@ class Traversal:
         return (ds.map_batches(bucket, batch_format="pandas")
                 .groupby("_b").map_groups(kernel, batch_format="pandas"))
 
+    def identity(self) -> "Traversal":
+        """IdentityStep: the bag unchanged (useful as a choose()/
+        coalesce() branch)."""
+        return self
+
+    def is_(self, value) -> "Traversal":
+        """Gremlin ``is(P)`` on a value bag: keep values satisfying
+        the predicate (IsStep)."""
+        self._require("value", "is_")
+        pred = _as_pred(value)
+        col = _names(self.ds)[0]
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[pred(df[col].to_numpy())]
+
+        return Traversal(self.graph,
+                         self.ds.map_batches(keep,
+                                             batch_format="pandas"),
+                         kind="value")
+
+    def has_not(self, prop: str) -> "Traversal":
+        """Gremlin ``hasNot('prop')``: keep elements whose property is
+        null/absent (HasStep with containerless key)."""
+        self._require("v", "has_not")
+        tmp = "_hasnot_val"
+        withp = self._attach_vprops([prop], [tmp])
+
+        def keep(df: pd.DataFrame) -> pd.DataFrame:
+            return df[df[tmp].isna()].drop(columns=[tmp])
+
+        return Traversal(self.graph,
+                         withp.map_batches(keep,
+                                           batch_format="pandas"),
+                         kind="v", path_len=self.path_len)
+
+    def coalesce(self, *fns) -> "Traversal":
+        """Gremlin ``coalesce(b1, b2, ...)`` (CoalesceStep): each
+        traverser takes the FIRST branch that yields ≥1 result.
+        Composition of :meth:`choose` — branch k runs on the
+        traversers missed by branches 1..k-1; a traverser missed by
+        every branch is dropped. Same constraints as choose
+        (column-preserving branches, one element kind, no tracked
+        path)."""
+        if not fns:
+            raise ValueError("coalesce() needs >=1 branch")
+        if len(fns) == 1:
+            # last branch: apply directly — traversers it misses yield
+            # no rows, which IS the drop semantics
+            return fns[0](self)
+        rest = fns[1:]
+        return self.choose(fns[0], fns[0],
+                           lambda t: t.coalesce(*rest))
+
     def constant(self, value, *, name: str = "constant") -> "Traversal":
         """CONSTANT (reference ConstantTreeNode.java — MAP every
         traverser to a literal): the bag becomes a value bag holding

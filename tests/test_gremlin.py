@@ -426,3 +426,46 @@ class TestChooseConstantMathRound5:
         with pytest.raises(ValueError):
             gremlin(pg, "g.V().values('bal')"
                         ".math('__import__(1)')").dataset()
+
+
+class TestCoalesceIdentityIsHasNotRound5:
+    def test_coalesce_first_branch_wins(self, pg):
+        n = gremlin(pg, "g.V('customer').coalesce(__.out('places'), "
+                        "__.identity()).count()")
+        assert n == 4  # every customer has orders
+
+    def test_coalesce_fallback_identity(self, pg):
+        n = gremlin(pg, "g.V('part').coalesce(__.out('places'), "
+                        "__.identity()).count()")
+        assert n == 3  # parts pass through
+
+    def test_coalesce_three_branches(self, pg):
+        # orders: contains-bag (6); customers: places (4); parts:
+        # identity (3)
+        n = gremlin(pg, "g.V().coalesce(__.out('contains'), "
+                        "__.out('places'), __.identity()).count()")
+        assert n == 13
+
+    def test_coalesce_last_branch_drops_misses(self, pg):
+        # no identity: parts (no out at all) vanish
+        n = gremlin(pg, "g.V().coalesce(__.out('contains'), "
+                        "__.out('places')).count()")
+        assert n == 10
+
+    def test_is_predicate(self, pg):
+        assert gremlin(pg, "g.V('customer').values('bal')"
+                           ".is(gt(0.0)).count()") == 2
+        assert gremlin(pg, "g.V('customer').values('bal')"
+                           ".is(-5.0).count()") == 1
+
+    def test_has_not(self):
+        import ray.data
+        from graphscope_ray.gie import PropertyGraph
+        verts = pd.DataFrame({"id": [0, 1, 2], "label": ["n"] * 3,
+                              "x": [1.0, None, 3.0]})
+        edges = pd.DataFrame({"src": [0], "dst": [1],
+                              "label": ["e"]})
+        g2 = PropertyGraph(ray.data.from_pandas(verts),
+                           ray.data.from_pandas(edges))
+        df = gremlin(g2, "g.V().hasNot('x')").to_pandas()
+        assert df["t"].tolist() == [1]
