@@ -1059,6 +1059,8 @@ class Traversal:
         misses = flagged.map_batches(keep_miss, batch_format="pandas")
 
         def strip(df: pd.DataFrame) -> pd.DataFrame:
+            if not len(df):  # schemaless empty block from an empty sub
+                return df.reindex(columns=cols)
             return df[cols]
 
         matched = sub.ds.map_batches(strip, batch_format="pandas")
@@ -1656,10 +1658,24 @@ class Traversal:
 
         def trim(cs):
             def f(df: pd.DataFrame) -> pd.DataFrame:
+                if not len(df):
+                    # an all-empty branch yields SCHEMALESS pandas
+                    # blocks; reindex restores the shared columns so
+                    # the union schema holds
+                    return df.reindex(columns=cs)
                 return df[cs]
             return f
 
-        shared = [c for c in _names(t_out.ds) if c in _names(f_out.ds)]
+        # an entirely-empty side reports no schema — its column list
+        # must not erase the live side's columns
+        t_names = _names(t_out.ds)
+        f_names = _names(f_out.ds)
+        if not t_names:
+            shared = f_names
+        elif not f_names:
+            shared = t_names
+        else:
+            shared = [c for c in t_names if c in f_names]
         a = t_out.ds.map_batches(trim(shared), batch_format="pandas")
         b = f_out.ds.map_batches(trim(shared), batch_format="pandas")
         return Traversal(self.graph, a.union(b), kind=t_out.kind,
