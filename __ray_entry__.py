@@ -1330,6 +1330,34 @@ SELECT c_custkey AS custkey FROM customer
 WHERE c_acctbal < -500 OR c_acctbal > 5000 ORDER BY custkey"""
 
 
+def _q_gie_project(sf_dir):
+    """project().by().by() (reference ProjectTreeNode compile path):
+    per-customer id, balance and order count in one pass — id copy,
+    broadcast property attach, and the degree_local count kernel."""
+    from graphscope_ray.gie import run_gremlin as gremlin
+    g = _gie_graph(sf_dir)
+    out = gremlin(g, "g.V('customer')"
+                     ".project('custkey', 'acctbal', 'n_orders')"
+                     ".by(__.id()).by(__.values('acctbal'))"
+                     ".by(__.out('places').count())")
+
+    def fin(t: pa.Table) -> pa.Table:
+        import pyarrow.compute as pc
+        return pa.table({
+            "custkey": pc.divide(t["custkey"], 4),
+            "acctbal": t["acctbal"],
+            "n_orders": t["n_orders"]})
+
+    return out.map_batches(fin, batch_format="pyarrow")
+
+
+_GIE_PROJECT_SQL = """
+SELECT c_custkey AS custkey, c_acctbal AS acctbal,
+       (SELECT count(*) FROM orders o
+        WHERE o.o_custkey = c.c_custkey)::BIGINT AS n_orders
+FROM customer c ORDER BY custkey"""
+
+
 def _q_gie_choose(sf_dir):
     """choose() (reference BranchTreeNode.java/CaseWhenTreeNode.java):
     in-credit customers are replaced by their orders; overdrawn ones
@@ -4212,6 +4240,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gie_optional": _q_gie_optional,
         "gie_pred_compose": _q_gie_pred_compose,
         "gie_choose": _q_gie_choose,
+        "gie_project": _q_gie_project,
         "gie_coalesce": _q_gie_coalesce,
         "gie_math": _q_gie_math,
         "pg_dfs": _q_pg_dfs,
@@ -4554,6 +4583,7 @@ ORDER BY media_id, ts_ms""",
         "gie_optional": _GIE_OPTIONAL_SQL,
         "gie_pred_compose": _GIE_PRED_COMPOSE_SQL,
         "gie_choose": _GIE_CHOOSE_SQL,
+        "gie_project": _GIE_PROJECT_SQL,
         "gie_coalesce": _GIE_COALESCE_SQL,
         "gie_math": _GIE_MATH_SQL,
         "pg_transitivity": f"""

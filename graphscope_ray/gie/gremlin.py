@@ -32,6 +32,7 @@ Covered Gremlin steps::
     group().by('key').by(__.values('x').sum()|max|min|mean|fold())
     group().by('key').by(__.count())          # == groupCount().by
     choose(__.has(...), __.out(), __.in())    # per-traverser branch
+    project('a','b').by(__.id()|__.values('p')|__.out('l').count())
     coalesce(__.out('a'), __.out('b'))        # first non-empty branch
     identity() hasNot('prop') values('x').is(gt(5))
     constant(v) values('x').math('_ * 2 + 1') # map steps
@@ -261,6 +262,29 @@ def _needs_path(steps) -> bool:
     return False
 
 
+def _project_spec(args):
+    """One project().by(...) modulator → Traversal.project spec:
+    'prop' | __.values('p') | __.id() | __.out/in/both('l'?).count()."""
+    if not args:
+        return "id"
+    a = args[0]
+    if isinstance(a, str):
+        return a
+    if isinstance(a, Chain):
+        steps = a.steps
+        if len(steps) == 1 and steps[0][0] == "values":
+            return steps[0][1][0]
+        if len(steps) == 1 and steps[0][0] == "id":
+            return "id"
+        if (len(steps) == 2 and steps[0][0] in ("out", "in", "both")
+                and steps[1][0] == "count"):
+            lab = steps[0][1][0] if steps[0][1] else None
+            return ("count", steps[0][0], lab)
+    raise GremlinParseError(
+        f"unsupported project().by() form: {a!r} (use a property "
+        f"name, __.values('p'), __.id(), or __.out('l').count())")
+
+
 def _group_key(args):
     """Key selector of group().by(...): a property/tag name, or an
     anonymous __.values('p') chain."""
@@ -452,6 +476,23 @@ def _apply_steps(state, steps):
                 raise GremlinParseError(
                     "repeat() needs a following times(k) or until(...)")
             i = j + 1
+            continue
+        elif name == "project":
+            if not args or not all(isinstance(a, str) for a in args):
+                raise GremlinParseError(
+                    "project() takes output-name strings")
+            mods = []
+            j = i + 1
+            while j < len(steps) and steps[j][0] == "by":
+                mods.append(steps[j][1])
+                j += 1
+            if len(mods) != len(args):
+                raise GremlinParseError(
+                    f"project() needs one by() per name "
+                    f"({len(args)} names, {len(mods)} by)")
+            state = t.project({n: _project_spec(m)
+                               for n, m in zip(args, mods)})
+            i = j
             continue
         elif name == "groupCount":
             by = None

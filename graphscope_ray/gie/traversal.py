@@ -1309,6 +1309,41 @@ class Traversal:
             out = _rn(cur, {v: k for k, v in cols.items()})
         return out
 
+    def project(self, specs: dict) -> ray.data.Dataset:
+        """Gremlin ``project('a','b').by(...).by(...)`` (reference
+        ``ProjectTreeNode`` compile path): one output row per
+        traverser with one column per projection. Supported by-forms
+        (the overwhelmingly common idioms, each vectorized):
+
+        - ``"id"`` / ``None`` — the current element id;
+        - ``"<prop>"`` — a vertex property (attached broadcast-or-join);
+        - ``("count", direction[, label])`` — the incident-edge count
+          (``__.out(label).count()``, via :meth:`degree_local`).
+        """
+        self._require("v", "project")
+        t = self
+        outs = []
+        for out, spec in specs.items():
+            if isinstance(spec, tuple) and spec and spec[0] == "count":
+                direction = spec[1] if len(spec) > 1 else "out"
+                label = spec[2] if len(spec) > 2 else None
+                t = t.degree_local(direction, label, name=out)
+            elif spec in (None, "id"):
+                def copy_id(df: pd.DataFrame, _o=out) -> pd.DataFrame:
+                    df = df.copy(deep=False)
+                    df[_o] = df["t"].to_numpy()
+                    return df
+                t = Traversal(self.graph,
+                              t.ds.map_batches(copy_id,
+                                               batch_format="pandas"),
+                              kind="v", path_len=t.path_len)
+            else:
+                nds = t._attach_vprops([spec], [out])
+                t = Traversal(self.graph, nds, kind="v",
+                              path_len=t.path_len)
+            outs.append(out)
+        return t.ds.select_columns(outs)
+
     # -- steps: user lambdas (ops 1000-1002) -------------------------------
 
     def lambda_filter(self, fn: Callable[[pd.DataFrame], np.ndarray]

@@ -469,3 +469,28 @@ class TestCoalesceIdentityIsHasNotRound5:
                            ray.data.from_pandas(edges))
         df = gremlin(g2, "g.V().hasNot('x')").to_pandas()
         assert df["t"].tolist() == [1]
+
+
+class TestProjectRound5:
+    def test_project_three_columns(self, pg):
+        df = gremlin(pg, "g.V('customer')"
+                         ".project('cid', 'balance', 'n')"
+                         ".by(__.id()).by(__.values('bal'))"
+                         ".by(__.out('places').count())") \
+            .to_pandas().sort_values("cid")
+        assert list(map(tuple, df.itertuples(index=False))) == \
+            [(0, 10.0, 2), (4, -5.0, 1), (8, 99.0, 1)]
+
+    def test_project_bare_prop_and_default_id(self, pg):
+        df = gremlin(pg, "g.V('customer').project('who', 'b')"
+                         ".by().by('bal')").to_pandas()
+        assert set(df.columns) == {"who", "b"}
+        assert sorted(df["who"]) == [0, 4, 8]
+
+    def test_project_arity_mismatch_raises(self, pg):
+        with pytest.raises(GremlinParseError, match="one by"):
+            gremlin(pg, "g.V().project('a', 'b').by(__.id())")
+
+    def test_project_unsupported_by_raises(self, pg):
+        with pytest.raises(GremlinParseError, match="project"):
+            gremlin(pg, "g.V().project('a').by(__.out())")
