@@ -3575,6 +3575,57 @@ SELECT d.doc_id, coalesce(t.n, 0)::BIGINT AS n_bigrams,
 FROM documents d LEFT JOIN terms t USING (doc_id) ORDER BY d.doc_id"""
 
 
+def _q_doc_dsir(sf_dir):
+    """DSIR importance resampling (Xie 2023, arXiv:2302.03169):
+    log-likelihood ratio of a target-domain (src0/src1) unigram model
+    over the raw-corpus model, top 20% kept deterministically
+    (rank by rounded weight, doc_id tiebreak)."""
+    from graphscope_ray.data.curate import dsir_select
+    docs = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"])
+    return dsir_select(docs, ["src0", "src1"], 0.2)
+
+
+_DOC_DSIR_SQL = """
+WITH toks AS MATERIALIZED (
+  SELECT doc_id, source,
+         regexp_extract_all(lower(coalesce(text, '')), '[a-z0-9]+') AS l
+  FROM documents),
+rows_ AS MATERIALIZED (
+  SELECT doc_id, source, w, count(*)::BIGINT AS m
+  FROM (SELECT doc_id, source, unnest(l) AS w FROM toks)
+  GROUP BY doc_id, source, w),
+cq AS MATERIALIZED (SELECT w, sum(m)::BIGINT AS cq FROM rows_
+                    GROUP BY w),
+cp AS MATERIALIZED (
+  SELECT w, sum(m)::BIGINT AS cp FROM rows_
+  WHERE source IN ('src0', 'src1') GROUP BY w),
+consts AS MATERIALIZED (
+  SELECT (SELECT count(*)::DOUBLE FROM cq) AS v,
+         (SELECT sum(cq)::DOUBLE FROM cq) AS nq,
+         (SELECT coalesce(sum(cp), 0)::DOUBLE FROM cp) AS np_),
+lw AS (
+  SELECT r.doc_id,
+         sum(r.m * (ln((coalesce(p.cp, 0) + 1.0) / (c.np_ + c.v))
+                    - ln((q.cq + 1.0) / (c.nq + c.v)))) AS lw
+  FROM rows_ r
+  JOIN cq q USING (w)
+  LEFT JOIN cp p USING (w)
+  CROSS JOIN consts c
+  GROUP BY r.doc_id),
+all_docs AS (
+  SELECT d.doc_id, round(coalesce(lw.lw, 0.0), 6) AS lw
+  FROM documents d LEFT JOIN lw USING (doc_id)),
+ranked AS (
+  SELECT doc_id, lw,
+         row_number() OVER (ORDER BY lw DESC, doc_id) AS rn
+  FROM all_docs)
+SELECT doc_id, lw FROM ranked
+WHERE rn <= ceil(0.2 * (SELECT count(*) FROM documents))
+ORDER BY doc_id"""
+
+
 def _q_rel_q5_volume(sf_dir):
     """TPC-H Q5-shaped local-supplier-volume pipeline: six-table join
     chain as broadcast lookups onto the one big (never-shuffled)
@@ -4241,6 +4292,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gie_pred_compose": _q_gie_pred_compose,
         "gie_choose": _q_gie_choose,
         "gie_project": _q_gie_project,
+        "doc_dsir": _q_doc_dsir,
         "gie_coalesce": _q_gie_coalesce,
         "gie_math": _q_gie_math,
         "pg_dfs": _q_pg_dfs,
@@ -4584,6 +4636,7 @@ ORDER BY media_id, ts_ms""",
         "gie_pred_compose": _GIE_PRED_COMPOSE_SQL,
         "gie_choose": _GIE_CHOOSE_SQL,
         "gie_project": _GIE_PROJECT_SQL,
+        "doc_dsir": _DOC_DSIR_SQL,
         "gie_coalesce": _GIE_COALESCE_SQL,
         "gie_math": _GIE_MATH_SQL,
         "pg_transitivity": f"""

@@ -709,3 +709,109 @@ def stratified_split(ds: ray.data.Dataset, *,
     return (ds.map_batches(add_cb, batch_format="pandas")
               .groupby("_cb")
               .map_groups(kernel, batch_format="pandas"))
+
+
+def dsir_select(ds: ray.data.Dataset, target_sources, frac: float, *,
+                col: str = "text", key: str = "doc_id",
+                source_col: str = "source") -> ray.data.Dataset:
+    """DSIR-style importance resampling (Xie et al. 2023,
+    arXiv:2302.03169 "Data Selection for Language Models via
+    Importance Resampling"): score every raw document by the
+    log-likelihood ratio of a target-domain bag-of-words unigram model
+    over the raw-corpus model, and keep the top ``frac`` fraction.
+
+        lw(doc) = Σ_w m_w · [ ln((c_p(w)+1)/(N_p+V))
+                            − ln((c_q(w)+1)/(N_q+V)) ]
+
+    with add-one smoothing over the SHARED raw vocabulary (V =
+    distinct raw words, N = total token counts); the target model is
+    fit on the docs whose ``source_col`` is in ``target_sources``.
+    Tokens are the corpus-wide ``[a-z0-9]+`` runs of lower(text)
+    (VOCAB_TOKEN_PATTERN — identical to the LM-filter family, so the
+    DuckDB twin replays the arithmetic bit-for-bit at 6 dp).
+
+    Deterministic selection: rank by (lw DESC, key ASC), keep
+    ``ceil(frac · n_docs)`` rows (the paper's Gumbel sampling trades
+    determinism for variance; the top-k variant is the reproducible
+    form also used by its authors for ablations).
+
+    100 TB shape: the corpus is touched ONCE for per-doc word
+    multiplicities (per-batch value_counts combiner); both count
+    tables reduce via ``bucketed_sum`` (O(distinct words) rows move)
+    and attach back broadcast-or-join; the final top-k is a sort+limit
+    over the (key, lw) table — O(corpus docs) scalar rows, never the
+    text. Paper-scale hashing (fixed-bucket n-grams) drops in by
+    replacing ``w`` with ``hash(w) % B`` before the reductions."""
+    import re as _re
+
+    from graphscope_ray.graph.joins import attach_values
+    from graphscope_ray.util import bucketed_sum, round_half_away
+    from graphscope_ray.util import rename as _rn
+
+    pat = _re.compile(VOCAB_TOKEN_PATTERN)
+    targets = set(target_sources)
+
+    def doc_words(df: pd.DataFrame) -> pd.DataFrame:
+        df = df.reset_index(drop=True)
+        toks = df[col].fillna("").str.lower().str.findall(pat)
+        ex = toks.explode().dropna()
+        if not len(ex):
+            return pd.DataFrame({
+                key: pd.Series([], dtype=df[key].dtype),
+                "w": pd.Series([], dtype=str),
+                "m": pd.Series([], dtype=np.int64),
+                "_tgt": pd.Series([], dtype=np.int64)})
+        idx = ex.index.to_numpy()
+        out = pd.DataFrame({
+            key: df[key].to_numpy()[idx],
+            "w": ex.to_numpy(dtype=object).astype(str),
+            "_tgt": df[source_col].isin(targets)
+            .to_numpy()[idx].astype(np.int64)})
+        g = out.groupby([key, "w", "_tgt"], sort=False).size()
+        return g.rename("m").reset_index()
+
+    rows = ds.map_batches(doc_words, batch_format="pandas") \
+        .materialize()
+
+    def tgt_only(df: pd.DataFrame) -> pd.DataFrame:
+        return df[df["_tgt"] == 1][["w", "m"]]
+
+    cq = bucketed_sum(rows.select_columns(["w", "m"]), ["w"],
+                      vals=["m"])
+    cq = _rn(cq, {"m": "cq"}).materialize()
+    cp = bucketed_sum(rows.map_batches(tgt_only,
+                                       batch_format="pandas"),
+                      ["w"], vals=["m"])
+    cp = _rn(cp, {"m": "cp"}).materialize()
+    v = float(cq.count())
+    nq = float(cq.sum("cq") or 0)
+    np_tok = float(cp.sum("cp") or 0)
+
+    scored = attach_values(rows, cp, on="w", table_key="w",
+                           value_names=["cp"], defaults={"cp": 0})
+    scored = attach_values(scored, cq, on="w", table_key="w",
+                           value_names=["cq"])
+
+    def term(df: pd.DataFrame) -> pd.DataFrame:
+        m = df["m"].to_numpy().astype(np.float64)
+        lw = m * (np.log((df["cp"].to_numpy() + 1.0) / (np_tok + v))
+                  - np.log((df["cq"].to_numpy() + 1.0) / (nq + v)))
+        return pd.DataFrame({key: df[key], "lw": lw})
+
+    per_doc = bucketed_sum(
+        scored.map_batches(term, batch_format="pandas"),
+        [key], vals=["lw"]).materialize()
+    keys_ds = ds.select_columns([key])
+    n_docs = keys_ds.count()
+    withw = attach_values(keys_ds, per_doc, on=key, table_key=key,
+                          value_names=["lw"], defaults={"lw": 0.0})
+
+    def rounded(df: pd.DataFrame) -> pd.DataFrame:
+        return pd.DataFrame({
+            key: df[key],
+            "lw": round_half_away(df["lw"].to_numpy(), 6)})
+
+    k = int(np.ceil(frac * n_docs))
+    top = (withw.map_batches(rounded, batch_format="pandas")
+           .sort(["lw", key], descending=[True, False]).limit(k))
+    return top.sort(key)

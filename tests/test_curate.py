@@ -390,3 +390,65 @@ def test_stratified_split_exact_fractions_and_determinism():
     # every group (even 'tiny') has train rows
     assert set(out[out.split == "train"]["source"]) == {"a", "b", "c",
                                                         "tiny"}
+
+
+class TestDSIRRound5:
+    """dsir_select (Xie 2023 importance resampling) vs a direct
+    numpy/pandas replay."""
+
+    def _docs(self):
+        rng = np.random.default_rng(77)
+        vocab = ["alpha", "beta", "gamma", "delta", "eps", "zeta"]
+        rows = []
+        for i in range(40):
+            src = f"s{i % 4}"
+            # target domain s0 skews toward alpha/beta
+            p = ([0.4, 0.4, 0.05, 0.05, 0.05, 0.05] if src == "s0"
+                 else [1 / 6.0] * 6)
+            words = rng.choice(vocab, size=rng.integers(3, 12), p=p)
+            rows.append({"doc_id": i, "text": " ".join(words),
+                         "source": src})
+        return pd.DataFrame(rows)
+
+    def _oracle(self, df, targets, frac):
+        import collections
+        import math
+        toks = {r.doc_id: r.text.lower().split()
+                for r in df.itertuples()}
+        cq = collections.Counter(w for t in toks.values() for w in t)
+        cp = collections.Counter(
+            w for r in df.itertuples() if r.source in targets
+            for w in toks[r.doc_id])
+        v = len(cq)
+        nq = sum(cq.values())
+        np_ = sum(cp.values())
+        lw = {}
+        for d, t in toks.items():
+            s = sum(math.log((cp.get(w, 0) + 1) / (np_ + v))
+                    - math.log((cq[w] + 1) / (nq + v)) for w in t)
+            lw[d] = round(s, 6)
+        k = int(np.ceil(frac * len(df)))
+        order = sorted(lw, key=lambda d: (-lw[d], d))[:k]
+        return sorted(order), lw
+
+    def test_matches_oracle_and_prefers_target(self):
+        from graphscope_ray.data.curate import dsir_select
+        df = self._docs()
+        got = dsir_select(ray.data.from_pandas(df), ["s0"], 0.25) \
+            .to_pandas()
+        exp_ids, lw = self._oracle(df, {"s0"}, 0.25)
+        assert got["doc_id"].tolist() == exp_ids
+        for d, w in zip(got["doc_id"], got["lw"]):
+            assert w == pytest.approx(lw[d], abs=2e-6)
+        # the selected set should over-represent the target domain
+        sel_src = df.set_index("doc_id").loc[got["doc_id"], "source"]
+        assert (sel_src == "s0").mean() > 0.5
+
+    def test_deterministic(self):
+        from graphscope_ray.data.curate import dsir_select
+        df = self._docs()
+        a = dsir_select(ray.data.from_pandas(df), ["s0"],
+                        0.25).to_pandas()
+        b = dsir_select(ray.data.from_pandas(
+            np.array_split(df, 5)), ["s0"], 0.25).to_pandas()
+        pd.testing.assert_frame_equal(a, b)
