@@ -219,6 +219,20 @@ def run_bench() -> dict:
     queries["lm_score_docs_per_sec"] = round(
         lm_rows / max(queries["lm_score"], 1e-9), 1)
 
+    # DSIR importance resampling (r05): one corpus pass + O(vocab)
+    # exchanges + top-frac selection (needs the source column the
+    # other stages drop)
+    from graphscope_ray.data.curate import dsir_select
+    docs_src = ray.data.read_parquet(
+        f"{sf_dir}/documents.parquet",
+        columns=["doc_id", "text", "source"])
+    t0 = time.perf_counter()
+    dsir_rows = dsir_select(docs_src, ["src0", "src1"], 0.2).count()
+    queries["dsir"] = round(time.perf_counter() - t0, 3)
+    queries["dsir_docs_per_sec"] = round(
+        n_docs / max(queries["dsir"], 1e-9), 1)
+    queries["dsir_selected"] = dsir_rows
+
     # cross-document duplicated-span detection (r03 session 3)
     from graphscope_ray.data.dedup import duplicated_spans
     t0 = time.perf_counter()
