@@ -3626,6 +3626,70 @@ WHERE rn <= ceil(0.2 * (SELECT count(*) FROM documents))
 ORDER BY doc_id"""
 
 
+def _q_doc_gopher(sf_dir):
+    """Gopher quality-rule set (Rae 2021, arXiv:2112.11446 §A1.1 —
+    the rule family RefinedWeb/Dolma reuse): per-doc rule booleans +
+    fused keep flag, all single-pass vectorized string kernels."""
+    from graphscope_ray.data.curate import gopher_rules
+    docs = ray.data.read_parquet(f"{sf_dir}/documents.parquet",
+                                 columns=["doc_id", "text"])
+    return gopher_rules(docs).sort("doc_id")
+
+
+_DOC_GOPHER_SQL = r"""
+WITH base AS MATERIALIZED (
+  SELECT doc_id, coalesce(text, '') AS t,
+         lower(coalesce(text, '')) AS lo FROM documents),
+p AS MATERIALIZED (
+  SELECT doc_id, t, lo,
+         list_filter(string_split_regex(lo, '\s+'),
+                     x -> len(x) > 0) AS ws,
+         string_split(t, chr(10)) AS ls
+  FROM base),
+m AS (
+  SELECT doc_id,
+    len(ws)::BIGINT AS n_words,
+    round(coalesce(list_sum(list_transform(ws, x -> len(x))), 0)
+          / greatest(len(ws), 1), 6) AS mwl,
+    round(((len(t) - len(replace(t, '#', '')))
+           + (len(t) - len(replace(t, '...', ''))) / 3)
+          / greatest(len(ws), 1), 6) AS sym_ratio,
+    round(len(list_filter(ls,
+              l -> regexp_matches(l, '^[ \t]*[-*•]')))
+          / greatest(len(ls), 1), 6) AS bullet_ratio,
+    round(len(list_filter(ls,
+              l -> rtrim(l, ' ' || chr(9) || chr(13) || chr(12))
+                   LIKE '%...'))
+          / greatest(len(ls), 1), 6) AS ell_ratio,
+    round(len(list_filter(ws, x -> regexp_matches(x, '[a-z]')))
+          / greatest(len(ws), 1), 6) AS alpha_ratio,
+    ((CASE WHEN regexp_matches(lo, '\bthe\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(lo, '\bbe\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(lo, '\bto\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(lo, '\bof\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(lo, '\band\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(lo, '\bthat\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(lo, '\bhave\b') THEN 1 ELSE 0 END)
+     + (CASE WHEN regexp_matches(lo, '\bwith\b') THEN 1 ELSE 0 END)
+    ) AS stop_hits
+  FROM p),
+r AS (
+  SELECT doc_id, n_words,
+    (n_words >= 10 AND n_words <= 100000) AS r_words,
+    (mwl >= 2.0 AND mwl <= 12.0) AS r_mwl,
+    (sym_ratio <= 0.1) AS r_symbol,
+    (bullet_ratio <= 0.9) AS r_bullet,
+    (ell_ratio <= 0.3) AS r_ellipsis,
+    (alpha_ratio >= 0.6) AS r_alpha,
+    (stop_hits >= 1) AS r_stop
+  FROM m)
+SELECT doc_id, n_words, r_words, r_mwl, r_symbol, r_bullet,
+       r_ellipsis, r_alpha, r_stop,
+       (r_words AND r_mwl AND r_symbol AND r_bullet AND r_ellipsis
+        AND r_alpha AND r_stop) AS keep
+FROM r ORDER BY doc_id"""
+
+
 def _q_rel_q5_volume(sf_dir):
     """TPC-H Q5-shaped local-supplier-volume pipeline: six-table join
     chain as broadcast lookups onto the one big (never-shuffled)
@@ -4293,6 +4357,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gie_choose": _q_gie_choose,
         "gie_project": _q_gie_project,
         "doc_dsir": _q_doc_dsir,
+        "doc_gopher": _q_doc_gopher,
         "gie_coalesce": _q_gie_coalesce,
         "gie_math": _q_gie_math,
         "pg_dfs": _q_pg_dfs,
@@ -4637,6 +4702,7 @@ ORDER BY media_id, ts_ms""",
         "gie_choose": _GIE_CHOOSE_SQL,
         "gie_project": _GIE_PROJECT_SQL,
         "doc_dsir": _DOC_DSIR_SQL,
+        "doc_gopher": _DOC_GOPHER_SQL,
         "gie_coalesce": _GIE_COALESCE_SQL,
         "gie_math": _GIE_MATH_SQL,
         "pg_transitivity": f"""

@@ -815,3 +815,95 @@ def dsir_select(ds: ray.data.Dataset, target_sources, frac: float, *,
     top = (withw.map_batches(rounded, batch_format="pandas")
            .sort(["lw", key], descending=[True, False]).limit(k))
     return top.sort(key)
+
+
+def gopher_rules(ds: ray.data.Dataset, *, col: str = "text",
+                 key: str = "doc_id", min_words: int = 10,
+                 max_words: int = 100_000,
+                 min_mean_word_len: float = 2.0,
+                 max_mean_word_len: float = 12.0,
+                 max_symbol_ratio: float = 0.1,
+                 max_bullet_ratio: float = 0.9,
+                 max_ellipsis_ratio: float = 0.3,
+                 min_alpha_word_ratio: float = 0.6,
+                 min_stop_hits: int = 1) -> ray.data.Dataset:
+    """The Gopher repetition-free quality rule set (Rae et al. 2021,
+    arXiv:2112.11446 §A1.1 — the rule family later reused by
+    RefinedWeb/Dolma): per-doc booleans for each rule plus the fused
+    ``keep`` flag. All rules are single-pass vectorized string
+    kernels, replayed bit-for-bit by the DuckDB twin:
+
+    - ``r_words``: whitespace word count in [min_words, max_words];
+    - ``r_mwl``: mean word length in [min, max] (6-dp rounded);
+    - ``r_symbol``: (# + …) occurrences / words ≤ max (6 dp);
+    - ``r_bullet``: fraction of lines starting with -/* ≤ max;
+    - ``r_ellipsis``: fraction of lines ending with ... ≤ max;
+    - ``r_alpha``: fraction of words containing [a-z] ≥ min;
+    - ``r_stop``: ≥ min_stop_hits of {the, be, to, of, and, that,
+      have, with} present as whole lowercase words.
+
+    100 TB shape: embarrassingly parallel map_batches, no exchange."""
+    import re as _re
+
+    stop = ("the", "be", "to", "of", "and", "that", "have", "with")
+    stop_pats = [_re.compile(rf"\b{w}\b") for w in stop]
+    bullet_pat = _re.compile(r"^[ \t]*[-*•]")
+    alpha_pat = _re.compile(r"[a-z]")
+
+    def rules(df: pd.DataFrame) -> pd.DataFrame:
+        from graphscope_ray.util import round_half_away
+        txt = df[col].fillna("")
+        low = txt.str.lower()
+        # RE2 \s semantics ([ \t\n\f\r] — NOT \v, matching the
+        # repo-wide tokenizer convention) so the DuckDB twin's
+        # string_split_regex(..., '\s+') sees identical words
+        words = low.str.split(r"[ \t\n\f\r]+", regex=True).map(
+            lambda ws: [w for w in ws if w] if isinstance(ws, list)
+            else [])
+        n_words = words.str.len().fillna(0).astype(np.int64)
+        total_chars = words.map(
+            lambda ws: sum(len(w) for w in ws) if ws else 0) \
+            .astype(np.int64)
+        mwl = round_half_away(
+            total_chars / np.maximum(n_words, 1), 6)
+        n_sym = (txt.str.count("#")
+                 + txt.str.count(r"\.\.\.")).astype(np.int64)
+        sym_ratio = round_half_away(
+            n_sym / np.maximum(n_words, 1), 6)
+        lines = txt.str.split("\n")
+        n_lines = lines.str.len().fillna(0).astype(np.int64)
+        n_bullet = lines.map(lambda ls: sum(
+            1 for l in ls if bullet_pat.match(l)) if ls else 0)
+        n_ell = lines.map(lambda ls: sum(
+            1 for l in ls
+            if l.rstrip(" \t\r\f").endswith("...")) if ls else 0)
+        bullet_ratio = round_half_away(
+            n_bullet.to_numpy() / np.maximum(n_lines, 1), 6)
+        ell_ratio = round_half_away(
+            n_ell.to_numpy() / np.maximum(n_lines, 1), 6)
+        n_alpha = words.map(lambda ws: sum(
+            1 for w in ws if alpha_pat.search(w)) if ws else 0)
+        alpha_ratio = round_half_away(
+            n_alpha.to_numpy() / np.maximum(n_words, 1), 6)
+        stop_hits = sum((low.str.contains(p).astype(np.int64))
+                        for p in stop_pats)
+        out = pd.DataFrame({
+            key: df[key],
+            "n_words": n_words,
+            "r_words": ((n_words >= min_words)
+                        & (n_words <= max_words)),
+            "r_mwl": ((mwl >= min_mean_word_len)
+                      & (mwl <= max_mean_word_len)),
+            "r_symbol": sym_ratio <= max_symbol_ratio,
+            "r_bullet": bullet_ratio <= max_bullet_ratio,
+            "r_ellipsis": ell_ratio <= max_ellipsis_ratio,
+            "r_alpha": alpha_ratio >= min_alpha_word_ratio,
+            "r_stop": stop_hits.to_numpy() >= min_stop_hits,
+        })
+        out["keep"] = (out["r_words"] & out["r_mwl"]
+                       & out["r_symbol"] & out["r_bullet"]
+                       & out["r_ellipsis"] & out["r_alpha"]
+                       & out["r_stop"])
+        return out
+
+    return ds.map_batches(rules, batch_format="pandas")

