@@ -3626,6 +3626,60 @@ WHERE rn <= ceil(0.2 * (SELECT count(*) FROM documents))
 ORDER BY doc_id"""
 
 
+def _q_emb_mmr(sf_dir):
+    """MMR diversified retrieval (Carbonell & Goldstein 1998): greedy
+    top-5 re-rank of the whole pool against vec 0's embedding at
+    λ=0.7, on the repo-wide rounded-cosine protocol (the DuckDB twin
+    unrolls the five greedy steps as successive argmax CTEs)."""
+    import pyarrow.parquet as pq
+    from graphscope_ray.data.similarity import mmr_select
+    emb = ray.data.read_parquet(f"{sf_dir}/embeddings.parquet",
+                                columns=["vec_id", "embedding"])
+    q = pq.read_table(
+        f"{sf_dir}/embeddings.parquet",
+        columns=["vec_id", "embedding"],
+        filters=[("vec_id", "=", 0)])["embedding"][0].as_py()
+    return mmr_select(emb, np.asarray(q, dtype=np.float64),
+                      k=5, lam=0.7)
+
+
+def _mmr_sql(k: int = 5, lam: float = 0.7) -> str:
+    """Unrolled greedy-MMR twin: step i = argmax of
+    round(λ·qc − (1−λ)·greatest(pairwise cos6 to picks 1..i−1), 6)
+    over the not-yet-picked pool, vec_id tiebreak."""
+    parts = ["""WITH e AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings),
+q AS (SELECT emb AS qv FROM e WHERE vec_id = 0),
+sc AS MATERIALIZED (
+  SELECT e.vec_id, e.emb,
+         round(list_cosine_similarity(e.emb, (SELECT qv FROM q)), 6)
+           AS qc
+  FROM e)"""]
+    for i in range(1, k + 1):
+        if i == 1:
+            parts.append(
+                f"s1 AS (SELECT vec_id, emb, round({lam} * qc, 6) AS "
+                f"score FROM sc ORDER BY round({lam} * qc, 6) DESC, "
+                f"vec_id LIMIT 1)")
+            continue
+        excl = " UNION ALL ".join(
+            f"SELECT vec_id FROM s{j}" for j in range(1, i))
+        terms = ", ".join(
+            f"round(list_cosine_similarity(sc.emb, "
+            f"(SELECT emb FROM s{j})), 6)" for j in range(1, i))
+        g = terms if i == 2 else f"greatest({terms})"
+        parts.append(
+            f"s{i} AS (SELECT vec_id, emb, round({lam} * qc - "
+            f"{1.0 - lam} * {g}, 6) AS score FROM sc "
+            f"WHERE vec_id NOT IN ({excl}) "
+            f"ORDER BY score DESC, vec_id LIMIT 1)")
+    union = " UNION ALL ".join(
+        f"SELECT {i}::BIGINT AS rank, vec_id, score FROM s{i}"
+        for i in range(1, k + 1))
+    return (",\n".join(parts)
+            + f"\nSELECT * FROM ({union}) ORDER BY rank")
+
+
 def _q_doc_gopher(sf_dir):
     """Gopher quality-rule set (Rae 2021, arXiv:2112.11446 §A1.1 —
     the rule family RefinedWeb/Dolma reuse): per-doc rule booleans +
@@ -4358,6 +4412,7 @@ def queries() -> dict[str, Callable[[str], Any]]:
         "gie_project": _q_gie_project,
         "doc_dsir": _q_doc_dsir,
         "doc_gopher": _q_doc_gopher,
+        "emb_mmr": _q_emb_mmr,
         "gie_coalesce": _q_gie_coalesce,
         "gie_math": _q_gie_math,
         "pg_dfs": _q_pg_dfs,
@@ -4703,6 +4758,7 @@ ORDER BY media_id, ts_ms""",
         "gie_project": _GIE_PROJECT_SQL,
         "doc_dsir": _DOC_DSIR_SQL,
         "doc_gopher": _DOC_GOPHER_SQL,
+        "emb_mmr": _mmr_sql(),
         "gie_coalesce": _GIE_COALESCE_SQL,
         "gie_math": _GIE_MATH_SQL,
         "pg_transitivity": f"""

@@ -1008,3 +1008,81 @@ def range_search(
 
     return emb.select_columns([key, col]).map_batches(
         block, batch_format="pyarrow")
+
+
+def mmr_select(
+    emb: ray.data.Dataset,
+    query: np.ndarray,
+    *,
+    k: int = 5,
+    lam: float = 0.7,
+    fetch: int | None = None,
+    key: str = "vec_id",
+    col: str = "embedding",
+) -> pa.Table:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein
+    1998): greedily pick ``k`` vectors maximizing
+
+        score = round(λ·cos6(q, v) − (1−λ)·max_{s∈S} cos6(v, s), 6)
+
+    (cos6 = cosine rounded to 6 dp — the repo-wide ANN protocol, so
+    the DuckDB twin's ``round(list_cosine_similarity(..), 6)``
+    arithmetic replays the greedy decisions bit-for-bit; ties break on
+    ascending ``key``). Rank 1 is the plain top-cosine pick (empty
+    diversity term).
+
+    100 TB shape: ``fetch`` bounds the candidate pool — one
+    distributed pass computes per-batch partial top-``fetch`` by
+    query cosine (combiner) and only that pool (ids + vectors,
+    fetch·D floats) reaches the driver for the O(k·fetch·D) greedy
+    loop; ``fetch=None`` pulls every vector and is gated to small
+    inputs by the caller."""
+    from graphscope_ray.util import round_half_away
+
+    q = _normalize(np.asarray(query, dtype=np.float64).reshape(1, -1))
+    ref = ray.put(q[0])
+
+    def block(t: pa.Table) -> pa.Table:
+        qv = ray.get(ref)
+        ids = t[key].to_numpy()
+        m = _normalize(np.stack(t[col].to_numpy(zero_copy_only=False)))
+        qc = round_half_away(m @ qv, 6)
+        if fetch is not None and len(ids) > fetch:
+            # per-batch partial top-fetch (rounded-cos, id tiebreak)
+            order = np.lexsort((ids, -qc))[:fetch]
+            ids, m, qc = ids[order], m[order], qc[order]
+        return pa.table({key: pa.array(ids), "_qc": pa.array(qc),
+                         "_emb": pa.array(list(m))})
+
+    pool = emb.select_columns([key, col]).map_batches(
+        block, batch_format="pyarrow").to_pandas()
+    if fetch is not None and len(pool) > fetch:
+        pool = pool.sort_values([ "_qc", key],
+                                ascending=[False, True],
+                                kind="stable").head(fetch)
+    ids = pool[key].to_numpy()
+    qc = pool["_qc"].to_numpy()
+    mat = np.stack(pool["_emb"].to_numpy())
+
+    sel_idx: list = []
+    out_rows = []
+    taken = np.zeros(len(ids), dtype=bool)
+    for rank in range(1, min(k, len(ids)) + 1):
+        if sel_idx:
+            pair = round_half_away(mat @ mat[sel_idx].T, 6)
+            div = pair.max(axis=1)
+            score = round_half_away(lam * qc - (1.0 - lam) * div, 6)
+        else:
+            score = round_half_away(lam * qc, 6)
+        score_m = np.where(taken, -np.inf, score)
+        # argmax with ascending-id tiebreak
+        best = np.lexsort((ids, -score_m))[0]
+        taken[best] = True
+        sel_idx.append(best)
+        out_rows.append((rank, ids[best], score_m[best]))
+    return pa.table({
+        "rank": pa.array([r for r, _, _ in out_rows], pa.int64()),
+        key: pa.array([i for _, i, _ in out_rows]),
+        "score": pa.array([round_half_away(s, 6)
+                           for _, _, s in out_rows], pa.float64()),
+    })

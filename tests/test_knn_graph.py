@@ -327,3 +327,84 @@ def test_ivf_pq_ann(ray_session):
         a1 = approx[approx.query_id == qid]["approx_cosine"].iloc[0]
         e1 = exact[exact.query_id == qid]["cosine"].iloc[0]
         assert abs(a1 - e1) < 0.2, (qid, a1, e1)
+
+
+class TestMMRRound5:
+    """mmr_select (Carbonell 1998) vs a direct numpy greedy replay."""
+
+    def _pool(self, rng, n=80, d=8):
+        m = rng.standard_normal((n, d))
+        return pd.DataFrame({"vec_id": np.arange(n, dtype=np.int64),
+                             "embedding": list(m)})
+
+    def _oracle(self, df, qv, k, lam):
+        from graphscope_ray.util import round_half_away as r6
+        m = np.stack(df["embedding"].to_numpy())
+        m = m / np.linalg.norm(m, axis=1, keepdims=True)
+        q = qv / np.linalg.norm(qv)
+        ids = df["vec_id"].to_numpy()
+        qc = r6(m @ q, 6)
+        taken = np.zeros(len(ids), bool)
+        sel, rows = [], []
+        for rank in range(1, k + 1):
+            if sel:
+                div = r6(m @ m[sel].T, 6).max(axis=1)
+                sc = r6(lam * qc - (1 - lam) * div, 6)
+            else:
+                sc = r6(lam * qc, 6)
+            sc = np.where(taken, -np.inf, sc)
+            best = np.lexsort((ids, -sc))[0]
+            taken[best] = True
+            sel.append(best)
+            rows.append((rank, ids[best], sc[best]))
+        return rows
+
+    def test_matches_numpy_greedy(self):
+        from graphscope_ray.data.similarity import mmr_select
+        rng = np.random.default_rng(3)
+        df = self._pool(rng)
+        qv = rng.standard_normal(8)
+        got = mmr_select(ray.data.from_pandas(df), qv, k=6,
+                         lam=0.6).to_pandas()
+        exp = self._oracle(df, qv, 6, 0.6)
+        assert list(zip(got["rank"], got["vec_id"])) == \
+            [(r, i) for r, i, _ in exp]
+        for g, (_, _, s) in zip(got["score"], exp):
+            assert g == pytest.approx(s, abs=2e-6)
+
+    def test_rank1_is_top_cosine(self):
+        from graphscope_ray.data.similarity import ann_topk, mmr_select
+        rng = np.random.default_rng(4)
+        df = self._pool(rng)
+        qv = rng.standard_normal(8)
+        got = mmr_select(ray.data.from_pandas(df), qv, k=3,
+                         lam=0.5).to_pandas()
+        top = ann_topk(ray.data.from_pandas(df), qv[None, :], k=1)
+        assert got["vec_id"].iloc[0] == top["vec_id"].iloc[0]
+
+    def test_fetch_pool_consistent(self):
+        from graphscope_ray.data.similarity import mmr_select
+        rng = np.random.default_rng(5)
+        df = self._pool(rng, n=200)
+        qv = rng.standard_normal(8)
+        full = mmr_select(ray.data.from_pandas(df), qv, k=4,
+                          lam=0.7).to_pandas()
+        # a generous fetch pool must reproduce the full-pool picks
+        pooled = mmr_select(ray.data.from_pandas(
+            np.array_split(df, 4)), qv, k=4, lam=0.7,
+            fetch=200).to_pandas()
+        pd.testing.assert_frame_equal(full, pooled)
+
+    def test_lambda_zero_diversifies(self):
+        from graphscope_ray.data.similarity import mmr_select
+        # pool of near-duplicates of q plus one orthogonal vector:
+        # λ→0 must pull in the orthogonal one early
+        base = np.array([1.0, 0.0, 0.0, 0.0])
+        dups = [base + 1e-3 * np.random.default_rng(i)
+                .standard_normal(4) for i in range(6)]
+        ortho = np.array([0.0, 1.0, 0.0, 0.0])
+        df = pd.DataFrame({"vec_id": np.arange(7, dtype=np.int64),
+                           "embedding": dups + [ortho]})
+        got = mmr_select(ray.data.from_pandas(df), base, k=2,
+                         lam=0.01).to_pandas()
+        assert 6 in got["vec_id"].tolist()
