@@ -1545,10 +1545,18 @@ class BSPEngine:
     def katz_centrality(self, alpha: float = 0.1, beta: float = 1.0,
                         tol: float = 1e-6, max_round: int = 100,
                         normalized: bool = True,
-                        weighted: bool = False) -> ray.data.Dataset:
+                        weighted: bool = False,
+                        raise_on_no_convergence: bool = False
+                        ) -> ray.data.Dataset:
         """x' = α·Aᵀx + β from x₀ = 0; stop when Σ|Δ| < N·tol or
         ``max_round``; optional final L2 normalization —
-        apps/centrality/katz/katz_centrality.h:48-160."""
+        apps/centrality/katz/katz_centrality.h:48-160.
+        ``raise_on_no_convergence`` adopts networkx's contract
+        (PowerIterationFailedConvergence analogue) instead of
+        returning the last iterate."""
+        if raise_on_no_convergence and max_round <= 0:
+            raise RuntimeError(
+                "katz power iteration failed to converge in 0 rounds")
         ray.get([a.vec_init.remote("katz", 0.0) for a in self.actors])
         rounds = 0
         t0 = time.perf_counter()
@@ -1566,7 +1574,13 @@ class BSPEngine:
             )
             l1 = sum(ray.get([a.vec_l1_vs.remote("katz", "katz_last")
                               for a in self.actors]))
-            if l1 < self.V * tol or rounds >= max_round:
+            if l1 < self.V * tol:
+                break
+            if rounds >= max_round:
+                if raise_on_no_convergence:
+                    raise RuntimeError(
+                        f"katz power iteration failed to converge "
+                        f"in {max_round} rounds")
                 break
         if normalized:
             sumsq = sum(s[1] for s in ray.get(

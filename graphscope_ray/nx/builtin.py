@@ -152,7 +152,9 @@ def _deg_centrality(G, mode: str) -> dict:
     if n == 0:
         return {}
     if n == 1:
-        return {next(iter(G)): 0.0}
+        # networkx convention (degree_alg.py): graphs with a single
+        # node score 1, not deg/(n-1) which would divide by zero
+        return {next(iter(G)): 1}
     _, ds = G._vid_edge_ds()
     nodes = _pynodes(G)
     scale = 1.0 / (n - 1)
@@ -185,9 +187,17 @@ def katz_centrality(G, alpha: float = 0.1, beta: float = 1.0,
     `apps/centrality/katz/katz_centrality.h` (``builtin.py:255``)."""
     if len(G) == 0:
         return {}
-    ds = G._backing("main").engine.katz_centrality(
-        alpha=alpha, beta=beta, tol=tol, max_round=max_iter,
-        normalized=normalized)
+    try:
+        ds = G._backing("main").engine.katz_centrality(
+            alpha=alpha, beta=beta, tol=tol, max_round=max_iter,
+            normalized=normalized, raise_on_no_convergence=True)
+    except RuntimeError as e:
+        if "failed to converge" in str(e):
+            # networkx contract (katz_alg.py): exhausting max_iter
+            # without meeting tol raises, not returns
+            import networkx as _nx
+            raise _nx.PowerIterationFailedConvergence(max_iter) from e
+        raise
     return _to_map(G, ds, "centrality")
 
 

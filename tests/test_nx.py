@@ -361,7 +361,8 @@ def test_empty_and_tiny():
     assert gnx.pagerank(g) == {}
     assert gnx.degree_centrality(g) == {}
     g.add_node(7)
-    assert gnx.degree_centrality(g) == {7: 0.0}
+    # networkx convention: single-node graphs score 1
+    assert gnx.degree_centrality(g) == {7: 1}
     try:
         assert gnx.pagerank(g) == {7: 1.0}
         assert list(gnx.connected_components(g)) == [{7}]
