@@ -43,9 +43,12 @@ __all__ = [
 
 try:
     from networkx import (NetworkXError, NetworkXNotImplemented,
-                          NetworkXPointlessConcept)
+                          NetworkXPointlessConcept, NodeNotFound)
 except ImportError:  # pragma: no cover - facade without networkx
     class NetworkXError(ValueError):
+        pass
+
+    class NodeNotFound(KeyError):
         pass
 
     class NetworkXNotImplemented(NotImplementedError):
@@ -91,7 +94,10 @@ def _vid(G, n) -> int:
     nodes = G._sorted_nodes()
     i = int(np.searchsorted(nodes, n))
     if i >= len(nodes) or nodes[i] != n:
-        raise KeyError(f"node {n!r} not in graph")
+        # networkx contract: path/traversal entry points raise
+        # NodeNotFound (a KeyError subclass there) for absent
+        # endpoints — the upstream suite asserts the type
+        raise NodeNotFound(f"node {n!r} not in graph")
     return i
 
 
@@ -221,10 +227,33 @@ def single_source_dijkstra_path_length(G, source,
     return {n: d for n, d in full.items() if np.isfinite(d)}
 
 
-def shortest_path(G, source, weight: Optional[str] = None) -> dict:
-    """{node: path list} from ``source`` over reachable nodes —
-    ``builtin.py:361-371`` → `apps/sssp/sssp_path.h` predecessors,
-    reconstructed driver-side (paths are driver-sized by contract)."""
+def shortest_path(G, source=None, target=None,
+                  weight: Optional[str] = None):
+    """The networkx four-form overload (generic.py), engine-backed:
+
+    - ``source`` + ``target`` → one path list (NetworkXNoPath if
+      unreachable);
+    - ``source`` only → {target: path list} over reachable nodes
+      (`apps/sssp/sssp_path.h` predecessors, reconstructed
+      driver-side — paths are driver-sized by contract);
+    - ``target`` only → {source: path to target} (the reversed-graph
+      single-source run, paths flipped);
+    - neither → {source: {target: path}} (one engine run per source —
+      the all-pairs form is small-graph-only by the same contract
+      networkx documents)."""
+    if source is None and target is None:
+        return {s: shortest_path(G, s, weight=weight) for s in G}
+    if source is None:
+        rev = G.reverse() if G.is_directed() else G
+        back = shortest_path(rev, target, weight=weight)
+        return {s: list(reversed(p)) for s, p in back.items()}
+    if target is not None:
+        paths = shortest_path(G, source, weight=weight)
+        if target not in paths:
+            import networkx as _nx
+            raise _nx.NetworkXNoPath(
+                f"No path between {source} and {target}.")
+        return paths[target]
     svid = _vid(G, source)
     ds = G._backing("main", weight=weight).engine.sssp_path(
         svid, unit=weight is None)
